@@ -1,0 +1,58 @@
+"""Benchmark runner (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line with per-query wall times.
+
+Execution is forced with the noop writer (full pipeline runs, nothing
+collected to the driver) — the honest distributed-throughput measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entry_mod
+    from windflow_spark import get_spark
+
+    spark = get_spark("windflow-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry_mod.queries()
+    times: dict[str, float] = {}
+    # warm the JVM + file listing once (excluded from per-query times)
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    t_all = time.time()
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as e:  # a failing query must not hide the rest
+            times[name] = -1.0
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+    total = round(time.time() - t_all, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

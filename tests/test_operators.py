@@ -1,0 +1,166 @@
+"""Unit tests: rolling reduce, interval join (KP≡DP), routing, dedup,
+similarity, text functions, multimodal plumbing."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from windflow_spark.operators.interval_join import interval_join
+from windflow_spark.operators.reduce import rolling_reduce
+from windflow_spark.operators.routing import merge_pipes, split_by, split_pipe
+
+SEC = 1_000_000
+
+
+def _mk(spark, rows, schema="key long, value long, ts timestamp"):
+    return spark.createDataFrame(
+        [(k, v, dt.datetime(2024, 1, 1) + dt.timedelta(microseconds=ts)) for k, v, ts in rows],
+        schema,
+    )
+
+
+def test_rolling_reduce_emits_per_input(spark):
+    df = _mk(spark, [(1, 10, 0), (1, 20, SEC), (1, 30, 2 * SEC), (2, 7, 0)])
+    out = rolling_reduce(df, ["key"], ["ts"], {"rsum": F.sum("value")})
+    got = {(r.key, r.value, r.rsum) for r in out.collect()}
+    assert got == {(1, 10, 10), (1, 20, 30), (1, 30, 60), (2, 7, 7)}
+    assert out.count() == df.count()  # one output per input (update mode)
+
+
+def test_interval_join_inclusive_bounds(spark):
+    # b.ts ∈ [a.ts + lower, a.ts + upper], bounds inclusive
+    # (reference wf/builders.hpp:1480-1493)
+    a = _mk(spark, [(1, 100, 5 * SEC)])
+    b = _mk(spark, [(1, 1, 4 * SEC), (1, 2, 5 * SEC), (1, 3, 7 * SEC), (1, 4, 8 * SEC), (2, 5, 6 * SEC)])
+    j = interval_join(a, b, ["key"], "ts", "ts", 0, 2 * SEC)
+    got = sorted(r["value"] for r in j.select(F.col("b.value")).collect())
+    assert got == [2, 3]  # 4s too early, 8s too late, key 2 no match
+
+
+def test_interval_join_kp_equals_dp(spark):
+    rows_a = [(k % 3, v, v * 400_000) for k, v in enumerate(range(30))]
+    rows_b = [(k % 3, v + 100, v * 500_000) for k, v in enumerate(range(30))]
+    a, b = _mk(spark, rows_a), _mk(spark, rows_b)
+    kp = interval_join(a, b, ["key"], "ts", "ts", 0, 2 * SEC)
+    dp = interval_join(a, b, ["key"], "ts", "ts", 0, 2 * SEC, broadcast_side="b")
+    k = sorted(map(tuple, kp.select("a.value", "b.value").collect()))
+    d = sorted(map(tuple, dp.select("a.value", "b.value").collect()))
+    assert k == d and len(k) > 0
+
+
+def test_split_multicast_and_merge(spark):
+    df = _mk(spark, [(1, 5, 0), (2, 15, SEC), (3, 25, 2 * SEC)])
+    # overlapping predicates → multicast (vector<int> splitting form)
+    branches = split_pipe(df, [F.col("value") > 10, F.col("value") > 20])
+    assert branches[0].count() == 2 and branches[1].count() == 1
+    merged = merge_pipes(*branches)
+    assert merged.count() == 3  # row with value=25 delivered to both branches
+
+
+def test_split_by_int_router(spark):
+    df = _mk(spark, [(i, i, i * SEC) for i in range(9)])
+    parts = split_by(df, (F.col("key") % 3).cast("int"), 3)
+    assert [p.count() for p in parts] == [3, 3, 3]
+
+
+def test_exact_dedup(spark):
+    from windflow_spark.functions.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")], "doc_id long, text string"
+    )
+    out = exact_dedup(df)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from windflow_spark.functions.dedup import minhash_lsh_candidates, ngram_jaccard
+
+    base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    near = base.replace("lazy", "sleepy")
+    far = "completely different words about spark distributed query engines at scale"
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    cands = minhash_lsh_candidates(docs, num_hashes=16, bands=8)
+    pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert (1, 2) in pairs
+    verified = ngram_jaccard(cands, docs)
+    jac = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    assert jac[(1, 2)] > 0.5
+
+
+def test_simhash_near_dup_distance(spark):
+    from windflow_spark.functions.dedup import simhash
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    docs = spark.createDataFrame(
+        [(1, base), (2, base.replace("dog", "cat")), (3, "unrelated text entirely about databases")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(out[1], out[2]) < hamming(out[1], out[3])
+
+
+def test_brute_force_topk(spark):
+    from windflow_spark.functions.similarity import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    out = brute_force_topk(corpus, queries, k=2)
+    rows = sorted((r.rk, r.vec_id) for r in out.collect())
+    assert rows == [(1, 1), (2, 2)]  # exact match first, near second
+
+
+def test_lang_id_and_quality(spark):
+    from windflow_spark.functions.text import lang_id_heuristic, quality_score
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is here"), (2, "el gato y la casa de que")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang_pred for r in lang_id_heuristic(df).collect()}
+    assert out[1] == "en" and out[2] == "es"
+    q = quality_score(df).collect()[0]
+    assert 0.0 <= q.q_alpha_ratio <= 1.0
+
+
+def test_multimodal_decode_plumbing(spark):
+    from windflow_spark.functions.multimodal import attach_binary_metadata, decode_image_meta
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"fakejpegbytes")), (2, bytearray(b"anotherpayload!!"))],
+        "media_id long, payload binary",
+    )
+    meta = attach_binary_metadata(df)
+    assert meta.filter(F.col("payload_bytes") > 0).count() == 2
+    decoded = decode_image_meta(df)
+    rows = decoded.collect()
+    assert len(rows) == 2 and all(r.width > 0 and r.channels == 3 for r in rows)
+
+
+def test_pipegraph_facade(spark):
+    from windflow_spark import PipeGraph
+
+    df = _mk(spark, [(1, 5, 0), (1, 7, SEC), (2, 1, 2 * SEC)])
+    g = PipeGraph(spark, "t")
+    mp = g.add_source(df)
+    out = (
+        mp.filter(F.col("value") > 2)
+        .with_column("doubled", F.col("value") * 2)
+        .keyed_windows_tb(["key"], "ts", 2 * SEC, None, [F.sum("doubled").alias("s")])
+        .add_sink()
+    )
+    got = {(r.key, r.s) for r in out.collect()}
+    assert got == {(1, 24), }

@@ -1,0 +1,111 @@
+"""Window-operator unit tests on tiny inline frames (FIXTURES.md §2 shapes):
+CB/TB × tumbling/sliding/hopping, empty-window spine, partial trailing
+windows — plus the metamorphic invariance the reference tests demand
+(SURVEY.md §5): results invariant to partitioning."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from windflow_spark.operators.windows import (
+    paned_window_tb,
+    sliding_window_cb,
+    sliding_window_tb,
+    tumbling_window_cb,
+    tumbling_window_tb,
+    window_spine_tb,
+)
+
+US = 1  # µs
+SEC = 1_000_000
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [(k, v, dt.datetime(2024, 1, 1) + dt.timedelta(microseconds=ts)) for k, v, ts in rows],
+        "key long, value long, ts timestamp",
+    )
+
+
+BASE_US = 1704067200000000  # 2024-01-01 in µs (epoch-aligned windows)
+
+
+def test_tumbling_tb_basic(spark):
+    # 2-second windows; 2024-01-01 is second-aligned so offsets are exact
+    df = _mk(spark, [(1, 10, 0), (1, 20, 1 * SEC), (1, 30, 2 * SEC), (2, 5, 3 * SEC)])
+    out = tumbling_window_tb(df, ["key"], "ts", 2 * SEC, [F.sum("value").alias("s")])
+    got = {(r.key, r.w_start.second % 10, r.s) for r in out.collect()}
+    assert got == {(1, 0, 30), (1, 2, 30), (2, 2, 5)}
+
+
+def test_sliding_tb_counts(spark):
+    # len 4s slide 2s: row at t=2s belongs to windows starting at 0s and 2s
+    df = _mk(spark, [(1, 1, 2 * SEC)])
+    out = sliding_window_tb(df, ["key"], "ts", 4 * SEC, 2 * SEC, [F.count(F.lit(1)).alias("c")])
+    starts = sorted(r.w_start.second for r in out.collect())
+    assert starts == [0, 2]
+
+
+def test_hopping_with_gaps(spark):
+    # len 1s slide 3s: only rows with ts%3 < 1 s land in a window
+    df = _mk(spark, [(1, 1, 0), (1, 1, 1 * SEC), (1, 1, 3 * SEC), (1, 1, 5 * SEC)])
+    out = sliding_window_tb(df, ["key"], "ts", 1 * SEC, 3 * SEC, [F.count(F.lit(1)).alias("c")])
+    rows = {(r.w_start.second, r.c) for r in out.collect()}
+    assert rows == {(0, 1), (3, 1)}
+
+
+def test_cb_tumbling_partial_trailing_window_fires(spark):
+    # 5 rows, len 2 → windows of 2,2 and a trailing partial of 1 (EOS flush
+    # parity: reference wf/window_replica.hpp:356-400)
+    rows = [(1, i, i * SEC) for i in range(5)]
+    df = _mk(spark, rows)
+    out = tumbling_window_cb(df, ["key"], ["ts"], 2, [F.count(F.lit(1)).alias("c")])
+    got = sorted((r.wid, r.c) for r in out.collect())
+    assert got == [(0, 2), (1, 2), (2, 1)]
+
+
+def test_cb_sliding_window_membership(spark):
+    # len 4 slide 2 over 6 rows: window w covers rids [2w, 2w+3]
+    rows = [(1, i, i * SEC) for i in range(6)]
+    df = _mk(spark, rows)
+    out = sliding_window_cb(df, ["key"], ["ts"], 4, 2, [F.count(F.lit(1)).alias("c")])
+    got = dict((r.wid, r.c) for r in out.collect())
+    assert got == {0: 4, 1: 4, 2: 2}
+
+
+def test_paned_equals_naive_sliding(spark):
+    rows = [(k, v, t * SEC) for k in (1, 2) for v, t in enumerate(range(0, 20, 3))]
+    df = _mk(spark, rows)
+    naive = sliding_window_tb(
+        df, ["key"], "ts", 6 * SEC, 2 * SEC,
+        [F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv")],
+    )
+    paned = paned_window_tb(
+        df, ["key"], "ts", 6 * SEC, 2 * SEC,
+        pane_aggs=[F.count(F.lit(1)).alias("_c"), F.sum("value").alias("_s")],
+        final_aggs=[F.sum("_c").alias("cnt"), F.sum("_s").alias("sv")],
+    )
+    assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, paned.collect()))
+
+
+def test_window_spine_includes_empty(spark):
+    # key 1 has events in windows 0 and 3 (2s windows) → spine must contain
+    # the empty windows 1 and 2 (reference fires empty TB windows,
+    # wf/window_replica.hpp:306-317)
+    df = _mk(spark, [(1, 1, 0), (1, 1, 7 * SEC)])
+    spine = window_spine_tb(df, ["key"], "ts", 2 * SEC)
+    assert spine.count() == 4
+
+
+def test_partition_invariance(spark):
+    # metamorphic check from the reference's test strategy: same result for
+    # any physical partitioning (SURVEY.md §5)
+    rows = [(k % 3, v, v * 777_777) for k, v in enumerate(range(50))]
+    df = _mk(spark, rows)
+    a = tumbling_window_tb(df, ["key"], "ts", 7 * SEC, [F.sum("value").alias("s")])
+    b = tumbling_window_tb(
+        df.repartition(7, "value"), ["key"], "ts", 7 * SEC, [F.sum("value").alias("s")]
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -1,0 +1,154 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup: hash-groupBy — one shuffle on the content hash; at 100 TB,
+hash first (64-128 bit), never shuffle raw text.
+
+Near-dup (MinHash + LSH): shingle → minhash signature → band buckets →
+bucket-join. Candidate pairs are generated ONLY within buckets, so the
+cross-product never materializes; all steps are column expressions except
+nothing — even the minhash is built from xxhash64 with per-permutation seeds.
+
+SimHash: 64-bit LSB-weighted token hashes; near-dups differ in few bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from windflow_spark.functions.text import tokens
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group identical texts by md5; emit (h, keep_id, n_copies). The
+    canonical survivor is the minimum id — deterministic at any scale."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("h"), F.col(id_col))
+        .groupBy("h")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Return the deduplicated rows (survivor per identical text)."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def shingles(text_col: Column | str, k: int = 3) -> Column:
+    """k-word shingles as an array<string> (distinct)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array()))
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: for permutation p, min over shingles of
+    xxhash64(shingle, seed=p). Pure column expressions — JVM-side."""
+    mins = [
+        F.array_min(F.transform(shingle_col, lambda s, p=p: F.xxhash64(s, F.lit(p))))
+        for p in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH: docs sharing any band bucket.
+
+    Returns (id_a, id_b) with id_a < id_b, distinct. Shuffle cost is
+    O(docs × bands); the join happens per bucket — no cross product.
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(shingles(text_col, shingle_k), num_hashes).alias("_sig"),
+    )
+    banded = sig.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(",", *[
+                            F.element_at("_sig", b * rows + r + 1).cast("string")
+                            for r in range(rows)
+                        ])
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df_pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over k-shingles for candidate pairs (verification step
+    after LSH). Adds `jaccard` (rounded 4dp)."""
+    sh = docs.select(
+        F.col(id_col), shingles(text_col, shingle_k).alias("_sh")
+    )
+    out = (
+        df_pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_shb"), "id_b")
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size(F.array_union("_sha", "_shb"))
+    return out.withColumn(
+        "jaccard", F.round(inter / F.greatest(union, F.lit(1)), 4)
+    ).drop("_sha", "_shb")
+
+
+def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash from token xxhash64s, bit-majority weighted by token
+    frequency — column-expression only (aggregate over the token array)."""
+    toks = tokens(text_col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit(i: int) -> Column:
+        # shiftleft wraps at bit 63 (sign bit) — correct for bitwise use
+        return F.shiftleft(F.lit(1).cast("long"), i)
+
+    def vote(i: int):
+        # factory closure: F.aggregate requires an exactly-2-arg merge fn
+        return lambda acc, h: acc + F.when(h.bitwiseAND(bit(i)) != 0, 1).otherwise(-1)
+
+    bit_votes = [F.aggregate(hashes, F.lit(0), vote(i)) for i in range(64)]
+    out = F.lit(0).cast("long")
+    for i, v in enumerate(bit_votes):
+        out = out + F.when(v > 0, bit(i)).otherwise(F.lit(0).cast("long"))
+    return df.withColumn(out_col, out)

@@ -1,0 +1,92 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched Pandas UDFs over mapInPandas.
+
+The decode step is STUBBED (image/audio libraries are not in this container):
+`decode_image_meta` computes deterministic fake features from the bytes so
+the Spark-side plumbing — schema, batching, partitioning, UDF signature — is
+real and tested. Swap `_fake_decode` for PIL/ffmpeg in production; the plan
+shape does not change.
+
+Scale notes: binary payloads ride the scan; mapInPandas streams Arrow
+batches so peak memory is one batch per core, controlled by
+spark.sql.execution.arrow.maxRecordsPerBatch. Partition by size upstream
+when payloads are skewed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Canonical multimodal row: opaque payload + typed metadata struct.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField(
+            "media_type",
+            StructType(
+                [StructField("kind", StringType()), StructField("mime", StringType())]
+            ),
+        ),
+    ]
+)
+
+
+def attach_binary_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Typed metadata columns computed JVM-side: byte length + content hash."""
+    return df.withColumn("payload_bytes", F.length(F.col(payload_col)).cast("long")).withColumn(
+        "payload_hash", F.xxhash64(F.col(payload_col))
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for an image decode: (width, height, channels)
+    derived from the payload hash. Replace with a real decoder in prod."""
+    if payload is None:
+        return (0, 0, 0)
+    h = hash(payload) & 0x7FFFFFFF
+    return (64 + h % 512, 64 + (h >> 9) % 512, 3)
+
+
+DECODED_FIELDS = "media_id long, width int, height int, channels int, n_bytes long"
+
+
+def decode_image_meta(df: DataFrame, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
+    """mapInPandas decode: Arrow-batched, one pass, no collect. The UDF
+    signature/batch shape is the production one; only `_fake_decode` is a
+    stub (no image libs in this container — raises nothing, returns
+    deterministic fakes)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [_fake_decode(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "width": [m[0] for m in meta],
+                    "height": [m[1] for m in meta],
+                    "channels": [m[2] for m in meta],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf[payload_col]],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode, DECODED_FIELDS)
+
+
+def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing stub: explodes frame indices 0..n-1
+    step every_n from a (fake) frame count derived from payload size."""
+    n_frames = (F.col("payload_bytes") / 1000).cast("long")
+    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
+    return df.withColumn("frame_idx", F.explode(idx))

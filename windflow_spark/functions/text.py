@@ -1,0 +1,86 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language ID, document fingerprinting.
+
+All pure-column expressions (JVM-side, whole-stage codegen) — no Python UDFs
+in any hot path; at 100 TB these run at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(text_col: Column | str, delim: str = " ") -> Column:
+    """Whitespace tokens with empties removed (parity with DuckDB
+    string_split + list_filter)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(c, delim), lambda x: x != F.lit(""))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append exact char count and whitespace token count."""
+    return df.withColumn("n_chars_exact", F.length(text_col).cast("long")).withColumn(
+        "n_tokens", F.size(tokens(text_col)).cast("long")
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: mean word length, alpha ratio,
+    stopword-ish ratio. Columns: q_mean_word_len, q_alpha_ratio, q_score."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    total_tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    )
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    n_chars = F.length(text_col)
+    return (
+        df.withColumn(
+            "q_mean_word_len",
+            F.round(total_tok_chars / F.greatest(n_tok, F.lit(1)), 2),
+        )
+        .withColumn(
+            "q_alpha_ratio", F.round(alpha_chars / F.greatest(n_chars, F.lit(1)), 2)
+        )
+        .withColumn(
+            "q_score",
+            F.round(
+                F.least(F.lit(1.0), n_tok / F.lit(100.0)) * F.col("q_alpha_ratio"), 2
+            ),
+        )
+    )
+
+
+def lang_id_heuristic(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Tiny n-gram/stopword language-ID heuristic → `lang_pred` column.
+
+    Real pipelines plug a model here (Pandas UDF); the heuristic keeps the
+    plumbing testable without external libs and stays JVM-side.
+    """
+    t = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+
+    def hits(words: list[str]) -> Column:
+        out = F.lit(0)
+        for w in words:
+            out = out + F.when(t.contains(f" {w} "), 1).otherwise(0)
+        return out
+
+    scores = {
+        "en": hits(["the", "and", "of", "to", "is"]),
+        "es": hits(["el", "la", "de", "que", "y"]),
+        "fr": hits(["le", "la", "et", "les", "des"]),
+        "de": hits(["der", "die", "und", "das", "ist"]),
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for code, s in scores.items():
+        pred = F.when((s == best) & (best > 0), code).otherwise(pred)
+    return df.withColumn("lang_pred", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:
+    """64-bit document fingerprint (xxhash64 of normalized text) — the
+    rolling-hash shingle variant lives in functions/dedup.py."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return df.withColumn(out_col, F.xxhash64(norm))

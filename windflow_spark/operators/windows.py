@@ -1,0 +1,243 @@
+"""Window aggregations — WindFlow's four window operators, Spark-first.
+
+Reference semantics (SURVEY.md §2.5; reference wf/window_replica.hpp:267-352,
+wf/builders.hpp:743-781): count-based (CB) or time-based (TB) windows with
+length + slide; tumbling (len==slide), sliding (len>slide), hopping-with-gaps
+(len<slide); all windows of a key processed together; window id ``wid`` is the
+progressive window index per key (CB) or global (TB aligned to epoch).
+
+WindFlow's Keyed/Parallel/Paned/MapReduce/Ffat variants are *physical*
+strategies for the same logical result (reference wf/paned_windows.hpp:140-141,
+wf/mapreduce_windows.hpp:140-141, wf/ffat_windows.hpp:63): Spark's partial
+aggregation + shuffle-by-key already implements the Paned/MapReduce sharing,
+and whole-stage codegen does the fusion, so here every variant produces the
+same plan-or-better. ``paned_window_tb`` keeps an explicit two-level pane form
+for dense sliding windows where it provably reduces row replication.
+
+Scale notes (100 TB):
+- Window assignment is pure integer arithmetic on the event-time column →
+  stays inside whole-stage codegen; no UDFs.
+- Sliding windows replicate each row ``len/slide`` times BEFORE the shuffle,
+  but partial aggregation collapses them map-side, so shuffle volume is
+  O(#keys × #windows), not O(rows × len/slide).
+- CB windows need a per-key ordering (row_number) — one shuffle by key, same
+  cost as the aggregation shuffle it feeds.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _us(ts_col: str) -> Column:
+    """Event-time in microseconds since epoch (matches WindFlow's µs model,
+    reference wf/basic.hpp:49-61)."""
+    return F.unix_micros(F.col(ts_col))
+
+
+def _floordiv(col: Column, d: int) -> Column:
+    """Exact floor-division for NON-NEGATIVE long columns.
+
+    Avoids double-precision division on µs-magnitude longs (~1.7e15), where a
+    quotient landing epsilon below an integer would floor off-by-one. The
+    subtraction makes the dividend an exact multiple, so the double division
+    is exact for quotients < 2^53.
+    """
+    lit = F.lit(d)
+    return ((col - (col % lit)) / lit).cast("long")
+
+
+def tumbling_window_tb(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    length_us: int,
+    aggs: Sequence[Column],
+    window_col: str = "w_start",
+) -> DataFrame:
+    """Time-based tumbling windows: wid = floor(ts_us / len) (epoch-aligned).
+
+    Equivalent of Keyed_Windows withTBWindows(len, len)
+    (reference wf/keyed_windows.hpp:65). Emits the window start as a
+    timestamp column named ``window_col``.
+    """
+    us = _us(ts_col)
+    w_start_us = us - (us % F.lit(length_us))
+    return (
+        df.withColumn("_w_start_us", w_start_us)
+        .groupBy(*key_cols, "_w_start_us")
+        .agg(*aggs)
+        .withColumn(window_col, F.timestamp_micros(F.col("_w_start_us")))
+        .drop("_w_start_us")
+    )
+
+
+def sliding_window_tb(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    length_us: int,
+    slide_us: int,
+    aggs: Sequence[Column],
+    window_col: str = "w_start",
+) -> DataFrame:
+    """Time-based sliding/hopping windows.
+
+    A row at time t belongs to every window w (start = w*slide) with
+    w*slide <= t < w*slide + len, i.e. w in
+    [ceil((t - len + 1)/slide), floor(t/slide)] (integer µs). For hopping
+    windows with gaps (len < slide) the range can be empty — an empty array
+    explodes to nothing. Rows are exploded into their windows, then
+    aggregated (partial agg collapses the replication map-side).
+    """
+    us = _us(ts_col)
+    # ceil(x/slide) on non-negative ints = (x + slide - 1) // slide
+    lo = _floordiv(us - F.lit(length_us) + F.lit(slide_us), slide_us)
+    hi = _floordiv(us, slide_us)
+    wids = F.when(lo <= hi, F.sequence(lo, hi)).otherwise(F.array().cast("array<long>"))
+    exploded = df.withColumn("_wid", F.explode(wids))
+    return (
+        exploded.groupBy(*key_cols, "_wid")
+        .agg(*aggs)
+        .withColumn(window_col, F.timestamp_micros(F.col("_wid") * F.lit(slide_us)))
+        .drop("_wid")
+    )
+
+
+def tumbling_window_cb(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    length: int,
+    aggs: Sequence[Column],
+    wid_col: str = "wid",
+) -> DataFrame:
+    """Count-based tumbling windows: per-key progressive id, wid = id // len.
+
+    Reproduces WindFlow's per-key progressive identifier for CB windows
+    (reference wf/window_replica.hpp:250-251). ``order_cols`` must be a
+    deterministic total order per key (e.g. (ts, event_id)) — the reference
+    relies on arrival order, which is only defined per key; we pin it to data.
+    Partial (incomplete) trailing windows ARE emitted, matching WindFlow's
+    EOS flush (reference wf/window_replica.hpp:356-400).
+    """
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    rid = F.row_number().over(win) - F.lit(1)
+    return (
+        df.withColumn("_rid", rid)
+        .withColumn(wid_col, _floordiv(F.col("_rid"), length))
+        .groupBy(*key_cols, wid_col)
+        .agg(*aggs)
+    )
+
+
+def sliding_window_cb(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    length: int,
+    slide: int,
+    aggs: Sequence[Column],
+    wid_col: str = "wid",
+) -> DataFrame:
+    """Count-based sliding windows: row with per-key id i belongs to windows
+    w in [floor((i - len)/slide) + 1, floor(i/slide)], w >= 0.
+
+    Only COMPLETE windows plus the trailing partials that WindFlow fires at
+    EOS are emitted — i.e. every window with at least one row, same as the
+    reference's flush semantics.
+    """
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    # materialize the per-key progressive id first — window functions can't
+    # nest inside the explode expression
+    with_rid = df.withColumn("_rid", F.row_number().over(win) - F.lit(1))
+    rid = F.col("_rid")
+    # row rid ∈ window w iff w*slide <= rid <= w*slide+len-1:
+    # lo = ceil(max(rid-len+1, 0)/slide), hi = rid // slide — all non-negative
+    y = F.greatest(rid - F.lit(length) + F.lit(1), F.lit(0))
+    lo = _floordiv(y + F.lit(slide) - F.lit(1), slide)
+    hi = _floordiv(rid, slide)
+    wids = F.when(lo <= hi, F.sequence(lo, hi)).otherwise(F.array().cast("array<long>"))
+    return (
+        with_rid.withColumn(wid_col, F.explode(wids))
+        .groupBy(*key_cols, wid_col)
+        .agg(*aggs)
+    )
+
+
+def paned_window_tb(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    length_us: int,
+    slide_us: int,
+    pane_aggs: Sequence[Column],
+    final_aggs: Sequence[Column],
+    window_col: str = "w_start",
+) -> DataFrame:
+    """Explicit pane optimization (Paned_Windows, reference
+    wf/paned_windows.hpp:67,140-141): stage 1 aggregates gcd(len, slide)-sized
+    panes (PLQ), stage 2 combines panes into windows (WLQ).
+
+    For a 1h window sliding by 1m, the naive form replicates each row 60×;
+    panes aggregate each row once and replicate only the 60×-smaller pane
+    aggregates. ``pane_aggs`` produce partials; ``final_aggs`` combine them
+    (e.g. pane: sum(x) as s, count: count(*) as c → final: sum(s), sum(c)).
+    """
+    import math
+
+    pane_us = math.gcd(length_us, slide_us)
+    us = _us(ts_col)
+    panes = (
+        df.withColumn("_pane", _floordiv(us, pane_us))
+        .groupBy(*key_cols, "_pane")
+        .agg(*pane_aggs)
+    )
+    # A pane p (covering [p*pane, (p+1)*pane)) belongs to window w iff
+    # w*slide <= p*pane and (p+1)*pane <= w*slide + len. Since pane_us divides
+    # both len and slide, lo = (p_start + pane - len)/slide rounded up == the
+    # exact integer (p_start + pane - len + slide - 1) // slide.
+    p_start = F.col("_pane") * F.lit(pane_us)
+    lo = _floordiv(p_start + F.lit(pane_us) - F.lit(length_us) + F.lit(slide_us) - F.lit(1), slide_us)
+    hi = _floordiv(p_start, slide_us)
+    return (
+        panes.withColumn("_wid", F.explode(F.sequence(lo, hi)))
+        .groupBy(*key_cols, "_wid")
+        .agg(*final_aggs)
+        .withColumn(window_col, F.timestamp_micros(F.col("_wid") * F.lit(slide_us)))
+        .drop("_wid")
+    )
+
+
+def window_spine_tb(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    length_us: int,
+    window_col: str = "w_start",
+) -> DataFrame:
+    """Generate the full window spine per key — every tumbling window between
+    the key's min and max event time, including EMPTY windows.
+
+    WindFlow fires empty TB windows (reference wf/window_replica.hpp:306-317);
+    Spark's groupBy never emits them. Left-joining aggregates onto this spine
+    restores parity. Distributed: the spine is built per key from min/max
+    aggregates, not on the driver.
+    """
+    us = _us(ts_col)
+    bounds = df.groupBy(*key_cols).agg(
+        _floordiv(F.min(us), length_us).alias("_w_min"),
+        _floordiv(F.max(us), length_us).alias("_w_max"),
+    )
+    return (
+        bounds.withColumn("_wid", F.explode(F.sequence("_w_min", "_w_max")))
+        .withColumn(window_col, F.timestamp_micros(F.col("_wid") * F.lit(length_us)))
+        .drop("_w_min", "_w_max", "_wid")
+    )

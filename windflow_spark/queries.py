@@ -1,0 +1,747 @@
+"""Query registry: one entry per implemented operator (SURVEY.md §2), each
+with a DuckDB oracle SQL string for the driver's correctness gate.
+
+Conventions for cross-engine hash-stability:
+- Every computed column is aliased identically in Spark and SQL.
+- Float aggregates are ROUND(x, 2) on both sides — sums/averages of doubles
+  differ in the last bits across summation orders; rounding collapses them.
+- Raw (untouched) double columns are emitted as-is: both engines read the
+  same parquet bits.
+- rank/row_number/size outputs are cast to long (DuckDB returns BIGINT).
+- Ordering ties are always broken by a unique key column.
+- All window arithmetic is integer µs (see operators/windows.py) — the SQL
+  mirrors the same formulas with DuckDB's epoch_us/make_timestamp and `//`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from windflow_spark.tables import load_table
+from windflow_spark.operators.windows import (
+    paned_window_tb,
+    sliding_window_cb,
+    sliding_window_tb,
+    tumbling_window_cb,
+    tumbling_window_tb,
+    window_spine_tb,
+)
+from windflow_spark.operators.reduce import rolling_reduce
+from windflow_spark.operators.interval_join import interval_join
+from windflow_spark.operators.routing import merge_pipes, split_by
+
+US_MIN = 60_000_000
+US_15MIN = 900_000_000
+US_30MIN = 1_800_000_000
+US_HOUR = 3_600_000_000
+US_2HOUR = 7_200_000_000
+US_DAY = 86_400_000_000
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+def _r2(col) -> F.Column:
+    return F.round(col, 2)
+
+
+# ---------------------------------------------------------------------------
+# Relational layer (absent from the reference — SURVEY.md §2.11 "not present";
+# Spark built-ins, exercised TPC-H-style)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2)                                   AS avg_qty,
+           round(avg(l_extendedprice), 2)                              AS avg_price,
+           round(avg(l_discount), 2)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r2(F.sum("l_quantity")).alias("sum_qty"),
+            _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r2(F.sum(disc)).alias("sum_disc_price"),
+            _r2(F.sum(disc * (1 + F.col("l_tax")))).alias("sum_charge"),
+            _r2(F.avg("l_quantity")).alias("avg_qty"),
+            _r2(F.avg("l_extendedprice")).alias("avg_price"),
+            _r2(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q6_revenue_filter",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN supplier ON l_suppkey  = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+@register(
+    "join_broadcast_parts",
+    """
+    SELECT p_brand, count(*) AS cnt,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 20
+    GROUP BY p_brand
+    """,
+)
+def join_broadcast_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "semi_join_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+    """,
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "anti_join_customers",
+    """
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@register(
+    "agg_rollup_flags",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"), _r2(F.sum("l_quantity")).alias("sum_qty")
+    )
+
+
+@register(
+    "distinct_agg_segments",
+    """
+    SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations, count(*) AS n_cust
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def distinct_agg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+
+
+@register(
+    "setop_intersect_customers",
+    """
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000
+    """,
+)
+def setop_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    ords = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.intersect(ords)
+
+
+@register(
+    "rank_top3_per_segment",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal, rk FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             rank() OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey) AS rk
+      FROM customer) t
+    WHERE rk <= 3
+    """,
+)
+def rank_top3_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cust = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        cust.withColumn("rk", F.rank().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-semantic operators on `events` (the reference's core surface,
+# batch-checked; streaming forms live in windflow_spark/streaming)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "map_enrich_events",
+    """
+    SELECT event_id, user_id, upper(event_type) AS etype,
+           value * 1.1 AS value_taxed
+    FROM events
+    """,
+)
+def map_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-row FP arithmetic is emitted UNROUNDED: IEEE ops on identical input
+    # bits are bit-identical across engines, while rounding a product that
+    # systematically lands on .xx5 boundaries is not (HALF_UP vs float round)
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.upper("event_type").alias("etype"),
+        (F.col("value") * 1.1).alias("value_taxed"),
+    )
+
+
+@register(
+    "filter_events",
+    "SELECT event_id, user_id, value FROM events WHERE event_type = 'click' AND value > 100",
+)
+def filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter((F.col("event_type") == "click") & (F.col("value") > 100)).select(
+        "event_id", "user_id", "value"
+    )
+
+
+@register(
+    "flatmap_tokens",
+    """
+    SELECT token, count(*) AS cnt FROM (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+    WHERE token <> ''
+    GROUP BY token
+    """,
+)
+def flatmap_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "reduce_rolling_sum",
+    """
+    SELECT event_id, user_id,
+           count(*) OVER w AS running_cnt,
+           round(sum(value) OVER w, 2) AS running_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def reduce_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_reduce(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        folds={"running_cnt": F.count(F.lit(1)), "_rsum": F.sum("value")},
+    )
+    return out.select(
+        "event_id", "user_id", "running_cnt", _r2(F.col("_rsum")).alias("running_sum")
+    )
+
+
+_WIN_TB_TUMBLING_SQL = """
+    SELECT user_id, make_timestamp(b) AS w_start, count(*) AS cnt,
+           round(sum(value), 2) AS sum_value
+    FROM (SELECT user_id, epoch_us(ts) - epoch_us(ts) % {LEN} AS b, value FROM events) t
+    GROUP BY user_id, b
+"""
+
+
+@register("win_tb_tumbling_1h", _WIN_TB_TUMBLING_SQL.format(LEN=US_HOUR))
+def win_tb_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return tumbling_window_tb(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        length_us=US_HOUR,
+        aggs=[F.count(F.lit(1)).alias("cnt"), _r2(F.sum("value")).alias("sum_value")],
+    ).select("user_id", "w_start", "cnt", "sum_value")
+
+
+_WIN_TB_SLIDING_SQL = """
+    SELECT user_id, make_timestamp(wid * {SLIDE}) AS w_start, count(*) AS cnt,
+           round(sum(value), 2) AS sum_value
+    FROM (SELECT user_id, value,
+                 unnest(generate_series((epoch_us(ts) - {LEN} + {SLIDE}) // {SLIDE},
+                                        epoch_us(ts) // {SLIDE})) AS wid
+          FROM events) t
+    GROUP BY user_id, wid
+"""
+
+
+@register("win_tb_sliding_1h_15m", _WIN_TB_SLIDING_SQL.format(LEN=US_HOUR, SLIDE=US_15MIN))
+def win_tb_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return sliding_window_tb(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        length_us=US_HOUR,
+        slide_us=US_15MIN,
+        aggs=[F.count(F.lit(1)).alias("cnt"), _r2(F.sum("value")).alias("sum_value")],
+    ).select("user_id", "w_start", "cnt", "sum_value")
+
+
+@register(
+    "win_tb_hopping_30m_2h",
+    _WIN_TB_SLIDING_SQL.format(LEN=US_30MIN, SLIDE=US_2HOUR),
+)
+def win_tb_hopping_30m_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping windows with gaps (len < slide) — reference
+    wf/window_replica.hpp:267-273 supports this degenerate sliding form."""
+    ev = _t(spark, sf_dir, "events")
+    return sliding_window_tb(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        length_us=US_30MIN,
+        slide_us=US_2HOUR,
+        aggs=[F.count(F.lit(1)).alias("cnt"), _r2(F.sum("value")).alias("sum_value")],
+    ).select("user_id", "w_start", "cnt", "sum_value")
+
+
+# Paned / MapReduce / Parallel / Ffat windows are physical variants of the
+# same logical window result (SURVEY.md §2.5) — each gets its own queries()
+# entry proving result-equality against the SAME oracle.
+
+
+@register("win_paned_1h_15m", _WIN_TB_SLIDING_SQL.format(LEN=US_HOUR, SLIDE=US_15MIN))
+def win_paned_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return paned_window_tb(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        length_us=US_HOUR,
+        slide_us=US_15MIN,
+        pane_aggs=[F.count(F.lit(1)).alias("_pc"), F.sum("value").alias("_ps")],
+        final_aggs=[F.sum("_pc").alias("cnt"), _r2(F.sum("_ps")).alias("sum_value")],
+    ).select("user_id", "w_start", "cnt", "sum_value")
+
+
+@register("win_mapreduce_tumbling_1h", _WIN_TB_TUMBLING_SQL.format(LEN=US_HOUR))
+def win_mapreduce_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapReduce_Windows ≡ partial+final aggregation (reference
+    wf/mapreduce_windows.hpp:140-141). Expressed as an explicit two-level
+    agg: per-partition partials, then final combine — same shape Spark's
+    hash aggregate generates internally."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    b = (us - us % F.lit(US_HOUR)).alias("_b")
+    partial = ev.groupBy("user_id", b, F.spark_partition_id().alias("_pid")).agg(
+        F.count(F.lit(1)).alias("_pc"), F.sum("value").alias("_ps")
+    )
+    return (
+        partial.groupBy("user_id", "_b")
+        .agg(F.sum("_pc").alias("cnt"), _r2(F.sum("_ps")).alias("sum_value"))
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("_b")).alias("w_start"),
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+_WIN_CB_TUMBLING_SQL = """
+    SELECT user_id, rid // {LEN} AS wid, count(*) AS cnt,
+           round(sum(value), 2) AS sum_value
+    FROM (SELECT user_id, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rid
+          FROM events) t
+    GROUP BY user_id, wid
+"""
+
+
+@register("win_cb_tumbling_10", _WIN_CB_TUMBLING_SQL.format(LEN=10))
+def win_cb_tumbling_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return tumbling_window_cb(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        length=10,
+        aggs=[F.count(F.lit(1)).alias("cnt"), _r2(F.sum("value")).alias("sum_value")],
+    ).select("user_id", "wid", "cnt", "sum_value")
+
+
+_WIN_CB_SLIDING_SQL = """
+    SELECT user_id, wid, count(*) AS cnt, round(sum(value), 2) AS sum_value
+    FROM (SELECT user_id, value,
+                 unnest(generate_series((greatest(rid - {LEN} + 1, 0) + {SLIDE} - 1) // {SLIDE},
+                                        rid // {SLIDE})) AS wid
+          FROM (SELECT user_id, value,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rid
+                FROM events) r) t
+    GROUP BY user_id, wid
+"""
+
+
+@register("win_cb_sliding_10_5", _WIN_CB_SLIDING_SQL.format(LEN=10, SLIDE=5))
+def win_cb_sliding_10_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return sliding_window_cb(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        length=10,
+        slide=5,
+        aggs=[F.count(F.lit(1)).alias("cnt"), _r2(F.sum("value")).alias("sum_value")],
+    ).select("user_id", "wid", "cnt", "sum_value")
+
+
+@register(
+    "win_spine_empty_1d",
+    f"""
+    WITH b AS (SELECT user_id,
+                      epoch_us(min(ts)) // {US_DAY} AS wmin,
+                      epoch_us(max(ts)) // {US_DAY} AS wmax
+               FROM events GROUP BY user_id),
+    s AS (SELECT user_id, unnest(generate_series(wmin, wmax)) AS wid FROM b),
+    a AS (SELECT user_id, epoch_us(ts) // {US_DAY} AS wid, count(*) AS c,
+                 round(sum(value), 2) AS sv
+          FROM events GROUP BY user_id, wid)
+    SELECT s.user_id AS user_id, make_timestamp(s.wid * {US_DAY}) AS w_start,
+           coalesce(a.c, 0) AS cnt, coalesce(a.sv, 0.0) AS sum_value
+    FROM s LEFT JOIN a ON s.user_id = a.user_id AND s.wid = a.wid
+    """,
+)
+def win_spine_empty_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empty-window parity: WindFlow fires empty TB windows (reference
+    wf/window_replica.hpp:306-317); Spark's groupBy doesn't — left-join the
+    aggregate onto the generated window spine."""
+    ev = _t(spark, sf_dir, "events")
+    spine = window_spine_tb(ev, ["user_id"], "ts", US_DAY)
+    agg = tumbling_window_tb(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        length_us=US_DAY,
+        aggs=[F.count(F.lit(1)).alias("_c"), _r2(F.sum("value")).alias("_sv")],
+    )
+    return (
+        spine.join(agg, ["user_id", "w_start"], "left")
+        .select(
+            "user_id",
+            "w_start",
+            F.coalesce(F.col("_c"), F.lit(0)).alias("cnt"),
+            F.coalesce(F.col("_sv"), F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+_INTERVAL_JOIN_SQL = f"""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id AS user_id, b.value AS purchase_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND epoch_us(b.ts) >= epoch_us(a.ts)
+     AND epoch_us(b.ts) <= epoch_us(a.ts) + {US_HOUR}
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+"""
+
+
+@register("interval_join_kp", _INTERVAL_JOIN_SQL)
+def interval_join_kp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-partitioned interval join (reference Join_Mode_t::KP,
+    wf/interval_join.hpp:279-313) — shuffle equi-join on the key with a
+    residual time-range predicate."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    j = interval_join(
+        clicks, purchases, key_cols=["user_id"], a_ts="ts", b_ts="ts",
+        lower_us=0, upper_us=US_HOUR,
+    )
+    return j.select(
+        F.col("a.event_id").alias("click_id"),
+        F.col("b.event_id").alias("purchase_id"),
+        F.col("a.user_id").alias("user_id"),
+        F.col("b.value").alias("purchase_value"),
+    )
+
+
+@register("interval_join_dp", _INTERVAL_JOIN_SQL)
+def interval_join_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-parallel (broadcast) interval join (reference Join_Mode_t::DP,
+    wf/basic.hpp:87) — same logical result, broadcast physical plan."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    j = interval_join(
+        clicks, purchases, key_cols=["user_id"], a_ts="ts", b_ts="ts",
+        lower_us=0, upper_us=US_HOUR, broadcast_side="b",
+    )
+    return j.select(
+        F.col("a.event_id").alias("click_id"),
+        F.col("b.event_id").alias("purchase_id"),
+        F.col("a.user_id").alias("user_id"),
+        F.col("b.value").alias("purchase_value"),
+    )
+
+
+@register(
+    "merge_union_events",
+    """
+    SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value FROM (
+      SELECT user_id, value FROM events WHERE event_type = 'purchase' AND value > 50
+      UNION ALL
+      SELECT user_id, value FROM events WHERE event_type = 'error' AND value <= 100
+    ) t GROUP BY user_id
+    """,
+)
+def merge_union_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 50)).select(
+        "user_id", "value"
+    )
+    b = ev.filter((F.col("event_type") == "error") & (F.col("value") <= 100)).select(
+        "user_id", "value"
+    )
+    return merge_pipes(a, b).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), _r2(F.sum("value")).alias("sum_value")
+    )
+
+
+@register(
+    "split_route_counts",
+    """
+    SELECT branch, count(*) AS cnt FROM (
+      SELECT CASE WHEN event_type = 'purchase' THEN 0
+                  WHEN event_type IN ('click', 'view') THEN 1
+                  ELSE 2 END AS branch
+      FROM events) t
+    GROUP BY branch
+    """,
+)
+def split_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    route = (
+        F.when(F.col("event_type") == "purchase", 0)
+        .when(F.col("event_type").isin("click", "view"), 1)
+        .otherwise(2)
+    )
+    branches = split_by(ev, route, 3)
+    counted = [
+        b.agg(F.count(F.lit(1)).alias("cnt")).select(
+            F.lit(i).cast("int").alias("branch"), "cnt"
+        )
+        for i, b in enumerate(branches)
+    ]
+    return merge_pipes(*counted)
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline layer (BASELINE.json north star)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_documents",
+    """
+    SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from windflow_spark.functions.dedup import exact_dedup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, text_col="text", id_col="doc_id")
+
+
+@register(
+    "text_stats",
+    """
+    SELECT doc_id, lang, length(text) AS n_chars_exact,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from windflow_spark.functions.text import with_text_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_text_stats(docs).select("doc_id", "lang", "n_chars_exact", "n_tokens")
+
+
+# ---------------------------------------------------------------------------
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship for entry(): the TPC-H Q1-style pricing summary."""
+    return q1_pricing_summary(spark, sf_dir)
