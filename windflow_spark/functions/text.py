@@ -35,19 +35,14 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
     n_chars = F.length(text_col)
+    # raw IEEE divisions — unrounded per-row arithmetic is bit-identical
+    # across engines (rounding a /2^k ratio is NOT: HALF_UP vs float-round)
     return (
-        df.withColumn(
-            "q_mean_word_len",
-            F.round(total_tok_chars / F.greatest(n_tok, F.lit(1)), 2),
-        )
-        .withColumn(
-            "q_alpha_ratio", F.round(alpha_chars / F.greatest(n_chars, F.lit(1)), 2)
-        )
+        df.withColumn("q_mean_word_len", total_tok_chars / F.greatest(n_tok, F.lit(1)))
+        .withColumn("q_alpha_ratio", alpha_chars / F.greatest(n_chars, F.lit(1)))
         .withColumn(
             "q_score",
-            F.round(
-                F.least(F.lit(1.0), n_tok / F.lit(100.0)) * F.col("q_alpha_ratio"), 2
-            ),
+            F.least(F.lit(1.0), n_tok / F.lit(100.0)) * F.col("q_alpha_ratio"),
         )
     )
 
@@ -73,10 +68,41 @@ def lang_id_heuristic(df: DataFrame, text_col: str = "text") -> DataFrame:
         "de": hits(["der", "die", "und", "das", "ist"]),
     }
     best = F.greatest(*scores.values())
-    pred = F.lit("und")
+    # first-match-wins priority on ties (en > es > fr > de) — mirrors the
+    # CASE expression in the SQL oracle exactly
+    pred = F.when(best == 0, "und")
     for code, s in scores.items():
-        pred = F.when((s == best) & (best > 0), code).otherwise(pred)
-    return df.withColumn("lang_pred", pred)
+        pred = pred.when(s == best, code)
+    return df.withColumn("lang_pred", pred.otherwise("und"))
+
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+
+def lang_id_oracle_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB SQL mirroring lang_id_heuristic exactly (same stopwords, same
+    tie priority)."""
+    score = lambda ws: " + ".join(
+        f"(strpos(tx, ' {w} ') > 0)::INT" for w in ws
+    )
+    s_cols = ",\n      ".join(
+        f"({score(ws)}) AS s_{code}" for code, ws in LANG_STOPWORDS.items()
+    )
+    codes = list(LANG_STOPWORDS)
+    best = f"greatest({', '.join('s_' + c for c in codes)})"
+    cases = " ".join(f"WHEN s_{c} = {best} THEN '{c}'" for c in codes)
+    return f"""
+    WITH t AS (SELECT doc_id, ' ' || lower({text_col}) || ' ' AS tx FROM {table}),
+    s AS (SELECT doc_id,
+      {s_cols}
+    FROM t)
+    SELECT doc_id, CASE WHEN {best} = 0 THEN 'und' {cases} ELSE 'und' END AS lang_pred
+    FROM s
+    """
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:

@@ -216,6 +216,44 @@ def paned_window_tb(
     )
 
 
+def session_window_agg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    order_cols: Sequence[str],
+    gap_us: int,
+    aggs: Sequence[Column],
+    sid_col: str = "sid",
+) -> DataFrame:
+    """Session windows: rows of a key belong to the same session while the
+    gap between consecutive events is <= gap_us; a larger gap opens a new
+    session (classic gaps-and-islands, computed distributed via lag+cumsum).
+
+    Not in the reference (WindFlow has no session windows) — a Spark-first
+    extension; semantics match Spark's session_window / Flink session
+    windows. Batch form here; streaming form uses F.session_window.
+    One shuffle by key; both window functions share the same sort.
+    """
+    from pyspark.sql import Window as W
+
+    order = [F.col(c) for c in order_cols]
+    w = W.partitionBy(*key_cols).orderBy(*order)
+    us = _us(ts_col)
+    prev = F.lag(us).over(w)
+    is_new = F.when(prev.isNull() | (us - prev > F.lit(gap_us)), 1).otherwise(0)
+    run = (
+        W.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        df.withColumn("_new", is_new)
+        .withColumn(sid_col, F.sum("_new").over(run).cast("long"))
+        .groupBy(*key_cols, sid_col)
+        .agg(*aggs)
+    )
+
+
 def window_spine_tb(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -740,6 +740,458 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 2: session windows, analytic functions, JSON, scalar battery, outer
+# joins, cube, percentiles, set ops, similarity + near-dup with oracles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "win_session_30m",
+    f"""
+    WITH s AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {US_30MIN}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    g AS (
+      SELECT user_id, ts, value,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      FROM s)
+    SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS cnt, round(sum(value), 2) AS sum_value
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def win_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from windflow_spark.operators.windows import session_window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return session_window_agg(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+        gap_us=US_30MIN,
+        aggs=[
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("cnt"),
+            _r2(F.sum("value")).alias("sum_value"),
+        ],
+    ).select("user_id", "sid", "session_start", "session_end", "cnt", "sum_value")
+
+
+@register(
+    "win_lead_lag",
+    """
+    SELECT event_id, user_id,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           first_value(value) OVER w AS first_value_of_user,
+           value - coalesce(lag(value) OVER w, 0.0) AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_value_of_user"),
+        (F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0))).alias("delta"),
+    )
+
+
+@register(
+    "json_props_sum",
+    """
+    SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "scalar_battery",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT)  AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           substr(o_orderpriority, 1, 1)      AS prio_code,
+           CAST(length(o_orderstatus) AS BIGINT) AS status_len,
+           abs(o_totalprice - 100000.0)       AS dist,
+           CASE WHEN o_totalprice > 250000 THEN 'big' ELSE 'small' END AS bucket,
+           concat(o_orderstatus, '-', substr(o_orderpriority, 1, 1)) AS tag,
+           o_totalprice * 0.9 + 10.0          AS adjusted
+    FROM orders
+    """,
+)
+def scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.length("o_orderstatus").cast("long").alias("status_len"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("dist"),
+        F.when(F.col("o_totalprice") > 250000, "big").otherwise("small").alias("bucket"),
+        F.concat_ws("-", "o_orderstatus", F.substring("o_orderpriority", 1, 1)).alias("tag"),
+        (F.col("o_totalprice") * 0.9 + 10.0).alias("adjusted"),
+    )
+
+
+@register(
+    "date_agg_monthly",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           round(sum(o_totalprice), 2) AS rev, count(*) AS n
+    FROM orders GROUP BY yr, mo
+    """,
+)
+def date_agg_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(_r2(F.sum("o_totalprice")).alias("rev"), F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "left_join_order_counts",
+    """
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            _r2(F.coalesce(F.sum("o_totalprice"), F.lit(0.0))).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "full_outer_nation_stats",
+    """
+    SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+           coalesce(c.n_cust, 0) AS n_cust, coalesce(s.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+    ON c.c_nationkey = s.s_nationkey
+    """,
+)
+def full_outer_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        cust.join(supp, cust.c_nationkey == supp.s_nationkey, "full_outer")
+        .select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "agg_cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+           round(sum(o_totalprice), 2) AS rev
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"), _r2(F.sum("o_totalprice")).alias("rev")
+    )
+
+
+@register(
+    "percentiles_by_type",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90
+    FROM events GROUP BY event_type
+    """,
+)
+def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+@register(
+    "setop_union_distinct",
+    """
+    SELECT c_custkey FROM customer WHERE c_nationkey = 1
+    UNION
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") == 1).select("c_custkey")
+    b = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return a.union(b).distinct()
+
+
+@register(
+    "setop_except_customers",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def setop_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _t(spark, sf_dir, "customer").select("c_custkey")
+    b = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return a.exceptAll(b).distinct()
+
+
+@register(
+    "scalar_subquery_above_avg",
+    """
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.agg(F.avg("c_acctbal").alias("_avg"))
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+@register(
+    "groupwise_max_order",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn = 1
+    """,
+)
+def groupwise_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# -- LLM-pipeline batch 2 ----------------------------------------------------
+
+
+@register(
+    "lang_id_documents",
+    None,  # SQL attached below (generated to mirror the heuristic exactly)
+)
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from windflow_spark.functions.text import lang_id_heuristic
+
+    docs = _t(spark, sf_dir, "documents")
+    return lang_id_heuristic(docs).select("doc_id", "lang_pred")
+
+
+from windflow_spark.functions.text import lang_id_oracle_sql as _lang_sql  # noqa: E402
+
+ORACLE["lang_id_documents"] = _lang_sql()
+
+
+@register(
+    "text_quality_scores",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents)
+    SELECT doc_id,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS INT)
+             / greatest(len(toks), 1) AS q_mean_word_len,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             / greatest(length(text), 1) AS q_alpha_ratio,
+           least(1.0, len(toks) / 100.0)
+             * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                / greatest(length(text), 1)) AS q_score
+    FROM t
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from windflow_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_score(docs).select("doc_id", "q_mean_word_len", "q_alpha_ratio", "q_score")
+
+
+@register(
+    "sim_topk_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    s AS (SELECT q.query_id, c.vec_id,
+                 round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+          FROM c JOIN q ON c.vec_id <> q.query_id),
+    r AS (SELECT query_id, vec_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, vec_id) AS rk
+          FROM s)
+    SELECT query_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 5
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from windflow_spark.functions.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries_df, k=5)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    b AS (
+      SELECT doc_id, toks,
+             concat_ws(' ', toks[1], toks[2], toks[3], toks[4], toks[5]) AS bucket
+      FROM d WHERE len(toks) >= 5),
+    sh AS (
+      SELECT doc_id, bucket,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+      FROM b),
+    p AS (
+      SELECT a.doc_id AS id_a, b2.doc_id AS id_b, a.s AS sa, b2.s AS sb
+      FROM sh a JOIN sh b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id)
+    SELECT id_a, id_b,
+           round(len(list_intersect(sa, sb))::DOUBLE
+                 / len(list_distinct(list_concat(sa, sb))), 4) AS jaccard
+    FROM p
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates bucketed by exact 5-token prefix, verified with
+    exact 3-shingle Jaccard — the SQL-checkable sibling of the MinHash-LSH
+    path (same candidate-join shape: join per bucket, no cross product)."""
+    from windflow_spark.functions.dedup import shingles
+    from windflow_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    d = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(toks, 1, 5)).alias("bucket"),
+        shingles("text", 3).alias("s"),
+    ).filter(F.size(toks) >= 5)
+    a = d.alias("a")
+    b = d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    union = F.size(F.array_union(F.col("a.s"), F.col("b.s")))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+    )
+
+
+@register("dedup_minhash_lsh")  # rows-only: xxhash64 signatures are Spark-specific
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from windflow_spark.functions.dedup import minhash_lsh_candidates, ngram_jaccard
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs, num_hashes=32, bands=8)
+    return ngram_jaccard(cands, docs).filter(F.col("jaccard") >= 0.8)
+
+
+@register("dedup_simhash")  # rows-only: xxhash64-based fingerprints
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from windflow_spark.functions.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs).select("doc_id", "simhash")
+
+
+@register("sim_topk_lsh")  # rows-only: hyperplane buckets are seed-specific
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from windflow_spark.functions.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries_df, k=5)
+
+
+# ---------------------------------------------------------------------------
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
