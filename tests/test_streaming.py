@@ -1,0 +1,137 @@
+"""Streaming forms produce the SAME results as the oracle-checked batch
+forms on identical data (batch≡streaming metamorphic invariant, SURVEY.md
+§5). Fixtures stream from a temp parquet dir via availableNow."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from windflow_spark.operators.windows import (
+    session_window_agg,
+    tumbling_window_cb,
+    tumbling_window_tb,
+)
+from windflow_spark.operators.reduce import rolling_reduce
+from windflow_spark.operators.interval_join import interval_join
+from windflow_spark.streaming import (
+    file_stream,
+    streaming_interval_join,
+    streaming_rolling_reduce,
+    streaming_session_window,
+    streaming_tumbling_window_cb,
+    streaming_tumbling_window_tb,
+    to_memory_sink,
+)
+
+SEC = 1_000_000
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [(k, v, dt.datetime(2024, 1, 1) + dt.timedelta(microseconds=ts)) for k, v, ts in rows],
+        "key long, value long, ts timestamp",
+    )
+
+
+@pytest.fixture(scope="module")
+def stream_fixture(spark, tmp_path_factory):
+    rows = [(k % 3, v, v * 700_000 + k * 13_000) for k, v in ((i % 5, i) for i in range(60))]
+    batch = _mk(spark, rows)
+    path = str(tmp_path_factory.mktemp("stream_src"))
+    batch.coalesce(2).write.mode("overwrite").parquet(path)
+    stream = file_stream(spark, path, batch.schema)
+    return batch, stream
+
+
+def _rows(spark, name, cols):
+    return sorted(map(tuple, spark.table(name).select(*cols).collect()))
+
+
+def test_streaming_tumbling_tb_equals_batch(spark, stream_fixture):
+    batch, stream = stream_fixture
+    aggs = [F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv")]
+    expect = sorted(
+        map(tuple, tumbling_window_tb(batch, ["key"], "ts", 7 * SEC, aggs)
+            .select("key", "w_start", "cnt", "sv").collect())
+    )
+    out = streaming_tumbling_window_tb(stream, ["key"], "ts", 7 * SEC, aggs)
+    name, _ = to_memory_sink(out.select("key", "w_start", "cnt", "sv"), output_mode="complete")
+    assert _rows(spark, name, ["key", "w_start", "cnt", "sv"]) == expect
+
+
+def test_streaming_session_equals_batch(spark, stream_fixture):
+    batch, stream = stream_fixture
+    expect = sorted(
+        map(tuple, session_window_agg(
+            batch, ["key"], "ts", ["ts", "value"], 2 * SEC,
+            [F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("cnt"),
+             F.sum("value").alias("sv")],
+        ).select("key", "session_start", "cnt", "sv").collect())
+    )
+    out = streaming_session_window(
+        stream, ["key"], "ts", 2 * SEC,
+        [F.min("ts").alias("session_start2"), F.count(F.lit(1)).alias("cnt"),
+         F.sum("value").alias("sv")],
+    )
+    name, _ = to_memory_sink(
+        out.select("key", "session_start", "cnt", "sv"), output_mode="complete"
+    )
+    assert _rows(spark, name, ["key", "session_start", "cnt", "sv"]) == expect
+
+
+def test_streaming_interval_join_equals_batch(spark, stream_fixture, tmp_path_factory):
+    batch, stream = stream_fixture
+    other_rows = [(k % 3, v + 1000, v * 700_000 + 350_000) for k, v in ((i % 5, i) for i in range(40))]
+    other_batch = _mk(spark, other_rows)
+    path_b = str(tmp_path_factory.mktemp("stream_b"))
+    other_batch.coalesce(1).write.mode("overwrite").parquet(path_b)
+    other_stream = file_stream(spark, path_b, other_batch.schema)
+
+    expect = sorted(
+        map(tuple, interval_join(batch, other_batch, ["key"], "ts", "ts", 0, 1 * SEC)
+            .select("a.value", "b.value").collect())
+    )
+    j = streaming_interval_join(stream, other_stream, ["key"], "ts", "ts", 0, 1 * SEC)
+    name, _ = to_memory_sink(
+        j.select(F.col("a.value").alias("av"), F.col("b.value").alias("bv"))
+    )
+    assert _rows(spark, name, ["av", "bv"]) == expect and len(expect) > 0
+
+
+def test_streaming_rolling_reduce_equals_batch(spark, stream_fixture):
+    batch, stream = stream_fixture
+    expect = sorted(
+        map(tuple, rolling_reduce(batch, ["key"], ["ts"], {"running_cnt": F.count(F.lit(1)),
+                                                          "running_sum": F.sum("value")})
+            .select("key", "ts", "running_cnt", "running_sum").collect())
+    )
+    out = streaming_rolling_reduce(stream, ["key"], "ts", "value")
+    name, _ = to_memory_sink(out, output_mode="append")
+    got = sorted(
+        (r.key, r.ts, r.running_cnt, int(r.running_sum))
+        for r in spark.table(name).collect()
+    )
+    assert got == [(k, t, c, int(s)) for k, t, c, s in expect]
+
+
+def test_streaming_cb_window_fires_complete_windows(spark, stream_fixture):
+    batch, stream = stream_fixture
+    # batch CB windows of length 4, keep only COMPLETE ones (streaming fires
+    # on fill; trailing partials stay in state until EOS teardown)
+    complete = (
+        tumbling_window_cb(batch, ["key"], ["ts"], 4,
+                           [F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv")])
+        .filter(F.col("cnt") == 4)
+    )
+    expect = sorted(
+        (r.key, r.wid, r.cnt, float(r.sv)) for r in complete.collect()
+    )
+    out = streaming_tumbling_window_cb(stream, ["key"], "ts", "value", 4)
+    name, _ = to_memory_sink(out, output_mode="append")
+    got = sorted(
+        (r.key, r.wid, r.cnt, float(r.sum_value)) for r in spark.table(name).collect()
+    )
+    assert got == expect and len(expect) > 0

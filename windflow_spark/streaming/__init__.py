@@ -1,0 +1,43 @@
+"""Structured Streaming forms of the WindFlow operator surface.
+
+Batch forms (windflow_spark.operators) define the semantics and are
+oracle-checked; these streaming forms produce the same results on the same
+data (tested via availableNow triggers against the batch plans — the
+metamorphic batch≡streaming invariant, SURVEY.md §5).
+"""
+
+from windflow_spark.streaming.sources import file_stream, rate_stream, kafka_stream
+from windflow_spark.streaming.ops import (
+    streaming_tumbling_window_tb,
+    streaming_sliding_window_tb,
+    streaming_session_window,
+    streaming_interval_join,
+    streaming_rolling_reduce,
+    streaming_tumbling_window_cb,
+)
+from windflow_spark.streaming.sinks import (
+    to_memory_sink,
+    to_parquet_sink,
+    to_foreach_batch,
+    kafka_sink,
+    run_available_now,
+)
+from windflow_spark.streaming.state import rocksdb_state_conf
+
+__all__ = [
+    "file_stream",
+    "rate_stream",
+    "kafka_stream",
+    "streaming_tumbling_window_tb",
+    "streaming_sliding_window_tb",
+    "streaming_session_window",
+    "streaming_interval_join",
+    "streaming_rolling_reduce",
+    "streaming_tumbling_window_cb",
+    "to_memory_sink",
+    "to_parquet_sink",
+    "to_foreach_batch",
+    "kafka_sink",
+    "run_available_now",
+    "rocksdb_state_conf",
+]
