@@ -1,0 +1,81 @@
+"""Scale-design assertions: these tests pin the PHYSICAL plans, not results.
+A regression here means a query that still returns correct rows but would
+melt at 100 TB (full scans, lost broadcasts, extra shuffles)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from windflow_spark.plans import (
+    codegen_stage_count,
+    has_broadcast_join,
+    physical_plan,
+    pushed_filters,
+    scan_read_schema,
+    shuffle_count,
+)
+from windflow_spark.queries import (
+    QUERIES,
+    interval_join_dp,
+    join_broadcast_parts,
+    q1_pricing_summary,
+    q6_revenue_filter,
+    win_tb_sliding_1h_15m,
+)
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    df = q6_revenue_filter(spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    df = q1_pricing_summary(spark, sf_dir)
+    cols = set(scan_read_schema(df))
+    # 7 of lineitem's 11 columns needed; the rest must not be read
+    assert "l_orderkey" not in cols and "l_partkey" not in cols
+    assert {"l_quantity", "l_extendedprice", "l_discount", "l_tax"} <= cols
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    assert has_broadcast_join(join_broadcast_parts(spark, sf_dir))
+
+
+def test_interval_join_dp_broadcasts(spark, sf_dir):
+    assert has_broadcast_join(interval_join_dp(spark, sf_dir))
+
+
+def test_interval_join_is_equi_join_not_cross(spark, sf_dir):
+    # the key condition must be the join key (hash/broadcast on user_id),
+    # with the time range as residual — NEVER a cartesian product
+    from windflow_spark.queries import interval_join_kp
+
+    plan = physical_plan(interval_join_kp(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+def test_sliding_window_single_shuffle(spark, sf_dir):
+    # explode + partial agg → exactly one exchange (by key+wid); replication
+    # collapses map-side
+    df = win_tb_sliding_1h_15m(spark, sf_dir)
+    assert shuffle_count(df) == 1
+
+
+def test_q1_single_shuffle_and_fused(spark, sf_dir):
+    df = q1_pricing_summary(spark, sf_dir)
+    assert shuffle_count(df) == 1  # one agg exchange; filter+project fused
+    assert codegen_stage_count(df) >= 1
+
+
+def test_no_cartesian_anywhere(spark, sf_dir):
+    # global design rule: no query in the registry may plan a cartesian
+    # product (cross joins explode quadratically at scale)
+    offenders = []
+    for name, fn in QUERIES.items():
+        try:
+            plan = physical_plan(fn(spark, sf_dir))
+        except Exception:
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == [], f"cartesian products in: {offenders}"
