@@ -64,6 +64,7 @@ def test_sliding_window_single_shuffle(spark, sf_dir):
 def test_q1_single_shuffle_and_fused(spark, sf_dir):
     df = q1_pricing_summary(spark, sf_dir)
     assert shuffle_count(df) == 1  # one agg exchange; filter+project fused
+    df.collect()  # AQE finalizes the plan; codegen markers appear post-exec
     assert codegen_stage_count(df) >= 1
 
 
