@@ -164,3 +164,15 @@ def test_pipegraph_facade(spark):
     )
     got = {(r.key, r.s) for r in out.collect()}
     assert got == {(1, 24), }
+
+
+def test_salted_join_equals_plain_join(spark):
+    from windflow_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i % 4, i) for i in range(100)], "k long, v long"
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k long, tag string")
+    plain = sorted(map(tuple, big.join(small, "k").select("k", "v", "tag").collect()))
+    salted = sorted(map(tuple, salted_join(big, small, ["k"]).select("k", "v", "tag").collect()))
+    assert plain == salted and len(plain) == 75

@@ -52,10 +52,13 @@ def attach_binary_metadata(df: DataFrame, payload_col: str = "payload") -> DataF
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for an image decode: (width, height, channels)
-    derived from the payload hash. Replace with a real decoder in prod."""
+    derived from a content hash. crc32, NOT python hash() — hash() is
+    per-process salted and would differ across executors/runs."""
+    import zlib
+
     if payload is None:
         return (0, 0, 0)
-    h = hash(payload) & 0x7FFFFFFF
+    h = zlib.crc32(bytes(payload)) & 0x7FFFFFFF
     return (64 + h % 512, 64 + (h >> 9) % 512, 3)
 
 

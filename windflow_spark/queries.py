@@ -1192,6 +1192,121 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 3: remaining window physical variants, fingerprints, regex tokens,
+# multimodal plumbing, skew-salted aggregation
+# ---------------------------------------------------------------------------
+
+
+@register("win_ffat_tumbling_1h", _WIN_TB_TUMBLING_SQL.format(LEN=US_HOUR))
+def win_ffat_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ffat_Windows ≡ lift+combine associative aggregation (reference
+    wf/ffat_windows.hpp:63, FlatFAT tree wf/flatfat.hpp:54). Spark's partial
+    aggregation IS the lift/combine split; the O(log n) tree is an
+    execution detail the state-store/hash-agg path replaces. Exercised here
+    through the PipeGraph fluent facade (distinct code path from the plain
+    DataFrame form)."""
+    from windflow_spark.core.graph import PipeGraph
+
+    ev = _t(spark, sf_dir, "events")
+    g = PipeGraph(spark, "ffat")
+    return (
+        g.add_source(ev)
+        .keyed_windows_tb(
+            ["user_id"], "ts", US_HOUR, None,
+            [F.count(F.lit(1)).alias("cnt"), _r2(F.sum("value")).alias("sum_value")],
+        )
+        .add_sink()
+        .select("user_id", "w_start", "cnt", "sum_value")
+    )
+
+
+@register("win_parallel_tumbling_1h", _WIN_TB_TUMBLING_SQL.format(LEN=US_HOUR))
+def win_parallel_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel_Windows: windows round-robin across replicas with broadcast
+    input (reference wf/parallel_windows.hpp:66,194) — a pure physical
+    strategy. Spark analog: an explicit round-robin repartition before the
+    window aggregation; identical logical result."""
+    from windflow_spark.operators.windows import tumbling_window_tb
+
+    ev = _t(spark, sf_dir, "events").repartition(8)
+    return tumbling_window_tb(
+        ev, ["user_id"], "ts", US_HOUR,
+        [F.count(F.lit(1)).alias("cnt"), _r2(F.sum("value")).alias("sum_value")],
+    ).select("user_id", "w_start", "cnt", "sum_value")
+
+
+@register(
+    "doc_fingerprint",
+    r"""
+    SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("fp"),
+    )
+
+
+@register(
+    "text_regex_tokens",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_alpha,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num
+    FROM documents
+    """,
+)
+def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (alpha runs / digit runs) — JVM-side
+    regexp_extract_all, no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).cast("long").alias("n_alpha"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).cast("long").alias("n_num"),
+    )
+
+
+@register("multimodal_decode")  # rows-only: binary plumbing, stubbed decoder
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing over a derived binary column (the test
+    tables ship no media, so payload = utf-8 bytes of the text): typed
+    metadata JVM-side, decode via Arrow-batched mapInPandas."""
+    from windflow_spark.functions.multimodal import attach_binary_metadata, decode_image_meta
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    meta = attach_binary_metadata(docs)
+    return decode_image_meta(meta)
+
+
+@register(
+    "skew_salted_agg",
+    """
+    SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation — result-identical to the plain groupBy
+    (the oracle proves it) while spreading a hot key across tasks."""
+    from windflow_spark.operators.skew import salted_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_aggregate(
+        ev,
+        key_cols=["event_type"],
+        partial_aggs=[F.count(F.lit(1)).alias("_c"), F.sum("value").alias("_s")],
+        final_aggs=[F.sum("_c").alias("cnt"), _r2(F.sum("_s")).alias("sum_value")],
+        salt_buckets=16,
+    ).select("event_type", "cnt", "sum_value")
+
+
+# ---------------------------------------------------------------------------
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
