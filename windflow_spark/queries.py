@@ -62,6 +62,16 @@ def _r2(col) -> F.Column:
     return F.round(col, 2)
 
 
+def _dsum(expr) -> F.Column:
+    """Exact money sum: accumulate as DECIMAL(18,6) (order-independent),
+    round to cents, emit double. Plain double sums of 1e8+ magnitude land a
+    summation-order-dependent ~1e-7 error on cent boundaries often enough to
+    flip a rounded cent across engines/partitionings; decimal accumulation
+    is bit-stable at any scale and parallelism. Both engines round decimals
+    half-away-from-zero (verified)."""
+    return F.round(F.sum(expr.cast("decimal(18,6)")), 2).cast("double")
+
+
 # ---------------------------------------------------------------------------
 # Relational layer (absent from the reference — SURVEY.md §2.11 "not present";
 # Spark built-ins, exercised TPC-H-style)
@@ -73,9 +83,9 @@ def _r2(col) -> F.Column:
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                   AS sum_qty,
-           round(sum(l_extendedprice), 2)                              AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2)::DOUBLE AS sum_base_price,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)::DOUBLE AS sum_disc_price,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2)::DOUBLE AS sum_charge,
            round(avg(l_quantity), 2)                                   AS avg_qty,
            round(avg(l_extendedprice), 2)                              AS avg_price,
            round(avg(l_discount), 2)                                   AS avg_disc,
@@ -93,9 +103,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _r2(F.sum("l_quantity")).alias("sum_qty"),
-            _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
-            _r2(F.sum(disc)).alias("sum_disc_price"),
-            _r2(F.sum(disc * (1 + F.col("l_tax")))).alias("sum_charge"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc).alias("sum_disc_price"),
+            _dsum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
             _r2(F.avg("l_quantity")).alias("avg_qty"),
             _r2(F.avg("l_extendedprice")).alias("avg_price"),
             _r2(F.avg("l_discount")).alias("avg_disc"),
@@ -133,7 +143,7 @@ def q6_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)::DOUBLE AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -158,7 +168,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -168,7 +178,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_region_revenue",
     """
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)::DOUBLE AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey  = c_custkey
@@ -201,7 +211,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("n_name")
-        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
@@ -209,7 +219,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast_parts",
     """
     SELECT p_brand, count(*) AS cnt,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)::DOUBLE AS revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE p_size <= 20
     GROUP BY p_brand
@@ -223,7 +233,7 @@ def join_broadcast_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )
 
@@ -862,7 +872,7 @@ def scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
            CAST(month(o_orderdate) AS BIGINT) AS mo,
-           round(sum(o_totalprice), 2) AS rev, count(*) AS n
+           round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE AS rev, count(*) AS n
     FROM orders GROUP BY yr, mo
     """,
 )
@@ -871,7 +881,7 @@ def date_agg_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy(
         F.year("o_orderdate").cast("long").alias("yr"),
         F.month("o_orderdate").cast("long").alias("mo"),
-    ).agg(_r2(F.sum("o_totalprice")).alias("rev"), F.count(F.lit(1)).alias("n"))
+    ).agg(_dsum(F.col("o_totalprice")).alias("rev"), F.count(F.lit(1)).alias("n"))
 
 
 @register(
@@ -932,14 +942,14 @@ def full_outer_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube_orders",
     """
     SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-           round(sum(o_totalprice), 2) AS rev
+           round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE AS rev
     FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
 )
 def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("cnt"), _r2(F.sum("o_totalprice")).alias("rev")
+        F.count(F.lit(1)).alias("cnt"), _dsum(F.col("o_totalprice")).alias("rev")
     )
 
 
@@ -1304,6 +1314,171 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         final_aggs=[F.sum("_c").alias("cnt"), _r2(F.sum("_s")).alias("sum_value")],
         salt_buckets=16,
     ).select("event_type", "cnt", "sum_value")
+
+
+# ---------------------------------------------------------------------------
+# Batch 4: deeper relational coverage (TPC-H Q4/Q7/Q14/Q18 analogs, HAVING,
+# pivot)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q7_nation_volume",
+    """
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)::DOUBLE AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE n1.n_name < n2.n_name
+    GROUP BY cust_nation, supp_nation
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+        .filter(F.col("cust_nation") < F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias("promo_pct"))
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT o_orderkey, o_totalprice, round(sum(l_quantity), 2) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_totalprice
+    HAVING sum(l_quantity) > 300
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HAVING on the raw double sum is cross-engine exact: l_quantity is
+    # integral, so the sums carry no FP error
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.sum("l_quantity").alias("_q"),
+        )
+        .filter(F.col("_q") > 300)
+        .select("o_orderkey", "o_totalprice", _r2(F.col("_q")).alias("total_qty"))
+    )
+
+
+@register(
+    "having_segment_stats",
+    """
+    SELECT c_mktsegment, round(avg(c_acctbal), 2) AS avg_bal, count(*) AS n
+    FROM customer GROUP BY c_mktsegment HAVING count(*) > 100
+    """,
+)
+def having_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(_r2(F.avg("c_acctbal")).alias("avg_bal"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 100)
+    )
+
+
+@register(
+    "pivot_event_values",
+    """
+    SELECT user_id,
+           round(sum(CASE WHEN event_type = 'click'    THEN value ELSE 0.0 END), 2) AS click_sum,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_sum,
+           round(sum(CASE WHEN event_type = 'view'     THEN value ELSE 0.0 END), 2) AS view_sum
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.sum("value"))
+    )
+    return out.select(
+        "user_id",
+        _r2(F.coalesce("click", F.lit(0.0))).alias("click_sum"),
+        _r2(F.coalesce("purchase", F.lit(0.0))).alias("purchase_sum"),
+        _r2(F.coalesce("view", F.lit(0.0))).alias("view_sum"),
+    )
 
 
 # ---------------------------------------------------------------------------
