@@ -216,6 +216,47 @@ def paned_window_tb(
     )
 
 
+def non_incremental_window_tb(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    length_us: int,
+    fn,
+    output_schema: str,
+    slide_us: int | None = None,
+) -> DataFrame:
+    """Non-incremental window processing — the reference's second UDF form:
+    the user function receives the WHOLE window buffer at fire time
+    (Iterable<tuple_t>, reference wf/builders.hpp:800-805, archive
+    wf/win_archive.hpp:65-135).
+
+    Spark-first: rows are assigned to windows (tumbling or sliding), then
+    ``applyInPandas`` runs ``fn(pdf)`` once per (key..., window) group with
+    the group's rows as a pandas DataFrame SORTED BY ``ts_col`` (matching
+    the reference's sorted archive). ``fn`` must return a pandas DataFrame
+    matching ``output_schema`` (include the key and window columns).
+
+    The group columns (key..., _wid) ride in the input pdf. Arrow-batched;
+    state is bounded by the largest single window per key — same bound as
+    the reference's archive.
+    """
+    us = _us(ts_col)
+    if slide_us is None or slide_us == length_us:
+        assigned = df.withColumn("_wid", _floordiv(us, length_us))
+    else:
+        lo = _floordiv(us - F.lit(length_us) + F.lit(slide_us), slide_us)
+        hi = _floordiv(us, slide_us)
+        wids = F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
+            F.array().cast("array<long>")
+        )
+        assigned = df.withColumn("_wid", F.explode(wids))
+
+    def run(pdf):
+        return fn(pdf.sort_values(ts_col))
+
+    return assigned.groupBy(*key_cols, "_wid").applyInPandas(run, output_schema)
+
+
 def session_window_agg(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -1481,6 +1481,50 @@ def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "win_nonincremental_median",
+    f"""
+    SELECT user_id, make_timestamp(b) AS w_start,
+           round(median(value), 4) AS med_value, count(*) AS cnt
+    FROM (SELECT user_id, epoch_us(ts) - epoch_us(ts) % {US_HOUR} AS b, value
+          FROM events) t
+    GROUP BY user_id, b
+    """,
+)
+def win_nonincremental_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-incremental window UDF (whole-buffer form, reference
+    wf/builders.hpp:800-805): the median needs the full window content —
+    computed by an Arrow-batched applyInPandas over each (key, window)
+    group's sorted buffer."""
+    import numpy as np
+    import pandas as pd
+
+    from windflow_spark.operators.windows import non_incremental_window_tb
+
+    ev = _t(spark, sf_dir, "events")
+
+    def median_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "_wid": [pdf["_wid"].iloc[0]],
+                "med_value": [round(float(np.median(pdf["value"])), 4)],
+                "cnt": [len(pdf)],
+            }
+        )
+
+    out = non_incremental_window_tb(
+        ev, ["user_id"], "ts", US_HOUR, median_fn,
+        "user_id long, _wid long, med_value double, cnt long",
+    )
+    return out.select(
+        "user_id",
+        F.timestamp_micros(F.col("_wid") * F.lit(US_HOUR)).alias("w_start"),
+        "med_value",
+        "cnt",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
