@@ -109,3 +109,31 @@ def test_partition_invariance(spark):
         df.repartition(7, "value"), ["key"], "ts", 7 * SEC, [F.sum("value").alias("s")]
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_batched_non_incremental_equals_per_group(spark):
+    import pandas as pd
+
+    from windflow_spark.operators.windows import (
+        non_incremental_window_tb,
+        non_incremental_window_tb_batched,
+    )
+
+    rows = [(k % 4, v, v * 900_000) for k, v in enumerate(range(80))]
+    df = _mk(spark, rows)
+
+    def per_group(pdf):
+        return pd.DataFrame(
+            {"key": [pdf["key"].iloc[0]], "_wid": [pdf["_wid"].iloc[0]],
+             "sv": [float(pdf["value"].sum())]}
+        )
+
+    def batched(pdf, group_cols):
+        out = pdf.groupby(group_cols, as_index=False)["value"].sum()
+        out["sv"] = out["value"].astype(float)
+        return out[["key", "_wid", "sv"]]
+
+    schema = "key long, _wid long, sv double"
+    a = non_incremental_window_tb(df, ["key"], "ts", 5 * SEC, per_group, schema)
+    b = non_incremental_window_tb_batched(df, ["key"], "ts", 5 * SEC, batched, schema)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -257,6 +257,71 @@ def non_incremental_window_tb(
     return assigned.groupBy(*key_cols, "_wid").applyInPandas(run, output_schema)
 
 
+def non_incremental_window_tb_batched(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    length_us: int,
+    batch_fn,
+    output_schema: str,
+    slide_us: int | None = None,
+) -> DataFrame:
+    """Scalable non-incremental window processing.
+
+    ``applyInPandas`` pays one Python/Arrow round trip PER GROUP — ruinous
+    when windows are small and numerous (measured 85 s vs 1 s at sf0.1 for
+    ~90k one-row windows). This form instead:
+
+    1. hash-partitions by the full (key..., _wid) group key — groups never
+       straddle partitions,
+    2. sorts within partitions by (group, ts),
+    3. runs ``mapInPandas`` where each call receives THOUSANDS of complete
+       groups and applies ``batch_fn`` (vectorized pandas groupby) once per
+       Arrow batch, carrying boundary groups between batches.
+
+    ``batch_fn(pdf, group_cols)`` gets rows sorted by (group, ts) with the
+    window id in ``_wid`` and must return one pandas DataFrame matching
+    ``output_schema``.
+    """
+    import pandas as pd
+
+    us = _us(ts_col)
+    if slide_us is None or slide_us == length_us:
+        assigned = df.withColumn("_wid", _floordiv(us, length_us))
+    else:
+        lo = _floordiv(us - F.lit(length_us) + F.lit(slide_us), slide_us)
+        hi = _floordiv(us, slide_us)
+        wids = F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
+            F.array().cast("array<long>")
+        )
+        assigned = df.withColumn("_wid", F.explode(wids))
+
+    group_cols = list(key_cols) + ["_wid"]
+    part = assigned.repartition(*group_cols).sortWithinPartitions(*group_cols, ts_col)
+
+    def run(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                carry = None
+                continue
+            # the last group may continue into the next Arrow batch — hold it
+            last = pdf.iloc[-1]
+            mask = pd.Series(True, index=pdf.index)
+            for gc in group_cols:
+                mask &= pdf[gc] == last[gc]
+            carry = pdf[mask]
+            done = pdf[~mask]
+            if len(done):
+                yield batch_fn(done, group_cols)
+        if carry is not None and len(carry):
+            yield batch_fn(carry, group_cols)
+
+    return part.mapInPandas(run, output_schema)
+
+
 def session_window_agg(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -1494,27 +1494,22 @@ def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_nonincremental_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-incremental window UDF (whole-buffer form, reference
     wf/builders.hpp:800-805): the median needs the full window content —
-    computed by an Arrow-batched applyInPandas over each (key, window)
-    group's sorted buffer."""
-    import numpy as np
-    import pandas as pd
-
-    from windflow_spark.operators.windows import non_incremental_window_tb
+    computed with the BATCHED form (thousands of complete windows per Arrow
+    batch, vectorized pandas groupby; the naive per-group applyInPandas
+    measured 85 s vs ~1 s at sf0.1)."""
+    from windflow_spark.operators.windows import non_incremental_window_tb_batched
 
     ev = _t(spark, sf_dir, "events")
 
-    def median_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        return pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "_wid": [pdf["_wid"].iloc[0]],
-                "med_value": [round(float(np.median(pdf["value"])), 4)],
-                "cnt": [len(pdf)],
-            }
-        )
+    def medians(pdf, group_cols):
+        g = pdf.groupby(group_cols, as_index=False)["value"]
+        out = g.median().rename(columns={"value": "med_value"})
+        out["med_value"] = out["med_value"].round(4)
+        out["cnt"] = g.count()["value"]
+        return out[["user_id", "_wid", "med_value", "cnt"]]
 
-    out = non_incremental_window_tb(
-        ev, ["user_id"], "ts", US_HOUR, median_fn,
+    out = non_incremental_window_tb_batched(
+        ev, ["user_id"], "ts", US_HOUR, medians,
         "user_id long, _wid long, med_value double, cnt long",
     )
     return out.select(
