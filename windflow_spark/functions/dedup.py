@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from windflow_spark.functions.text import tokens
+from windflow_spark.util import ensure_min_partitions
 
 
 def exact_dedup_groups(
@@ -74,9 +75,15 @@ def minhash_lsh_candidates(
     O(docs × bands); the join happens per bucket — no cross product.
     """
     rows = num_hashes // bands
+    df = ensure_min_partitions(df)  # CPU-heavy hashing must not run single-task
+    # materialize shingles ONCE: passing the shingle expression straight into
+    # minhash_signature would re-evaluate tokenize+slice+concat per
+    # permutation (num_hashes×)
     sig = df.select(
+        F.col(id_col), shingles(text_col, shingle_k).alias("_sh")
+    ).select(
         F.col(id_col),
-        minhash_signature(shingles(text_col, shingle_k), num_hashes).alias("_sig"),
+        minhash_signature(F.col("_sh"), num_hashes).alias("_sig"),
     )
     banded = sig.select(
         id_col,
@@ -119,7 +126,7 @@ def ngram_jaccard(
 ) -> DataFrame:
     """Exact Jaccard over k-shingles for candidate pairs (verification step
     after LSH). Adds `jaccard` (rounded 4dp)."""
-    sh = docs.select(
+    sh = ensure_min_partitions(docs).select(
         F.col(id_col), shingles(text_col, shingle_k).alias("_sh")
     )
     out = (
@@ -136,8 +143,11 @@ def ngram_jaccard(
 def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
     """64-bit SimHash from token xxhash64s, bit-majority weighted by token
     frequency — column-expression only (aggregate over the token array)."""
-    toks = tokens(text_col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # materialize token hashes once — 64 bit-vote aggregates share the
+    # column instead of re-tokenizing+rehashing per bit
+    df = ensure_min_partitions(df)
+    df = df.withColumn("_sh_hashes", F.transform(tokens(text_col), lambda t: F.xxhash64(t)))
+    hashes = F.col("_sh_hashes")
 
     def bit(i: int) -> Column:
         # shiftleft wraps at bit 63 (sign bit) — correct for bitwise use
@@ -151,4 +161,4 @@ def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> 
     out = F.lit(0).cast("long")
     for i, v in enumerate(bit_votes):
         out = out + F.when(v > 0, bit(i)).otherwise(F.lit(0).cast("long"))
-    return df.withColumn(out_col, out)
+    return df.withColumn(out_col, out).drop("_sh_hashes")
