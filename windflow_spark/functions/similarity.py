@@ -124,3 +124,69 @@ def lsh_topk(
         .filter(F.col("rk") <= k)
         .select(query_id_col, id_col, "cos_sim", "rk")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN (nprobe=1): a coarse quantizer has already assigned
+    every vector to an inverted list (``bucket_col``); each query scans only
+    its own list. The probe is a bucket-equi join — shuffle-partitioned by
+    list id, never a cross product — so at 100 TB each inverted list is an
+    independent co-partitioned unit and skew is bounded by list sizes.
+
+    Reference parity: the reference has no similarity ops at all (SURVEY.md
+    §2.11 "not present"); this is a north-star extension operator.
+    """
+    c = corpus.select(
+        F.col(id_col), F.col(bucket_col).alias("_bkt"), as_double_array(vec_col).alias("_cv")
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(bucket_col).alias("_bkt"), as_double_array(vec_col).alias("_qv")
+    )
+    scored = c.join(q, "_bkt").filter(F.col(id_col) != F.col(query_id_col)).withColumn(
+        "cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rk")
+    )
+
+
+def embedding_cosine_neardup(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, IVF-bucketed: candidate pairs
+    are generated only within a coarse-quantizer bucket (self-equi-join on
+    ``bucket_col``), then verified with exact cosine and thresholded on the
+    rounded score (rounding first keeps the boundary decision identical
+    across engines). Same candidate-join shape as MinHash-LSH dedup: per-
+    bucket self-join, no O(n²) cross product, scales with Σ bucket².
+    """
+    e = df.select(
+        F.col(id_col), F.col(bucket_col).alias("_bkt"), as_double_array(vec_col).alias("_v")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, (F.col("a._bkt") == F.col("b._bkt")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .withColumn("cos_sim", F.round(cosine(F.col("a._v"), F.col("b._v")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cos_sim",
+        )
+    )
