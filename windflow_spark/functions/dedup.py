@@ -40,15 +40,24 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keep, on=id_col, how="left_semi")
 
 
-def shingles(text_col: Column | str, k: int = 3) -> Column:
-    """k-word shingles as an array<string> (distinct)."""
-    toks = tokens(text_col)
+def shingles_of(toks: Column, k: int = 3) -> Column:
+    """k-word shingles (distinct) from an ALREADY-PROJECTED token-array
+    column. The lambda body re-evaluates its captured subtree per element,
+    so ``toks`` must be a bare column reference — passing the tokenizer
+    expression inline re-tokenizes the document once per shingle index
+    (measured 50× slower on 54-token docs)."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
     sh = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
     )
     return F.array_distinct(F.when(n >= k, sh).otherwise(F.array()))
+
+
+def shingles(text_col: Column | str, k: int = 3) -> Column:
+    """k-word shingles as an array<string> (distinct). Prefer projecting
+    tokens() to a column first and calling shingles_of — see its note."""
+    return shingles_of(tokens(text_col), k)
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
@@ -80,7 +89,9 @@ def minhash_lsh_candidates(
     # minhash_signature would re-evaluate tokenize+slice+concat per
     # permutation (num_hashes×)
     sig = df.select(
-        F.col(id_col), shingles(text_col, shingle_k).alias("_sh")
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).select(
+        F.col(id_col), shingles_of(F.col("_toks"), shingle_k).alias("_sh")
     ).select(
         F.col(id_col),
         minhash_signature(F.col("_sh"), num_hashes).alias("_sig"),
@@ -126,8 +137,10 @@ def ngram_jaccard(
 ) -> DataFrame:
     """Exact Jaccard over k-shingles for candidate pairs (verification step
     after LSH). Adds `jaccard` (rounded 4dp)."""
-    sh = ensure_min_partitions(docs).select(
-        F.col(id_col), shingles(text_col, shingle_k).alias("_sh")
+    sh = (
+        ensure_min_partitions(docs)
+        .select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .select(F.col(id_col), shingles_of(F.col("_toks"), shingle_k).alias("_sh"))
     )
     out = (
         df_pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sha"), "id_a")

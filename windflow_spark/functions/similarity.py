@@ -18,7 +18,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product of two array<double> columns via higher-order fold.
+
+    (An unrolled `a[0]*b[0] + ...` form was measured and REJECTED: the
+    64-term expression trees blow up codegen — sim_topk_lsh went 3.5s→20s
+    from method-size fallback. The HOF fold stays compact; the win is to
+    evaluate it ONCE per pair — see the pushdown barrier in
+    embedding_cosine_neardup — not to micro-optimize the fold.)
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -26,7 +34,7 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _norm(a: Column) -> Column:
+def _norm(a: Column, dim: int | None = None) -> Column:
     return F.sqrt(
         F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
@@ -35,6 +43,14 @@ def _norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity between two array<double> columns (cast upstream)."""
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_prenorm(a: Column, b: Column, a_norm: Column, b_norm: Column) -> Column:
+    """Cosine with norms precomputed per ROW (before the candidate join)
+    instead of per PAIR — same expression tree, so bit-identical to
+    ``cosine``, but the per-pair work drops to one dot product. With P
+    candidate pairs over N rows this saves 2·P−N norm evaluations."""
+    return _dot(a, b) / (a_norm * b_norm)
 
 
 def as_double_array(col: Column | str) -> Column:
@@ -59,12 +75,13 @@ def brute_force_topk(
     """
     c = corpus.select(
         F.col(id_col), as_double_array(vec_col).alias("_cv")
-    )
+    ).withColumn("_cn", _norm(F.col("_cv")))
     q = queries.select(
         F.col(query_id_col), as_double_array(vec_col).alias("_qv")
-    )
+    ).withColumn("_qn", _norm(F.col("_qv")))
     scored = c.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col)).withColumn(
-        "cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+        "cos_sim",
+        F.round(cosine_prenorm(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")), 6),
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return (
@@ -92,7 +109,7 @@ def hyperplane_lsh_buckets(
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
         plane = F.array(*[F.lit(float(x)) for x in planes[p]])
-        bucket = bucket + F.when(_dot(v, plane) > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
+        bucket = bucket + F.when(_dot(v, plane, dim) > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
     return df.withColumn("lsh_bucket", bucket)
 
 
@@ -111,12 +128,13 @@ def lsh_topk(
     candidates."""
     cb = hyperplane_lsh_buckets(corpus, vec_col, n_planes, dim=dim).select(
         F.col(id_col), F.col("lsh_bucket"), as_double_array(vec_col).alias("_cv")
-    )
+    ).withColumn("_cn", _norm(F.col("_cv")))
     qb = hyperplane_lsh_buckets(queries, vec_col, n_planes, dim=dim).select(
         F.col(query_id_col), F.col("lsh_bucket"), as_double_array(vec_col).alias("_qv")
-    )
+    ).withColumn("_qn", _norm(F.col("_qv")))
     scored = cb.join(qb, "lsh_bucket").filter(F.col(id_col) != F.col(query_id_col)).withColumn(
-        "cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+        "cos_sim",
+        F.round(cosine_prenorm(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")), 6),
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return (
@@ -146,12 +164,13 @@ def ivf_topk(
     """
     c = corpus.select(
         F.col(id_col), F.col(bucket_col).alias("_bkt"), as_double_array(vec_col).alias("_cv")
-    )
+    ).withColumn("_cn", _norm(F.col("_cv")))
     q = queries.select(
         F.col(query_id_col), F.col(bucket_col).alias("_bkt"), as_double_array(vec_col).alias("_qv")
-    )
+    ).withColumn("_qn", _norm(F.col("_qv")))
     scored = c.join(q, "_bkt").filter(F.col(id_col) != F.col(query_id_col)).withColumn(
-        "cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+        "cos_sim",
+        F.round(cosine_prenorm(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")), 6),
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return (
@@ -167,26 +186,83 @@ def embedding_cosine_neardup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_col: str = "label",
+    engine: str = "pandas",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, IVF-bucketed: candidate pairs
-    are generated only within a coarse-quantizer bucket (self-equi-join on
-    ``bucket_col``), then verified with exact cosine and thresholded on the
-    rounded score (rounding first keeps the boundary decision identical
-    across engines). Same candidate-join shape as MinHash-LSH dedup: per-
-    bucket self-join, no O(n²) cross product, scales with Σ bucket².
+    are generated only within a coarse-quantizer bucket, verified with exact
+    cosine and thresholded on the 6dp-rounded score.
+
+    ``engine="pandas"`` (default, the scale path): one Arrow batch per
+    bucket via applyInPandas; all pairs of a bucket scored with a single
+    BLAS matmul in row blocks (no per-pair Python, no per-pair fold). Each
+    bucket is an independent task — at 100 TB, Σ bucket² bounds the work
+    and buckets shuffle-partition across executors. Memory is bounded by
+    block_rows × bucket_size scores per task.
+
+    ``engine="sql"``: all-JVM per-bucket self-equi-join + HOF cosine —
+    slower per pair but exactly-sequential float summation when an engine
+    comparison demands fold-order-identical bits.
     """
+    if engine == "pandas":
+        import numpy as np
+        import pandas as pd
+
+        out_schema = f"id_a long, id_b long, cos_sim double"
+        block_rows = 2048
+
+        def score_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values(id_col)
+            ids = pdf[id_col].to_numpy()
+            V = np.stack(pdf["_v"].to_numpy())
+            nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+            n = len(ids)
+            outs = []
+            for s in range(0, n, block_rows):
+                e_ = min(s + block_rows, n)
+                G = (V[s:e_] @ V.T) / np.outer(nrm[s:e_], nrm)
+                bi, bj = np.nonzero(np.round(G, 6) >= threshold)
+                keep = (bi + s) < bj  # id_a < id_b, each pair once
+                bi, bj = bi[keep], bj[keep]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[bi + s],
+                            "id_b": ids[bj],
+                            "cos_sim": np.round(G[bi, bj], 6),
+                        }
+                    )
+                )
+            return pd.concat(outs) if outs else pd.DataFrame(
+                {"id_a": [], "id_b": [], "cos_sim": []}
+            )
+
+        e = df.select(
+            F.col(id_col), F.col(bucket_col).alias("_bkt"), as_double_array(vec_col).alias("_v")
+        )
+        return e.groupBy("_bkt").applyInPandas(score_bucket, out_schema)
+
     e = df.select(
         F.col(id_col), F.col(bucket_col).alias("_bkt"), as_double_array(vec_col).alias("_v")
-    )
+    ).withColumn("_nrm", _norm(F.col("_v")))
     a = e.alias("a")
     b = e.alias("b")
-    return (
+    scored = (
         a.join(b, (F.col("a._bkt") == F.col("b._bkt")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .withColumn("cos_sim", F.round(cosine(F.col("a._v"), F.col("b._v")), 6))
-        .filter(F.col("cos_sim") >= threshold)
+        # The non-deterministic _mid column blocks PushPredicateThroughProject,
+        # so the threshold filter stays ABOVE this projection and the cosine
+        # fold is evaluated ONCE per pair (pushed down, it appears in both the
+        # predicate and the projection — measured 2× the runtime).
+        .withColumn("_mid", F.monotonically_increasing_id())
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            "cos_sim",
+            F.round(
+                cosine_prenorm(
+                    F.col("a._v"), F.col("b._v"), F.col("a._nrm"), F.col("b._nrm")
+                ),
+                6,
+            ).alias("cos_sim"),
+            "_mid",
         )
     )
+    return scored.filter(F.col("cos_sim") >= threshold).select("id_a", "id_b", "cos_sim")

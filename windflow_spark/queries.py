@@ -1146,16 +1146,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates bucketed by exact 5-token prefix, verified with
     exact 3-shingle Jaccard — the SQL-checkable sibling of the MinHash-LSH
     path (same candidate-join shape: join per bucket, no cross product)."""
-    from windflow_spark.functions.dedup import shingles
+    from windflow_spark.functions.dedup import shingles_of
     from windflow_spark.functions.text import tokens
 
     docs = _t(spark, sf_dir, "documents")
-    toks = tokens("text")
-    d = docs.select(
-        "doc_id",
-        F.concat_ws(" ", F.slice(toks, 1, 5)).alias("bucket"),
-        shingles("text", 3).alias("s"),
-    ).filter(F.size(toks) >= 5)
+    d = (
+        docs.select("doc_id", tokens("text").alias("_toks"))
+        .filter(F.size("_toks") >= 5)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice("_toks", 1, 5)).alias("bucket"),
+            shingles_of(F.col("_toks"), 3).alias("s"),
+        )
+    )
     a = d.alias("a")
     b = d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))

@@ -23,6 +23,7 @@ from windflow_spark.streaming.sinks import (
     run_available_now,
 )
 from windflow_spark.streaming.state import rocksdb_state_conf
+from windflow_spark.streaming.persistent import p_map, p_filter, p_flatmap, p_reduce
 
 __all__ = [
     "file_stream",
@@ -40,4 +41,8 @@ __all__ = [
     "kafka_sink",
     "run_available_now",
     "rocksdb_state_conf",
+    "p_map",
+    "p_filter",
+    "p_flatmap",
+    "p_reduce",
 ]
