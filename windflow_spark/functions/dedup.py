@@ -13,6 +13,8 @@ SimHash: 64-bit LSB-weighted token hashes; near-dups differ in few bits.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -155,23 +157,33 @@ def ngram_jaccard(
 
 def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
     """64-bit SimHash from token xxhash64s, bit-majority weighted by token
-    frequency — column-expression only (aggregate over the token array)."""
-    # materialize token hashes once — 64 bit-vote aggregates share the
-    # column instead of re-tokenizing+rehashing per bit
+    frequency. Token hashing stays JVM-side (xxhash64, one transform); the
+    64 bit-majority votes are one Arrow-batched numpy pass — all rows of a
+    batch at once via reduceat over the concatenated hash array. (The
+    previous all-JVM form ran 64 interpreted `aggregate` folds per row —
+    ~3.5k lambda evaluations per document.)"""
+    from pyspark.sql.functions import pandas_udf
+
     df = ensure_min_partitions(df)
     df = df.withColumn("_sh_hashes", F.transform(tokens(text_col), lambda t: F.xxhash64(t)))
-    hashes = F.col("_sh_hashes")
 
-    def bit(i: int) -> Column:
-        # shiftleft wraps at bit 63 (sign bit) — correct for bitwise use
-        return F.shiftleft(F.lit(1).cast("long"), i)
+    @pandas_udf("long")
+    def _simhash_votes(hashes: pd.Series) -> pd.Series:
+        lens = hashes.map(len).to_numpy()
+        if lens.sum() == 0:
+            return pd.Series(np.zeros(len(hashes), dtype=np.int64))
+        flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hashes]).view(np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int32) * 2 - 1
+        offsets = np.zeros(len(hashes), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        # a trailing zero-length row would index one past the end
+        offsets = np.minimum(offsets, len(flat) - 1)
+        # empty rows: reduceat at equal consecutive offsets returns the row
+        # AT the offset, not a zero-sum — mask them to 0 after the fact
+        votes = np.add.reduceat(bits, offsets, axis=0)
+        votes[lens == 0] = 0
+        sig = ((votes > 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+        return pd.Series(sig.view(np.int64))
 
-    def vote(i: int):
-        # factory closure: F.aggregate requires an exactly-2-arg merge fn
-        return lambda acc, h: acc + F.when(h.bitwiseAND(bit(i)) != 0, 1).otherwise(-1)
-
-    bit_votes = [F.aggregate(hashes, F.lit(0), vote(i)) for i in range(64)]
-    out = F.lit(0).cast("long")
-    for i, v in enumerate(bit_votes):
-        out = out + F.when(v > 0, bit(i)).otherwise(F.lit(0).cast("long"))
-    return df.withColumn(out_col, out).drop("_sh_hashes")
+    return df.withColumn(out_col, _simhash_votes(F.col("_sh_hashes"))).drop("_sh_hashes")

@@ -13,6 +13,8 @@ same candidate-join.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -101,16 +103,19 @@ def hyperplane_lsh_buckets(
     """Random-hyperplane LSH: sign bits of projections onto pseudo-random
     planes → one integer bucket. Deterministic planes derived from
     xxhash64(seed, plane, coord) so executors need no shared state."""
-    import numpy as np
+    from pyspark.sql.functions import pandas_udf
 
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
-    v = as_double_array(vec_col)
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
-        bucket = bucket + F.when(_dot(v, plane, dim) > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
-    return df.withColumn("lsh_bucket", bucket)
+
+    @pandas_udf("long")
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (V @ planes.T) > 0  # (rows, n_planes)
+        weights = np.left_shift(np.uint64(1), np.arange(n_planes, dtype=np.uint64))
+        return pd.Series((signs.astype(np.uint64) @ weights).view(np.int64))
+
+    return df.withColumn("lsh_bucket", _bucket(as_double_array(vec_col)))
 
 
 def lsh_topk(
