@@ -176,3 +176,43 @@ def test_salted_join_equals_plain_join(spark):
     plain = sorted(map(tuple, big.join(small, "k").select("k", "v", "tag").collect()))
     salted = sorted(map(tuple, salted_join(big, small, ["k"]).select("k", "v", "tag").collect()))
     assert plain == salted and len(plain) == 75
+
+
+def test_kslack_reorder_releases_in_ts_order(spark):
+    from windflow_spark.operators.kslack import kslack_reorder
+
+    # per-key arrival sequences with bounded disorder (delay <= 2 ticks)
+    rows = []
+    arrival = 0
+    for key in (0, 1):
+        base = [10, 30, 20, 50, 40, 70, 60, 90, 80, 100]  # swap-adjacent disorder
+        for ts in base:
+            rows.append((key, ts, arrival))
+            arrival += 1
+    df = spark.createDataFrame(rows, "key long, ts long, arr long")
+    out = kslack_reorder(df, ["key"], "ts", "arr")
+    got = {k: [] for k in (0, 1)}
+    for r in sorted(out.collect(), key=lambda r: (r.key, r.emit_seq)):
+        got[r.key].append(r.ts)
+    for k in (0, 1):
+        # released strictly in non-decreasing ts order
+        assert got[k] == sorted(got[k])
+        # K warms up from observed delays: only the first out-of-order tuple
+        # (20, arriving while K is still 0) may be sacrificed
+        assert sorted(got[k]) == [10, 30, 40, 50, 60, 70, 80, 90, 100]
+
+
+def test_kslack_drops_behind_horizon(spark):
+    from windflow_spark.operators.kslack import kslack_reorder
+
+    seq = [10, 12, 11, 30, 28, 60, 55, 11, 90, 85]
+    df = spark.createDataFrame(
+        [(0, ts, i) for i, ts in enumerate(seq)], "key long, ts long, arr long"
+    )
+    out = kslack_reorder(df, ["key"], "ts", "arr").collect()
+    emitted = [r.ts for r in sorted(out, key=lambda r: r.emit_seq)]
+    # emission order is the contract; tuples behind the horizon never appear
+    assert emitted == sorted(emitted)
+    assert 11 not in emitted  # both 11s arrived behind the released horizon
+    # with K grown past the observed disorder, later stragglers survive
+    assert 55 in emitted and 85 in emitted

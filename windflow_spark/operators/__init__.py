@@ -13,8 +13,10 @@ from windflow_spark.operators.windows import (
 from windflow_spark.operators.reduce import rolling_reduce
 from windflow_spark.operators.interval_join import interval_join
 from windflow_spark.operators.routing import merge_pipes, split_pipe
+from windflow_spark.operators.kslack import kslack_reorder
 
 __all__ = [
+    "kslack_reorder",
     "tumbling_window_tb",
     "sliding_window_tb",
     "tumbling_window_cb",
