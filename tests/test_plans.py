@@ -80,3 +80,31 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert offenders == [], f"cartesian products in: {offenders}"
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path_factory):
+    from windflow_spark.operators.bucketing import bucketed_join, write_bucketed
+    from windflow_spark.tables import load_table
+
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 4)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", ["o_orderkey"], 4
+    )
+    try:
+        j = bucketed_join(spark, "b_orders", "b_lineitem", ["o_orderkey"])
+        # disable broadcast so the join must be sort-merge — the point is
+        # that co-bucketing removes BOTH exchanges
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j2 = bucketed_join(spark, "b_orders", "b_lineitem", ["o_orderkey"])
+            assert shuffle_count(j2) == 0
+            assert j2.count() == li.count()
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
