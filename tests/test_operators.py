@@ -216,3 +216,25 @@ def test_kslack_drops_behind_horizon(spark):
     assert 11 not in emitted  # both 11s arrived behind the released horizon
     # with K grown past the observed disorder, later stragglers survive
     assert 55 in emitted and 85 in emitted
+
+
+def test_runtime_context_in_udf(spark):
+    import pandas as pd
+
+    from windflow_spark.core.context import RuntimeContext, replica_index
+
+    df = spark.range(0, 100, 1, 4)
+
+    def tag(batches):
+        ctx = RuntimeContext.current()
+        counts = ctx.storage.get("counts", int)
+        for pdf in batches:
+            counts += len(pdf)
+            yield pd.DataFrame({"id": pdf["id"], "replica": ctx.replica})
+
+    out = df.mapInPandas(tag, "id long, replica int").collect()
+    assert len(out) == 100
+    assert {r.replica for r in out} == {0, 1, 2, 3}
+
+    via_col = df.select(replica_index().alias("p")).distinct().count()
+    assert via_col == 4
