@@ -1,0 +1,51 @@
+"""The reference's core test strategy (SURVEY.md §5): identical results
+under randomized parallelism. Spark's analog knob is the shuffle width —
+every registered query must produce the same rows at ANY
+spark.sql.shuffle.partitions setting. Catches partition-sensitive bugs:
+non-deterministic tie-breaks, per-partition state leaking into results,
+driver-side ordering assumptions."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from windflow_spark.queries import QUERIES
+
+# a representative slice across operator families (full set runs in the
+# oracle gate; here each query runs twice, so keep the list focused)
+SAMPLE = [
+    "q1_pricing_summary",           # agg
+    "q10_returned_items",           # join + top-k tie-break
+    "win_tb_sliding_1h_15m",        # time windows
+    "win_cb_tumbling_10",           # count windows (per-key ordering)
+    "reduce_rolling_sum",           # running state
+    "interval_join_kp",             # interval join
+    "dedup_minhash_lsh",            # multi-stage shuffle pipeline
+    "sim_topk_ivf",                 # rank within buckets
+    "skew_salted_agg",              # salting must not change results
+    "win_nonincremental_median",    # applyInPandas group order
+]
+
+
+def _rows(df):
+    def norm(v):
+        return round(v, 9) if isinstance(v, float) and math.isfinite(v) else v
+
+    return sorted(tuple(norm(v) for v in r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_result_invariant_to_shuffle_width(spark, sf_dir, name):
+    fn = QUERIES[name]
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        a = _rows(fn(spark, sf_dir))
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        b = _rows(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
+    assert a == b
+    assert len(a) > 0
