@@ -87,9 +87,53 @@ def decode_image_meta(df: DataFrame, id_col: str = "media_id", payload_col: str 
     return df.select(id_col, payload_col).mapInPandas(decode, DECODED_FIELDS)
 
 
-def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
+def frame_sample_stub(df: DataFrame, every_n: int = 10, bytes_per_frame: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing stub: explodes frame indices 0..n-1
     step every_n from a (fake) frame count derived from payload size."""
-    n_frames = (F.col("payload_bytes") / 1000).cast("long")
+    n_frames = (F.col("payload_bytes") / bytes_per_frame).cast("long")
     idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
     return df.withColumn("frame_idx", F.explode(idx))
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image-resize plumbing stub: real pixel work needs an image lib (not
+    in this container) — the Spark-side contract is what matters: the
+    payload column rides along untouched, target dims become metadata, and
+    the (fake) output size is the decoded-frame budget planners need.
+    Swap `resized_bytes` for the real re-encoded binary in production."""
+    return (
+        df.withColumn("target_width", F.lit(width))
+        .withColumn("target_height", F.lit(height))
+        .withColumn("resized_bytes", F.lit(width * height * 3).cast("long"))
+    )
+
+
+FEATURE_DIM = 8
+
+
+def extract_features_stub(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Feature-extraction plumbing: Arrow-batched mapInPandas emitting a
+    fixed-width double vector per payload. The embedding net is STUBBED
+    (deterministic bytes→feature fold: crc32 over FEATURE_DIM byte
+    stripes); schema, batch shape, and partition-parallel execution are
+    the production ones."""
+    import zlib
+
+    out_schema = f"{id_col} long, features array<double>"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf[payload_col]:
+                b = bytes(p) if p is not None else b""
+                feats.append(
+                    [
+                        zlib.crc32(b[i::FEATURE_DIM]) % 1000 / 1000.0
+                        for i in range(FEATURE_DIM)
+                    ]
+                )
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "features": feats})
+
+    return df.select(id_col, payload_col).mapInPandas(extract, out_schema)

@@ -1931,6 +1931,42 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_neardup(emb, threshold=0.30)
 
 
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS media_id, CAST(u.f AS BIGINT) AS frame_idx
+    FROM documents,
+         unnest(generate_series(0,
+             greatest(CAST(octet_length(encode(text)) // 100 AS BIGINT) - 1, 0), 2)) AS u(f)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing over the derived binary column: a fake
+    frame count from payload size, every-2nd frame exploded. explode() of a
+    sequence keeps generation partition-parallel — at 100 TB the frame rows
+    never pass through the driver and fan out ~n_frames× per media row."""
+    from windflow_spark.functions.multimodal import attach_binary_metadata, frame_sample_stub
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    meta = attach_binary_metadata(docs)
+    sampled = frame_sample_stub(meta, every_n=2, bytes_per_frame=100)
+    return sampled.select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
+@register("multimodal_features")  # rows-only: crc32 stripes are engine-specific
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing: fixed-width double vectors from binary
+    payloads via Arrow-batched mapInPandas (stubbed net, real batch shape)."""
+    from windflow_spark.functions.multimodal import extract_features_stub
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    return extract_features_stub(docs)
+
+
 # ---------------------------------------------------------------------------
 
 
