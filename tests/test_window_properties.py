@@ -1,0 +1,115 @@
+"""Property-based window-assignment parity (hypothesis): for random
+(length, slide) configs and random per-key event streams, the DataFrame
+window operators must agree with a direct Python simulation of the
+reference's assignment rules (wf/window_replica.hpp:267-284 — a tuple with
+index i, where index = per-key progressive id for CB and timestamp for TB,
+belongs to every window w with w*slide <= i < w*slide + len).
+
+This is the reference's own test philosophy (SURVEY.md §5) upgraded from
+fixed DAG shapes to randomized configs."""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections import defaultdict
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from windflow_spark.operators.windows import (
+    sliding_window_cb,
+    sliding_window_tb,
+    tumbling_window_cb,
+    tumbling_window_tb,
+)
+
+EPOCH = dt.datetime(1970, 1, 1)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(k, v, EPOCH + dt.timedelta(microseconds=ts)) for k, v, ts in rows],
+        "key long, value long, ts timestamp",
+    )
+
+
+def _model_tb(rows, length, slide):
+    """Reference TB assignment: row at ts joins every w with
+    w*slide <= ts < w*slide + length, w >= 0."""
+    out = defaultdict(lambda: [0, 0])  # (key, w) -> [cnt, sum]
+    for k, v, ts in rows:
+        w_hi = ts // slide
+        w_lo = max(0, (ts - length) // slide + 1)
+        for w in range(w_lo, w_hi + 1):
+            if w * slide <= ts < w * slide + length:
+                out[(k, w * slide)][0] += 1
+                out[(k, w * slide)][1] += v
+    return {kw: tuple(cs) for kw, cs in out.items()}
+
+
+def _model_cb(rows, length, slide):
+    """Reference CB assignment over per-key progressive ids (arrival order
+    = the deterministic (ts, value) order used by the operator)."""
+    out = defaultdict(lambda: [0, 0])
+    per_key = defaultdict(list)
+    for k, v, ts in rows:
+        per_key[k].append((ts, v))
+    for k, evs in per_key.items():
+        for i, (_, v) in enumerate(sorted(evs)):
+            w_hi = i // slide
+            w_lo = max(0, (i - length) // slide + 1)
+            for w in range(w_lo, w_hi + 1):
+                if w * slide <= i < w * slide + length:
+                    out[(k, w)][0] += 1
+                    out[(k, w)][1] += v
+    return {kw: tuple(cs) for kw, cs in out.items()}
+
+
+events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),        # key
+        st.integers(min_value=-50, max_value=50),     # value
+        st.integers(min_value=0, max_value=400),      # ts (µs)
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda r: (r[0], r[2]),  # unique (key, ts): total order per key
+)
+cfg = st.tuples(
+    st.integers(min_value=1, max_value=12),  # length
+    st.integers(min_value=1, max_value=12),  # slide (len<slide = gaps)
+)
+
+
+@given(rows=events, cfg=cfg)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_tb_windows_match_reference_model(spark, rows, cfg):
+    length, slide = cfg
+    aggs = [F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv")]
+    fn = (
+        tumbling_window_tb(_df(spark, rows), ["key"], "ts", length, aggs)
+        if length == slide
+        else sliding_window_tb(_df(spark, rows), ["key"], "ts", length, slide, aggs)
+    )
+    got = {
+        (r.key, int(r.w_start.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)):
+        (r.cnt, r.sv)
+        for r in fn.collect()
+    }
+    assert got == _model_tb(rows, length, slide)
+
+
+@given(rows=events, cfg=cfg)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_cb_windows_match_reference_model(spark, rows, cfg):
+    length, slide = cfg
+    aggs = [F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv")]
+    fn = (
+        tumbling_window_cb(_df(spark, rows), ["key"], ["ts", "value"], length, aggs)
+        if length == slide
+        else sliding_window_cb(_df(spark, rows), ["key"], ["ts", "value"], length, slide, aggs)
+    )
+    got = {(r.key, r.wid): (r.cnt, r.sv) for r in fn.collect()}
+    assert got == _model_cb(rows, length, slide)
