@@ -113,3 +113,41 @@ def test_cb_windows_match_reference_model(spark, rows, cfg):
     )
     got = {(r.key, r.wid): (r.cnt, r.sv) for r in fn.collect()}
     assert got == _model_cb(rows, length, slide)
+
+
+join_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # key
+        st.integers(min_value=0, max_value=100),    # value (id)
+        st.integers(min_value=0, max_value=200),    # ts µs
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda r: (r[0], r[1]),
+)
+bounds = st.tuples(
+    st.integers(min_value=-30, max_value=30),
+    st.integers(min_value=-30, max_value=30),
+).map(lambda t: (min(t), max(t)))
+
+
+@given(a_rows=join_events, b_rows=join_events, bounds=bounds, dp=st.booleans())
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_interval_join_matches_reference_model(spark, a_rows, b_rows, bounds, dp):
+    from windflow_spark.operators.interval_join import interval_join
+
+    lower, upper = bounds
+    j = interval_join(
+        _df(spark, a_rows), _df(spark, b_rows), ["key"], "ts", "ts",
+        lower, upper, broadcast_side="b" if dp else None,
+    )
+    got = sorted((r[0], r[1]) for r in j.select("a.value", "b.value").collect())
+    # reference semantics (wf/builders.hpp:1480-1493): same key, inclusive
+    # bounds — ts(b) in [ts(a)+lower, ts(a)+upper]
+    expect = sorted(
+        (av, bv)
+        for ak, av, ats in a_rows
+        for bk, bv, bts in b_rows
+        if ak == bk and ats + lower <= bts <= ats + upper
+    )
+    assert got == expect
