@@ -33,10 +33,26 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+# (session id, sf_dir, table) -> DataFrame. DataFrames are immutable logical
+# plans, so handing the same object to every query is safe — and skips the
+# per-query footer read + file listing (76 queries × 10 tables of planning
+# overhead in bench runs). Invalidate by restarting the session.
+_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    ck = (id(spark), sf_dir, name)
+    if ck in _CACHE:
+        return _CACHE[ck]
+    df = _load_table_uncached(spark, name, sf_dir)
+    _CACHE[ck] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet timestamp[ns], which Spark rejects by default
         # (PARQUET_TYPE_ILLEGAL). Read nanos as long and convert to a µs
