@@ -1,0 +1,120 @@
+"""DAG-topology tests mirroring the reference's graph_tests family
+(tests/graph_tests/test_graph_*.cpp: 15 DAG shapes combining merge+split
+with per-row ops and windows, validated by run-invariant checksums under
+randomized parallelism — SURVEY.md §5).
+
+Here each shape is built twice through the PipeGraph facade at different
+shuffle widths; the result set must be identical, and match a directly
+computed expectation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from windflow_spark import PipeGraph
+
+SEC = 1_000_000
+
+
+def _events(spark, n=60):
+    return spark.createDataFrame(
+        [
+            (i % 4, i, dt.datetime(2024, 1, 1) + dt.timedelta(microseconds=i * 300_000))
+            for i in range(n)
+        ],
+        "key long, value long, ts timestamp",
+    )
+
+
+def _run_shape(spark, build, widths=("3", "5")):
+    outs = []
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for w in widths:
+            spark.conf.set("spark.sql.shuffle.partitions", w)
+            outs.append(sorted(map(tuple, build().collect())))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
+    assert outs[0] == outs[1]
+    return outs[0]
+
+
+def test_shape_split_transform_merge_window(spark):
+    """source → split(even/odd value) → distinct maps → merge → TB window
+    (the reference's split+merge+win composite, e.g. test_graph_7)."""
+    df = _events(spark)
+
+    def build():
+        g = PipeGraph(spark, "shape1")
+        src = g.add_source(df)
+        even, odd = src.split([F.col("value") % 2 == 0, F.col("value") % 2 == 1])
+        even = even.with_column("value", F.col("value") * 10)
+        odd = odd.with_column("value", F.col("value") * -1)
+        merged = even.merge(odd)
+        return (
+            merged.keyed_windows_tb(
+                ["key"], "ts", 3 * SEC, None,
+                [F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv")],
+            )
+            .add(lambda d: d.select("key", "w_start", "cnt", "sv"))
+            .add_sink()
+        )
+
+    rows = _run_shape(spark, build)
+    # checksum equivalent: totals must match a direct computation
+    total = sum(r[3] for r in rows)
+    expect = sum(v * 10 if v % 2 == 0 else -v for v in range(60))
+    assert total == expect
+
+
+def test_shape_two_sources_merge_reduce(spark):
+    """two sources → merge → filter → rolling reduce (merge_tests shape)."""
+    a = _events(spark, 30)
+    b = _events(spark, 30).withColumn("value", F.col("value") + 100)
+
+    def build():
+        g = PipeGraph(spark, "shape2")
+        pa = g.add_source(a)
+        pb = g.add_source(b)
+        merged = pa.merge(pb).filter(F.col("value") % 3 != 0)
+        return merged.reduce(
+            ["key"], ["ts", "value"], {"running_sum": F.sum("value")}
+        ).add_sink()
+
+    rows = _run_shape(spark, build)
+    # per-input emission: one output row per surviving input
+    survivors = [v for v in range(30) if v % 3 != 0] + [
+        v + 100 for v in range(30) if (v + 100) % 3 != 0
+    ]
+    assert len(rows) == len(survivors)
+    # the final running sum per key across both sources must equal the
+    # key's total — order-insensitive checksum like the reference sinks
+    per_key_final = {}
+    for r in rows:
+        per_key_final[r[0]] = max(per_key_final.get(r[0], 0), r[-1])
+    total_from_reduce = sum(per_key_final.values())
+    assert total_from_reduce == sum(survivors)
+
+
+def test_shape_multicast_split(spark):
+    """split with overlapping predicates = multicast (vector<int> routing,
+    wf/splitting_emitter.hpp:49-62): a row may reach several branches."""
+    df = _events(spark, 40)
+
+    def build():
+        g = PipeGraph(spark, "shape3")
+        src = g.add_source(df)
+        small, big, all_ = src.split(
+            [F.col("value") < 30, F.col("value") >= 10, F.lit(True)]
+        )
+        return (
+            small.merge(big, all_)
+            .add(lambda d: d.groupBy("key").agg(F.count(F.lit(1)).alias("cnt")))
+            .add_sink()
+        )
+
+    rows = _run_shape(spark, build)
+    # each value v: (v<30) + (v>=10) + 1 copies — 40 rows → 30+30+40 = 100
+    assert sum(r[1] for r in rows) == 100
