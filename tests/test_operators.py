@@ -238,3 +238,34 @@ def test_runtime_context_in_udf(spark):
 
     via_col = df.select(replica_index().alias("p")).distinct().count()
     assert via_col == 4
+
+
+def test_asof_join_backward_edge_cases(spark):
+    from windflow_spark.operators.asof_join import asof_join_backward
+
+    a = spark.createDataFrame(
+        [(1, 10, "a1"), (1, 20, "a2"), (1, 5, "a0"), (2, 10, "a3"), (3, 10, "a4")],
+        "key long, ts long, tag string",
+    )
+    # key 1: b at 7 (v=null!), 10, 15; key 2: none; key 3: only after a's ts
+    b = spark.createDataFrame(
+        [(1, 7, 100, None), (1, 10, 101, 7.5), (1, 15, 102, 9.0), (3, 99, 103, 1.0)],
+        "key long, ts long, bid long, v double",
+    )
+    out = {
+        r.tag: (r.b_bid, r.b_v)
+        for r in asof_join_backward(a, b, ["key"], "ts", "ts", ["bid", "v"]).collect()
+    }
+    assert out["a0"] == (None, None)          # nothing at or before 5
+    assert out["a1"] == (101, 7.5)            # inclusive: b at exactly 10 wins
+    assert out["a2"] == (102, 9.0)
+    assert out["a3"] == (None, None)          # key with no b rows
+    assert out["a4"] == (None, None)          # b only in the future
+    # the atomic struct fill must NOT stitch b(7).bid with b(10).v —
+    # matching at ts>=7,<10 yields the null v of bid=100
+    a2 = spark.createDataFrame([(1, 8, "x")], "key long, ts long, tag string")
+    out2 = asof_join_backward(a2, b, ["key"], "ts", "ts", ["bid", "v"]).collect()[0]
+    assert (out2.b_bid, out2.b_v) == (100, None)
+
+    inner = asof_join_backward(a, b, ["key"], "ts", "ts", ["bid", "v"], how="inner")
+    assert {r.tag for r in inner.collect()} == {"a1", "a2"}

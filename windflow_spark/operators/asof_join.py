@@ -1,0 +1,86 @@
+"""As-of join — match each left row with the LATEST right row at or before
+its timestamp (per key).
+
+Not in the reference (its only join is the interval join,
+wf/interval_join.hpp; SURVEY.md §2.6 lists as-of among the missing types)
+— added because every feature-store / market-data pipeline needs it.
+
+Scale design: the naive formulation (range join + row_number to keep the
+latest match) explodes to O(matches) intermediate rows. This implementation
+is the union + forward-fill pattern: tag both inputs, union them, and for
+each left row take the running `last(right payload, ignorenulls=True)` over
+a per-key (ts, tag) sort — ONE shuffle + sort, intermediate size =
+|A| + |B|, no row explosion regardless of how many right rows precede a
+left row. The payload rides in a single STRUCT so the fill is atomic (a
+per-column fill could stitch together different right rows when payload
+fields are null). DuckDB's native ASOF JOIN is the oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: Sequence[str],
+    a_ts: str,
+    b_ts: str,
+    b_payload: Sequence[str],
+    how: str = "left",
+    prefix: str = "b_",
+) -> DataFrame:
+    """For each row of ``a``: the ``b`` row of the same key with the largest
+    ``b_ts`` <= ``a_ts`` (inclusive). ``b_payload`` columns arrive prefixed.
+    ``how='left'`` keeps unmatched a-rows (null payload); ``'inner'`` drops
+    them. Ties on ``b_ts`` resolve to the row greatest in ``b_payload``
+    field order — put a unique column first for determinism.
+    """
+    keys = list(key_cols)
+    payload = list(b_payload)
+    a_payload_cols = [c for c in a.columns if c not in keys]
+    b_struct_type = (
+        b.select(F.struct(*payload).alias("_bp")).schema["_bp"].dataType.simpleString()
+    )
+
+    a_side = a.select(
+        *[F.col(k) for k in keys],
+        F.col(a_ts).alias("_ts"),
+        F.lit(1).alias("_is_a"),
+        *[F.col(c) for c in a_payload_cols],
+        F.lit(None).cast(b_struct_type).alias("_bp"),
+    )
+    a_field_types = {f.name: f.dataType for f in a.schema.fields}
+    b_side = b.select(
+        *[F.col(k) for k in keys],
+        F.col(b_ts).alias("_ts"),
+        F.lit(0).alias("_is_a"),
+        *[F.lit(None).cast(a_field_types[c]).alias(c) for c in a_payload_cols],
+        F.struct(*payload).alias("_bp"),
+    )
+    # b rows (_is_a=0) sort before a rows at equal ts → "at or before" is
+    # inclusive; among equal-ts b rows the greatest struct (field order =
+    # payload order) comes last, so the running `last` picks it
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.col("_ts"), F.col("_is_a"), F.col("_bp").asc_nulls_first())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = (
+        a_side.unionByName(b_side)
+        .withColumn("_bp", F.last("_bp", ignorenulls=True).over(w))
+        .filter(F.col("_is_a") == 1)
+    )
+    out = filled.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c) for c in a_payload_cols],
+        *[F.col(f"_bp.{c}").alias(f"{prefix}{c}") for c in payload],
+    )
+    if how == "inner":
+        out = out.filter(F.col(f"{prefix}{payload[0]}").isNotNull())
+    return out

@@ -1955,6 +1955,34 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"))
 
 
+@register(
+    "asof_join_prev_purchase",
+    """
+    SELECT a.event_id, a.user_id, a.ts,
+           b.event_id AS b_event_id, b.value AS b_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') a
+    ASOF LEFT JOIN
+         (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase') b
+    ON a.user_id = b.user_id AND b.ts <= a.ts
+    """,
+)
+def asof_join_prev_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched with the user's latest purchase at or
+    before it (DuckDB native ASOF JOIN is the oracle). Union + forward-fill
+    — one shuffle, |A|+|B| intermediate rows, no range-join explosion."""
+    from windflow_spark.operators.asof_join import asof_join_backward
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return asof_join_backward(
+        clicks, purchases, ["user_id"], "ts", "ts", ["event_id", "value"]
+    ).select("event_id", "user_id", "ts", "b_event_id", "b_value")
+
+
 @register("multimodal_features")  # rows-only: crc32 stripes are engine-specific
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction plumbing: fixed-width double vectors from binary
