@@ -135,3 +135,16 @@ def test_streaming_cb_window_fires_complete_windows(spark, stream_fixture):
         (r.key, r.wid, r.cnt, float(r.sum_value)) for r in spark.table(name).collect()
     )
     assert got == expect and len(expect) > 0
+
+
+def test_streaming_exact_dedup_equals_batch(spark, stream_fixture):
+    from windflow_spark.streaming import streaming_exact_dedup
+
+    batch, stream = stream_fixture
+    # duplicate key-space: value % 7 collides within the fixture
+    expect = batch.withColumn("dk", F.col("value") % 7).dropDuplicates(["key", "dk"]).count()
+    out = streaming_exact_dedup(
+        stream.withColumn("dk", F.col("value") % 7), ["key", "dk"], "ts", 60 * SEC
+    )
+    name, _ = to_memory_sink(out, output_mode="append")
+    assert spark.table(name).count() == expect

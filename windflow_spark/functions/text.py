@@ -110,3 +110,15 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> D
     rolling-hash shingle variant lives in functions/dedup.py."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     return df.withColumn(out_col, F.xxhash64(norm))
+
+
+def normalize_text(text_col: Column | str) -> Column:
+    """Canonical text normalization for dedup/quality pipelines: lowercase,
+    collapse all whitespace runs to single spaces, strip leading/trailing
+    space, drop non-alphanumeric characters (keeping spaces). Pure column
+    expressions — JVM-side, codegen-fused, SQL-mirrorable."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)

@@ -94,8 +94,13 @@ def sliding_window_tb(
     aggregated (partial agg collapses the replication map-side).
     """
     us = _us(ts_col)
-    # ceil(x/slide) on non-negative ints = (x + slide - 1) // slide
-    lo = _floordiv(us - F.lit(length_us) + F.lit(slide_us), slide_us)
+    # ceil(x/slide) on non-negative ints = (x + slide - 1) // slide;
+    # clamped at 0 — the reference's first window is gwid 0 covering
+    # [0, len), so tuples with ts < len join FEWER than len/slide windows
+    # (wf/window_replica.hpp:267-273; caught by the hypothesis parity test)
+    lo = F.greatest(
+        _floordiv(us - F.lit(length_us) + F.lit(slide_us), slide_us), F.lit(0)
+    )
     hi = _floordiv(us, slide_us)
     wids = F.when(lo <= hi, F.sequence(lo, hi)).otherwise(F.array().cast("array<long>"))
     exploded = df.withColumn("_wid", F.explode(wids))
@@ -205,7 +210,15 @@ def paned_window_tb(
     # both len and slide, lo = (p_start + pane - len)/slide rounded up == the
     # exact integer (p_start + pane - len + slide - 1) // slide.
     p_start = F.col("_pane") * F.lit(pane_us)
-    lo = _floordiv(p_start + F.lit(pane_us) - F.lit(length_us) + F.lit(slide_us) - F.lit(1), slide_us)
+    # clamped at 0 like sliding_window_tb: the reference's first window is
+    # gwid 0, so early panes join fewer windows
+    lo = F.greatest(
+        _floordiv(
+            p_start + F.lit(pane_us) - F.lit(length_us) + F.lit(slide_us) - F.lit(1),
+            slide_us,
+        ),
+        F.lit(0),
+    )
     hi = _floordiv(p_start, slide_us)
     return (
         panes.withColumn("_wid", F.explode(F.sequence(lo, hi)))

@@ -447,8 +447,9 @@ _WIN_TB_SLIDING_SQL = """
     SELECT user_id, make_timestamp(wid * {SLIDE}) AS w_start, count(*) AS cnt,
            round(sum(value), 2) AS sum_value
     FROM (SELECT user_id, value,
-                 unnest(generate_series((epoch_us(ts) - {LEN} + {SLIDE}) // {SLIDE},
-                                        epoch_us(ts) // {SLIDE})) AS wid
+                 unnest(generate_series(
+                     greatest((epoch_us(ts) - {LEN} + {SLIDE}) // {SLIDE}, 0),
+                     epoch_us(ts) // {SLIDE})) AS wid
           FROM events) t
     GROUP BY user_id, wid
 """
@@ -1981,6 +1982,25 @@ def asof_join_prev_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join_backward(
         clicks, purchases, ["user_id"], "ts", "ts", ["event_id", "value"]
     ).select("event_id", "user_id", "ts", "b_event_id", "b_value")
+
+
+@register(
+    "text_normalize",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                               '\s+', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase, strip punctuation, collapse
+    whitespace) — the first stage of every dedup/quality pipeline, pure
+    column expressions at scan speed."""
+    from windflow_spark.functions.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", normalize_text("text").alias("norm_text"))
 
 
 @register("multimodal_features")  # rows-only: crc32 stripes are engine-specific

@@ -14,6 +14,7 @@ from windflow_spark.streaming.ops import (
     streaming_interval_join,
     streaming_rolling_reduce,
     streaming_tumbling_window_cb,
+    streaming_exact_dedup,
 )
 from windflow_spark.streaming.sinks import (
     to_memory_sink,
@@ -35,6 +36,7 @@ __all__ = [
     "streaming_interval_join",
     "streaming_rolling_reduce",
     "streaming_tumbling_window_cb",
+    "streaming_exact_dedup",
     "to_memory_sink",
     "to_parquet_sink",
     "to_foreach_batch",

@@ -200,3 +200,20 @@ def streaming_tumbling_window_cb(
     return df.groupBy(*key_list).applyInPandasWithState(
         fold, output_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_exact_dedup(
+    df: DataFrame,
+    dedup_cols: Sequence[str],
+    ts_col: str,
+    watermark_us: int,
+) -> DataFrame:
+    """Streaming exact deduplication: first occurrence of ``dedup_cols``
+    wins; duplicates arriving within the watermark horizon are dropped and
+    state for a key is evicted once the watermark passes it
+    (dropDuplicatesWithinWatermark — bounded state, unlike dropDuplicates'
+    forever-growing set). The batch sibling is functions.dedup.exact_dedup;
+    at 100 TB the watermark bound is what keeps dedup state finite."""
+    return df.withWatermark(ts_col, _dur(max(watermark_us, 1))).dropDuplicatesWithinWatermark(
+        list(dedup_cols)
+    )
