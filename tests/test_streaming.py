@@ -148,3 +148,29 @@ def test_streaming_exact_dedup_equals_batch(spark, stream_fixture):
     )
     name, _ = to_memory_sink(out, output_mode="append")
     assert spark.table(name).count() == expect
+
+
+def test_parquet_sink_checkpoint_exactly_once(spark, tmp_path_factory):
+    """Restart semantics: re-running from the same checkpoint processes only
+    NEW input files — rows land in the durable sink exactly once."""
+    from windflow_spark.streaming import file_stream, to_parquet_sink, run_available_now
+
+    src = str(tmp_path_factory.mktemp("eo_src"))
+    out = str(tmp_path_factory.mktemp("eo_out"))
+    ckpt = str(tmp_path_factory.mktemp("eo_ckpt"))
+
+    first = _mk(spark, [(k, v, v * SEC) for k, v in ((i % 3, i) for i in range(20))])
+    first.coalesce(1).write.mode("append").parquet(src)
+    stream = lambda: file_stream(spark, src, first.schema)
+
+    run_available_now(to_parquet_sink(stream(), out, ckpt))
+    assert spark.read.parquet(out).count() == 20
+
+    # second batch of files arrives; SAME checkpoint → only the delta runs
+    second = _mk(spark, [(k, v + 100, (v + 100) * SEC) for k, v in ((i % 3, i) for i in range(15))])
+    second.coalesce(1).write.mode("append").parquet(src)
+    run_available_now(to_parquet_sink(stream(), out, ckpt))
+
+    got = spark.read.parquet(out)
+    assert got.count() == 35                      # no reprocessing of batch 1
+    assert got.select("value").distinct().count() == 35

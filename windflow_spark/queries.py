@@ -2003,6 +2003,55 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", normalize_text("text").alias("norm_text"))
 
 
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+           round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE AS rev
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither cube nor rollup): per-status,
+    per-priority, and grand-total rows in one pass."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS rev
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "unpivot_text_stats",
+    """
+    SELECT doc_id, metric, CAST(val AS DOUBLE) AS val
+    FROM (SELECT doc_id,
+                 CAST(length(text) AS DOUBLE) AS n_chars,
+                 CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                      AS DOUBLE) AS n_tokens
+          FROM documents)
+    UNPIVOT (val FOR metric IN (n_chars, n_tokens))
+    """,
+)
+def unpivot_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-doc stats to long (doc_id, metric, val) —
+    the inverse of pivot_event_values; stack() stays JVM-side."""
+    from windflow_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("double").alias("n_chars"),
+        F.size(tokens("text")).cast("double").alias("n_tokens"),
+    )
+    return docs.unpivot("doc_id", ["n_chars", "n_tokens"], "metric", "val")
+
+
 @register("multimodal_features")  # rows-only: crc32 stripes are engine-specific
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction plumbing: fixed-width double vectors from binary
