@@ -269,3 +269,15 @@ def test_asof_join_backward_edge_cases(spark):
 
     inner = asof_join_backward(a, b, ["key"], "ts", "ts", ["bid", "v"], how="inner")
     assert {r.tag for r in inner.collect()} == {"a1", "a2"}
+
+
+def test_connected_components_clusters(spark):
+    from windflow_spark.functions.dedup import connected_components
+
+    # components: {1,2,3,4} (path), {10,11}, {20,21,22} (triangle+tail)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}

@@ -187,3 +187,63 @@ def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> 
         return pd.Series(sig.view(np.int64))
 
     return df.withColumn(out_col, _simhash_votes(F.col("_sh_hashes"))).drop("_sh_hashes")
+
+
+def connected_components(
+    edges: DataFrame,
+    node_a: str = "id_a",
+    node_b: str = "id_b",
+    max_iter: int = 25,
+    n_partitions: int = 8,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — clusters
+    near-dup PAIRS into dedup groups (component id = min node id; the
+    canonical survivor of each cluster).
+
+    Pregel-style: every node repeatedly adopts the smallest label among
+    itself and its neighbors; fixpoint = components. The driver coordinates
+    iterations but holds only one aggregate per round (the label-sum, which
+    strictly decreases until convergence) — labels and edges stay
+    distributed, so the operator scales to billion-edge graphs. Lineage is
+    cut with localCheckpoint each round (an iterative plan otherwise grows
+    exponentially). Near-dup graphs have tiny diameters, so rounds ≈ 3-5.
+
+    Returns (id, component).
+    """
+    a = F.col(node_a)
+    b = F.col(node_b)
+    # near-dup pair graphs are orders of magnitude smaller than the corpus;
+    # a handful of partitions keeps the per-round fixed cost low (raise
+    # n_partitions for billion-edge graphs)
+    und = (
+        edges.select(a.alias("src"), b.alias("dst"))
+        .unionByName(edges.select(b.alias("src"), a.alias("dst")))
+        .repartition(n_partitions, "src")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        neigh = (
+            und.join(labels, und.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neigh, labels.id == neigh.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("id", F.col("label").alias("component"))

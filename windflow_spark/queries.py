@@ -2052,6 +2052,46 @@ def unpivot_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unpivot("doc_id", ["n_chars", "n_tokens"], "metric", "val")
 
 
+@register(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    b AS (
+      SELECT doc_id, toks,
+             concat_ws(' ', toks[1], toks[2], toks[3], toks[4], toks[5]) AS bucket
+      FROM d WHERE len(toks) >= 5),
+    sh AS (
+      SELECT doc_id, bucket,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+      FROM b),
+    p AS (
+      SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM sh a JOIN sh b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+      WHERE len(list_intersect(a.s, b2.s))::DOUBLE
+            / len(list_distinct(list_concat(a.s, b2.s))) >= 0.4),
+    und AS (SELECT id_a AS src, id_b AS dst FROM p
+            UNION SELECT id_b, id_a FROM p),
+    reach AS (
+      SELECT DISTINCT src, src AS dst FROM und
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src)
+    SELECT src AS id, min(dst) AS component FROM reach GROUP BY src
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: n-gram-Jaccard pairs (threshold 0.4) clustered by
+    iterative min-label connected components (oracle: DuckDB recursive-CTE
+    reachability — component = min reachable doc_id). The end-to-end dedup
+    pipeline: candidates → verify → cluster → keep min id per cluster."""
+    from windflow_spark.functions.dedup import connected_components
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.4)
+    return connected_components(pairs)
+
+
 @register("multimodal_features")  # rows-only: crc32 stripes are engine-specific
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction plumbing: fixed-width double vectors from binary
