@@ -58,3 +58,33 @@ def _and_all(conds):
     for c in conds[1:]:
         out = out & c
     return out
+
+
+def band_join(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: Sequence[str],
+    a_val: str,
+    b_val: str,
+    lower: float,
+    upper: float,
+    broadcast_side: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Numeric band (range) join: b.val within [a.val+lower, a.val+upper]
+    per key — the interval join generalized from event-time to any ordered
+    column (the reference's join is time-only, wf/interval_join.hpp:279-295).
+
+    Same physical shape as interval_join: equi-join on keys with a residual
+    band predicate, so Catalyst plans a hash join (shuffle or broadcast via
+    ``broadcast_side``), never a cartesian product."""
+    aa = a.alias("a")
+    bb = b.alias("b")
+    if broadcast_side == "a":
+        aa = F.broadcast(aa)
+    elif broadcast_side == "b":
+        bb = F.broadcast(bb)
+    cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols]
+    av, bv = F.col(f"a.{a_val}"), F.col(f"b.{b_val}")
+    cond += [bv >= av + F.lit(lower), bv <= av + F.lit(upper)]
+    return aa.join(bb, _and_all(cond), how=how)

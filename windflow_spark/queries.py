@@ -2092,6 +2092,71 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+@register(
+    "band_join_similar_value",
+    """
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.value AS val_a, b.value AS val_b
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+    JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      ON a.user_id = b.user_id
+     AND b.value BETWEEN a.value - 0.5 AND a.value + 0.5
+    """,
+)
+def band_join_similar_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric band join: per user, click events whose value is within
+    ±0.5 of a purchase's value — interval-join semantics on a non-time
+    ordered column."""
+    from windflow_spark.operators.interval_join import band_join
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "value")
+    b = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "value")
+    return band_join(a, b, ["user_id"], "value", "value", -0.5, 0.5).select(
+        F.col("a.event_id").alias("id_a"),
+        F.col("b.event_id").alias("id_b"),
+        F.col("a.value").alias("val_a"),
+        F.col("b.value").alias("val_b"),
+    )
+
+
+@register(
+    "rollup_hierarchy_hourly_daily",
+    """
+    WITH minutely AS (
+      SELECT user_id, time_bucket(INTERVAL 1 MINUTE, ts) AS bkt,
+             count(*) AS cnt, sum(value) AS sv
+      FROM events GROUP BY 1, 2),
+    hourly AS (
+      SELECT user_id, time_bucket(INTERVAL 1 HOUR, bkt) AS bkt,
+             sum(cnt) AS cnt, sum(sv) AS sv
+      FROM minutely GROUP BY 1, 2)
+    SELECT user_id, time_bucket(INTERVAL 1 DAY, bkt) AS bkt,
+           sum(cnt) AS cnt, round(sum(sv), 2) AS sv
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def rollup_hierarchy_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate hierarchy: minute → hour → day,
+    each level aggregated FROM the previous level's partials, never
+    rescanning raw events (at 100 TB the raw scan happens once; coarser
+    rollups read ~60× less each). The oracle computes the same three-level
+    cascade — identical float summation grouping at every level."""
+    def bucket(col: str, n_us: int):
+        us = F.unix_micros(F.col(col))
+        return F.timestamp_micros(us - us % F.lit(n_us))
+
+    ev = _t(spark, sf_dir, "events")
+    minutely = ev.groupBy("user_id", bucket("ts", 60_000_000).alias("bkt")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv")
+    )
+    hourly = minutely.groupBy("user_id", bucket("bkt", 3_600_000_000).alias("bkt")).agg(
+        F.sum("cnt").alias("cnt"), F.sum("sv").alias("sv")
+    )
+    return hourly.groupBy("user_id", bucket("bkt", 86_400_000_000).alias("bkt")).agg(
+        F.sum("cnt").alias("cnt"), _r2(F.sum("sv")).alias("sv")
+    )
+
+
 @register("multimodal_features")  # rows-only: crc32 stripes are engine-specific
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction plumbing: fixed-width double vectors from binary
