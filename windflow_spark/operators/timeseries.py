@@ -1,0 +1,78 @@
+"""Time-series gap-fill + linear interpolation.
+
+Not in the reference (WindFlow has no notion of a dense time grid — empty
+TB windows fire with empty content, wf/window_replica.hpp:306-317, which is
+the spine half of this; see operators/windows.window_spine_tb). This adds
+the other half every metrics/sensor pipeline needs: resample observations
+onto a regular grid and linearly interpolate interior gaps.
+
+Scale shape: the spine is generated per key with sequence+explode (no
+driver loop), the observation join is a co-partitioned left join on
+(key, bucket), and the prev/next lookups are two window passes — everything
+distributed, state bounded by one key's span.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def gap_fill_interpolate(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    grid_us: int,
+    out_ts: str = "ts",
+    out_val: str = "value",
+) -> DataFrame:
+    """Resample to a ``grid_us`` grid per key (observation = MIN of the
+    bucket's values — order-independent, so cross-engine exact) and fill
+    every interior gap by linear interpolation between the nearest
+    observations; leading/trailing gaps take the nearest single value.
+    Output: key cols + ``out_ts`` (grid timestamp) + ``out_val`` — RAW
+    double: the lerp lands on systematic decimal midpoints (.xxxx5) where
+    HALF_UP and float-round disagree, so rounding here breaks cross-engine
+    parity; identical IEEE expressions are bit-identical unrounded."""
+    keys = list(key_cols)
+    us = F.unix_micros(F.col(ts_col))
+    obs = (
+        df.select(*keys, (us - us % F.lit(grid_us)).alias("_t"), F.col(value_col))
+        .groupBy(*keys, "_t")
+        .agg(F.min(value_col).alias("_v"))
+    )
+    bounds = obs.groupBy(*keys).agg(F.min("_t").alias("_lo"), F.max("_t").alias("_hi"))
+    spine = bounds.select(
+        *keys, F.explode(F.sequence("_lo", "_hi", F.lit(grid_us))).alias("_t")
+    )
+    j = spine.join(obs, keys + ["_t"], "left")
+    w_prev = W.partitionBy(*keys).orderBy("_t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_next = W.partitionBy(*keys).orderBy("_t").rowsBetween(W.currentRow, W.unboundedFollowing)
+    obs_t = F.when(F.col("_v").isNotNull(), F.col("_t"))
+    f = (
+        j.withColumn("_pv", F.last("_v", ignorenulls=True).over(w_prev))
+        .withColumn("_pt", F.last(obs_t, ignorenulls=True).over(w_prev))
+        .withColumn("_nv", F.first("_v", ignorenulls=True).over(w_next))
+        .withColumn("_nt", F.first(obs_t, ignorenulls=True).over(w_next))
+    )
+    lerp = F.col("_pv") + (F.col("_nv") - F.col("_pv")) * (F.col("_t") - F.col("_pt")) / (
+        F.col("_nt") - F.col("_pt")
+    )
+    filled = (
+        F.when(F.col("_v").isNotNull(), F.col("_v"))
+        .when(
+            F.col("_pv").isNotNull() & F.col("_nv").isNotNull() & (F.col("_nt") != F.col("_pt")),
+            lerp,
+        )
+        .when(F.col("_pv").isNotNull(), F.col("_pv"))
+        .otherwise(F.col("_nv"))
+    )
+    return f.select(
+        *keys,
+        F.timestamp_micros(F.col("_t")).alias(out_ts),
+        filled.alias(out_val),
+    )

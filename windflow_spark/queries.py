@@ -2157,6 +2157,46 @@ def rollup_hierarchy_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "ts_gap_fill_interpolate",
+    """
+    WITH obs AS (
+      SELECT user_id, epoch_us(ts) - epoch_us(ts) % 7200000000 AS t, min(value) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    bounds AS (SELECT user_id, min(t) AS lo, max(t) AS hi FROM obs GROUP BY 1),
+    spine AS (SELECT user_id, unnest(generate_series(lo, hi, 7200000000)) AS t
+              FROM bounds),
+    j AS (SELECT s.user_id, s.t, o.v
+          FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.t = o.t),
+    f AS (SELECT user_id, t, v,
+            last_value(v IGNORE NULLS) OVER wp AS pv,
+            last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS pt,
+            first_value(v IGNORE NULLS) OVER wn AS nv,
+            first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wn AS nt
+          FROM j
+          WINDOW wp AS (PARTITION BY user_id ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wn AS (PARTITION BY user_id ORDER BY t
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, make_timestamp(t) AS ts,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt
+                  THEN pv + (nv - pv) * (t - pt) / (nt - pt)
+                WHEN pv IS NOT NULL THEN pv
+                ELSE nv END AS value
+    FROM f
+    """,
+)
+def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill purchases onto a 2-hour grid per user with linear
+    interpolation of interior gaps (nearest-value fill at the edges) —
+    spine + two window passes, fully distributed."""
+    from windflow_spark.operators.timeseries import gap_fill_interpolate
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return gap_fill_interpolate(ev, ["user_id"], "ts", "value", 7_200_000_000)
+
+
 @register("multimodal_features")  # rows-only: crc32 stripes are engine-specific
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction plumbing: fixed-width double vectors from binary
