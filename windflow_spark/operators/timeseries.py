@@ -45,34 +45,29 @@ def gap_fill_interpolate(
         .groupBy(*keys, "_t")
         .agg(F.min(value_col).alias("_v"))
     )
-    bounds = obs.groupBy(*keys).agg(F.min("_t").alias("_lo"), F.max("_t").alias("_hi"))
-    spine = bounds.select(
-        *keys, F.explode(F.sequence("_lo", "_hi", F.lit(grid_us))).alias("_t")
+    # Segment form: lead() pairs consecutive observations (a window over the
+    # SMALL observation table), then each segment explodes straight to its
+    # grid points with the lerp — the dense spine is never sorted or joined,
+    # so the cost is O(observations log observations + output rows).
+    w = W.partitionBy(*keys).orderBy("_t")
+    seg = obs.withColumn("_nt", F.lead("_t").over(w)).withColumn(
+        "_nv", F.lead("_v").over(w)
     )
-    j = spine.join(obs, keys + ["_t"], "left")
-    w_prev = W.partitionBy(*keys).orderBy("_t").rowsBetween(W.unboundedPreceding, W.currentRow)
-    w_next = W.partitionBy(*keys).orderBy("_t").rowsBetween(W.currentRow, W.unboundedFollowing)
-    obs_t = F.when(F.col("_v").isNotNull(), F.col("_t"))
-    f = (
-        j.withColumn("_pv", F.last("_v", ignorenulls=True).over(w_prev))
-        .withColumn("_pt", F.last(obs_t, ignorenulls=True).over(w_prev))
-        .withColumn("_nv", F.first("_v", ignorenulls=True).over(w_next))
-        .withColumn("_nt", F.first(obs_t, ignorenulls=True).over(w_next))
+    pts = seg.withColumn(
+        "_p",
+        F.explode(
+            F.when(
+                F.col("_nt").isNotNull(),
+                F.sequence("_t", F.col("_nt") - F.lit(grid_us), F.lit(grid_us)),
+            ).otherwise(F.array(F.col("_t")))
+        ),
     )
-    lerp = F.col("_pv") + (F.col("_nv") - F.col("_pv")) * (F.col("_t") - F.col("_pt")) / (
-        F.col("_nt") - F.col("_pt")
+    lerp = F.col("_v") + (F.col("_nv") - F.col("_v")) * (F.col("_p") - F.col("_t")) / (
+        F.col("_nt") - F.col("_t")
     )
-    filled = (
-        F.when(F.col("_v").isNotNull(), F.col("_v"))
-        .when(
-            F.col("_pv").isNotNull() & F.col("_nv").isNotNull() & (F.col("_nt") != F.col("_pt")),
-            lerp,
-        )
-        .when(F.col("_pv").isNotNull(), F.col("_pv"))
-        .otherwise(F.col("_nv"))
-    )
-    return f.select(
+    filled = F.when(F.col("_p") == F.col("_t"), F.col("_v")).otherwise(lerp)
+    return pts.select(
         *keys,
-        F.timestamp_micros(F.col("_t")).alias(out_ts),
+        F.timestamp_micros(F.col("_p")).alias(out_ts),
         filled.alias(out_val),
     )

@@ -2189,8 +2189,9 @@ def rollup_hierarchy_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-fill purchases onto a 2-hour grid per user with linear
-    interpolation of interior gaps (nearest-value fill at the edges) —
-    spine + two window passes, fully distributed."""
+    interpolation of interior gaps — segment form (lead over observations,
+    explode to grid points); the oracle is the independent spine+window
+    formulation, so the two derivations cross-check each other."""
     from windflow_spark.operators.timeseries import gap_fill_interpolate
 
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
