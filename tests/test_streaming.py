@@ -174,3 +174,22 @@ def test_parquet_sink_checkpoint_exactly_once(spark, tmp_path_factory):
     got = spark.read.parquet(out)
     assert got.count() == 35                      # no reprocessing of batch 1
     assert got.select("value").distinct().count() == 35
+
+
+def test_closing_hook_fires_on_termination(spark, stream_fixture):
+    from windflow_spark.streaming import on_query_terminated
+
+    _, stream = stream_fixture
+    closed = []
+    listener = on_query_terminated(spark, closed.append)
+    try:
+        name, q = to_memory_sink(stream.select("key"), output_mode="append")
+        # availableNow terminates on its own; listener delivery is async
+        import time
+        for _ in range(40):
+            if str(q.id) in closed:
+                break
+            time.sleep(0.25)
+        assert str(q.id) in closed
+    finally:
+        spark.streams.removeListener(listener)

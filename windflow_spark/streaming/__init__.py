@@ -22,6 +22,7 @@ from windflow_spark.streaming.sinks import (
     to_foreach_batch,
     kafka_sink,
     run_available_now,
+    on_query_terminated,
 )
 from windflow_spark.streaming.state import rocksdb_state_conf
 from windflow_spark.streaming.persistent import p_map, p_filter, p_flatmap, p_reduce
@@ -42,6 +43,7 @@ __all__ = [
     "to_foreach_batch",
     "kafka_sink",
     "run_available_now",
+    "on_query_terminated",
     "rocksdb_state_conf",
     "p_map",
     "p_filter",

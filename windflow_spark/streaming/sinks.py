@@ -78,3 +78,29 @@ def kafka_sink(
         .option("topic", topic)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def on_query_terminated(spark, fn: Callable[[str], None]):
+    """Closing-function lifecycle hook (reference `void(RuntimeContext&)`
+    closing funcs run per replica at operator teardown,
+    wf/basic_operator.hpp:179-195): ``fn(query_id)`` fires when any
+    streaming query of this session terminates. Returns the listener so the
+    caller can removeListener when done."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _Closing(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            pass
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            fn(str(event.id))
+
+    listener = _Closing()
+    spark.streams.addListener(listener)
+    return listener
