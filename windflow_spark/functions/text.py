@@ -122,3 +122,18 @@ def normalize_text(text_col: Column | str) -> Column:
     c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
+
+
+def hash_split(
+    df: DataFrame,
+    content_col: str = "text",
+    train_pct: int = 90,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic content-hash train/eval split: bucket = first 32 bits
+    of md5(content) mod 100. Content-addressed, so the assignment survives
+    re-sharding, re-ordering, and engine changes (md5 is bit-portable,
+    unlike engine-native hashes) — the standard way to split a 100 TB corpus
+    without a global shuffle or a stored assignment table."""
+    bucket = F.conv(F.substring(F.md5(F.col(content_col)), 1, 8), 16, 10).cast("long") % 100
+    return df.withColumn(out_col, F.when(bucket < train_pct, "train").otherwise("eval"))

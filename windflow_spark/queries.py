@@ -2198,6 +2198,28 @@ def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_interpolate(ev, ["user_id"], "ts", "value", 7_200_000_000)
 
 
+@register(
+    "split_train_eval",
+    """
+    SELECT split, count(*) AS n_docs, min(doc_id) AS min_id
+    FROM (SELECT doc_id,
+                 CASE WHEN ('0x' || substr(md5(text), 1, 8))::UBIGINT % 100 < 90
+                      THEN 'train' ELSE 'eval' END AS split
+          FROM documents)
+    GROUP BY split
+    """,
+)
+def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash 90/10 split (md5 is engine-portable);
+    summarized per split for the oracle check."""
+    from windflow_spark.functions.text import hash_split
+
+    docs = hash_split(_t(spark, sf_dir, "documents"))
+    return docs.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_id")
+    )
+
+
 @register("multimodal_features")  # rows-only: crc32 stripes are engine-specific
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction plumbing: fixed-width double vectors from binary
