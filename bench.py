@@ -59,17 +59,28 @@ def main() -> None:
     total = round(time.time() - t_all, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "total_query_wall_time",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    # Durable artifact in addition to the stdout line: the r1 BENCH capture
+    # truncated mid-line, losing the total and early per-query times, so
+    # round-over-round deltas were not computable (VERDICT r1 §wrong-2).
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+    )
+    try:
+        with open(out_path, "w") as f:
+            f.write(payload + "\n")
+    except OSError as e:
+        print(f"bench: could not write {out_path}: {e}", file=sys.stderr)
+    print(payload)
 
 
 if __name__ == "__main__":

@@ -76,11 +76,14 @@ def asof_join_backward(
         .withColumn("_bp", F.last("_bp", ignorenulls=True).over(w))
         .filter(F.col("_is_a") == 1)
     )
-    out = filled.select(
+    if how == "inner":
+        # Unmatched = the fill found no preceding b-row, i.e. the STRUCT
+        # itself is null. Testing a payload FIELD instead would drop a
+        # genuinely matched b-row whose first payload value is NULL
+        # (ADVICE r1) — a struct built from all-null fields is non-null.
+        filled = filled.filter(F.col("_bp").isNotNull())
+    return filled.select(
         *[F.col(k) for k in keys],
         *[F.col(c) for c in a_payload_cols],
         *[F.col(f"_bp.{c}").alias(f"{prefix}{c}") for c in payload],
     )
-    if how == "inner":
-        out = out.filter(F.col(f"{prefix}{payload[0]}").isNotNull())
-    return out

@@ -40,46 +40,65 @@ def kslack_reorder(
     already-released horizon when K has stabilized — are dropped, matching
     wf/kslack_collector.hpp:97-147's insertion check + purge loop).
     """
+    import bisect
+
     key_list = list(key_cols)
     out_fields = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
     out_schema = ", ".join(out_fields) + f", {emit_col} long"
     field_names = [f.name for f in df.schema.fields]
 
     def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Exact replay of wf/kslack_collector.hpp:97-147 (insertInput /
+        extractInput) + svc:183-207 drop check + eosnotify:210-230 flush.
+
+        Per input: append ts to ts_vect and insert into the ts-sorted buffer.
+        When ts > tcurr (advance), K grows to max(K, max(tcurr_new - ts_i))
+        over ALL ts seen since the previous advance — delays are recomputed
+        against the NEW tcurr, not each tuple's own arrival-time tcurr (a
+        per-arrival K underestimates slack and over-drops; ADVICE r1). Then
+        buffered tuples with ts <= tcurr - K are extracted in ts order; an
+        extracted tuple behind the last emitted timestamp is dropped.
+        Timestamps are µs-from-zero, non-negative (wf/basic.hpp:49-61) —
+        tcurr/K/last init 0 like the reference's uint64 fields.
+        """
         pdf = pdf.sort_values(arrival_col)
-        k = None  # max observed delay, monotone (kslack_collector.hpp:118-124)
-        t_curr = None  # max ts seen
-        horizon = None  # ts of the newest released tuple
-        buf: list[tuple[int, dict]] = []
+        tcurr = 0
+        k = 0  # monotone slack
+        last_ts = 0  # ts of the newest emitted tuple (reference last_timestamp)
+        ts_vect: list[int] = []  # timestamps since the last tcurr advance
+        buf: list[tuple[int, int, dict]] = []  # (ts, arrival-seq) sorted
         released: list[dict] = []
 
-        def release(limit_ts: int) -> None:
-            nonlocal horizon
-            buf.sort(key=lambda e: e[0])
-            keep = []
-            for ts, row in buf:
-                if ts <= limit_ts:
-                    released.append(row)
-                    horizon = ts if horizon is None else max(horizon, ts)
+        def extract() -> None:
+            nonlocal last_ts
+            limit = tcurr - k
+            i = 0
+            while i < len(buf) and buf[i][0] <= limit:
+                ts, _, row = buf[i]
+                if ts < last_ts:
+                    pass  # behind the emitted horizon — drop (svc:195-200)
                 else:
-                    keep.append((ts, row))
-            buf[:] = keep
+                    released.append(row)
+                    last_ts = ts
+                i += 1
+            del buf[:i]
 
-        for row in pdf.to_dict("records"):
+        for seq, row in enumerate(pdf.to_dict("records")):
             ts = row[ts_col]
-            if t_curr is None or ts > t_curr:
-                t_curr = ts
-            # K learns from EVERY arrival's delay — including tuples about
-            # to be dropped — else disorder behind the horizon never grows K
-            # (kslack_collector.hpp updates the slack before the insert check)
-            d = t_curr - ts
-            k = d if k is None else max(k, d)
-            if horizon is not None and ts < horizon:
-                continue  # late: behind the emitted horizon — drop
-            buf.append((ts, row))
-            release(t_curr - k)
-        # EOS flush: the reference emits the remaining buffer in order
-        release(float("inf"))
+            ts_vect.append(ts)
+            bisect.insort(buf, (ts, seq, row), key=lambda e: (e[0], e[1]))
+            if ts > tcurr:
+                tcurr = ts
+                k = max(k, max(tcurr - t for t in ts_vect))
+                ts_vect.clear()
+                extract()
+        # EOS flush (eosnotify): emit the remaining buffer in ts order,
+        # dropping anything behind the emitted horizon
+        for ts, _, row in buf:
+            if ts < last_ts:
+                continue
+            released.append(row)
+            last_ts = ts
         for i, row in enumerate(released):
             row[emit_col] = i
         return pd.DataFrame(released) if released else pd.DataFrame(

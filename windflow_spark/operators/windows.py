@@ -220,8 +220,13 @@ def paned_window_tb(
         F.lit(0),
     )
     hi = _floordiv(p_start, slide_us)
+    # hopping configs (length_us < slide_us) leave gaps: a pane can belong to
+    # ZERO windows, where lo > hi and F.sequence would generate a DESCENDING
+    # sequence assigning the pane to windows it is not in (ADVICE r1). Same
+    # empty-range guard as sliding_window_tb.
+    wids = F.when(lo <= hi, F.sequence(lo, hi)).otherwise(F.array().cast("array<long>"))
     return (
-        panes.withColumn("_wid", F.explode(F.sequence(lo, hi)))
+        panes.withColumn("_wid", F.explode(wids))
         .groupBy(*key_cols, "_wid")
         .agg(*final_aggs)
         .withColumn(window_col, F.timestamp_micros(F.col("_wid") * F.lit(slide_us)))
