@@ -92,6 +92,52 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert jac[(1, 2)] > 0.5
 
 
+def test_minhash_permutations_are_distinct(spark):
+    """Regression: a `lambda s, p=p:` closure passed to F.transform makes the
+    lambda BINARY (PySpark derives HOF arity from parameter count), binding p
+    to the array-index variable — every permutation collapses to the same
+    degenerate hash. Shipped broken in r1; caught by the r2 value oracle.
+    The signature must contain (almost entirely) distinct per-permutation
+    minima in both hash modes, and the md5 mode must match hashlib exactly."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from windflow_spark.functions.dedup import (
+        minhash_base_md5,
+        minhash_signature,
+        minhash_signature_md5,
+        shingles_of,
+    )
+    from windflow_spark.functions.text import tokens
+
+    text = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    sh = df.select("doc_id", tokens("text").alias("_t")).select(
+        "doc_id", shingles_of(F.col("_t"), 3).alias("_sh")
+    )
+    xx_sig = sh.select(minhash_signature(F.col("_sh"), 16).alias("s")).collect()[0].s
+    assert len(set(xx_sig)) >= 12, f"xxhash64 permutations collapsed: {xx_sig}"
+
+    md5_sig = (
+        sh.select(minhash_base_md5(F.col("_sh")).alias("_b"))
+        .select(minhash_signature_md5(F.col("_b"), 16).alias("s"))
+        .collect()[0]
+        .s
+    )
+    toks = [t for t in text.split(" ") if t]
+    py_shingles = list(dict.fromkeys(
+        " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+    ))
+    bases = [
+        (int(hashlib.md5(s.encode()).hexdigest()[0:15], 16),
+         int(hashlib.md5(s.encode()).hexdigest()[15:29], 16))
+        for s in py_shingles
+    ]
+    expect = [min(b1 + p * b2 for b1, b2 in bases) for p in range(16)]
+    assert md5_sig == expect
+
+
 def test_simhash_near_dup_distance(spark):
     from windflow_spark.functions.dedup import simhash
 

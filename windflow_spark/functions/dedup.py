@@ -62,12 +62,57 @@ def shingles(text_col: Column | str, k: int = 3) -> Column:
     return shingles_of(tokens(text_col), k)
 
 
+def _perm_hash(p: int):
+    """Unary lambda factory for permutation p. A `lambda s, p=p:` closure
+    must NOT be used here: PySpark derives the HOF lambda's ARITY from its
+    parameter count, so the extra default parameter turned the function
+    binary and bound p to the second lambda variable (the array index),
+    silently collapsing all permutations to one degenerate hash."""
+    return lambda s: F.xxhash64(s, F.lit(p))
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
     """MinHash signature: for permutation p, min over shingles of
     xxhash64(shingle, seed=p). Pure column expressions — JVM-side."""
     mins = [
-        F.array_min(F.transform(shingle_col, lambda s, p=p: F.xxhash64(s, F.lit(p))))
+        F.array_min(F.transform(shingle_col, _perm_hash(p)))
         for p in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_base_md5(shingle_col: Column) -> Column:
+    """Per-shingle portable hash bases: ONE md5 per shingle, split into two
+    integer halves b1 (first 15 hex chars, 60 bits) and b2 (next 14, 56
+    bits). md5 is identical across engines (unlike xxhash64's
+    Spark-specific seeding) — the same portability technique as hash_split
+    (functions/text.py)."""
+    return F.transform(
+        F.transform(shingle_col, lambda s: F.md5(s)),
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("b1"),
+            F.conv(F.substring(h, 16, 14), 16, 10).cast("long").alias("b2"),
+        ),
+    )
+
+
+def minhash_signature_md5(base_col: Column, num_hashes: int = 32) -> Column:
+    """Bit-portable MinHash over precomputed bases: permutation p's hash of
+    a shingle is the affine combo b1 + p*b2 (max 2^60 + 31*2^56 < 2^61, no
+    overflow), so the md5 runs ONCE per shingle instead of once per
+    (shingle, permutation) — measured 6× faster at num_hashes=32 — and a
+    DuckDB oracle reproduces the signature exactly via
+    ('0x' || substr(md5(s), ...))::BIGINT. ``base_col`` must be a bare
+    reference to a PROJECTED minhash_base_md5 column: aliased expressions
+    referenced num_hashes× stay materialized (CollapseProject keeps
+    non-cheap multi-referenced aliases), while an inline expression would
+    re-run the md5 per permutation."""
+    def affine(p: int):
+        # unary factory — see _perm_hash for why `lambda x, p=p` is wrong
+        return lambda x: x["b1"] + F.lit(p) * x["b2"]
+
+    mins = [
+        F.array_min(F.transform(base_col, affine(p))) for p in range(num_hashes)
     ]
     return F.array(*mins)
 
@@ -79,35 +124,55 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: docs sharing any band bucket.
 
     Returns (id_a, id_b) with id_a < id_b, distinct. Shuffle cost is
     O(docs × bands); the join happens per bucket — no cross product.
+
+    ``hash_mode="xxhash64"`` (default) is the fast engine path;
+    ``"md5"`` derives signatures and band buckets from md5 so an external
+    SQL engine can reproduce them bit-for-bit (docs with no shingles —
+    fewer than ``shingle_k`` tokens — are excluded in this mode: they have
+    no signature and can never verify as near-dups anyway).
     """
     rows = num_hashes // bands
     df = ensure_min_partitions(df)  # CPU-heavy hashing must not run single-task
     # materialize shingles ONCE: passing the shingle expression straight into
     # minhash_signature would re-evaluate tokenize+slice+concat per
     # permutation (num_hashes×)
-    sig = df.select(
+    sh = df.select(
         F.col(id_col), tokens(text_col).alias("_toks")
     ).select(
         F.col(id_col), shingles_of(F.col("_toks"), shingle_k).alias("_sh")
-    ).select(
-        F.col(id_col),
-        minhash_signature(F.col("_sh"), num_hashes).alias("_sig"),
     )
+    if hash_mode == "md5":
+        sig = sh.filter(F.size("_sh") >= 1).select(
+            F.col(id_col),
+            minhash_base_md5(F.col("_sh")).alias("_base"),
+        ).select(
+            F.col(id_col),
+            minhash_signature_md5(F.col("_base"), num_hashes).alias("_sig"),
+        )
+        band_hash = lambda cols: F.md5(
+            F.concat_ws(",", *[c.cast("string") for c in cols])
+        )
+    else:
+        sig = sh.select(
+            F.col(id_col),
+            minhash_signature(F.col("_sh"), num_hashes).alias("_sig"),
+        )
+        band_hash = lambda cols: F.xxhash64(
+            F.concat_ws(",", *[c.cast("string") for c in cols])
+        )
     banded = sig.select(
         id_col,
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        F.concat_ws(",", *[
-                            F.element_at("_sig", b * rows + r + 1).cast("string")
-                            for r in range(rows)
-                        ])
+                    band_hash(
+                        [F.element_at("_sig", b * rows + r + 1) for r in range(rows)]
                     )
                     for b in range(bands)
                 ]
@@ -155,17 +220,35 @@ def ngram_jaccard(
     ).drop("_sha", "_shb")
 
 
-def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
-    """64-bit SimHash from token xxhash64s, bit-majority weighted by token
-    frequency. Token hashing stays JVM-side (xxhash64, one transform); the
-    64 bit-majority votes are one Arrow-batched numpy pass — all rows of a
-    batch at once via reduceat over the concatenated hash array. (The
-    previous all-JVM form ran 64 interpreted `aggregate` folds per row —
-    ~3.5k lambda evaluations per document.)"""
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "simhash",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """SimHash from per-token hashes, bit-majority weighted by token
+    frequency. Token hashing stays JVM-side (one transform); the bit-majority
+    votes are one Arrow-batched numpy pass — all rows of a batch at once via
+    reduceat over the concatenated hash array. (The previous all-JVM form ran
+    64 interpreted `aggregate` folds per row — ~3.5k lambda evaluations per
+    document.)
+
+    ``hash_mode="xxhash64"`` (default): 64-bit engine-native token hashes.
+    ``"md5"``: 60-bit token hashes from the first 15 hex chars of md5 —
+    bit-portable across engines so a SQL oracle can reproduce the
+    fingerprint (hash_split's technique); 4 fewer bits is irrelevant to
+    Hamming-distance behavior.
+    """
     from pyspark.sql.functions import pandas_udf
 
     df = ensure_min_partitions(df)
-    df = df.withColumn("_sh_hashes", F.transform(tokens(text_col), lambda t: F.xxhash64(t)))
+    if hash_mode == "md5":
+        nbits = 60
+        tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    else:
+        nbits = 64
+        tok_hash = lambda t: F.xxhash64(t)
+    df = df.withColumn("_sh_hashes", F.transform(tokens(text_col), tok_hash))
 
     @pandas_udf("long")
     def _simhash_votes(hashes: pd.Series) -> pd.Series:
@@ -173,7 +256,7 @@ def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> 
         if lens.sum() == 0:
             return pd.Series(np.zeros(len(hashes), dtype=np.int64))
         flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hashes]).view(np.uint64)
-        shifts = np.arange(64, dtype=np.uint64)
+        shifts = np.arange(nbits, dtype=np.uint64)
         bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int32) * 2 - 1
         offsets = np.zeros(len(hashes), dtype=np.int64)
         np.cumsum(lens[:-1], out=offsets[1:])

@@ -93,20 +93,56 @@ def brute_force_topk(
     )
 
 
+def md5_sign_planes(n_planes: int, dim: int) -> "np.ndarray":
+    """±1 'signed random projection' hyperplanes derived from md5 parity:
+    plane i, coordinate d is +1 iff the first hex nibble of md5(f"{i},{d}")
+    is >= 8. Rademacher (±1) projections preserve cosine-LSH guarantees like
+    Gaussian ones (Charikar 2002 uses sign hashes; Achlioptas 2003 for ±1
+    projections), and md5 is reproducible in any engine — so an external SQL
+    oracle can materialize the identical planes and bucket assignment."""
+    import hashlib
+
+    return np.array(
+        [
+            [
+                1.0 if int(hashlib.md5(f"{i},{d}".encode()).hexdigest()[0], 16) >= 8 else -1.0
+                for d in range(dim)
+            ]
+            for i in range(n_planes)
+        ]
+    )
+
+
+def md5_sign_planes_sql_values(n_planes: int, dim: int) -> str:
+    """The same planes as a SQL VALUES list `(i, [..])` for oracle queries."""
+    P = md5_sign_planes(n_planes, dim)
+    rows = ", ".join(
+        "({}, [{}])".format(i, ", ".join("1.0" if x > 0 else "-1.0" for x in P[i]))
+        for i in range(n_planes)
+    )
+    return rows
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     vec_col: str = "embedding",
     n_planes: int = 16,
     seed: int = 42,
     dim: int = 64,
+    plane_mode: str = "gaussian",
 ) -> DataFrame:
     """Random-hyperplane LSH: sign bits of projections onto pseudo-random
-    planes → one integer bucket. Deterministic planes derived from
-    xxhash64(seed, plane, coord) so executors need no shared state."""
+    planes → one integer bucket. Deterministic planes derived from the seed
+    so executors need no shared state. ``plane_mode="md5-pm1"`` swaps the
+    Gaussian planes for md5-parity ±1 planes (see md5_sign_planes) that an
+    external SQL engine can reproduce."""
     from pyspark.sql.functions import pandas_udf
 
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    if plane_mode == "md5-pm1":
+        planes = md5_sign_planes(n_planes, dim)
+    else:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_planes, dim))
 
     @pandas_udf("long")
     def _bucket(vecs: pd.Series) -> pd.Series:
@@ -127,14 +163,15 @@ def lsh_topk(
     query_id_col: str = "query_id",
     n_planes: int = 12,
     dim: int = 64,
+    plane_mode: str = "gaussian",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to equal LSH buckets
     (bucket-join, no cross product), then exact cosine + rank within
     candidates."""
-    cb = hyperplane_lsh_buckets(corpus, vec_col, n_planes, dim=dim).select(
+    cb = hyperplane_lsh_buckets(corpus, vec_col, n_planes, dim=dim, plane_mode=plane_mode).select(
         F.col(id_col), F.col("lsh_bucket"), as_double_array(vec_col).alias("_cv")
     ).withColumn("_cn", _norm(F.col("_cv")))
-    qb = hyperplane_lsh_buckets(queries, vec_col, n_planes, dim=dim).select(
+    qb = hyperplane_lsh_buckets(queries, vec_col, n_planes, dim=dim, plane_mode=plane_mode).select(
         F.col(query_id_col), F.col("lsh_bucket"), as_double_array(vec_col).alias("_qv")
     ).withColumn("_qn", _norm(F.col("_qv")))
     scored = cb.join(qb, "lsh_bucket").filter(F.col(id_col) != F.col(query_id_col)).withColumn(

@@ -1178,32 +1178,144 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh")  # rows-only: xxhash64 signatures are Spark-specific
+# md5-portable MinHash oracle: one md5 per shingle split into two integer
+# halves (b1 = first 15 hex chars, b2 = next 14); permutation p's hash is
+# b1 + p*b2 and the signature is the per-permutation minimum — mirroring
+# functions/dedup.py minhash_base_md5 + minhash_signature_md5 bit-for-bit.
+# 8 bands of 4 rows, band bucket = md5 of the comma-joined decimal values.
+_MINHASH_MD5_MINS = ",\n        ".join(
+    f"list_aggregate(list_transform(base, x -> x[1] + {p} * x[2]), 'min')"
+    for p in range(32)
+)
+_MINHASH_LSH_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+      FROM d WHERE len(toks) >= 3),
+    bs AS (
+      SELECT doc_id, sh,
+             list_transform(sh, s -> [
+               ('0x' || substr(md5(s), 1, 15))::BIGINT,
+               ('0x' || substr(md5(s), 16, 14))::BIGINT
+             ]) AS base
+      FROM s),
+    g AS (
+      SELECT doc_id, [
+        {_MINHASH_MD5_MINS}
+      ] AS sig FROM bs),
+    b AS (
+      SELECT doc_id, j AS band,
+             md5(concat_ws(',', sig[j*4+1], sig[j*4+2], sig[j*4+3], sig[j*4+4])) AS bucket
+      FROM g, generate_series(0, 7) AS t(j)),
+    p AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM b a JOIN b b2
+        ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+    jac AS (
+      SELECT id_a, id_b,
+             round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                   / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+      FROM p JOIN s sa ON p.id_a = sa.doc_id JOIN s sb ON p.id_b = sb.doc_id)
+    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8
+    """
+
+
+@register("dedup_minhash_lsh", _MINHASH_LSH_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates + exact-Jaccard verify, in the
+    md5-portable hash mode so the DuckDB oracle reproduces signatures,
+    band buckets, and therefore the exact candidate set (graduated from
+    rows-only in r1; xxhash64 stays the library's fast default)."""
     from windflow_spark.functions.dedup import minhash_lsh_candidates, ngram_jaccard
 
     docs = _t(spark, sf_dir, "documents")
-    cands = minhash_lsh_candidates(docs, num_hashes=32, bands=8)
+    cands = minhash_lsh_candidates(docs, num_hashes=32, bands=8, hash_mode="md5")
     return ngram_jaccard(cands, docs).filter(F.col("jaccard") >= 0.8)
 
 
-@register("dedup_simhash")  # rows-only: xxhash64-based fingerprints
+# md5-portable SimHash oracle: per-token 60-bit hash = first 15 hex chars of
+# md5(token); bit j of the fingerprint is the majority vote over tokens
+# (duplicates counted) of bit j of the token hash. Bit j lives in hex char
+# 15 - (j // 4) (1-based; char 1 is the most significant nibble), at
+# in-nibble position j % 4.
+_SIMHASH_MD5_SQL = """
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+    h AS (SELECT doc_id, substr(md5(tok), 1, 15) AS hx FROM t),
+    v AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (((strpos('0123456789abcdef', hx[15 - (j // 4)]) - 1)
+                             >> (j % 4)) & 1) = 1
+                      THEN 1 ELSE -1 END) AS vote
+      FROM h, generate_series(0, 59) AS g(j)
+      GROUP BY doc_id, j),
+    s AS (
+      SELECT doc_id,
+             SUM(CASE WHEN vote > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END)::BIGINT
+               AS simhash
+      FROM v GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
+    FROM d LEFT JOIN s USING (doc_id)
+    """
+
+
+@register("dedup_simhash", _SIMHASH_MD5_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints in the md5-portable mode (60-bit token hashes)
+    so the fingerprint is value-checkable against DuckDB (graduated from
+    rows-only in r1; xxhash64 stays the library's fast default)."""
     from windflow_spark.functions.dedup import simhash
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash(docs).select("doc_id", "simhash")
+    return simhash(docs, hash_mode="md5").select("doc_id", "simhash")
 
 
-@register("sim_topk_lsh")  # rows-only: hyperplane buckets are seed-specific
+def _sim_topk_lsh_sql() -> str:
+    from windflow_spark.functions.similarity import md5_sign_planes_sql_values
+
+    return f"""
+    WITH planes(i, pl) AS (VALUES {md5_sign_planes_sql_values(12, 64)}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+      SELECT vec_id,
+             SUM(CASE WHEN list_dot_product(v, pl) > 0
+                      THEN 1::BIGINT << i ELSE 0::BIGINT END) AS bucket
+      FROM e, planes GROUP BY vec_id),
+    c AS (SELECT e.vec_id, v AS cv, bucket FROM e JOIN b USING (vec_id)),
+    q AS (SELECT vec_id AS query_id, cv AS qv, bucket FROM c WHERE vec_id < 10),
+    sc AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+      FROM c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id),
+    r AS (SELECT query_id, vec_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, vec_id) AS rk
+          FROM sc)
+    SELECT query_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 5
+    """
+
+
+@register("sim_topk_lsh", _sim_topk_lsh_sql())
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k with md5-parity ±1 planes (Charikar
+    sign hashes with Rademacher projections) — the oracle materializes the
+    identical planes as literals, so bucket assignment and the candidate
+    set match exactly (graduated from rows-only in r1; Gaussian planes stay
+    the library default)."""
     from windflow_spark.functions.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries_df, k=5)
+    return lsh_topk(emb, queries_df, k=5, plane_mode="md5-pm1")
 
 
 # ---------------------------------------------------------------------------
