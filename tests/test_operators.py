@@ -264,6 +264,31 @@ def test_kslack_drops_behind_horizon(spark):
     assert 55 in emitted and 85 in emitted
 
 
+def test_connected_components_nonconvergence_guard(spark):
+    """A path graph with diameter > max_iter must not return silently wrong
+    labels: strict mode raises, best-effort mode warns (VERDICT r1 item 9).
+    With enough iterations the same graph converges to one component."""
+    import warnings
+
+    import pytest
+
+    from windflow_spark.functions.dedup import connected_components
+
+    n = 12  # path 0-1-...-12: min-label needs ~n hops to reach the far end
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=3)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = connected_components(edges, max_iter=3, strict=False)
+        out.collect()
+        assert any("did not converge" in str(x.message) for x in w)
+    done = connected_components(edges, max_iter=n + 2)
+    assert {r.component for r in done.collect()} == {0}
+
+
 def test_runtime_context_in_udf(spark):
     import pandas as pd
 

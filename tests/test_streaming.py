@@ -137,6 +137,38 @@ def test_streaming_cb_window_fires_complete_windows(spark, stream_fixture):
     assert got == expect and len(expect) > 0
 
 
+def test_streaming_cb_window_eos_flush_matches_batch(spark, tmp_path_factory):
+    """With in-band EOS punctuations the streaming CB window emits the
+    TRAILING PARTIALS too, matching the batch form exactly (the reference
+    fires all open windows at end of stream, wf/window_replica.hpp:356-400).
+    """
+    from windflow_spark.streaming import cb_eos_punctuations
+
+    rows = [(k % 3, v, v * 700_000 + k * 13_000) for k, v in ((i % 5, i) for i in range(57))]
+    batch = _mk(spark, rows)
+    # full batch semantics: every non-empty window, including partials
+    expect = sorted(
+        (r.key, r.wid, r.cnt, float(r.sv))
+        for r in tumbling_window_cb(
+            batch, ["key"], ["ts"], 4,
+            [F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv")],
+        ).collect()
+    )
+    with_flag = batch.withColumn("eos", F.lit(False))
+    src = with_flag.unionByName(cb_eos_punctuations(batch, ["key"], "ts"))
+    path = str(tmp_path_factory.mktemp("cb_eos_src"))
+    src.coalesce(1).write.mode("overwrite").parquet(path)
+    stream = file_stream(spark, path, src.schema)
+    out = streaming_tumbling_window_cb(stream, ["key"], "ts", "value", 4, eos_col="eos")
+    name, _ = to_memory_sink(out, output_mode="append")
+    got = sorted(
+        (r.key, r.wid, r.cnt, float(r.sum_value)) for r in spark.table(name).collect()
+    )
+    assert got == expect and len(expect) > 0
+    # partials really exist in this fixture (57 rows per-key counts not /4)
+    assert any(c != 4 for _, _, c, _ in expect)
+
+
 def test_streaming_exact_dedup_equals_batch(spark, stream_fixture):
     from windflow_spark.streaming import streaming_exact_dedup
 

@@ -278,6 +278,7 @@ def connected_components(
     node_b: str = "id_b",
     max_iter: int = 25,
     n_partitions: int = 8,
+    strict: bool = True,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation — clusters
     near-dup PAIRS into dedup groups (component id = min node id; the
@@ -322,6 +323,7 @@ def connected_components(
         )
 
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         # one hop per materialization: near-dup graphs have tiny diameters,
         # so the final no-change confirmation round dominates — measured
@@ -329,6 +331,21 @@ def connected_components(
         labels = hop(labels).localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # a graph with diameter > max_iter (e.g. a long path) would otherwise
+        # return silently WRONG labels — fail loudly, or warn when the caller
+        # explicitly opts into best-effort labels
+        msg = (
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (graph diameter exceeds the iteration budget); labels are "
+            "incomplete. Raise max_iter, or pass strict=False for best-effort."
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select("id", F.col("label").alias("component"))

@@ -14,6 +14,7 @@ from windflow_spark.streaming.ops import (
     streaming_interval_join,
     streaming_rolling_reduce,
     streaming_tumbling_window_cb,
+    cb_eos_punctuations,
     streaming_exact_dedup,
 )
 from windflow_spark.streaming.sinks import (
@@ -37,6 +38,7 @@ __all__ = [
     "streaming_interval_join",
     "streaming_rolling_reduce",
     "streaming_tumbling_window_cb",
+    "cb_eos_punctuations",
     "streaming_exact_dedup",
     "to_memory_sink",
     "to_parquet_sink",

@@ -131,18 +131,20 @@ def streaming_rolling_reduce(
     state_schema = "cnt long, s double"
 
     def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         (cnt, s) = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
-            out_cnt, out_sum = [], []
-            for v in pdf[value_col]:
-                cnt += 1
-                s += float(v)
-                out_cnt.append(cnt)
-                out_sum.append(s)
+            vals = pdf[value_col].to_numpy(dtype=np.float64)
             res = pdf[key_list + [ts_col, value_col]].copy()
-            res["running_cnt"] = out_cnt
-            res["running_sum"] = out_sum
+            # vectorized running state: cumsum over the batch + carry-in
+            res["running_cnt"] = cnt + np.arange(1, len(vals) + 1)
+            run = s + np.cumsum(vals)
+            res["running_sum"] = run
+            if len(vals):
+                cnt += len(vals)
+                s = float(run[-1])
             yield res
         state.update((cnt, s))
 
@@ -157,13 +159,23 @@ def streaming_tumbling_window_cb(
     ts_col: str,
     value_col: str,
     length: int,
+    eos_col: str | None = None,
 ) -> DataFrame:
     """Count-based tumbling windows, streaming form (SURVEY.md §7 hard part
     1 — no native support): per-key progressive counter + per-window partial
     aggregates in GroupState; a window fires when its count reaches
-    ``length``. Trailing partials stay in state until query stop (the
-    reference flushes them at EOS; use availableNow + final batch flush or
-    read partials from state on teardown).
+    ``length``.
+
+    EOS flush (reference wf/window_replica.hpp:356-400 fires all open
+    windows at end of stream): applyInPandasWithState has no teardown
+    callback, so EOS arrives the way the reference itself propagates it —
+    as an IN-BAND punctuation (Single_t's punctuation flag → eosnotify).
+    Pass ``eos_col`` naming a boolean column; a true row is a punctuation
+    (its value is ignored) that flushes the key's trailing partial window
+    and resets its state. Punctuations order after data rows regardless of
+    timestamp. ``cb_eos_punctuations`` builds the sentinel frame for
+    bounded (availableNow) sources. Without ``eos_col``, trailing partials
+    stay in state until query stop.
 
     Output: (key..., wid, cnt, sum_value) per FIRED window.
     """
@@ -174,23 +186,48 @@ def streaming_tumbling_window_cb(
     state_schema = "next_id long, wid long, wcnt long, wsum double"
 
     def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         next_id, wid, wcnt, wsum = state.get if state.exists else (0, 0, 0, 0.0)
         fired: list[tuple] = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            for v in pdf[value_col]:
-                cur_wid = next_id // length
-                if cur_wid != wid and wcnt > 0:
-                    fired.append(key + (wid, wcnt, wsum))
+            if eos_col is not None:
+                # punctuations sort AFTER all data rows of the batch
+                pdf = pdf.sort_values([eos_col, ts_col])
+                flags = pdf[eos_col].fillna(False).to_numpy(dtype=bool)
+                eos_seen = bool(flags.any())
+                vals = pdf[value_col].to_numpy(dtype=np.float64)[~flags]
+            else:
+                pdf = pdf.sort_values(ts_col)
+                eos_seen = False
+                vals = pdf[value_col].to_numpy(dtype=np.float64)
+            n = len(vals)
+            if n:
+                # Per-key ids are CONSECUTIVE from next_id, so each window's
+                # rows form one contiguous span: segment-sum via reduceat —
+                # no per-row Python. The carry-in partial always merges into
+                # the first span (state invariant: wid == next_id // length).
+                wids = (next_id + np.arange(n)) // length
+                starts = np.nonzero(np.r_[True, wids[1:] != wids[:-1]])[0]
+                sums = np.add.reduceat(vals, starts)
+                counts = np.diff(np.r_[starts, n])
+                uw = wids[starts]
+                if wcnt > 0:
+                    sums[0] += wsum
+                    counts[0] += wcnt
+                full = counts == length
+                for w, c, s_ in zip(uw[full], counts[full], sums[full]):
+                    fired.append(key + (int(w), int(c), float(s_)))
+                if full[-1]:
                     wcnt, wsum = 0, 0.0
-                wid = cur_wid
-                wcnt += 1
-                wsum += float(v)
-                next_id += 1
-                if wcnt == length:
+                else:
+                    wcnt, wsum = int(counts[-1]), float(sums[-1])
+                next_id += n
+                wid = next_id // length
+            if eos_seen:
+                if wcnt > 0:  # flush the open partial window at EOS
                     fired.append(key + (wid, wcnt, wsum))
-                    wcnt, wsum = 0, 0.0
-                    wid = next_id // length
+                next_id, wid, wcnt, wsum = 0, 0, 0, 0.0
         state.update((next_id, wid, wcnt, wsum))
         cols = key_list + ["wid", "cnt", "sum_value"]
         yield pd.DataFrame(fired, columns=cols) if fired else pd.DataFrame(
@@ -199,6 +236,34 @@ def streaming_tumbling_window_cb(
 
     return df.groupBy(*key_list).applyInPandasWithState(
         fold, output_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def cb_eos_punctuations(
+    batch: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    eos_col: str = "eos",
+) -> DataFrame:
+    """One EOS punctuation row per distinct key of ``batch``, timestamped at
+    the key's max event time (ordering within a micro-batch is handled by
+    the eos flag, not the timestamp). Union this under the data (with
+    ``withColumn(eos_col, lit(False))`` on the data side) when writing a
+    bounded source that a CB-window query should fully flush — the batch
+    analog of the reference runtime broadcasting EOS to every replica."""
+    keys = list(key_cols)
+    other = [
+        f.name for f in batch.schema.fields if f.name not in keys + [ts_col]
+    ]
+    return (
+        batch.groupBy(*keys)
+        .agg(F.max(ts_col).alias(ts_col))
+        .select(
+            *keys,
+            ts_col,
+            *[F.lit(None).cast(batch.schema[c].dataType).alias(c) for c in other],
+            F.lit(True).alias(eos_col),
+        )
     )
 
 

@@ -56,27 +56,57 @@ def to_foreach_batch(df: DataFrame, fn: Callable, checkpoint: str, output_mode: 
     )
 
 
-def kafka_sink(
+def kafka_sink_options(
+    brokers: str | list[str], topic: str, checkpoint: str
+) -> dict[str, str]:
+    """Writer-option mapping of the reference Kafka_Sink builder
+    (wf/kafka/builders_kafka.hpp:345-365 withBrokers; the serializer's
+    returned topic → the 'topic' option). Pure function — contract-testable
+    without a broker; kafka_sink applies it verbatim."""
+    join = lambda v: ",".join(v) if isinstance(v, (list, tuple)) else v
+    return {
+        "kafka.bootstrap.servers": join(brokers),
+        "topic": topic,
+        "checkpointLocation": checkpoint,
+    }
+
+
+def kafka_payload(
     df: DataFrame,
-    brokers: str,
-    topic: str,
-    checkpoint: str,
     value_cols: list[str] | None = None,
-):
-    """Kafka_Sink analog: serializer = to_json of the selected columns
-    (reference wf/kafka/builders_kafka.hpp:302-303 — user serializer returns
-    topic+payload)."""
+    key_col: str | None = None,
+) -> DataFrame:
+    """The 'serializer' role (reference builders_kafka.hpp:302-303 — the
+    user serializer returns the payload string): to_json of the selected
+    columns as `value`, optionally a record `key`. Works on batch or
+    streaming frames, so the serialization contract is testable without a
+    broker."""
     value = (
         F.to_json(F.struct(*[F.col(c) for c in value_cols]))
         if value_cols
         else F.to_json(F.struct("*"))
     )
+    cols = [value.alias("value")]
+    if key_col:
+        cols.insert(0, F.col(key_col).cast("string").alias("key"))
+    return df.select(*cols)
+
+
+def kafka_sink(
+    df: DataFrame,
+    brokers: str | list[str],
+    topic: str,
+    checkpoint: str,
+    value_cols: list[str] | None = None,
+    key_col: str | None = None,
+):
+    """Kafka_Sink analog: serializer = to_json of the selected columns
+    (reference wf/kafka/builders_kafka.hpp:302-303 — user serializer returns
+    topic+payload)."""
     return (
-        df.select(value.alias("value"))
+        kafka_payload(df, value_cols, key_col)
         .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint)
+        .options(**kafka_sink_options(brokers, topic, checkpoint))
     )
 
 

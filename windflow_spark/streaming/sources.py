@@ -50,12 +50,54 @@ def file_stream(
     return r.load(path)
 
 
+def kafka_source_options(
+    brokers: str | list[str],
+    topics: str | list[str],
+    group_id: str | None = None,
+    starting_offsets: str | dict = "latest",
+) -> dict[str, str]:
+    """The reader-option mapping of the reference Kafka_Source builder
+    (wf/kafka/builders_kafka.hpp:185-268): withBrokers → bootstrap.servers
+    (comma-joined), withTopics → subscribe (comma-joined), withGroupID →
+    kafka.group.id, withOffsets → startingOffsets (a per-topic/partition
+    dict serializes to the JSON offset form). Pure function so the contract
+    is testable without a broker; kafka_stream applies it verbatim."""
+    import json
+
+    join = lambda v: ",".join(v) if isinstance(v, (list, tuple)) else v
+    opts = {
+        "kafka.bootstrap.servers": join(brokers),
+        "subscribe": join(topics),
+        "startingOffsets": (
+            json.dumps(starting_offsets)
+            if isinstance(starting_offsets, dict)
+            else starting_offsets
+        ),
+    }
+    if group_id:
+        opts["kafka.group.id"] = group_id
+    return opts
+
+
+def parse_kafka_value(df: DataFrame, value_schema, key_col: str = "kafka_key") -> DataFrame:
+    """The 'deserializer' role (reference kafka_source.hpp user deser
+    returning an optional tuple): parse the binary value as JSON into
+    top-level columns, keep the record key (as string) and the broker
+    timestamp. Works on any frame with Kafka's wire schema
+    (key binary, value binary, timestamp) — streaming or batch."""
+    return df.select(
+        F.col("key").cast("string").alias(key_col),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+        "timestamp",
+    ).select(key_col, "v.*", "timestamp")
+
+
 def kafka_stream(
     spark: SparkSession,
-    brokers: str,
-    topics: str,
+    brokers: str | list[str],
+    topics: str | list[str],
     group_id: str | None = None,
-    starting_offsets: str = "latest",
+    starting_offsets: str | dict = "latest",
     value_schema=None,
 ) -> DataFrame:
     """Kafka_Source analog (reference wf/kafka/builders_kafka.hpp:191-269:
@@ -66,19 +108,11 @@ def kafka_stream(
     value_schema: optional StructType — if given, the value is parsed with
     from_json into top-level columns (the 'deserializer' role).
     """
-    r = (
+    df = (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topics)
-        .option("startingOffsets", starting_offsets)
+        .options(**kafka_source_options(brokers, topics, group_id, starting_offsets))
+        .load()
     )
-    if group_id:
-        r = r.option("kafka.group.id", group_id)
-    df = r.load()
     if value_schema is not None:
-        df = df.select(
-            F.col("key").cast("string").alias("kafka_key"),
-            F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
-            "timestamp",
-        ).select("kafka_key", "v.*", "timestamp")
+        df = parse_kafka_value(df, value_schema)
     return df
