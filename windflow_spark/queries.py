@@ -2345,6 +2345,350 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 4 (round 2): remaining TPC-H structures (q2/q11/q12/q21 adapted to
+# the driver's schema — no partsupp/shipmode/commitdate columns exist, the
+# same adaptation earlier TPC-H entries use) and training-pipeline operators
+# (chunking, packing, decontamination, vocabulary, sampling, quantization).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    pc AS (
+      SELECT p_partkey, s_name, s_acctbal, n_name, unit_cost,
+             min(unit_cost) OVER (PARTITION BY p_partkey) AS best
+      FROM cost JOIN part ON l_partkey = p_partkey
+                JOIN eu ON l_suppkey = s_suppkey
+      WHERE p_size <= 10)
+    SELECT s_acctbal, s_name, n_name, p_partkey,
+           round(unit_cost, 4) AS unit_cost
+    FROM pc WHERE unit_cost = best
+    ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 structure (min-cost supplier per part via correlated min)
+    adapted: unit cost = min observed l_extendedprice/l_quantity per
+    (part, supplier) — no partsupp table in the driver schema. The
+    correlated subquery is the window-min form (one shuffle, no re-join);
+    dimension chain supplier→nation→region broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    cost = li.groupBy(
+        "l_partkey", "l_suppkey"
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(_t(spark, sf_dir, "nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(_t(spark, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10).select("p_partkey")
+    pc = (
+        cost.join(part, cost.l_partkey == part.p_partkey)
+        .join(eu, cost.l_suppkey == eu.s_suppkey)
+        .withColumn("best", F.min("unit_cost").over(W.partitionBy("p_partkey")))
+    )
+    return (
+        pc.filter(F.col("unit_cost") == F.col("best"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_parts",
+    """
+    WITH v AS (
+      SELECT l_partkey,
+             sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)) AS val
+      FROM lineitem GROUP BY l_partkey),
+    t AS (SELECT sum(val) AS tot, count(*) AS n FROM v)
+    SELECT l_partkey, round(val, 2)::DOUBLE AS part_value
+    FROM v, t WHERE val * n * 2 > tot * 3
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 structure (group value above a fraction of the global
+    total via scalar subquery), scale-free threshold: parts worth more than
+    1.5× the average part value — `2·val·n > 3·total` keeps the comparison in
+    exact decimal MULTIPLICATION (decimal division rounds differently
+    across engines; a fixed fraction also returns 0 rows at small SF).
+    Decimal accumulation keeps values bit-stable at any parallelism (the
+    _dsum rationale); the scalar total is a broadcast one-row cross join."""
+    li = _t(spark, sf_dir, "lineitem")
+    val = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    )
+    v = li.groupBy("l_partkey").agg(val.alias("val"))
+    total = v.agg(F.sum("val").alias("_tot"), F.count(F.lit(1)).alias("_n"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("val") * F.col("_n") * F.lit(2) > F.col("_tot") * F.lit(3))
+        .select(
+            "l_partkey", F.round("val", 2).cast("double").alias("part_value")
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "q12_priority_class",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE year(l_shipdate) = 1997
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 structure (conditional dual counts over a fact-dim join)
+    adapted: grouped by l_returnflag instead of the absent l_shipmode."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1997)
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q21_sole_returned_supplier",
+    """
+    WITH spo AS (
+      SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_sup,
+             count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+               AS n_r_sup
+      FROM lineitem GROUP BY l_orderkey),
+    failed AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN spo ON l.l_orderkey = spo.l_orderkey
+      WHERE l.l_returnflag = 'R' AND spo.n_sup >= 2 AND spo.n_r_sup = 1)
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM failed JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 structure (EXISTS another supplier on the order / NOT
+    EXISTS another FAILING supplier) adapted to l_returnflag='R' as the
+    failure marker. Spark-first: the two correlated existence tests become
+    one per-order aggregate (n_sup, n_r_sup) joined back — a single
+    shuffle instead of two correlated self-joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    spo = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_sup"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_sup"),
+    )
+    failed = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(spo, "l_orderkey")
+        .filter((F.col("n_sup") >= 2) & (F.col("n_r_sup") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        failed.join(
+            _t(spark, sf_dir, "supplier"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "doc_chunk_tokens",
+    """
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, len(toks) AS n, toks, i
+      FROM d, unnest(generate_series(0, len(toks) - 1, 40)) AS u(i)
+      WHERE len(toks) >= 1)
+    SELECT doc_id, CAST(i // 40 AS BIGINT) AS chunk_id,
+           array_to_string(toks[i + 1 : i + 50], ' ') AS chunk_text,
+           CAST(least(50, n - i) AS BIGINT) AS n_chunk_tokens
+    FROM c
+    """,
+)
+def doc_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking with overlap (50-token chunks, stride 40)."""
+    from windflow_spark.functions.pipeline import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "pack_greedy_budget",
+    """
+    WITH RECURSIVE d AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+      FROM documents),
+    o AS (
+      SELECT source, doc_id, n_tok,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM d),
+    rec AS (
+      SELECT source, doc_id, rn, n_tok, n_tok AS fill, 0 AS pack_id
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.source, o.doc_id, o.rn, o.n_tok,
+             CASE WHEN r.fill + o.n_tok > 200 THEN o.n_tok
+                  ELSE r.fill + o.n_tok END,
+             CASE WHEN r.fill + o.n_tok > 200 THEN r.pack_id + 1
+                  ELSE r.pack_id END
+      FROM rec r JOIN o ON o.source = r.source AND o.rn = r.rn + 1)
+    SELECT source, doc_id, CAST(pack_id AS BIGINT) AS pack_id FROM rec
+    """,
+)
+def pack_greedy_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (budget 200 tokens) per source shard; the
+    sequential fill recurrence runs per-shard in applyInPandas, mirrored by
+    a recursive CTE in the oracle."""
+    from windflow_spark.functions.pipeline import pack_sequences_greedy
+    from windflow_spark.functions.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(_tokens("text")).alias("n_tok")
+    )
+    return pack_sequences_greedy(docs)
+
+
+@register(
+    "decontam_eval_train_overlap",
+    """
+    WITH d AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90
+                  THEN 'train' ELSE 'eval' END AS split,
+             list_distinct(list_transform(generate_series(1, len(toks) - 7),
+                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                                toks[i+4], toks[i+5], toks[i+6], toks[i+7])))
+               AS grams
+      FROM d WHERE len(toks) >= 8),
+    g AS (
+      SELECT doc_id, split, ('0x' || substr(md5(gr), 1, 15))::BIGINT AS gh
+      FROM s, unnest(grams) AS u(gr)),
+    tr AS (SELECT DISTINCT gh FROM g WHERE split = 'train'),
+    ev AS (SELECT doc_id, gh FROM g WHERE split = 'eval')
+    SELECT ev.doc_id, CAST(count(DISTINCT ev.gh) AS BIGINT) AS n_shared_grams
+    FROM ev JOIN tr USING (gh) GROUP BY ev.doc_id
+    """,
+)
+def decontam_eval_train_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval 8-gram decontamination over the content-hash split —
+    grams hashed to portable 60-bit ints before the join."""
+    from windflow_spark.functions.pipeline import decontaminate_overlap
+
+    return decontaminate_overlap(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "vocab_top100",
+    """
+    WITH c AS (
+      SELECT tok AS token, count(*) AS cnt
+      FROM documents,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS u(tok)
+      GROUP BY tok),
+    r AS (SELECT token, CAST(cnt AS BIGINT) AS cnt,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+                   AS rk
+          FROM c)
+    SELECT token, cnt, rk FROM r WHERE rk <= 100
+    """,
+)
+def vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by frequency."""
+    from windflow_spark.functions.pipeline import vocab_top_tokens
+
+    return vocab_top_tokens(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "sample_stratified_hash",
+    """
+    WITH r AS (
+      SELECT lang, doc_id,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY md5(doc_id::VARCHAR), doc_id)
+                  AS BIGINT) AS rk
+      FROM documents)
+    SELECT lang, doc_id, rk FROM r WHERE rk <= 10
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 10 docs per language, ordered by
+    content-addressed md5 rank (re-shard-stable, engine-portable)."""
+    from windflow_spark.functions.pipeline import stratified_sample_hash
+
+    return stratified_sample_hash(
+        _t(spark, sf_dir, "documents"), ["lang"], n_per_stratum=10
+    )
+
+
+_EMB_NORM_CHAIN = " + ".join(f"v[{i}] * v[{i}]" for i in range(1, 65))
+_EMB_Q = "list_transform(v, x -> CAST(trunc(127.0 * x / nrm) AS INT))"
+
+
+@register(
+    "embedding_norm_quantize",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt({_EMB_NORM_CHAIN}) AS nrm FROM e)
+    SELECT vec_id, round(nrm, 6) AS l2_norm,
+           CAST(list_sum({_EMB_Q}) AS BIGINT) AS q_sum,
+           CAST(list_min({_EMB_Q}) AS BIGINT) AS q_min,
+           CAST(list_max({_EMB_Q}) AS BIGINT) AS q_max
+    FROM n
+    """,
+)
+def embedding_norm_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm + int8 quantization summary per embedding. The oracle's
+    unrolled left-associated square chain is bit-identical to the Spark
+    sequential fold; truncation (not CAST rounding) keeps the int8 values
+    engine-portable."""
+    from windflow_spark.functions.pipeline import embedding_norm_quantize as _enq
+
+    return _enq(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
