@@ -82,6 +82,32 @@ def test_no_cartesian_anywhere(spark, sf_dir):
     assert offenders == [], f"cartesian products in: {offenders}"
 
 
+def test_q2_dimension_chain_broadcasts(spark, sf_dir):
+    from windflow_spark.queries import q2_min_cost_supplier
+
+    assert has_broadcast_join(q2_min_cost_supplier(spark, sf_dir))
+
+
+def test_chunking_runs_at_scan_speed(spark, sf_dir):
+    # chunking is tokenize+explode+slice — no shuffle, and only the two
+    # needed columns leave the scan
+    from windflow_spark.queries import doc_chunk_tokens
+
+    df = doc_chunk_tokens(spark, sf_dir)
+    assert shuffle_count(df) == 0
+    assert set(scan_read_schema(df)) == {"doc_id", "text"}
+
+
+def test_vocab_topn_uses_take_ordered_not_global_window(spark, sf_dir):
+    # the top-N must be the distributed TakeOrdered path; a global
+    # row_number window over every token count would single-partition the
+    # whole vocabulary at scale
+    from windflow_spark.queries import vocab_top100
+
+    plan = physical_plan(vocab_top100(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path_factory):
     from windflow_spark.operators.bucketing import bucketed_join, write_bucketed
     from windflow_spark.tables import load_table

@@ -151,11 +151,16 @@ def vocab_top_tokens(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # top-N FIRST via distributed TakeOrdered (per-partition heads merged on
+    # the driver-side reducer), THEN rank the surviving N rows — a global
+    # row_number window over ALL token counts would funnel the whole
+    # vocabulary through one partition at 100 TB
+    top = counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(top_n)
     w = W.orderBy(F.col("cnt").desc(), F.col("token"))
-    return (
-        counts.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= top_n)
-        .select("token", F.col("cnt").cast("long").alias("cnt"), "rk")
+    return top.select(
+        "token",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.row_number().over(w).cast("long").alias("rk"),
     )
 
 
