@@ -119,9 +119,11 @@ def test_minhash_permutations_are_distinct(spark):
     xx_sig = sh.select(minhash_signature(F.col("_sh"), 16).alias("s")).collect()[0].s
     assert len(set(xx_sig)) >= 12, f"xxhash64 permutations collapsed: {xx_sig}"
 
+    b1, b2 = minhash_base_md5(F.col("_hex"))
     md5_sig = (
-        sh.select(minhash_base_md5(F.col("_sh")).alias("_b"))
-        .select(minhash_signature_md5(F.col("_b"), 16).alias("s"))
+        sh.select(F.transform("_sh", lambda s: F.md5(s)).alias("_hex"))
+        .select(b1.alias("_b1"), b2.alias("_b2"))
+        .select(minhash_signature_md5(F.col("_b1"), F.col("_b2"), 16).alias("s"))
         .collect()[0]
         .s
     )

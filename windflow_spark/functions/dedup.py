@@ -81,40 +81,58 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
     return F.array(*mins)
 
 
-def minhash_base_md5(shingle_col: Column) -> Column:
+def minhash_base_md5(shingle_col: Column) -> tuple[Column, Column]:
     """Per-shingle portable hash bases: ONE md5 per shingle, split into two
     integer halves b1 (first 15 hex chars, 60 bits) and b2 (next 14, 56
-    bits). md5 is identical across engines (unlike xxhash64's
-    Spark-specific seeding) — the same portability technique as hash_split
-    (functions/text.py)."""
-    return F.transform(
-        F.transform(shingle_col, lambda s: F.md5(s)),
-        lambda h: F.struct(
-            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("b1"),
-            F.conv(F.substring(h, 16, 14), 16, 10).cast("long").alias("b2"),
-        ),
+    bits), returned as two array<long> expressions over an
+    ALREADY-PROJECTED md5-hex array column (project transform(sh, md5)
+    first so the digest is computed once — CollapseProject keeps non-cheap
+    multi-referenced aliases). md5 is identical across engines (unlike
+    xxhash64's Spark-specific seeding) — the hash_split portability
+    technique (functions/text.py)."""
+    b1 = F.transform(
+        shingle_col, lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
     )
+    b2 = F.transform(
+        shingle_col, lambda h: F.conv(F.substring(h, 16, 14), 16, 10).cast("long")
+    )
+    return b1, b2
 
 
-def minhash_signature_md5(base_col: Column, num_hashes: int = 32) -> Column:
+def minhash_signature_md5(
+    b1_col: Column, b2_col: Column, num_hashes: int = 32
+) -> Column:
     """Bit-portable MinHash over precomputed bases: permutation p's hash of
     a shingle is the affine combo b1 + p*b2 (max 2^60 + 31*2^56 < 2^61, no
-    overflow), so the md5 runs ONCE per shingle instead of once per
-    (shingle, permutation) — measured 6× faster at num_hashes=32 — and a
-    DuckDB oracle reproduces the signature exactly via
-    ('0x' || substr(md5(s), ...))::BIGINT. ``base_col`` must be a bare
-    reference to a PROJECTED minhash_base_md5 column: aliased expressions
-    referenced num_hashes× stay materialized (CollapseProject keeps
-    non-cheap multi-referenced aliases), while an inline expression would
-    re-run the md5 per permutation."""
-    def affine(p: int):
-        # unary factory — see _perm_hash for why `lambda x, p=p` is wrong
-        return lambda x: x["b1"] + F.lit(p) * x["b2"]
+    int64 overflow), so the md5 runs ONCE per shingle instead of once per
+    (shingle, permutation); a DuckDB oracle reproduces the signature
+    exactly via ('0x' || substr(md5(s), ...))::BIGINT.
 
-    mins = [
-        F.array_min(F.transform(base_col, affine(p))) for p in range(num_hashes)
-    ]
-    return F.array(*mins)
+    The per-permutation minima are ONE vectorized numpy pass per Arrow
+    batch (minimum.reduceat over the concatenated base arrays — the simhash
+    technique): the previous 32 interpreted array_min(transform(...)) HOF
+    expressions were the minhash bottleneck (~2.5x the whole-query time at
+    sf0.1)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _sig(b1s: pd.Series, b2s: pd.Series) -> pd.Series:
+        lens = b1s.map(len).to_numpy()
+        n = len(b1s)
+        if n == 0 or lens.sum() == 0:
+            return pd.Series([[0] * num_hashes] * n)
+        flat1 = np.concatenate([np.asarray(x, dtype=np.int64) for x in b1s])
+        flat2 = np.concatenate([np.asarray(x, dtype=np.int64) for x in b2s])
+        offs = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        offs = np.minimum(offs, len(flat1) - 1)  # trailing empty rows
+        sigs = np.empty((n, num_hashes), dtype=np.int64)
+        for p in range(num_hashes):
+            sigs[:, p] = np.minimum.reduceat(flat1 + p * flat2, offs)
+        sigs[lens == 0] = 0  # reduceat artifacts on empty rows
+        return pd.Series(list(sigs))
+
+    return _sig(b1_col, b2_col)
 
 
 def minhash_lsh_candidates(
@@ -148,12 +166,20 @@ def minhash_lsh_candidates(
         F.col(id_col), shingles_of(F.col("_toks"), shingle_k).alias("_sh")
     )
     if hash_mode == "md5":
-        sig = sh.filter(F.size("_sh") >= 1).select(
-            F.col(id_col),
-            minhash_base_md5(F.col("_sh")).alias("_base"),
-        ).select(
-            F.col(id_col),
-            minhash_signature_md5(F.col("_base"), num_hashes).alias("_sig"),
+        b1, b2 = minhash_base_md5(F.col("_hex"))
+        sig = (
+            sh.filter(F.size("_sh") >= 1)
+            .select(
+                F.col(id_col),
+                F.transform("_sh", lambda s: F.md5(s)).alias("_hex"),
+            )
+            .select(F.col(id_col), b1.alias("_b1"), b2.alias("_b2"))
+            .select(
+                F.col(id_col),
+                minhash_signature_md5(
+                    F.col("_b1"), F.col("_b2"), num_hashes
+                ).alias("_sig"),
+            )
         )
         band_hash = lambda cols: F.md5(
             F.concat_ws(",", *[c.cast("string") for c in cols])
