@@ -52,13 +52,15 @@ def attach_binary_metadata(df: DataFrame, payload_col: str = "payload") -> DataF
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for an image decode: (width, height, channels)
-    derived from a content hash. crc32, NOT python hash() — hash() is
-    per-process salted and would differ across executors/runs."""
-    import zlib
+    derived from a content hash. md5, NOT python hash() — hash() is
+    per-process salted and would differ across executors/runs, and md5 (vs
+    the earlier crc32) is reproducible by the DuckDB oracle, making the
+    decode plumbing value-checkable, not just rows-checkable."""
+    import hashlib
 
     if payload is None:
         return (0, 0, 0)
-    h = zlib.crc32(bytes(payload)) & 0x7FFFFFFF
+    h = int(hashlib.md5(bytes(payload)).hexdigest()[:15], 16)
     return (64 + h % 512, 64 + (h >> 9) % 512, 3)
 
 
@@ -116,10 +118,11 @@ def extract_features_stub(
 ) -> DataFrame:
     """Feature-extraction plumbing: Arrow-batched mapInPandas emitting a
     fixed-width double vector per payload. The embedding net is STUBBED
-    (deterministic bytes→feature fold: crc32 over FEATURE_DIM byte
-    stripes); schema, batch shape, and partition-parallel execution are
-    the production ones."""
-    import zlib
+    (deterministic per-slot hash: feature[i] = md5(payload ++ ':' ++ i)
+    prefix mod 1000 / 1000 — md5 so the DuckDB oracle reproduces every
+    value); schema, batch shape, and partition-parallel execution are the
+    production ones."""
+    import hashlib
 
     out_schema = f"{id_col} long, features array<double>"
 
@@ -130,7 +133,9 @@ def extract_features_stub(
                 b = bytes(p) if p is not None else b""
                 feats.append(
                     [
-                        zlib.crc32(b[i::FEATURE_DIM]) % 1000 / 1000.0
+                        int(
+                            hashlib.md5(b + f":{i}".encode()).hexdigest()[:15], 16
+                        ) % 1000 / 1000.0
                         for i in range(FEATURE_DIM)
                     ]
                 )

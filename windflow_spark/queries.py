@@ -1397,11 +1397,25 @@ def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode")  # rows-only: binary plumbing, stubbed decoder
+@register(
+    "multimodal_decode",
+    """
+    SELECT doc_id AS media_id,
+           CAST(64 + ('0x' || substr(md5(text), 1, 15))::BIGINT % 512 AS INT)
+             AS width,
+           CAST(64 + (('0x' || substr(md5(text), 1, 15))::BIGINT >> 9) % 512
+                AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column plumbing over a derived binary column (the test
     tables ship no media, so payload = utf-8 bytes of the text): typed
-    metadata JVM-side, decode via Arrow-batched mapInPandas."""
+    metadata JVM-side, decode via Arrow-batched mapInPandas. The stub
+    decoder derives fake dims from md5 of the payload, so the oracle
+    value-checks the whole decode path (graduated from rows-only in r2)."""
     from windflow_spark.functions.multimodal import attach_binary_metadata, decode_image_meta
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -2332,16 +2346,37 @@ def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features")  # rows-only: crc32 stripes are engine-specific
+_FEAT_COLS = ",\n           ".join(
+    f"(('0x' || substr(md5(text || ':{i}'), 1, 15))::BIGINT % 1000) / 1000.0"
+    f" AS f{i}"
+    for i in range(8)
+)
+
+
+@register(
+    "multimodal_features",
+    f"""
+    SELECT doc_id AS media_id,
+           {_FEAT_COLS}
+    FROM documents
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction plumbing: fixed-width double vectors from binary
-    payloads via Arrow-batched mapInPandas (stubbed net, real batch shape)."""
-    from windflow_spark.functions.multimodal import extract_features_stub
+    payloads via Arrow-batched mapInPandas (stubbed net, real batch shape).
+    The stub's per-slot md5 hash is oracle-reproducible and the vector is
+    projected to scalar columns for value hashing (graduated from
+    rows-only in r2)."""
+    from windflow_spark.functions.multimodal import FEATURE_DIM, extract_features_stub
 
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
     )
-    return extract_features_stub(docs)
+    feats = extract_features_stub(docs)
+    return feats.select(
+        "media_id",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(FEATURE_DIM)],
+    )
 
 
 # ---------------------------------------------------------------------------
