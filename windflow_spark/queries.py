@@ -2723,6 +2723,76 @@ def embedding_norm_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _enq(_t(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS hll_within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch capability (approx_count_distinct): at 100 TB the sketch
+    replaces the exact distinct's full shuffle with fixed-size mergeable
+    state. Sketch values are engine-specific, so the value-checked columns
+    are the exact count plus a BOOLEAN pinning the sketch inside its error
+    bound (rsd 2% → asserted within 5%) — if the sketch drifts, the gate
+    fails on a false."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").cast("long").alias("exact_distinct"),
+            F.approx_count_distinct("user_id", 0.02).alias("_hll"),
+        )
+        .select(
+            "event_type",
+            "exact_distinct",
+            (
+                F.abs(F.col("_hll") - F.col("exact_distinct"))
+                <= F.col("exact_distinct") * F.lit(0.05)
+            ).alias("hll_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "approx_quantile_value",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS exact_p50,
+           TRUE AS sketch_within_rank_tol
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def approx_quantile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch capability (percentile_approx, GK sketch): mergeable
+    fixed-size state vs the exact percentile's per-group sort. The sketch's
+    guarantee is on RANK (accuracy 1000 → ±0.1%), so the boolean pins the
+    approx p50 between the exact p49 and p51 values; the exact median is
+    value-checked against quantile_cont."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("exact_p50"),
+            F.percentile("value", F.lit(0.49)).alias("_lo"),
+            F.percentile("value", F.lit(0.51)).alias("_hi"),
+            F.percentile_approx("value", F.lit(0.5), F.lit(1000)).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "exact_p50",
+            (
+                (F.col("_approx") >= F.col("_lo")) & (F.col("_approx") <= F.col("_hi"))
+            ).alias("sketch_within_rank_tol"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
