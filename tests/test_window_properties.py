@@ -116,6 +116,72 @@ def test_cb_windows_match_reference_model(spark, rows, cfg):
     assert got == _model_cb(rows, length, slide)
 
 
+@given(rows=events, cfg=cfg)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_paned_windows_match_reference_model(spark, rows, cfg):
+    """Paned_Windows (PLQ/WLQ two-level aggregation) must agree with the
+    direct TB assignment model for RANDOM (length, slide) configs —
+    including hopping (length < slide), where a pane can belong to zero
+    windows (the r1 ADVICE descending-sequence bug class)."""
+    from windflow_spark.operators.windows import paned_window_tb
+
+    length, slide = cfg
+    got = {
+        (r.key, (r.w_start - EPOCH) // dt.timedelta(microseconds=1)): (r.cnt, r.sv)
+        for r in paned_window_tb(
+            _df(spark, rows),
+            ["key"],
+            "ts",
+            length,
+            slide,
+            pane_aggs=[F.count(F.lit(1)).alias("c"), F.sum("value").alias("s")],
+            final_aggs=[F.sum("c").alias("cnt"), F.sum("s").alias("sv")],
+        ).collect()
+    }
+    assert got == _model_tb(rows, length, slide)
+
+
+asof_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),     # key
+        st.integers(min_value=0, max_value=60),    # ts
+        st.integers(min_value=-9, max_value=9),    # payload value (may repeat)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(a_rows=asof_events, b_rows=asof_events, how=st.sampled_from(["left", "inner"]))
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_asof_join_matches_model(spark, a_rows, b_rows, how):
+    """asof_join_backward vs a direct model: per a-row, the b-row of the
+    same key with the largest ts <= a.ts; ties on b_ts resolve to the
+    greatest payload struct (documented contract). Exercises duplicate
+    timestamps on both sides and null-free/inner drop behavior."""
+    from windflow_spark.operators.asof_join import asof_join_backward
+
+    a = spark.createDataFrame(
+        [(k, i, t) for i, (k, t, _) in enumerate(a_rows)], "key long, aid long, ts long"
+    )
+    b = spark.createDataFrame(
+        [(k, t, v) for k, t, v in b_rows], "key long, ts long, bval long"
+    )
+    out = asof_join_backward(a, b, ["key"], "ts", "ts", ["ts", "bval"], how=how)
+    got = sorted(
+        (r.key, r.aid, r.b_ts, r.b_bval) for r in out.collect()
+    )
+    expect = []
+    for i, (k, t, _) in enumerate(a_rows):
+        cands = [(bt, bv) for bk, bt, bv in b_rows if bk == k and bt <= t]
+        if cands:
+            bt, bv = max(cands)  # latest ts, then greatest payload (ts first)
+            expect.append((k, i, bt, bv))
+        elif how == "left":
+            expect.append((k, i, None, None))
+    assert got == sorted(expect)
+
+
 join_events = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=2),      # key
