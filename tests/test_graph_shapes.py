@@ -98,6 +98,89 @@ def test_shape_two_sources_merge_reduce(spark):
     assert total_from_reduce == sum(survivors)
 
 
+def test_shape_multi_sink_graph(spark):
+    """The reference's test_graph_5 topology: two sources → per-source maps
+    → merge → filter → split into TWO SINKS, plus an independent third
+    source → flatmap → its own sink — one PipeGraph, three sinks, all
+    validated in the same run (multi-sink DAGs are first-class in the
+    reference; here each add_sink returns its branch's frame)."""
+    a = _events(spark, 30)
+    b = _events(spark, 30).withColumn("value", F.col("value") + 1000)
+    c = spark.createDataFrame(
+        [(1, "x y"), (2, "z w q")], "id long, text string"
+    )
+
+    def build():
+        g = PipeGraph(spark, "shape4")
+        pa = g.add_source(a).with_column("value", F.col("value") * 2)
+        pb = g.add_source(b).with_column("value", F.col("value") + 1)
+        merged = pa.merge(pb).filter(F.col("value") % 5 != 0)
+        lo, hi = merged.split([F.col("value") < 1000, F.col("value") >= 1000])
+        s1 = lo.add(lambda d: d.groupBy("key").agg(F.sum("value").alias("sv"))).add_sink()
+        s2 = hi.add(lambda d: d.groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))).add_sink()
+        s3 = (
+            g.add_source(c)
+            .flat_map(F.split("text", " "), "tok", keep=["id"])
+            .add_sink()
+        )
+        return s1, s2, s3
+
+    s1, s2, s3 = build()
+    lo_vals = [v * 2 for v in range(30) if (v * 2) % 5 != 0 and v * 2 < 1000]
+    hi_vals = [v + 1001 for v in range(30) if (v + 1001) % 5 != 0]
+    assert sum(r.sv for r in s1.collect()) == sum(lo_vals)
+    assert sum(r.cnt for r in s2.collect()) == len(hi_vals)
+    assert sorted(r.tok for r in s3.collect()) == ["q", "w", "x", "y", "z"]
+
+
+def test_shape_nested_split(spark):
+    """Split of a split branch (nested content-based routing — the
+    reference allows arbitrary re-splitting of MultiPipes)."""
+    df = _events(spark, 40)
+
+    def build():
+        g = PipeGraph(spark, "shape5")
+        src = g.add_source(df)
+        even, odd = src.split([F.col("value") % 2 == 0, F.col("value") % 2 == 1])
+        small_even, big_even = even.split(
+            [F.col("value") < 20, F.col("value") >= 20]
+        )
+        return (
+            small_even.merge(big_even, odd)
+            .add(lambda d: d.groupBy("key").agg(F.sum("value").alias("sv")))
+            .add_sink()
+        )
+
+    rows = _run_shape(spark, build)
+    assert sum(r[1] for r in rows) == sum(range(40))
+
+
+def test_shape_window_then_merge(spark):
+    """Windowed aggregate of one pipe merged with a mapped second pipe,
+    then filtered — merge after a window operator (the reference merges
+    arbitrary pipes as long as output types match)."""
+    a = _events(spark, 36)
+    b = _events(spark, 12)
+
+    def build():
+        g = PipeGraph(spark, "shape6")
+        wa = (
+            g.add_source(a)
+            .keyed_windows_tb(
+                ["key"], "ts", 3 * SEC, None, [F.sum("value").alias("sv")]
+            )
+            .add(lambda d: d.select("key", F.col("sv").alias("value")))
+        )
+        mb = g.add_source(b).map("key", (F.col("value") * 100).alias("value"))
+        return wa.merge(mb).filter(F.col("value") > 0).add_sink()
+
+    rows = _run_shape(spark, build)
+    # checksum: window sums partition the 36 values; mapped side adds 100×v
+    assert sum(r[1] for r in rows) == sum(range(36)) + sum(
+        v * 100 for v in range(12) if v > 0
+    )
+
+
 def test_shape_multicast_split(spark):
     """split with overlapping predicates = multicast (vector<int> routing,
     wf/splitting_emitter.hpp:49-62): a row may reach several branches."""
