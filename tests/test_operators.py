@@ -104,9 +104,8 @@ def test_minhash_permutations_are_distinct(spark):
     from pyspark.sql import functions as F
 
     from windflow_spark.functions.dedup import (
-        minhash_base_md5,
         minhash_signature,
-        minhash_signature_md5,
+        minhash_signatures_agg,
         shingles_of,
     )
     from windflow_spark.functions.text import tokens
@@ -118,14 +117,14 @@ def test_minhash_permutations_are_distinct(spark):
     )
     xx_sig = sh.select(minhash_signature(F.col("_sh"), 16).alias("s")).collect()[0].s
     assert len(set(xx_sig)) >= 12, f"xxhash64 permutations collapsed: {xx_sig}"
+    # the agg form must agree with the HOF form permutation-by-permutation
+    xx_agg = minhash_signatures_agg(sh, "doc_id", "_sh", 16).collect()[0]._sig
+    assert xx_agg == list(xx_sig)
 
-    b1, b2 = minhash_base_md5(F.col("_hex"))
     md5_sig = (
-        sh.select(F.transform("_sh", lambda s: F.md5(s)).alias("_hex"))
-        .select(b1.alias("_b1"), b2.alias("_b2"))
-        .select(minhash_signature_md5(F.col("_b1"), F.col("_b2"), 16).alias("s"))
+        minhash_signatures_agg(sh, "doc_id", "_sh", 16, hash_mode="md5")
         .collect()[0]
-        .s
+        ._sig
     )
     toks = [t for t in text.split(" ") if t]
     py_shingles = list(dict.fromkeys(

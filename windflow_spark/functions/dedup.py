@@ -81,58 +81,59 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
     return F.array(*mins)
 
 
-def minhash_base_md5(shingle_col: Column) -> tuple[Column, Column]:
-    """Per-shingle portable hash bases: ONE md5 per shingle, split into two
-    integer halves b1 (first 15 hex chars, 60 bits) and b2 (next 14, 56
-    bits), returned as two array<long> expressions over an
-    ALREADY-PROJECTED md5-hex array column (project transform(sh, md5)
-    first so the digest is computed once — CollapseProject keeps non-cheap
-    multi-referenced aliases). md5 is identical across engines (unlike
-    xxhash64's Spark-specific seeding) — the hash_split portability
-    technique (functions/text.py)."""
-    b1 = F.transform(
-        shingle_col, lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
-    )
-    b2 = F.transform(
-        shingle_col, lambda h: F.conv(F.substring(h, 16, 14), 16, 10).cast("long")
-    )
+def minhash_base_md5(hex_col: Column) -> tuple[Column, Column]:
+    """Portable hash bases from an md5-hex column: integer halves b1 (first
+    15 hex chars, 60 bits) and b2 (next 14, 56 bits). md5 is identical
+    across engines (unlike xxhash64's Spark-specific seeding) — the
+    hash_split portability technique (functions/text.py)."""
+    b1 = F.conv(F.substring(hex_col, 1, 15), 16, 10).cast("long")
+    b2 = F.conv(F.substring(hex_col, 16, 14), 16, 10).cast("long")
     return b1, b2
 
 
-def minhash_signature_md5(
-    b1_col: Column, b2_col: Column, num_hashes: int = 32
-) -> Column:
-    """Bit-portable MinHash over precomputed bases: permutation p's hash of
-    a shingle is the affine combo b1 + p*b2 (max 2^60 + 31*2^56 < 2^61, no
-    int64 overflow), so the md5 runs ONCE per shingle instead of once per
-    (shingle, permutation); a DuckDB oracle reproduces the signature
-    exactly via ('0x' || substr(md5(s), ...))::BIGINT.
+def minhash_signatures_agg(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    num_hashes: int = 32,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """MinHash signatures via explode + 32 codegen'd min-aggregates — the
+    classic MapReduce form. The whole path is JVM whole-stage codegen with
+    MAP-SIDE partial mins (one row per doc per partition reaches the
+    shuffle), replacing both the interpreted per-permutation
+    array_min(transform(...)) HOFs and a Python signature UDF — measured
+    faster and removes Python workers from the path entirely.
 
-    The per-permutation minima are ONE vectorized numpy pass per Arrow
-    batch (minimum.reduceat over the concatenated base arrays — the simhash
-    technique): the previous 32 interpreted array_min(transform(...)) HOF
-    expressions were the minhash bottleneck (~2.5x the whole-query time at
-    sf0.1)."""
-    from pyspark.sql.functions import pandas_udf
+    ``md5`` mode: permutation p's hash of a shingle is b1 + p*b2 over the
+    two integer halves of ONE md5 per shingle (max 2^60 + 31*2^56 < 2^61,
+    no int64 overflow) — bit-reproducible by a DuckDB oracle via
+    ('0x' || substr(md5(s), ...))::BIGINT. Docs with zero shingles drop out
+    (explode of an empty array), matching the md5-mode contract.
 
-    @pandas_udf("array<long>")
-    def _sig(b1s: pd.Series, b2s: pd.Series) -> pd.Series:
-        lens = b1s.map(len).to_numpy()
-        n = len(b1s)
-        if n == 0 or lens.sum() == 0:
-            return pd.Series([[0] * num_hashes] * n)
-        flat1 = np.concatenate([np.asarray(x, dtype=np.int64) for x in b1s])
-        flat2 = np.concatenate([np.asarray(x, dtype=np.int64) for x in b2s])
-        offs = np.zeros(n, dtype=np.int64)
-        np.cumsum(lens[:-1], out=offs[1:])
-        offs = np.minimum(offs, len(flat1) - 1)  # trailing empty rows
-        sigs = np.empty((n, num_hashes), dtype=np.int64)
-        for p in range(num_hashes):
-            sigs[:, p] = np.minimum.reduceat(flat1 + p * flat2, offs)
-        sigs[lens == 0] = 0  # reduceat artifacts on empty rows
-        return pd.Series(list(sigs))
-
-    return _sig(b1_col, b2_col)
+    Returns (id_col, _sig array<long>).
+    """
+    ex = df.select(F.col(id_col), F.explode(F.col(shingle_col)).alias("_s"))
+    if hash_mode == "md5":
+        b1, b2 = minhash_base_md5(F.md5(F.col("_s")))
+        ex = ex.select(id_col, b1.alias("_b1"), b2.alias("_b2"))
+        mins = [
+            F.min(F.col("_b1") + F.lit(p) * F.col("_b2")).alias(f"_m{p}")
+            for p in range(num_hashes)
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64(F.col("_s"), F.lit(p))).alias(f"_m{p}")
+            for p in range(num_hashes)
+        ]
+    return (
+        ex.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"_m{p}") for p in range(num_hashes)]).alias("_sig"),
+        )
+    )
 
 
 def minhash_lsh_candidates(
@@ -157,38 +158,21 @@ def minhash_lsh_candidates(
     """
     rows = num_hashes // bands
     df = ensure_min_partitions(df)  # CPU-heavy hashing must not run single-task
-    # materialize shingles ONCE: passing the shingle expression straight into
-    # minhash_signature would re-evaluate tokenize+slice+concat per
-    # permutation (num_hashes×)
+    # materialize shingles ONCE, then explode + aggregate per-permutation
+    # mins (all whole-stage codegen, map-side combined — see
+    # minhash_signatures_agg). Explode drops zero-shingle docs in BOTH
+    # modes (they have no signature and can never verify as near-dups).
     sh = df.select(
         F.col(id_col), tokens(text_col).alias("_toks")
     ).select(
         F.col(id_col), shingles_of(F.col("_toks"), shingle_k).alias("_sh")
     )
+    sig = minhash_signatures_agg(sh, id_col, "_sh", num_hashes, hash_mode)
     if hash_mode == "md5":
-        b1, b2 = minhash_base_md5(F.col("_hex"))
-        sig = (
-            sh.filter(F.size("_sh") >= 1)
-            .select(
-                F.col(id_col),
-                F.transform("_sh", lambda s: F.md5(s)).alias("_hex"),
-            )
-            .select(F.col(id_col), b1.alias("_b1"), b2.alias("_b2"))
-            .select(
-                F.col(id_col),
-                minhash_signature_md5(
-                    F.col("_b1"), F.col("_b2"), num_hashes
-                ).alias("_sig"),
-            )
-        )
         band_hash = lambda cols: F.md5(
             F.concat_ws(",", *[c.cast("string") for c in cols])
         )
     else:
-        sig = sh.select(
-            F.col(id_col),
-            minhash_signature(F.col("_sh"), num_hashes).alias("_sig"),
-        )
         band_hash = lambda cols: F.xxhash64(
             F.concat_ws(",", *[c.cast("string") for c in cols])
         )
