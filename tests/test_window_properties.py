@@ -141,6 +141,44 @@ def test_paned_windows_match_reference_model(spark, rows, cfg):
     assert got == _model_tb(rows, length, slide)
 
 
+session_cfg = st.integers(min_value=1, max_value=20)  # gap µs
+
+
+@given(rows=events, gap=session_cfg)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_session_windows_match_model(spark, rows, gap):
+    """Gaps-and-islands session assignment vs a direct model: consecutive
+    per-key events merge while the inter-event gap is <= gap_us; a larger
+    gap opens a new session. Checks per-session (start, cnt, sum)."""
+    from windflow_spark.operators.windows import session_window_agg
+
+    got = {
+        (r.key, (r.s_start - EPOCH) // dt.timedelta(microseconds=1)): (r.cnt, r.sv)
+        for r in session_window_agg(
+            _df(spark, rows), ["key"], "ts", ["ts"], gap,
+            [F.min("ts").alias("s_start"), F.count(F.lit(1)).alias("cnt"),
+             F.sum("value").alias("sv")],
+        ).collect()
+    }
+    expect = {}
+    per_key = defaultdict(list)
+    for k, v, ts in rows:
+        per_key[k].append((ts, v))
+    for k, evs in per_key.items():
+        evs.sort()
+        start, cnt, sv, prev = None, 0, 0, None
+        for ts, v in evs:
+            if prev is None or ts - prev > gap:
+                if start is not None:
+                    expect[(k, start)] = (cnt, sv)
+                start, cnt, sv = ts, 0, 0
+            cnt += 1
+            sv += v
+            prev = ts
+        expect[(k, start)] = (cnt, sv)
+    assert got == expect
+
+
 asof_events = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=2),     # key
