@@ -1,0 +1,52 @@
+"""Multi-format I/O round-trips: the same rows survive parquet/ORC/CSV/JSON
+write→read, and partitioned layouts prune on read."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from windflow_spark.io import infer_format, read_table_any, write_table_any
+from windflow_spark.plans import pushed_filters, scan_read_schema
+
+
+@pytest.fixture(scope="module")
+def sample(spark):
+    return spark.createDataFrame(
+        [(i, f"name{i}", float(i) * 1.5, i % 3) for i in range(50)],
+        "id long, name string, score double, bucket long",
+    )
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
+def test_roundtrip(spark, sample, fmt, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("io")) + f"/t.{fmt}"
+    write_table_any(sample, path)
+    assert infer_format(path) == fmt
+    back = read_table_any(spark, path, schema=sample.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, sample.collect()))
+
+
+def test_partitioned_write_prunes_on_read(spark, sample, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("io")) + "/part.parquet"
+    write_table_any(sample, path, partition_by=["bucket"])
+    back = read_table_any(spark, path).filter(F.col("bucket") == 1)
+    # partition pruning: only bucket=1 files are listed (check via count and
+    # the absence of `bucket` from the on-disk read schema — it comes from
+    # the directory layout, not the file bytes)
+    assert back.count() == sample.filter(F.col("bucket") == 1).count()
+    assert "bucket" not in scan_read_schema(back)
+
+
+def test_columnar_scan_pushes_filters(spark, sample, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("io")) + "/p.parquet"
+    write_table_any(sample, path)
+    df = read_table_any(spark, path).filter(F.col("id") > 40).select("id", "score")
+    pf = " ".join(pushed_filters(df))
+    assert "id" in pf
+    assert set(scan_read_schema(df)) == {"id", "score"}
+
+
+def test_infer_format_rejects_unknown():
+    with pytest.raises(ValueError, match="cannot infer"):
+        infer_format("/data/table.avro2")

@@ -1,0 +1,83 @@
+"""Batch I/O across formats — parquet / ORC / CSV / JSON readers and
+writers with format inference.
+
+The reference's only I/O is user source/sink functors plus Kafka
+(SURVEY.md §2.1/§2.2); file-format breadth is engine-side here, like every
+relational engine. All formats go through the same DataFrameReader path,
+so pushdown/pruning behavior is inspectable with plans/explain.py
+(parquet/ORC push filters and prune columns; CSV/JSON read whole rows —
+prefer columnar for anything large).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+_EXT_FMT = {
+    ".parquet": "parquet",
+    ".orc": "orc",
+    ".csv": "csv",
+    ".json": "json",
+    ".jsonl": "json",
+    ".ndjson": "json",
+}
+
+# Formats whose scans support predicate pushdown + column pruning; at scale
+# anything hot should be one of these.
+COLUMNAR_FORMATS = frozenset({"parquet", "orc"})
+
+
+def infer_format(path: str) -> str:
+    """Format from the file extension (directories of part-files keep their
+    extension on the parts; pass fmt explicitly for extensionless dirs)."""
+    ext = os.path.splitext(path.rstrip("/"))[1].lower()
+    if ext in _EXT_FMT:
+        return _EXT_FMT[ext]
+    raise ValueError(
+        f"cannot infer format from {path!r}; pass fmt= one of "
+        f"{sorted(set(_EXT_FMT.values()))}"
+    )
+
+
+def read_table_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Read a table in any supported format. CSV defaults to header=True;
+    for CSV/JSON pass an explicit ``schema`` in production — inference
+    scans the data once and types can drift between files."""
+    fmt = fmt or infer_format(path)
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        if schema is None:
+            options.setdefault("inferSchema", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.options(**options).load(path)
+
+
+def write_table_any(
+    df: DataFrame,
+    path: str,
+    fmt: str | None = None,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] = (),
+    **options,
+) -> None:
+    """Write in any supported format; ``partition_by`` produces the
+    hive-style directory layout whose partition pruning read_table_any
+    benefits from on the way back in."""
+    fmt = fmt or infer_format(path)
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.options(**options).save(path)
