@@ -73,3 +73,12 @@ def _load_table_uncached(spark: SparkSession, name: str, sf_dir: str) -> DataFra
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
     return {name: load_table(spark, name, sf_dir) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register every star-schema table as a temp view so the full ANSI-SQL
+    surface (spark.sql) works against the same data the DataFrame API uses
+    — the oracle_sql() strings in the registry then run on Spark too, not
+    just DuckDB. Views share load_table's cached logical plans."""
+    for name in TABLE_NAMES:
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)
