@@ -1,0 +1,101 @@
+"""Streaming throughput micro-benchmark (single node, availableNow replay).
+
+The reference's published evaluations are single-node streaming throughput
+(multi-Mtuples/s-class, BASELINE.md §1 — not reproducible from its repo).
+This tool produces the comparable number for this engine: N synthetic
+keyed events are written to parquet once, then replayed through Structured
+Streaming pipelines with an availableNow trigger (bounded replay = the
+reference's finite-stream test harness shape):
+
+  stateless   filter + arithmetic projection            (no state)
+  window      watermark + keyed 1s tumbling aggregation (windowed state)
+  reduce      per-key running fold via applyInPandasWithState (custom state)
+
+Prints one JSON line: rows/sec per pipeline.
+
+Usage: python tools/stream_bench.py [n_rows] (default 5_000_000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+    from pyspark.sql import functions as F
+
+    from windflow_spark import get_spark
+    from windflow_spark.streaming import file_stream
+
+    spark = get_spark("stream-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = tempfile.mkdtemp(prefix="stream_bench_")
+    src = os.path.join(work, "src")
+    data = (
+        spark.range(0, n, 1, 32)
+        .select(
+            (F.col("id") % 1000).alias("key"),
+            (F.col("id") % 97).cast("double").alias("value"),
+            F.timestamp_micros(F.col("id") * 1000).alias("ts"),
+        )
+    )
+    data.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run(label: str, build) -> float:
+        stream = file_stream(spark, src, schema)
+        out = build(stream)
+        ckpt = os.path.join(work, f"ckpt_{label}")
+        t0 = time.time()
+        # window agg needs update mode; stateless + applyInPandasWithState
+        # (declared Append) need append
+        mode = "update" if label == "window" else "append"
+        q = (
+            out.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return round(n / (time.time() - t0))
+
+    results = {}
+    results["stateless_rows_per_sec"] = run(
+        "stateless",
+        lambda s: s.filter(F.col("value") >= 1).select(
+            "key", (F.col("value") * 2 + 1).alias("v2"), "ts"
+        ),
+    )
+
+    from windflow_spark.streaming import streaming_tumbling_window_tb
+
+    results["window_rows_per_sec"] = run(
+        "window",
+        lambda s: streaming_tumbling_window_tb(
+            s, ["key"], "ts", 1_000_000,
+            [F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv")],
+        ),
+    )
+
+    from windflow_spark.streaming import streaming_rolling_reduce
+
+    results["reduce_rows_per_sec"] = run(
+        "reduce", lambda s: streaming_rolling_reduce(s, ["key"], "ts", "value")
+    )
+
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps({"metric": "stream_throughput", "n_rows": n, **results}))
+
+
+if __name__ == "__main__":
+    main()
