@@ -169,6 +169,64 @@ def test_streaming_cb_window_eos_flush_matches_batch(spark, tmp_path_factory):
     assert any(c != 4 for _, _, c, _ in expect)
 
 
+def test_streaming_state_carries_across_microbatches(spark, tmp_path_factory):
+    """maxFilesPerTrigger=1 forces one micro-batch PER FILE, so per-key
+    state (progressive ids, open partial windows, running folds) must
+    survive batch boundaries — where state bugs hide. Data lands in three
+    files, the EOS punctuation in a fourth written last (file source
+    processes oldest-mtime first); output must equal the batch form
+    including trailing partials."""
+    import time as _time
+
+    from windflow_spark.streaming import cb_eos_punctuations
+
+    rows = [(k % 3, v, v * 700_000 + k * 13_000) for k, v in ((i % 5, i) for i in range(45))]
+    batch = _mk(spark, rows)
+    expect_cb = sorted(
+        (r.key, r.wid, r.cnt, float(r.sv))
+        for r in tumbling_window_cb(
+            batch, ["key"], ["ts"], 4,
+            [F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv")],
+        ).collect()
+    )
+    path = str(tmp_path_factory.mktemp("xbatch_src"))
+    with_flag = batch.withColumn("eos", F.lit(False))
+    # CB windows follow ARRIVAL order (per-key progressive ids), which the
+    # batch form models as ts order — so each file must be a ts-CONTIGUOUS
+    # segment and files must arrive oldest-mtime-first (hence the sleeps)
+    for lo, hi in ((0, 15), (15, 30), (30, 45)):
+        with_flag.filter(
+            (F.col("value") >= lo) & (F.col("value") < hi)
+        ).coalesce(1).write.mode("append").parquet(path)
+        _time.sleep(1.1)
+    cb_eos_punctuations(batch, ["key"], "ts").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+    stream = file_stream(spark, path, with_flag.schema, max_files_per_trigger=1)
+    out = streaming_tumbling_window_cb(stream, ["key"], "ts", "value", 4, eos_col="eos")
+    name, q = to_memory_sink(out, output_mode="append")
+    assert q.lastProgress is not None  # ran as a real multi-batch query
+    got = sorted(
+        (r.key, r.wid, r.cnt, float(r.sum_value)) for r in spark.table(name).collect()
+    )
+    assert got == expect_cb and any(c != 4 for _, _, c, _ in expect_cb)
+
+    # rolling reduce: the final running sum per key must equal the key total
+    stream2 = file_stream(spark, path, with_flag.schema, max_files_per_trigger=1)
+    rr = streaming_rolling_reduce(
+        stream2.filter(~F.col("eos")), ["key"], "ts", "value"
+    )
+    name2, _ = to_memory_sink(rr, output_mode="append")
+    per_key = {}
+    for r in spark.table(name2).collect():
+        per_key[r.key] = max(per_key.get(r.key, 0.0), r.running_sum)
+    expect_tot = {}
+    for k, v, _ in rows:
+        expect_tot[k] = expect_tot.get(k, 0) + v
+    assert {k: int(v) for k, v in per_key.items()} == expect_tot
+
+
 def test_streaming_exact_dedup_equals_batch(spark, stream_fixture):
     from windflow_spark.streaming import streaming_exact_dedup
 
