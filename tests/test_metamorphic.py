@@ -26,6 +26,10 @@ SAMPLE = [
     "sim_topk_ivf",                 # rank within buckets
     "skew_salted_agg",              # salting must not change results
     "win_nonincremental_median",    # applyInPandas group order
+    "pack_greedy_budget",           # sequential per-shard fold (r2)
+    "decontam_eval_train_overlap",  # hashed-gram join (r2)
+    "sample_stratified_hash",       # content-addressed rank (r2)
+    "q21_sole_returned_supplier",   # folded exists/not-exists (r2)
 ]
 
 
