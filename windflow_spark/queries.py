@@ -2531,22 +2531,22 @@ def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 structure (EXISTS another supplier on the order / NOT
     EXISTS another FAILING supplier) adapted to l_returnflag='R' as the
-    failure marker. Spark-first: the two correlated existence tests become
-    one per-order aggregate (n_sup, n_r_sup) joined back — a single
-    shuffle instead of two correlated self-joins."""
+    failure marker. Spark-first: pre-aggregate to one row per
+    (order, supplier) carrying a has-R flag, then per-order counts are
+    plain sums — no multi-count_distinct Expand (which doubles the fact
+    rows into the shuffle), no second lineitem scan, no final distinct."""
     li = _t(spark, sf_dir, "lineitem")
-    spo = li.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_sup"),
-        F.count_distinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_r_sup"),
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("_has_r")
+    )
+    spo = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_sup"), F.sum("_has_r").alias("n_r_sup")
     )
     failed = (
-        li.filter(F.col("l_returnflag") == "R")
+        per_os.filter(F.col("_has_r") == 1)
         .join(spo, "l_orderkey")
         .filter((F.col("n_sup") >= 2) & (F.col("n_r_sup") == 1))
         .select("l_orderkey", "l_suppkey")
-        .distinct()
     )
     return (
         failed.join(
