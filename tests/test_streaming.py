@@ -283,3 +283,63 @@ def test_closing_hook_fires_on_termination(spark, stream_fixture):
         assert str(q.id) in closed
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_streaming_static_enrich_picks_up_dim_updates(spark, tmp_path_factory):
+    """Stream-static join: the static file listing snapshots at plan
+    creation, so a dimension overwrite is picked up when the checkpointed
+    query RESTARTS (plan recreated) — the standard SCD refresh pattern
+    without Delta/Iceberg. The restarted run must process only the new
+    stream file, joined against the new dimension contents."""
+    import time as _time
+
+    from windflow_spark.streaming import streaming_static_enrich
+
+    src = str(tmp_path_factory.mktemp("enrich_src"))
+    dim_path = str(tmp_path_factory.mktemp("enrich_dim"))
+    rows1 = _mk(spark, [(0, 1, 0), (1, 2, 1_000_000)])
+    rows1.coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([(0, "a"), (1, "b")], "key long, tag string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(dim_path)
+
+    stream = file_stream(spark, src, rows1.schema, max_files_per_trigger=1)
+    dim = spark.read.parquet(dim_path)
+    out = streaming_static_enrich(stream, dim, on="key").select("key", "value", "tag")
+
+    # memory sink cannot recover a checkpoint; use the durable parquet sink
+    out_path = str(tmp_path_factory.mktemp("enrich_out"))
+    ckpt = str(tmp_path_factory.mktemp("enrich_ckpt"))
+    writer = (
+        out.writeStream.format("parquet").option("path", out_path)
+        .option("checkpointLocation", ckpt).outputMode("append")
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    first = {(r.key, r.value): r.tag for r in spark.read.parquet(out_path).collect()}
+    assert first == {(0, 1): "a", (1, 2): "b"}
+
+    # update the dimension AND append new stream rows; a new run of the
+    # same checkpointed query processes only the new file, against the
+    # NEW dimension contents
+    spark.createDataFrame([(0, "a2"), (1, "b2")], "key long, tag string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(dim_path)
+    _time.sleep(1.1)
+    _mk(spark, [(0, 3, 2_000_000)]).coalesce(1).write.mode("append").parquet(src)
+
+    # restart = recreate the plan (fresh dim read), same checkpoint
+    stream2 = file_stream(spark, src, rows1.schema, max_files_per_trigger=1)
+    out2 = streaming_static_enrich(
+        stream2, spark.read.parquet(dim_path), on="key"
+    ).select("key", "value", "tag")
+    q2 = (
+        out2.writeStream.format("parquet").option("path", out_path)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination()
+    tags = {(r.key, r.value): r.tag for r in spark.read.parquet(out_path).collect()}
+    assert tags[(0, 3)] == "a2"
+    # earlier batch's rows were written with the old dimension and stay
+    assert tags[(0, 1)] == "a" and tags[(1, 2)] == "b"

@@ -16,6 +16,7 @@ from windflow_spark.streaming.ops import (
     streaming_tumbling_window_cb,
     cb_eos_punctuations,
     streaming_exact_dedup,
+    streaming_static_enrich,
 )
 from windflow_spark.streaming.sinks import (
     to_memory_sink,
@@ -40,6 +41,7 @@ __all__ = [
     "streaming_tumbling_window_cb",
     "cb_eos_punctuations",
     "streaming_exact_dedup",
+    "streaming_static_enrich",
     "to_memory_sink",
     "to_parquet_sink",
     "to_foreach_batch",

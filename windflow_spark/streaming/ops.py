@@ -267,6 +267,27 @@ def cb_eos_punctuations(
     )
 
 
+def streaming_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static dimension enrichment: Spark joins each micro-batch
+    against the static frame. The static side's FILE LISTING is snapshotted
+    when the DataFrame is created, so a dimension overwritten by an
+    upstream job is picked up when the (checkpointed) query restarts and
+    recreates the plan — for mid-query refresh use a table format with
+    snapshot isolation (Delta/Iceberg) or re-read inside foreachBatch. The
+    WindFlow analog would be a Map functor capturing a lookup table;
+    Spark-first this is a plain join the optimizer can broadcast
+    (``broadcast_dim`` for the usual small-dimension case — no shuffle of
+    the stream)."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on=on, how=how)
+
+
 def streaming_exact_dedup(
     df: DataFrame,
     dedup_cols: Sequence[str],
