@@ -2793,6 +2793,50 @@ def approx_quantile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_corpus_prep",
+    r"""
+    WITH n AS (
+      SELECT doc_id, text, lang,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '',
+                                                'g'), '\s+', ' ', 'g')) AS nrm,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    d AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(nrm)) AS keep FROM n),
+    s AS (SELECT * FROM d WHERE doc_id = keep),
+    q AS (
+      SELECT doc_id, lang, text,
+             least(1.0, len(toks) / 100.0)
+               * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  / greatest(length(text), 1)) AS q_score
+      FROM s)
+    SELECT doc_id, lang,
+           CASE WHEN ('0x' || substr(md5(text), 1, 8))::UBIGINT % 100 < 90
+                THEN 'train' ELSE 'eval' END AS split,
+           q_score
+    FROM q WHERE q_score >= 0.35
+    """,
+)
+def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus prep — the pipeline composition query: normalize →
+    exact-dedup on normalized text (min-id survivor via window min, no
+    second scan) → quality filter (raw-IEEE score, bit-identical across
+    engines) → content-hash train/eval split. Each stage is an
+    oracle-proven component (text_normalize, dedup_exact_documents,
+    text_quality_scores, split_train_eval); this entry proves they COMPOSE
+    into one Catalyst plan — one window shuffle, everything else
+    scan-speed column work."""
+    from windflow_spark.functions.text import hash_split, normalize_text, quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.withColumn("_nrm", normalize_text("text"))
+    surv = n.withColumn(
+        "_keep", F.min("doc_id").over(W.partitionBy(F.md5("_nrm")))
+    ).filter(F.col("doc_id") == F.col("_keep"))
+    q = quality_score(surv).filter(F.col("q_score") >= 0.35)
+    return hash_split(q).select("doc_id", "lang", "split", "q_score")
+
+
 # ---------------------------------------------------------------------------
 
 
