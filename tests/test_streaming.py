@@ -343,3 +343,49 @@ def test_streaming_static_enrich_picks_up_dim_updates(spark, tmp_path_factory):
     assert tags[(0, 3)] == "a2"
     # earlier batch's rows were written with the old dimension and stay
     assert tags[(0, 1)] == "a" and tags[(1, 2)] == "b"
+
+
+def test_streaming_cb_sliding_eos_flush_matches_batch(spark, tmp_path_factory):
+    """Streaming CB SLIDING windows with EOS punctuations must equal the
+    batch form exactly (complete windows fire on fill; trailing partials
+    flush at EOS), including across micro-batch boundaries."""
+    import time as _time
+
+    from windflow_spark.operators.windows import sliding_window_cb
+    from windflow_spark.streaming import (
+        cb_eos_punctuations,
+        streaming_sliding_window_cb,
+    )
+
+    rows = [(k % 3, v, v * 700_000 + k * 13_000) for k, v in ((i % 5, i) for i in range(53))]
+    batch = _mk(spark, rows)
+    expect = sorted(
+        (r.key, r.wid, r.cnt, float(r.sv))
+        for r in sliding_window_cb(
+            batch, ["key"], ["ts"], 6, 2,
+            [F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv")],
+        ).collect()
+    )
+    path = str(tmp_path_factory.mktemp("cbs_src"))
+    with_flag = batch.withColumn("eos", F.lit(False))
+    # two ts-contiguous segments + the EOS file, forced into separate
+    # micro-batches so open sliding windows span batch boundaries
+    for lo, hi in ((0, 27), (27, 53)):
+        with_flag.filter(
+            (F.col("value") >= lo) & (F.col("value") < hi)
+        ).coalesce(1).write.mode("append").parquet(path)
+        _time.sleep(1.1)
+    cb_eos_punctuations(batch, ["key"], "ts").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+    stream = file_stream(spark, path, with_flag.schema, max_files_per_trigger=1)
+    out = streaming_sliding_window_cb(
+        stream, ["key"], "ts", "value", 6, 2, eos_col="eos"
+    )
+    name, _ = to_memory_sink(out, output_mode="append")
+    got = sorted(
+        (r.key, r.wid, r.cnt, float(r.sum_value)) for r in spark.table(name).collect()
+    )
+    assert got == expect and len(expect) > 0
+    assert any(c != 6 for _, _, c, _ in expect)  # partials present

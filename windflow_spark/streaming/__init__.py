@@ -14,6 +14,7 @@ from windflow_spark.streaming.ops import (
     streaming_interval_join,
     streaming_rolling_reduce,
     streaming_tumbling_window_cb,
+    streaming_sliding_window_cb,
     cb_eos_punctuations,
     streaming_exact_dedup,
     streaming_static_enrich,
@@ -39,6 +40,7 @@ __all__ = [
     "streaming_interval_join",
     "streaming_rolling_reduce",
     "streaming_tumbling_window_cb",
+    "streaming_sliding_window_cb",
     "cb_eos_punctuations",
     "streaming_exact_dedup",
     "streaming_static_enrich",

@@ -239,6 +239,108 @@ def streaming_tumbling_window_cb(
     )
 
 
+def streaming_sliding_window_cb(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    length: int,
+    slide: int,
+    eos_col: str | None = None,
+) -> DataFrame:
+    """Count-based SLIDING windows, streaming form: window w covers per-key
+    progressive ids [w·slide, w·slide+length); it fires when its last id
+    arrives; at most ceil(length/slide) windows are open per key, carried
+    in state as parallel arrays. Batch sibling: sliding_window_cb
+    (reference wf/window_replica.hpp CB assignment); same EOS punctuation
+    contract as streaming_tumbling_window_cb — a true ``eos_col`` row
+    flushes all open partials in wid order.
+
+    Vectorized per micro-batch: one cumsum over the batch values, then per
+    open/new window a prefix-sum difference over its clamped id span — no
+    per-row Python, O(windows-touched) numpy work per batch.
+
+    Output: (key..., wid, cnt, sum_value) per FIRED window.
+    """
+    import numpy as np
+
+    key_list = list(key_cols)
+    output_schema = (
+        ", ".join(f"{k} long" for k in key_list) + ", wid long, cnt long, sum_value double"
+    )
+    state_schema = "next_id long, wids array<long>, cnts array<long>, sums array<double>"
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            next_id, wids, cnts, sums = state.get
+            open_w = {int(w): (int(c), float(s)) for w, c, s in zip(wids, cnts, sums)}
+        else:
+            next_id, open_w = 0, {}
+        fired: list[tuple] = []
+
+        def flush_all() -> None:
+            nonlocal next_id, open_w
+            for w in sorted(open_w):
+                c, s = open_w[w]
+                if c > 0:
+                    fired.append(key + (w, c, s))
+            next_id, open_w = 0, {}
+
+        for pdf in pdfs:
+            if eos_col is not None:
+                pdf = pdf.sort_values([eos_col, ts_col])
+                flags = pdf[eos_col].fillna(False).to_numpy(dtype=bool)
+                eos_seen = bool(flags.any())
+                vals = pdf[value_col].to_numpy(dtype=np.float64)[~flags]
+            else:
+                pdf = pdf.sort_values(ts_col)
+                eos_seen = False
+                vals = pdf[value_col].to_numpy(dtype=np.float64)
+            n = len(vals)
+            if n:
+                end = next_id + n
+                pre = np.concatenate([[0.0], np.cumsum(vals)])
+                # windows still open (w*slide + length > next_id) or newly
+                # started in this batch (w*slide <= end-1), w >= 0
+                w_lo = max(0, -(-(next_id - length + 1) // slide))
+                w_hi = (end - 1) // slide
+                ws = np.arange(w_lo, w_hi + 1)
+                a = ws * slide
+                b = a + length
+                lo = np.clip(a - next_id, 0, n).astype(np.int64)
+                hi = np.clip(b - next_id, 0, n).astype(np.int64)
+                part_c = (hi - lo).astype(np.int64)
+                part_s = pre[hi] - pre[lo]
+                for w, bb, pc, ps in zip(ws, b, part_c, part_s):
+                    c0, s0 = open_w.pop(int(w), (0, 0.0))
+                    c, s = c0 + int(pc), s0 + float(ps)
+                    if bb <= end:  # last id of the window arrived → fire
+                        if c > 0:
+                            fired.append(key + (int(w), c, s))
+                    elif c > 0:
+                        open_w[int(w)] = (c, s)
+                next_id = end
+            if eos_seen:
+                flush_all()
+        keys_sorted = sorted(open_w)
+        state.update(
+            (
+                next_id,
+                [int(w) for w in keys_sorted],
+                [open_w[w][0] for w in keys_sorted],
+                [open_w[w][1] for w in keys_sorted],
+            )
+        )
+        cols = key_list + ["wid", "cnt", "sum_value"]
+        yield pd.DataFrame(fired, columns=cols) if fired else pd.DataFrame(
+            {c: [] for c in cols}
+        )
+
+    return df.groupBy(*key_list).applyInPandasWithState(
+        fold, output_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def cb_eos_punctuations(
     batch: DataFrame,
     key_cols: Sequence[str],
