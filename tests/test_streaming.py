@@ -389,3 +389,50 @@ def test_streaming_cb_sliding_eos_flush_matches_batch(spark, tmp_path_factory):
     )
     assert got == expect and len(expect) > 0
     assert any(c != 6 for _, _, c, _ in expect)  # partials present
+
+
+def test_p_sink_foreach_batch_external_store_idempotent(spark, tmp_path_factory):
+    """P_Sink analog (reference wf/p_sink.hpp: user sink with persistent
+    external state): foreachBatch upserts each micro-batch into an external
+    keyed store. Pins the user-visible contract directly — batch ids are
+    contiguous, a restart from the same checkpoint re-delivers NO completed
+    batch (store content identical before/after), and the store converges
+    to latest-value-per-key."""
+    import json
+    import os
+
+    from windflow_spark.streaming import file_stream, to_foreach_batch, run_available_now
+
+    src = str(tmp_path_factory.mktemp("psink_src"))
+    ckpt = str(tmp_path_factory.mktemp("psink_ckpt"))
+    store_path = os.path.join(str(tmp_path_factory.mktemp("psink_store")), "store.json")
+
+    def upsert(batch_df, batch_id):
+        store = json.load(open(store_path)) if os.path.exists(store_path) else {
+            "kv": {}, "batches": []
+        }
+        for r in batch_df.orderBy("ts").collect():  # sink-side user code may collect
+            store["kv"][str(r.key)] = r.value
+        store["batches"].append(batch_id)
+        json.dump(store, open(store_path, "w"))
+
+    first = _mk(spark, [(k, v, v * SEC) for k, v in ((i % 3, i) for i in range(12))])
+    first.coalesce(1).write.mode("append").parquet(src)
+    run_available_now(to_foreach_batch(file_stream(spark, src, first.schema), upsert, ckpt))
+    store1 = json.load(open(store_path))
+    # latest value per key: max i per key since ts orders by v
+    assert store1["kv"] == {"0": 9, "1": 10, "2": 11}
+
+    # restart with the SAME checkpoint and no new input → no batch re-runs
+    run_available_now(to_foreach_batch(file_stream(spark, src, first.schema), upsert, ckpt))
+    store2 = json.load(open(store_path))
+    assert store2 == store1
+
+    # new file → exactly one more batch, store converges to the new values
+    second = _mk(spark, [(0, 100, 100 * SEC), (2, 200, 200 * SEC)])
+    second.coalesce(1).write.mode("append").parquet(src)
+    run_available_now(to_foreach_batch(file_stream(spark, src, first.schema), upsert, ckpt))
+    store3 = json.load(open(store_path))
+    assert store3["kv"] == {"0": 100, "1": 10, "2": 200}
+    assert store3["batches"] == sorted(store3["batches"])
+    assert len(store3["batches"]) == len(store1["batches"]) + 1
