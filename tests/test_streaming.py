@@ -436,3 +436,20 @@ def test_p_sink_foreach_batch_external_store_idempotent(spark, tmp_path_factory)
     assert store3["kv"] == {"0": 100, "1": 10, "2": 200}
     assert store3["batches"] == sorted(store3["batches"])
     assert len(store3["batches"]) == len(store1["batches"]) + 1
+
+
+def test_streaming_sliding_tb_equals_batch(spark, stream_fixture):
+    from windflow_spark.operators.windows import sliding_window_tb
+    from windflow_spark.streaming import streaming_sliding_window_tb
+
+    batch, stream = stream_fixture
+    aggs = [F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv")]
+    expect = sorted(
+        map(tuple, sliding_window_tb(batch, ["key"], "ts", 6 * SEC, 2 * SEC, aggs)
+            .select("key", "w_start", "cnt", "sv").collect())
+    )
+    out = streaming_sliding_window_tb(stream, ["key"], "ts", 6 * SEC, 2 * SEC, aggs)
+    name, _ = to_memory_sink(out.select("key", "w_start", "cnt", "sv"),
+                             output_mode="complete")
+    assert _rows(spark, name, ["key", "w_start", "cnt", "sv"]) == expect
+    assert len(expect) > 0
