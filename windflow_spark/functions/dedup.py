@@ -268,10 +268,12 @@ def simhash(
         flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hashes]).view(np.uint64)
         shifts = np.arange(nbits, dtype=np.uint64)
         bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int32) * 2 - 1
+        # sentinel all-zero row: a trailing zero-length doc puts its offset at
+        # len(flat), which is a valid reduceat index only with the sentinel —
+        # clamping instead would steal the previous doc's final token vote
+        bits = np.vstack([bits, np.zeros((1, nbits), dtype=np.int32)])
         offsets = np.zeros(len(hashes), dtype=np.int64)
         np.cumsum(lens[:-1], out=offsets[1:])
-        # a trailing zero-length row would index one past the end
-        offsets = np.minimum(offsets, len(flat) - 1)
         # empty rows: reduceat at equal consecutive offsets returns the row
         # AT the offset, not a zero-sum — mask them to 0 after the fact
         votes = np.add.reduceat(bits, offsets, axis=0)
