@@ -52,12 +52,43 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return df
 
 
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Coerce any TIMESTAMP_NTZ column to TIMESTAMP (LTZ), timezone-free.
+
+    The testdata parquet stores naive ``timestamp[us]``; Spark 4 infers it as
+    TIMESTAMP_NTZ (``spark.sql.parquet.inferTimestampNTZ.enabled`` defaults to
+    true), but the whole engine — window assignment via ``unix_micros``,
+    interval joins, gap-fill — works on epoch-µs TIMESTAMP, matching the
+    DuckDB oracle which treats naive values as UTC instants. The conversion
+    below is session-timezone-independent: ``timestampdiff`` between two NTZ
+    values is pure wall-clock arithmetic, and ``timestamp_micros`` builds the
+    LTZ instant from the raw µs. (A plain ``cast`` would route through the
+    session timezone and shift values off-UTC sessions.)
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            us = F.expr(
+                "timestampdiff(MICROSECOND, "
+                f"TIMESTAMP_NTZ'1970-01-01 00:00:00', `{field.name}`)"
+            )
+            df = df.withColumn(field.name, F.timestamp_micros(us))
+    return df
+
+
 def _load_table_uncached(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
+    # Read naive parquet timestamps as TIMESTAMP (epoch-µs instants), not
+    # TIMESTAMP_NTZ — keeps filter pushdown on ts columns (no wrapping
+    # expression) and matches the DuckDB oracle's naive-as-UTC reading.
+    # Runtime-settable; harmless if already false.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
-        # events.ts is parquet timestamp[ns], which Spark rejects by default
-        # (PARQUET_TYPE_ILLEGAL). Read nanos as long and convert to a µs
-        # timestamp (lossless: the generator emits µs-aligned values, and
-        # DuckDB's reader truncates ns→µs identically).
+        # Older generators emitted events.ts as parquet timestamp[ns], which
+        # Spark rejects by default (PARQUET_TYPE_ILLEGAL). Read nanos as long
+        # and convert to a µs timestamp (lossless: the generator emits
+        # µs-aligned values, and DuckDB's reader truncates ns→µs identically).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         from pyspark.sql import functions as F
@@ -67,8 +98,10 @@ def _load_table_uncached(spark: SparkSession, name: str, sf_dir: str) -> DataFra
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
             )
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        return _normalize_timestamps(df)
+    return _normalize_timestamps(
+        spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
