@@ -118,17 +118,18 @@ def decontaminate_overlap(
     join, so the shuffle carries fixed-width ints, never gram strings; the
     train side is distinct-deduped grams. Output: (id, n_shared_grams).
     """
-    from windflow_spark.functions.dedup import shingles_of
+    from windflow_spark.functions.dedup import shingle_stream
     from windflow_spark.functions.text import hash_split
 
-    d = (
-        hash_split(df, content_col=text_col, train_pct=train_pct)
-        .select(F.col(id_col), F.col("split"), tokens(text_col).alias("_t"))
-        .filter(F.size("_t") >= gram_k)
-        .select(id_col, "split", shingles_of(F.col("_t"), gram_k).alias("_g"))
-        .select(id_col, "split", F.explode("_g").alias("_gram"))
-        .select(id_col, "split", _md5_int60(F.col("_gram")).alias("gh"))
-    )
+    # lead-window gram stream (see dedup.shingle_stream): docs with fewer
+    # than gram_k tokens yield no grams, same as the old size() gate
+    d = shingle_stream(
+        hash_split(df, content_col=text_col, train_pct=train_pct),
+        id_col,
+        text_col,
+        gram_k,
+        carry=("split",),
+    ).select(id_col, "split", _md5_int60(F.col("_s")).alias("gh"))
     train = d.filter(F.col("split") == "train").select("gh").distinct()
     ev = d.filter(F.col("split") == "eval").select(id_col, "gh")
     return (

@@ -1147,18 +1147,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates bucketed by exact 5-token prefix, verified with
     exact 3-shingle Jaccard — the SQL-checkable sibling of the MinHash-LSH
     path (same candidate-join shape: join per bucket, no cross product)."""
-    from windflow_spark.functions.dedup import shingles_of
+    from windflow_spark.functions.dedup import shingle_sets
     from windflow_spark.functions.text import tokens
 
     docs = _t(spark, sf_dir, "documents")
-    d = (
+    # bucket (cheap 5-token prefix per doc) joined to the lead-window shingle
+    # sets (dedup.shingle_sets); the inner join keeps only >= 5-token docs
+    buckets = (
         docs.select("doc_id", tokens("text").alias("_toks"))
         .filter(F.size("_toks") >= 5)
-        .select(
-            "doc_id",
-            F.concat_ws(" ", F.slice("_toks", 1, 5)).alias("bucket"),
-            shingles_of(F.col("_toks"), 3).alias("s"),
-        )
+        .select("doc_id", F.concat_ws(" ", F.slice("_toks", 1, 5)).alias("bucket"))
+    )
+    d = buckets.join(shingle_sets(docs), "doc_id").select(
+        "doc_id", "bucket", F.col("_sh").alias("s")
     )
     a = d.alias("a")
     b = d.alias("b")
