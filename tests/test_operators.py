@@ -155,6 +155,28 @@ def test_simhash_near_dup_distance(spark):
     assert hamming(out[1], out[2]) < hamming(out[1], out[3])
 
 
+def test_simhash_empty_docs_in_batch(spark):
+    """Empty-text docs get signature 0 and must not disturb neighbors —
+    including a trailing empty doc, whose reduceat offset lands at len(flat)
+    and needs the sentinel row (ADVICE r2: the offset-clamping bug stole the
+    previous doc's final token vote)."""
+    from windflow_spark.functions.dedup import simhash
+
+    base = "the quick brown fox jumps over the lazy dog"
+    with_empties = spark.createDataFrame(
+        # coalesce(1) in-test via single partition: keep all docs in ONE
+        # Arrow batch so the trailing-empty path is actually exercised
+        [(1, ""), (2, base), (3, ""), (4, base), (5, "")],
+        "doc_id long, text string",
+    ).coalesce(1)
+    out = {r.doc_id: r.simhash for r in simhash(with_empties).collect()}
+    assert out[1] == 0 and out[3] == 0 and out[5] == 0
+    # non-empty docs unchanged vs a batch without any empty docs
+    alone = spark.createDataFrame([(9, base)], "doc_id long, text string")
+    ref = simhash(alone).collect()[0].simhash
+    assert out[2] == ref and out[4] == ref
+
+
 def test_brute_force_topk(spark):
     from windflow_spark.functions.similarity import brute_force_topk
 
@@ -168,6 +190,28 @@ def test_brute_force_topk(spark):
     out = brute_force_topk(corpus, queries, k=2)
     rows = sorted((r.rk, r.vec_id) for r in out.collect())
     assert rows == [(1, 1), (2, 2)]  # exact match first, near second
+
+
+def test_brute_force_topk_refuses_large_query_side(spark):
+    """The broadcast nested-loop contract is enforced: a query side above
+    max_query_rows raises instead of silently planning O(corpus x queries)
+    (VERDICT r2 'wrong' #3)."""
+    import pytest
+
+    from windflow_spark.functions.similarity import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(100 + i, [1.0, 0.0]) for i in range(5)],
+        "query_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="max_query_rows"):
+        brute_force_topk(corpus, queries, k=1, max_query_rows=3)
+    # opt-out works, and under-limit sides are untouched
+    assert brute_force_topk(corpus, queries, k=1, max_query_rows=None).count() == 5
+    assert brute_force_topk(corpus, queries, k=1, max_query_rows=5).count() == 5
 
 
 def test_lang_id_and_quality(spark):

@@ -342,11 +342,14 @@ def simhash(
             return pd.Series(np.zeros(len(hashes), dtype=np.int64))
         flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hashes]).view(np.uint64)
         shifts = np.arange(nbits, dtype=np.uint64)
-        bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int32) * 2 - 1
-        # sentinel all-zero row: a trailing zero-length doc puts its offset at
-        # len(flat), which is a valid reduceat index only with the sentinel —
-        # clamping instead would steal the previous doc's final token vote
-        bits = np.vstack([bits, np.zeros((1, nbits), dtype=np.int32)])
+        # one extra all-zero sentinel row, allocated up front (a vstack here
+        # would copy the whole matrix): a trailing zero-length doc puts its
+        # offset at len(flat), which is a valid reduceat index only with the
+        # sentinel — clamping instead would steal the previous doc's final
+        # token vote
+        bits = np.empty((len(flat) + 1, nbits), dtype=np.int32)
+        bits[:-1] = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int32) * 2 - 1
+        bits[-1] = 0
         offsets = np.zeros(len(hashes), dtype=np.int64)
         np.cumsum(lens[:-1], out=offsets[1:])
         # empty rows: reduceat at equal consecutive offsets returns the row

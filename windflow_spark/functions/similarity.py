@@ -67,14 +67,32 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_query_rows: int | None = 10_000,
 ) -> DataFrame:
     """Top-k cosine neighbors per query (exact). ``queries`` must be small
     enough to broadcast — that is the brute-force contract; for corpus-sized
-    query sets use `lsh_topk`.
+    query sets use `lsh_topk` or `ivf_topk`.
+
+    The contract is ENFORCED: the plan below is a broadcast nested-loop
+    (O(corpus × queries) dot products), so a corpus-sized query side would
+    silently take quadratic time. ``max_query_rows`` refuses such inputs up
+    front with a pointer to the scale paths (``limit(n+1).count()`` — a
+    bounded probe, not a full scan). Pass ``None`` to opt out for a side
+    known to be bounded (e.g. a fresh batch of user queries).
 
     Output: (query_id, vec_id, cos_sim rounded 6dp, rk) — ties broken by
     vec_id for determinism.
     """
+    if max_query_rows is not None:
+        probe = queries.limit(max_query_rows + 1).count()
+        if probe > max_query_rows:
+            raise ValueError(
+                f"brute_force_topk: query side exceeds max_query_rows="
+                f"{max_query_rows} (the broadcast nested-loop plan is "
+                "O(corpus x queries)); use lsh_topk/ivf_topk for "
+                "corpus-scale query sets, or raise max_query_rows/pass None "
+                "if the side is genuinely bounded."
+            )
     c = corpus.select(
         F.col(id_col), as_double_array(vec_col).alias("_cv")
     ).withColumn("_cn", _norm(F.col("_cv")))

@@ -1871,17 +1871,23 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 adapted (no partsupp → supplier variety observed from
-    lineitem). Distinct-aggregate over a broadcast-joined dim filter."""
+    lineitem). The distinct-aggregate is restated as pre-aggregate-to-
+    distinct-pairs + plain count (the q21 rewrite): count_distinct planned
+    an Expand that doubled the joined fact rows into the shuffle, while the
+    distinct collapses map-side to one row per (brand,type,size,suppkey)."""
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#2")
         & (~F.col("p_type").like("PROMO%"))
         & (F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
     )
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    pairs = (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count(F.lit(1)).alias("supplier_cnt")
     )
 
 
