@@ -453,3 +453,91 @@ def test_streaming_sliding_tb_equals_batch(spark, stream_fixture):
                              output_mode="complete")
     assert _rows(spark, name, ["key", "w_start", "cnt", "sv"]) == expect
     assert len(expect) > 0
+
+
+def test_stream_monitor_collects_progress(spark, stream_fixture):
+    """monitor_streams (WF_TRACING_ENABLED analog, reference
+    wf/basic.hpp:259): the listener must record per-query batches, input
+    rows, and stateful-operator rows without touching the data path."""
+    import time
+
+    from windflow_spark.streaming import monitor_streams, streaming_tumbling_window_tb
+
+    _, stream = stream_fixture
+    raw = []
+    mon = monitor_streams(spark, sink=raw.append)
+    try:
+        out = streaming_tumbling_window_tb(
+            stream, ["key"], "ts", 7 * SEC, [F.count(F.lit(1)).alias("cnt")]
+        )
+        name, q = to_memory_sink(out, output_mode="complete")
+        q.awaitTermination(60)
+        # listener-bus delivery is async — poll briefly for the progress event
+        stats = {}
+        for _ in range(50):
+            stats = mon.stats()
+            if any(s["total_input_rows"] > 0 for s in stats.values()):
+                break
+            time.sleep(0.2)
+        rows = [s for s in stats.values() if s["total_input_rows"] > 0]
+        assert rows, f"no progress recorded: {stats}"
+        s = rows[0]
+        assert s["batches"] >= 1
+        assert s["total_input_rows"] == 60  # the fixture's row count
+        assert s["state_rows"] > 0  # windowed agg keeps state
+        assert raw and isinstance(raw[0], dict)  # sink got raw progress dicts
+        assert mon.history(list(stats)[0])
+    finally:
+        mon.remove()
+
+
+def test_streaming_hopping_tb_gaps_equals_batch(spark, stream_fixture):
+    """Hopping windows WITH GAPS (len < slide, reference wf semantics:
+    events between windows belong to no window) — streaming window(len,
+    slide) must equal the batch explode form, including dropping gap events
+    (VERDICT r2 next-round #6)."""
+    from windflow_spark.operators.windows import sliding_window_tb
+    from windflow_spark.streaming import streaming_sliding_window_tb
+
+    batch, stream = stream_fixture
+    aggs = [F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv")]
+    # len 3s, slide 8s: 5s gaps — a strict subset of events is windowed
+    expect = sorted(
+        map(tuple, sliding_window_tb(batch, ["key"], "ts", 3 * SEC, 8 * SEC, aggs)
+            .select("key", "w_start", "cnt", "sv").collect())
+    )
+    total = batch.count()
+    windowed = sum(r[2] for r in expect)
+    assert 0 < windowed < total  # the config genuinely leaves gaps
+    out = streaming_sliding_window_tb(stream, ["key"], "ts", 3 * SEC, 8 * SEC, aggs)
+    name, _ = to_memory_sink(out.select("key", "w_start", "cnt", "sv"),
+                             output_mode="complete")
+    assert _rows(spark, name, ["key", "w_start", "cnt", "sv"]) == expect
+
+
+def test_streaming_sliding_equals_batch_paned(spark, stream_fixture):
+    """paned_window_tb (explicit PLQ/WLQ two-level pane aggregation) is a
+    physical variant of the same logical sliding window — its batch result
+    must equal the STREAMING window(len, slide) output under availableNow
+    replay, closing the last untested batch↔streaming pair (VERDICT r2
+    next-round #6)."""
+    from windflow_spark.operators.windows import paned_window_tb
+    from windflow_spark.streaming import streaming_sliding_window_tb
+
+    batch, stream = stream_fixture
+    # paned aggs are (pane_expr, combine_expr) pairs: count/sum lift+combine
+    expect = sorted(
+        map(tuple, paned_window_tb(
+            batch, ["key"], "ts", 6 * SEC, 2 * SEC,
+            pane_aggs=[F.count(F.lit(1)).alias("_pc"), F.sum("value").alias("_ps")],
+            final_aggs=[F.sum("_pc").alias("cnt"), F.sum("_ps").alias("sv")],
+        ).select("key", "w_start", "cnt", "sv").collect())
+    )
+    out = streaming_sliding_window_tb(
+        stream, ["key"], "ts", 6 * SEC, 2 * SEC,
+        [F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv")],
+    )
+    name, _ = to_memory_sink(out.select("key", "w_start", "cnt", "sv"),
+                             output_mode="complete")
+    assert _rows(spark, name, ["key", "w_start", "cnt", "sv"]) == expect
+    assert len(expect) > 0

@@ -29,6 +29,7 @@ from windflow_spark.streaming.sinks import (
 )
 from windflow_spark.streaming.state import rocksdb_state_conf
 from windflow_spark.streaming.persistent import p_map, p_filter, p_flatmap, p_reduce
+from windflow_spark.streaming.monitor import StreamMonitor, monitor_streams
 
 __all__ = [
     "file_stream",
@@ -55,4 +56,6 @@ __all__ = [
     "p_filter",
     "p_flatmap",
     "p_reduce",
+    "StreamMonitor",
+    "monitor_streams",
 ]

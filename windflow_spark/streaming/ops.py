@@ -52,7 +52,27 @@ def streaming_sliding_window_tb(
     lateness_us: int = 0,
     window_col: str = "w_start",
 ) -> DataFrame:
-    """Sliding/hopping TB windows via window(ts, len, slide)."""
+    """Sliding/hopping TB windows via window(ts, len, slide).
+
+    Hopping WITH GAPS (len < slide, reference wf semantics: events between
+    windows belong to no window) is not expressible with the native
+    window() (Spark requires slide <= len). But with gaps each event
+    belongs to AT MOST ONE window, so the equivalent streaming plan is:
+    filter events whose offset within the hop period falls inside the
+    window, then tumble by the period — gap events drop pre-aggregation and
+    empty hops emit nothing, matching the batch explode form exactly.
+    """
+    if slide_us > length_us:
+        us = F.unix_micros(F.col(ts_col))
+        in_window = (us % F.lit(slide_us)) < F.lit(length_us)
+        return (
+            df.filter(in_window)
+            .withWatermark(ts_col, _dur(max(lateness_us, 1)))
+            .groupBy(*key_cols, F.window(ts_col, _dur(slide_us)))
+            .agg(*aggs)
+            .withColumn(window_col, F.col("window.start"))
+            .drop("window")
+        )
     return (
         df.withWatermark(ts_col, _dur(max(lateness_us, 1)))
         .groupBy(*key_cols, F.window(ts_col, _dur(length_us), _dur(slide_us)))
