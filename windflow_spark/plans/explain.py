@@ -59,6 +59,16 @@ def shuffle_count(df: DataFrame) -> int:
     return len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
 
 
+def keyed_shuffle_count(df: DataFrame) -> int:
+    """Exchanges that repartition BY KEY (hash/range) — the ones whose
+    placement is algorithmic. Round-robin exchanges (the
+    ensure_min_partitions input widener on small local inputs — a no-op at
+    real scale) are excluded, so plan tests can pin 'no keyed shuffle'
+    without breaking on the toy-input parallelism floor."""
+    plan = physical_plan(df)
+    return len(re.findall(r"(?:hash|range)partitioning\(", plan))
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """WholeStageCodegen spans — the fused-operator regions (the analog of
     WindFlow's chain(), reference wf/multipipe.hpp:1051-1107, which Catalyst

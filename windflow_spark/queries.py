@@ -59,6 +59,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
 
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table load with the parallelism floor for CPU-BOUND per-row work
+    (regex, tokenizing, fingerprinting). The sf1 probe showed such stages
+    running single-task on small-file/single-row-group parquet (chunking
+    measured 42× superlinear at 10× data); ensure_min_partitions widens up
+    to session parallelism — a no-op at real scale where the scan yields
+    enough splits — and Catalyst still pushes filters through the
+    repartition to the scan (tests/test_plans.py). Use ONLY where per-row
+    CPU dominates: for cheap scans (hash+groupBy, column projections) the
+    extra exchange is pure overhead, and the dedup/similarity operators
+    already widen internally."""
+    from windflow_spark.util import ensure_min_partitions
+
+    return ensure_min_partitions(load_table(spark, name, sf_dir))
+
+
 def _r2(col) -> F.Column:
     return F.round(col, 2)
 
@@ -747,7 +763,7 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from windflow_spark.functions.text import with_text_stats
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return with_text_stats(docs).select("doc_id", "lang", "n_chars_exact", "n_tokens")
 
 
@@ -1058,7 +1074,7 @@ def groupwise_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from windflow_spark.functions.text import lang_id_heuristic
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return lang_id_heuristic(docs).select("doc_id", "lang_pred")
 
 
@@ -1088,7 +1104,7 @@ ORACLE["lang_id_documents"] = _lang_sql()
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from windflow_spark.functions.text import quality_score
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return quality_score(docs).select("doc_id", "q_mean_word_len", "q_alpha_ratio", "q_score")
 
 
@@ -1371,7 +1387,7 @@ def win_parallel_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("fp"),
@@ -1390,7 +1406,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex tokenization (alpha runs / digit runs) — JVM-side
     regexp_extract_all, no UDF."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).cast("long").alias("n_alpha"),
@@ -2132,7 +2148,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     column expressions at scan speed."""
     from windflow_spark.functions.text import normalize_text
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return docs.select("doc_id", normalize_text("text").alias("norm_text"))
 
 
@@ -2587,7 +2603,7 @@ def doc_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking with overlap (50-token chunks, stride 40)."""
     from windflow_spark.functions.pipeline import chunk_documents
 
-    return chunk_documents(_t(spark, sf_dir, "documents"))
+    return chunk_documents(_t_wide(spark, sf_dir, "documents"))
 
 
 @register(
