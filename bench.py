@@ -46,6 +46,13 @@ def main() -> None:
         return x
 
     spark.range(0, 1000, 1, 32).select(_warm("id")).count()
+    # one noop write + one agg through the noop committer: the first
+    # write-path initialization (noop datasource lookup, committer setup,
+    # first HashAggregate codegen) otherwise lands on whichever query runs
+    # first and inflates ITS time by >1s
+    spark.range(0, 1000, 1, 8).groupBy((F.col("id") % 7).alias("g")).agg(
+        F.sum("id").alias("s")
+    ).write.mode("overwrite").format("noop").save()
 
     t_all = time.time()
     for name, fn in qs.items():

@@ -92,6 +92,33 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert jac[(1, 2)] > 0.5
 
 
+def test_minhash_lsh_bucket_width_cap(spark):
+    """max_bucket_width drops hot-bucket pairs (quadratic work, no signal)
+    while distinct near-dup pairs in narrow buckets survive (SCALE.md open
+    item: boilerplate-dominated corpora)."""
+    from windflow_spark.functions.dedup import minhash_lsh_candidates
+
+    boiler = "standard site navigation header terms privacy cookie banner text"
+    rows = [(i, boiler) for i in range(1, 9)]  # 8 identical docs → hot buckets
+    base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    rows += [(100, base), (101, base.replace("lazy", "sleepy"))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(docs, num_hashes=16, bands=8).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(
+            docs, num_hashes=16, bands=8, max_bucket_width=4
+        ).collect()
+    }
+    assert (1, 2) in uncapped  # hot-bucket pair present without the cap
+    assert not any(a < 100 and b < 100 for a, b in capped)  # all dropped
+    assert (100, 101) in capped  # genuine near-dup in a narrow bucket survives
+
+
 def test_minhash_permutations_are_distinct(spark):
     """Regression: a `lambda s, p=p:` closure passed to F.transform makes the
     lambda BINARY (PySpark derives HOF arity from parameter count), binding p

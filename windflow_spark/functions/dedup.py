@@ -206,6 +206,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_k: int = 3,
     hash_mode: str = "xxhash64",
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: docs sharing any band bucket.
 
@@ -217,6 +218,15 @@ def minhash_lsh_candidates(
     SQL engine can reproduce them bit-for-bit (docs with no shingles —
     fewer than ``shingle_k`` tokens — are excluded in this mode: they have
     no signature and can never verify as near-dups anyway).
+
+    ``max_bucket_width``: drop (band, bucket) groups wider than this before
+    the self-join. Within-bucket work is quadratic in bucket width, so one
+    boilerplate-dominated hot bucket (every doc sharing a banner/template
+    band) can dominate the whole job at corpus scale; standard LSH practice
+    caps it — an oversized bucket carries almost no discriminative signal,
+    and true near-dup pairs agree on MULTIPLE bands, so they still surface
+    through their narrower buckets. The width count reuses the join's own
+    (band, bucket) partitioning — no extra shuffle.
     """
     rows = num_hashes // bands
     df = ensure_min_partitions(df)  # CPU-heavy hashing must not run single-task
@@ -268,6 +278,15 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
+    if max_bucket_width is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("_bw", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bw") <= max_bucket_width)
+            .drop("_bw")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

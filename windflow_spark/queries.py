@@ -1204,7 +1204,22 @@ _MINHASH_MD5_MINS = ",\n        ".join(
     f"list_aggregate(list_transform(base, x -> x[1] + {p} * x[2]), 'min')"
     for p in range(32)
 )
-_MINHASH_LSH_SQL = f"""
+
+
+def _minhash_lsh_sql(max_bucket_width: int | None = None, jaccard_floor: float | None = None) -> str:
+    """The md5-portable MinHash-LSH oracle, optionally with the bucket-width
+    cap (QUALIFY over (band, bucket) mirrors the engine's window filter)."""
+    cap = (
+        f"""
+    bf AS (
+      SELECT doc_id, band, bucket FROM b
+      QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {max_bucket_width}),"""
+        if max_bucket_width is not None
+        else ""
+    )
+    pair_src = "bf" if max_bucket_width is not None else "b"
+    floor = f" WHERE jaccard >= {jaccard_floor}" if jaccard_floor is not None else ""
+    return f"""
     WITH d AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
       FROM documents),
@@ -1227,18 +1242,21 @@ _MINHASH_LSH_SQL = f"""
     b AS (
       SELECT doc_id, j AS band,
              md5(concat_ws(',', sig[j*4+1], sig[j*4+2], sig[j*4+3], sig[j*4+4])) AS bucket
-      FROM g, generate_series(0, 7) AS t(j)),
+      FROM g, generate_series(0, 7) AS t(j)),{cap}
     p AS (
       SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
-      FROM b a JOIN b b2
+      FROM {pair_src} a JOIN {pair_src} b2
         ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
     jac AS (
       SELECT id_a, id_b,
              round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
                    / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
       FROM p JOIN s sa ON p.id_a = sa.doc_id JOIN s sb ON p.id_b = sb.doc_id)
-    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8
+    SELECT id_a, id_b, jaccard FROM jac{floor}
     """
+
+
+_MINHASH_LSH_SQL = _minhash_lsh_sql(jaccard_floor=0.8)
 
 
 @register("dedup_minhash_lsh", _MINHASH_LSH_SQL)
@@ -1252,6 +1270,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     cands = minhash_lsh_candidates(docs, num_hashes=32, bands=8, hash_mode="md5")
     return ngram_jaccard(cands, docs).filter(F.col("jaccard") >= 0.8)
+
+
+@register("dedup_minhash_lsh_capped", _minhash_lsh_sql(max_bucket_width=3))
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with the bucket-width cap (SCALE.md: a hot
+    boilerplate bucket implies quadratic within-bucket work; capped buckets
+    are standard LSH practice). Emits ALL surviving candidate pairs with
+    their exact Jaccard — the oracle reproduces the cap via QUALIFY over
+    (band, bucket) — so the driver value-checks the cap semantics, not just
+    the flagship's >= 0.8 survivors."""
+    from windflow_spark.functions.dedup import minhash_lsh_candidates, ngram_jaccard
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(
+        docs, num_hashes=32, bands=8, hash_mode="md5", max_bucket_width=3
+    )
+    return ngram_jaccard(cands, docs)
 
 
 # md5-portable SimHash oracle: per-token 60-bit hash = first 15 hex chars of
