@@ -18,6 +18,7 @@ from windflow_spark.streaming.ops import (
     cb_eos_punctuations,
     streaming_exact_dedup,
     streaming_static_enrich,
+    ordered_foreach_batch,
 )
 from windflow_spark.streaming.sinks import (
     to_memory_sink,
@@ -58,4 +59,5 @@ __all__ = [
     "p_reduce",
     "StreamMonitor",
     "monitor_streams",
+    "ordered_foreach_batch",
 ]

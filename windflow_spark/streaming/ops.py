@@ -425,3 +425,40 @@ def streaming_exact_dedup(
     return df.withWatermark(ts_col, _dur(max(watermark_us, 1))).dropDuplicatesWithinWatermark(
         list(dedup_cols)
     )
+
+
+def ordered_foreach_batch(
+    df: DataFrame,
+    ts_col: str,
+    tiebreak_cols: Sequence[str],
+    fn,
+):
+    """DETERMINISTIC ordered delivery — the Ordering_Collector analog
+    (reference wf/ordering_collector.hpp:51: the collector merge-sorts its
+    input channels so a DETERMINISTIC-mode consumer sees tuples in
+    watermark-safe timestamp order).
+
+    Spark-first mapping: arrival order across shuffle channels is
+    nondeterministic, but micro-batches give a natural merge boundary —
+    within each trigger, sort by (event time, *tiebreak) and hand the
+    SORTED batch to ``fn(batch_df, batch_id)``. With a total tiebreak the
+    delivery order is a pure function of the data, reproducible run to run
+    regardless of partitioning, file listing order, or task scheduling.
+
+    Contract and scale notes:
+    - Order holds WITHIN a trigger; triggers themselves are sequential, so
+      cross-trigger order follows source arrival — bound reordering across
+      batch boundaries with withWatermark upstream (the reference's
+      collector likewise only reorders within its watermark horizon).
+    - A TOTAL order necessarily funnels through one merge point (the
+      reference's collector is exactly that single point per consumer
+      replica). ``fn`` receives the sorted DataFrame lazily: a sink that
+      only needs per-partition order (e.g. one Kafka partition per range)
+      can write sortWithinPartitions output in parallel instead of
+      collecting.
+    """
+
+    def _deliver(batch: DataFrame, batch_id: int) -> None:
+        fn(batch.orderBy(ts_col, *tiebreak_cols), batch_id)
+
+    return df.writeStream.foreachBatch(_deliver)
