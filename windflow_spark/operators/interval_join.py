@@ -46,8 +46,10 @@ def interval_join(
     elif broadcast_side == "b":
         bb = F.broadcast(bb)
     key_eq = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols]
-    a_us = F.unix_micros(F.col(f"a.{a_ts}"))
-    b_us = F.unix_micros(F.col(f"b.{b_ts}"))
+    from windflow_spark.operators.timeutil import event_micros
+
+    a_us = event_micros(a, a_ts, qualifier="a")
+    b_us = event_micros(b, b_ts, qualifier="b")
     cond = key_eq + [b_us >= a_us + F.lit(lower_us), b_us <= a_us + F.lit(upper_us)]
     joined = aa.join(bb, F.lit(True) if not cond else _and_all(cond), how=how)
     return joined

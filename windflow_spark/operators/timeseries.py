@@ -39,7 +39,9 @@ def gap_fill_interpolate(
     HALF_UP and float-round disagree, so rounding here breaks cross-engine
     parity; identical IEEE expressions are bit-identical unrounded."""
     keys = list(key_cols)
-    us = F.unix_micros(F.col(ts_col))
+    from windflow_spark.operators.timeutil import event_micros
+
+    us = event_micros(df, ts_col)
     obs = (
         df.select(*keys, (us - us % F.lit(grid_us)).alias("_t"), F.col(value_col))
         .groupBy(*keys, "_t")

@@ -32,10 +32,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _us(ts_col: str) -> Column:
+def _us(df: DataFrame, ts_col: str) -> Column:
     """Event-time in microseconds since epoch (matches WindFlow's µs model,
-    reference wf/basic.hpp:49-61)."""
-    return F.unix_micros(F.col(ts_col))
+    reference wf/basic.hpp:49-61). Dispatches on the column's timestamp
+    flavor — TIMESTAMP_NTZ frames work too (operators/timeutil.py)."""
+    from windflow_spark.operators.timeutil import event_micros
+
+    return event_micros(df, ts_col)
 
 
 def _floordiv(col: Column, d: int) -> Column:
@@ -64,7 +67,7 @@ def tumbling_window_tb(
     (reference wf/keyed_windows.hpp:65). Emits the window start as a
     timestamp column named ``window_col``.
     """
-    us = _us(ts_col)
+    us = _us(df, ts_col)
     w_start_us = us - (us % F.lit(length_us))
     return (
         df.withColumn("_w_start_us", w_start_us)
@@ -93,7 +96,7 @@ def sliding_window_tb(
     explodes to nothing. Rows are exploded into their windows, then
     aggregated (partial agg collapses the replication map-side).
     """
-    us = _us(ts_col)
+    us = _us(df, ts_col)
     # ceil(x/slide) on non-negative ints = (x + slide - 1) // slide;
     # clamped at 0 — the reference's first window is gwid 0 covering
     # [0, len), so tuples with ts < len join FEWER than len/slide windows
@@ -199,7 +202,7 @@ def paned_window_tb(
     import math
 
     pane_us = math.gcd(length_us, slide_us)
-    us = _us(ts_col)
+    us = _us(df, ts_col)
     panes = (
         df.withColumn("_pane", _floordiv(us, pane_us))
         .groupBy(*key_cols, "_pane")
@@ -258,7 +261,7 @@ def non_incremental_window_tb(
     state is bounded by the largest single window per key — same bound as
     the reference's archive.
     """
-    us = _us(ts_col)
+    us = _us(df, ts_col)
     if slide_us is None or slide_us == length_us:
         assigned = df.withColumn("_wid", _floordiv(us, length_us))
     else:
@@ -303,7 +306,7 @@ def non_incremental_window_tb_batched(
     """
     import pandas as pd
 
-    us = _us(ts_col)
+    us = _us(df, ts_col)
     if slide_us is None or slide_us == length_us:
         assigned = df.withColumn("_wid", _floordiv(us, length_us))
     else:
@@ -362,7 +365,7 @@ def session_window_agg(
 
     order = [F.col(c) for c in order_cols]
     w = W.partitionBy(*key_cols).orderBy(*order)
-    us = _us(ts_col)
+    us = _us(df, ts_col)
     prev = F.lag(us).over(w)
     is_new = F.when(prev.isNull() | (us - prev > F.lit(gap_us)), 1).otherwise(0)
     run = (
@@ -393,7 +396,7 @@ def window_spine_tb(
     restores parity. Distributed: the spine is built per key from min/max
     aggregates, not on the driver.
     """
-    us = _us(ts_col)
+    us = _us(df, ts_col)
     bounds = df.groupBy(*key_cols).agg(
         _floordiv(F.min(us), length_us).alias("_w_min"),
         _floordiv(F.max(us), length_us).alias("_w_max"),

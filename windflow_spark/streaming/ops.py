@@ -63,7 +63,9 @@ def streaming_sliding_window_tb(
     empty hops emit nothing, matching the batch explode form exactly.
     """
     if slide_us > length_us:
-        us = F.unix_micros(F.col(ts_col))
+        from windflow_spark.operators.timeutil import event_micros
+
+        us = event_micros(df, ts_col)
         in_window = (us % F.lit(slide_us)) < F.lit(length_us)
         return (
             df.filter(in_window)
@@ -122,8 +124,10 @@ def streaming_interval_join(
     for k in key_cols:
         c = F.col(f"a.{k}") == F.col(f"b.{k}")
         cond = c if cond is None else (cond & c)
-    a_us = F.unix_micros(F.col(f"a.{a_ts}"))
-    b_us = F.unix_micros(F.col(f"b.{b_ts}"))
+    from windflow_spark.operators.timeutil import event_micros
+
+    a_us = event_micros(a, a_ts, qualifier="a")
+    b_us = event_micros(b, b_ts, qualifier="b")
     cond = cond & (b_us >= a_us + F.lit(lower_us)) & (b_us <= a_us + F.lit(upper_us))
     return aa.join(bb, cond, "inner")
 
