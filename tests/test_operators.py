@@ -241,6 +241,43 @@ def test_brute_force_topk_refuses_large_query_side(spark):
     assert brute_force_topk(corpus, queries, k=1, max_query_rows=5).count() == 5
 
 
+def test_redact_pii(spark):
+    from windflow_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or call +1 (555) 123-4567"),
+            (2, "server at 192.168.0.1 responded"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.red for r in df.select("doc_id", redact_pii("text").alias("red")).collect()}
+    assert "<EMAIL>" in out[1] and "<PHONE>" in out[1]
+    assert "jane" not in out[1] and "555" not in out[1]
+    assert out[2] == "server at <IP> responded"
+    assert out[3] == "nothing sensitive here"
+
+
+def test_repetition_scores(spark):
+    """Gopher-style signals: a templated doc scores high on both fractions,
+    an all-distinct doc scores low; sub-bigram docs get 0.0 (not null)."""
+    from windflow_spark.functions.text import repetition_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),
+            (2, "each word appears exactly once here"),
+            (3, "single"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.dup_token_frac, r.top_bigram_frac) for r in repetition_scores(df).collect()}
+    assert out[1][0] > 0.7 and out[1][1] > 0.5  # "buy now" dominates
+    assert out[2][0] == 0.0 and out[2][1] < 0.5
+    assert out[3] == (0.0, 0.0)
+
+
 def test_lang_id_and_quality(spark):
     from windflow_spark.functions.text import lang_id_heuristic, quality_score
 

@@ -137,3 +137,72 @@ def hash_split(
     without a global shuffle or a stored assignment table."""
     bucket = F.conv(F.substring(F.md5(F.col(content_col)), 1, 8), 16, 10).cast("long") % 100
     return df.withColumn(out_col, F.when(bucket < train_pct, "train").otherwise("eval"))
+
+
+def repetition_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 use duplicate
+    line/paragraph and top-n-gram fractions to drop boilerplate/spam):
+
+    - ``dup_token_frac``: 1 − distinct/total tokens — high for keyword-stuff
+      and copy-paste spam.
+    - ``top_bigram_frac``: occurrences of the most frequent bigram / total
+      bigrams — high for templated/repeated phrasing.
+
+    Scale shape: token stats are per-row expressions; the bigram mode runs
+    distributed via the shingle_stream (doc, bigram) counts — max/sum per
+    doc reuses the stream's doc partitioning, no per-doc arrays, no driver
+    funnel. Raw IEEE divisions (unrounded) are bit-identical across
+    engines. Docs with < 2 tokens get top_bigram_frac 0.0.
+
+    Output: (id, dup_token_frac, top_bigram_frac).
+    """
+    from windflow_spark.functions.dedup import shingle_stream
+
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_dist = F.size(F.array_distinct(toks))
+    tok_stats = df.select(
+        F.col(id_col),
+        (
+            F.lit(1.0)
+            - n_dist.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+        ).alias("dup_token_frac"),
+    )
+    grams = (
+        shingle_stream(df, id_col, text_col, 2)
+        .groupBy(id_col, "_s")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            (F.max("_c").cast("double") / F.sum("_c").cast("double")).alias(
+                "top_bigram_frac"
+            )
+        )
+    )
+    return tok_stats.join(grams, id_col, "left").select(
+        id_col,
+        "dup_token_frac",
+        F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias("top_bigram_frac"),
+    )
+
+
+# PII patterns shared by engine and oracle: plain character classes only —
+# identical semantics in Java regex (Spark) and RE2 (DuckDB).
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9() -]{7,}[0-9]", "<PHONE>"),
+    (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+)
+
+
+def redact_pii(text_col: Column | str) -> Column:
+    """Mask emails, phone-number-shaped digit runs, and IPv4 literals with
+    typed placeholders — the standard pre-training scrub pass. Pure
+    chained regexp_replace: JVM-side, codegen-fused, order fixed (email
+    before phone so the digits of a masked email never re-match)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for pat, rep in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, rep)
+    return c

@@ -1109,6 +1109,62 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_scores",
+    """
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    ts AS (
+      SELECT doc_id,
+             1.0 - len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1)
+               AS dup_token_frac
+      FROM d),
+    g AS (
+      SELECT doc_id, concat_ws(' ', toks[i], toks[i+1]) AS bg
+      FROM d, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+    c AS (SELECT doc_id, bg, count(*) AS c FROM g GROUP BY doc_id, bg),
+    tb AS (
+      SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_bigram_frac
+      FROM c GROUP BY doc_id)
+    SELECT ts.doc_id, dup_token_frac,
+           coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
+    FROM ts LEFT JOIN tb USING (doc_id)
+    """,
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate signals (duplicate-token and
+    top-bigram fractions) — the standard quality-filter pass between
+    dedup and training (functions/text.repetition_scores)."""
+    from windflow_spark.functions.text import repetition_scores
+
+    return repetition_scores(_t_wide(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_redact_pii",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+?[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g'),
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')
+             AS redacted
+    FROM documents
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: emails, phone-shaped digit runs, IPv4 literals →
+    typed placeholders (functions/text.redact_pii; patterns restricted to
+    plain character classes so Java regex and RE2 agree byte-for-byte)."""
+    from windflow_spark.functions.text import redact_pii
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return docs.select("doc_id", redact_pii("text").alias("redacted"))
+
+
+@register(
     "sim_topk_bruteforce",
     """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -1368,6 +1424,74 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return lsh_topk(emb, queries_df, k=5, plane_mode="md5-pm1")
+
+
+def _sim_lsh_recall_sql() -> str:
+    from windflow_spark.functions.similarity import md5_sign_planes_sql_values
+
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    bf_s AS (
+      SELECT qs.query_id, e.vec_id,
+             round(list_cosine_similarity(qv, v), 6) AS cos_sim
+      FROM e JOIN qs ON e.vec_id <> qs.query_id),
+    bf AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rk
+        FROM bf_s) WHERE rk <= 5),
+    planes(i, pl) AS (VALUES {md5_sign_planes_sql_values(12, 64)}),
+    bkt AS (
+      SELECT vec_id,
+             SUM(CASE WHEN list_dot_product(v, pl) > 0
+                      THEN 1::BIGINT << i ELSE 0::BIGINT END) AS bucket
+      FROM e, planes GROUP BY vec_id),
+    cc AS (SELECT e.vec_id, v AS cv, bucket FROM e JOIN bkt USING (vec_id)),
+    qq AS (SELECT vec_id AS query_id, cv AS qv2, bucket FROM cc WHERE vec_id < 10),
+    ap_s AS (
+      SELECT qq.query_id, cc.vec_id,
+             round(list_cosine_similarity(qv2, cv), 6) AS cos_sim
+      FROM cc JOIN qq ON cc.bucket = qq.bucket AND cc.vec_id <> qq.query_id),
+    ap AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rk
+        FROM ap_s) WHERE rk <= 5),
+    h AS (SELECT bf.query_id, count(*) AS n_hits
+          FROM bf JOIN ap ON bf.query_id = ap.query_id AND bf.vec_id = ap.vec_id
+          GROUP BY bf.query_id),
+    n AS (SELECT query_id, count(*) AS n_exact FROM bf GROUP BY query_id)
+    SELECT n.query_id, coalesce(n_hits, 0)::BIGINT AS n_hits,
+           coalesce(n_hits, 0)::DOUBLE / n_exact AS recall
+    FROM n LEFT JOIN h USING (query_id)
+    """
+
+
+@register("sim_lsh_recall", _sim_lsh_recall_sql())
+def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation-quality metric: per-query recall of the hyperplane-LSH
+    top-5 against the exact brute-force top-5 — the measurement an ANN
+    deployment tunes bucket bits against (recall@k vs candidate cost).
+    Both sides are the deterministic md5-parity pipelines, so the oracle
+    reproduces the recall numbers exactly."""
+    bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    ap = sim_topk_lsh(spark, sf_dir).select("query_id", "vec_id")
+    hits = (
+        bf.join(ap, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return n.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_exact")
+        ).alias("recall"),
+    )
 
 
 # ---------------------------------------------------------------------------
