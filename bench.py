@@ -51,7 +51,11 @@ def main() -> None:
     # first HashAggregate codegen) otherwise lands on whichever query runs
     # first and inflates ITS time by >1s
     spark.range(0, 1000, 1, 8).groupBy((F.col("id") % 7).alias("g")).agg(
-        F.sum("id").alias("s")
+        F.sum("id").alias("s"),
+        # decimal aggregation path too: its first whole-stage codegen
+        # compile otherwise lands on q1 (decimal-summed pricing columns)
+        F.sum(F.col("id").cast("decimal(18,6)")).alias("d"),
+        F.avg("id").alias("a"),
     ).write.mode("overwrite").format("noop").save()
 
     t_all = time.time()

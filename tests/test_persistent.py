@@ -130,6 +130,41 @@ def test_p_reduce_running_max_rocksdb(spark, pstream):
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+def test_p_reduce_vector_fold_matches_per_row(spark, pstream):
+    """The vectorized fast path (VERDICT r2 'wrong' #4) must produce
+    byte-identical output to the per-row Python fold — running (max, count)
+    via numpy accumulate with explicit state carry-in/out."""
+    import numpy as np
+    import pandas as pd
+
+    batch, mk_stream = pstream
+
+    def fold(row, st):
+        st[0] = max(st[0], row["value"])
+        st[1] += 1
+
+    def vfold(st, pdf):
+        mx0, cnt0 = st
+        mx = np.maximum.accumulate(np.maximum(pdf["value"].to_numpy(), mx0))
+        cnt = cnt0 + np.arange(1, len(pdf) + 1)
+        new_state = (int(mx[-1]), int(cnt[-1])) if len(pdf) else (mx0, cnt0)
+        return pd.DataFrame({"mx": mx, "cnt": cnt}), new_state
+
+    schema = "key long, ts timestamp, mx long, cnt long"
+    per_row = p_reduce(
+        mk_stream(), ["key"], "ts", fold, schema, "mx long, cnt long", (0, 0)
+    )
+    vectored = p_reduce(
+        mk_stream(), ["key"], "ts", None, schema, "mx long, cnt long", (0, 0),
+        vector_fold=vfold,
+    )
+    n1, _ = to_memory_sink(per_row, output_mode="append")
+    n2, _ = to_memory_sink(vectored, output_mode="append")
+    a = sorted((r.key, r.ts, r.mx, r.cnt) for r in spark.table(n1).collect())
+    b = sorted((r.key, r.ts, r.mx, r.cnt) for r in spark.table(n2).collect())
+    assert a == b and len(a) == 30
+
+
 def test_p_reduce_tws_matches_classic(spark, pstream):
     batch, mk_stream = pstream
     # transformWithStateInPandas speaks protobuf to its driver worker;
