@@ -68,18 +68,39 @@ def test_q1_single_shuffle_and_fused(spark, sf_dir):
     assert codegen_stage_count(df) >= 1
 
 
+# Queries whose BroadcastNestedLoopJoin is the documented contract:
+# - brute_force_topk broadcasts a SIZE-GUARDED query side (the
+#   exact-baseline contract; the guard refuses unbounded sides), and the
+#   recall metric reuses it;
+# - the scalar-subquery queries join a ONE-ROW broadcast aggregate
+#   (avg/total) — a 1×N nested loop is O(N), the right plan for a scalar.
+_BNLJ_ALLOWED = {
+    "sim_topk_bruteforce",
+    "sim_lsh_recall",
+    "scalar_subquery_above_avg",
+    "q11_important_parts",
+}
+
+
 def test_no_cartesian_anywhere(spark, sf_dir):
-    # global design rule: no query in the registry may plan a cartesian
-    # product (cross joins explode quadratically at scale)
-    offenders = []
+    # global design rules: every registry query must PLAN (a query erroring
+    # at analysis time must fail THIS test, not silently skip — round 3's
+    # NTZ regression hid exactly there), no query may plan a cartesian
+    # product, and nested-loop joins are forbidden except where documented.
+    cartesian, nested, broken = [], [], []
     for name, fn in QUERIES.items():
         try:
             plan = physical_plan(fn(spark, sf_dir))
-        except Exception:
+        except Exception as e:
+            broken.append((name, str(e).splitlines()[0][:120]))
             continue
         if "CartesianProduct" in plan:
-            offenders.append(name)
-    assert offenders == [], f"cartesian products in: {offenders}"
+            cartesian.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            nested.append(name)
+    assert broken == [], f"queries failing to plan: {broken}"
+    assert cartesian == [], f"cartesian products in: {cartesian}"
+    assert nested == [], f"undocumented nested-loop joins in: {nested}"
 
 
 def test_q2_dimension_chain_broadcasts(spark, sf_dir):
