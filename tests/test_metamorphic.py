@@ -30,6 +30,9 @@ SAMPLE = [
     "decontam_eval_train_overlap",  # hashed-gram join (r2)
     "sample_stratified_hash",       # content-addressed rank (r2)
     "q21_sole_returned_supplier",   # folded exists/not-exists (r2)
+    "dedup_minhash_lsh_capped",     # bucket-width cap window filter (r4)
+    "text_repetition_scores",       # distributed per-doc max/sum (r4)
+    "sim_lsh_recall",               # two-pipeline set intersection (r4)
 ]
 
 
