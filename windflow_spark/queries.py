@@ -840,6 +840,47 @@ def win_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_analytics_battery",
+    """
+    SELECT event_id, user_id,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           last_value(value) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS final_value,
+           sum(value) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling3_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_analytics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked/distribution/frame window analytics in one pass: ntile,
+    percent_rank, cume_dist, whole-partition last_value, and a 3-row
+    rolling frame sum — the analytic surface a reference user gets beyond
+    the aggregate windows, sharing ONE sort per partition spec (Catalyst
+    collapses same-spec window exprs into a single Window node)."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w3 = w.rowsBetween(-2, W.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.last("value").over(wfull).alias("final_value"),
+        F.sum("value").over(w3).alias("rolling3_sum"),
+    )
+
+
+@register(
     "json_props_sum",
     """
     SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
