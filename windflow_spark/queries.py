@@ -3060,6 +3060,77 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(q).select("doc_id", "lang", "split", "q_score")
 
 
+@register(
+    "pipeline_corpus_prep_v2",
+    r"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\+?[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g'),
+               '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')
+               AS rtext
+      FROM documents),
+    n AS (
+      SELECT *,
+             trim(regexp_replace(regexp_replace(lower(rtext), '[^a-z0-9\s]', '',
+                                                'g'), '\s+', ' ', 'g')) AS nrm,
+             list_filter(string_split(rtext, ' '), x -> x <> '') AS toks
+      FROM r),
+    d AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(nrm)) AS keep FROM n),
+    s AS (SELECT * FROM d WHERE doc_id = keep),
+    q AS (
+      SELECT doc_id, lang, rtext,
+             least(1.0, len(toks) / 100.0)
+               * (length(regexp_replace(rtext, '[^A-Za-z]', '', 'g'))
+                  / greatest(length(rtext), 1)) AS q_score,
+             1.0 - len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1)
+               AS dup_token_frac
+      FROM s)
+    SELECT doc_id, lang,
+           CASE WHEN ('0x' || substr(md5(rtext), 1, 8))::UBIGINT % 100 < 90
+                THEN 'train' ELSE 'eval' END AS split,
+           q_score, dup_token_frac
+    FROM q WHERE q_score >= 0.35 AND dup_token_frac <= 0.6
+    """,
+)
+def pipeline_corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus prep v2 — the r4 pipeline with the scrub and repetition
+    stages composed in: PII-redact → normalize(redacted) → exact-dedup on
+    normalized text → quality score AND duplicate-token repetition filter
+    → content-hash split on the redacted text. Still ONE Catalyst plan
+    with a single window shuffle; every stage is an oracle-proven
+    component (text_redact_pii, text_normalize, dedup_exact_documents,
+    text_quality_scores, text_repetition_scores, split_train_eval)."""
+    from windflow_spark.functions.text import (
+        hash_split,
+        normalize_text,
+        quality_score,
+        redact_pii,
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    r = docs.select("doc_id", "lang", redact_pii("text").alias("_rtext"))
+    n = r.withColumn("_nrm", normalize_text(F.col("_rtext")))
+    surv = n.withColumn(
+        "_keep", F.min("doc_id").over(W.partitionBy(F.md5("_nrm")))
+    ).filter(F.col("doc_id") == F.col("_keep"))
+    toks = tokens(F.col("_rtext"))
+    q = quality_score(surv, "_rtext").withColumn(
+        "dup_token_frac",
+        F.lit(1.0)
+        - F.size(F.array_distinct(toks)).cast("double")
+        / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+    )
+    kept = q.filter((F.col("q_score") >= 0.35) & (F.col("dup_token_frac") <= 0.6))
+    return hash_split(kept, content_col="_rtext").select(
+        "doc_id", "lang", "split", "q_score", "dup_token_frac"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
