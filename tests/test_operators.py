@@ -92,6 +92,38 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert jac[(1, 2)] > 0.5
 
 
+def test_shingle_stream_equals_array_form(spark):
+    """The lead-window shingle stream (r4 rewrite) must produce EXACTLY the
+    same per-doc shingle sets as the original array-HOF form on adversarial
+    inputs: empty docs, 1/2-token docs (below k), heavy duplication,
+    repeated tokens, long docs."""
+    import random
+
+    from windflow_spark.functions.dedup import shingle_sets, shingles_of
+    from windflow_spark.functions.text import tokens
+
+    rng = random.Random(42)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    rows = [(1, ""), (2, "one"), (3, "one two"), (4, "x x x x x x")]
+    rows += [
+        (10 + i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    array_form = {
+        r.doc_id: sorted(r.sh)
+        for r in docs.select(
+            "doc_id", shingles_of(tokens("text"), 3).alias("sh")
+        ).collect()
+        if r.sh  # array form emits empty lists; stream form drops the doc
+    }
+    stream_form = {
+        r.doc_id: sorted(r._sh) for r in shingle_sets(docs).collect()
+    }
+    assert stream_form == array_form
+
+
 def test_minhash_lsh_bucket_width_cap(spark):
     """max_bucket_width drops hot-bucket pairs (quadratic work, no signal)
     while distinct near-dup pairs in narrow buckets survive (SCALE.md open

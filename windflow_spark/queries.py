@@ -2261,6 +2261,61 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivf_recall",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    qs AS (SELECT vec_id AS query_id, label, v AS qv FROM e WHERE vec_id < 10),
+    bf_s AS (
+      SELECT qs.query_id, e.vec_id,
+             round(list_cosine_similarity(qv, e.v), 6) AS cos_sim
+      FROM e JOIN qs ON e.vec_id <> qs.query_id),
+    bf AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rk
+        FROM bf_s) WHERE rk <= 5),
+    iv_s AS (
+      SELECT qs.query_id, e.vec_id,
+             round(list_cosine_similarity(qv, e.v), 6) AS cos_sim
+      FROM e JOIN qs ON e.label = qs.label AND e.vec_id <> qs.query_id),
+    iv AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rk
+        FROM iv_s) WHERE rk <= 5),
+    h AS (SELECT bf.query_id, count(*) AS n_hits
+          FROM bf JOIN iv ON bf.query_id = iv.query_id AND bf.vec_id = iv.vec_id
+          GROUP BY bf.query_id),
+    n AS (SELECT query_id, count(*) AS n_exact FROM bf GROUP BY query_id)
+    SELECT n.query_id, coalesce(n_hits, 0)::BIGINT AS n_hits,
+           coalesce(n_hits, 0)::DOUBLE / n_exact AS recall
+    FROM n LEFT JOIN h USING (query_id)
+    """,
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the IVF path against the exact brute-force top-5 — the
+    sibling of sim_lsh_recall for the inverted-list variant (quantifies
+    what single-probe IVF loses at the list boundary)."""
+    bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    iv = sim_topk_ivf(spark, sf_dir).select("query_id", "vec_id")
+    hits = (
+        bf.join(iv, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return n.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_exact")
+        ).alias("recall"),
+    )
+
+
+@register(
     "dedup_embedding_cosine",
     """
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
