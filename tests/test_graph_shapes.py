@@ -201,3 +201,26 @@ def test_shape_multicast_split(spark):
     rows = _run_shape(spark, build)
     # each value v: (v<30) + (v>=10) + 1 copies — 40 rows → 30+30+40 = 100
     assert sum(r[1] for r in rows) == 100
+
+
+def test_facade_session_asof_kslack(spark):
+    """The r4 facade additions must route to the proven operators: session
+    windows, backward as-of join, and the K-slack reorder replay."""
+    df = _events(spark, 24)
+    g = PipeGraph(spark, "shape_r4")
+    src = g.add_source(df)
+
+    sess = src.session_windows(
+        ["key"], "ts", ["ts", "value"], 2 * SEC,
+        [F.count(F.lit(1)).alias("cnt")],
+    ).add_sink()
+    assert sess.count() > 0 and "sid" in sess.columns
+
+    quotes = g.add_source(
+        df.select("key", F.col("ts").alias("qts"), F.col("value").alias("qv"))
+    )
+    asof = src.asof_join(quotes, ["key"], "ts", "qts", ["qv"]).add_sink()
+    assert asof.count() == 24 and "b_qv" in asof.columns
+
+    ks = src.kslack(["key"], "ts", "value").add_sink()
+    assert "emit_seq" in ks.columns and ks.count() <= 24  # horizon may drop

@@ -114,6 +114,53 @@ class MultiPipe:
                broadcast_side=broadcast_side),
         )
 
+    def session_windows(self, key_cols: Sequence[str], ts_col: str,
+                        order_cols: Sequence[str], gap_us: int,
+                        aggs: Sequence[Column]) -> "MultiPipe":
+        """Gap-merged session windows (driver-schema extension; streaming
+        sibling streaming_session_window)."""
+        from windflow_spark.operators.windows import session_window_agg
+
+        return MultiPipe(
+            self.graph,
+            session_window_agg(self.df, key_cols=key_cols, ts_col=ts_col,
+                               order_cols=order_cols, gap_us=gap_us, aggs=aggs),
+        )
+
+    def asof_join(self, other: "MultiPipe", key_cols: Sequence[str],
+                  a_ts: str, b_ts: str, b_payload: Sequence[str],
+                  how: str = "left", prefix: str = "b_") -> "MultiPipe":
+        """Backward as-of join: latest ``other`` row at or before each left
+        row's timestamp (operators/asof_join.py union+forward-fill — no
+        per-row lookup join)."""
+        from windflow_spark.operators.asof_join import asof_join_backward
+
+        return MultiPipe(
+            self.graph,
+            asof_join_backward(self.df, other.df, key_cols, a_ts, b_ts,
+                               b_payload, how=how, prefix=prefix),
+        )
+
+    def kslack(self, key_cols: Sequence[str], ts_col: str,
+               arrival_col: str) -> "MultiPipe":
+        """KSlack_Collector (PROBABILISTIC) analog: replay each key's
+        arrival sequence through the K-slack reorder buffer
+        (operators/kslack.py — reference-exact warm-up and horizon drops).
+        The reorder core works on the reference's integer-µs time model; a
+        timestamp-typed column is converted transparently."""
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        from windflow_spark.operators.kslack import kslack_reorder
+        from windflow_spark.operators.timeutil import event_micros
+
+        df = self.df
+        if isinstance(df.schema[ts_col].dataType, (TimestampType, TimestampNTZType)):
+            df = df.withColumn("_ks_us", event_micros(df, ts_col))
+            out = kslack_reorder(df, key_cols, "_ks_us", arrival_col).drop("_ks_us")
+        else:
+            out = kslack_reorder(df, key_cols, ts_col, arrival_col)
+        return MultiPipe(self.graph, out)
+
     # -- DAG combinators (reference wf/multipipe.hpp:1179-1260)
 
     def merge(self, *others: "MultiPipe") -> "MultiPipe":
