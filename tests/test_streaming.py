@@ -227,6 +227,57 @@ def test_streaming_state_carries_across_microbatches(spark, tmp_path_factory):
     assert {k: int(v) for k, v in per_key.items()} == expect_tot
 
 
+def test_streaming_kslack_equals_batch_replay(spark, tmp_path_factory):
+    """Streaming K-slack (PROBABILISTIC collector) ≡ the batch replay on
+    the same arrival sequence — including across micro-batch boundaries
+    (tcurr/K/horizon/buffer all live in state). A max-ts punctuation per
+    key drains both forms identically (batch flushes at EOS; streaming has
+    no EOS, so the drain is in-band), then sentinel rows are stripped."""
+    import random
+    import time as _time
+
+    from windflow_spark.operators.kslack import kslack_reorder
+    from windflow_spark.streaming import streaming_kslack
+
+    rng = random.Random(7)
+    SENT = 10_000_000_000
+    rows = []
+    for key in (0, 1):
+        arrivals = []
+        t = 0
+        for i in range(40):
+            t += rng.randint(1, 5) * 1_000_000
+            arrivals.append(t + rng.choice([0, -2_000_000, -4_500_000, 1_000_000]))
+        rows += [(key, max(ts, 0), i, i * 10 + key) for i, ts in enumerate(arrivals)]
+    punct = [(k, SENT, 1_000, -1) for k in (0, 1)]
+    schema = "key long, ts_us long, arrival long, value long"
+    full = spark.createDataFrame(rows + punct, schema)
+
+    expect = sorted(
+        (r.key, r.ts_us, r.arrival, r.value, r.emit_seq)
+        for r in kslack_reorder(full, ["key"], "ts_us", "arrival").collect()
+        if r.ts_us < SENT
+    )
+
+    path = str(tmp_path_factory.mktemp("kslack_src"))
+    halves = [
+        [r for r in rows if r[2] < 20],
+        [r for r in rows if r[2] >= 20] + punct,
+    ]
+    for part in halves:
+        spark.createDataFrame(part, schema).coalesce(1).write.mode("append").parquet(path)
+        _time.sleep(1.1)
+    stream = file_stream(spark, path, full.schema, max_files_per_trigger=1)
+    out = streaming_kslack(stream, ["key"], "ts_us", "arrival", ["value"])
+    name, q = to_memory_sink(out, output_mode="append")
+    got = sorted(
+        (r.key, r.ts_us, r.arrival, r.value, r.emit_seq)
+        for r in spark.table(name).collect()
+        if r.ts_us < SENT
+    )
+    assert got == expect and len(expect) > 50  # most tuples released
+
+
 def test_streaming_exact_dedup_equals_batch(spark, stream_fixture):
     from windflow_spark.streaming import streaming_exact_dedup
 

@@ -19,6 +19,7 @@ from windflow_spark.streaming.ops import (
     streaming_exact_dedup,
     streaming_static_enrich,
     ordered_foreach_batch,
+    streaming_kslack,
 )
 from windflow_spark.streaming.sinks import (
     to_memory_sink,
@@ -60,4 +61,5 @@ __all__ = [
     "StreamMonitor",
     "monitor_streams",
     "ordered_foreach_batch",
+    "streaming_kslack",
 ]

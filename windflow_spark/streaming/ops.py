@@ -466,3 +466,110 @@ def ordered_foreach_batch(
         fn(batch.orderBy(ts_col, *tiebreak_cols), batch_id)
 
     return df.writeStream.foreachBatch(_deliver)
+
+
+def streaming_kslack(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    arrival_col: str,
+    value_cols: Sequence[str] = (),
+    emit_col: str = "emit_seq",
+) -> DataFrame:
+    """KSlack_Collector, STREAMING form (PROBABILISTIC mode, reference
+    wf/kslack_collector.hpp:97-147 insert/extract + svc:183-207 drop
+    check): per key, buffer out-of-order tuples, learn the slack K from
+    observed lateness, release tuples at or behind ``tcurr − K`` in
+    timestamp order, and drop tuples behind the emitted horizon.
+
+    The batch sibling (operators/kslack.kslack_reorder) replays a finite
+    arrival sequence; this form runs the SAME algorithm incrementally via
+    applyInPandasWithState — tcurr, K, the emitted horizon, the
+    since-last-advance lateness vector, and the pending buffer all live in
+    per-key streaming state, so the reorder continues seamlessly across
+    micro-batches (equivalence with the batch replay on the same arrival
+    sequence is pinned in tests, including a multi-batch split).
+
+    Contract: ``ts_col`` and ``arrival_col`` are LONG columns (the
+    reference's integer-µs time model; arrival = per-key arrival sequence
+    — within a micro-batch rows are processed in ``arrival_col`` order).
+    ``value_cols`` ride through the buffer (primitive types). Output =
+    key_cols + ts + arrival + value_cols + ``emit_col`` (per-key emission
+    number, continuous across batches). Tuples still buffered when the
+    stream ends are NOT flushed (the reference flushes on EOS; with
+    availableNow replay, send an in-band max-ts punctuation to drain, the
+    cb_eos_punctuations technique).
+    """
+    import bisect
+
+    key_list = list(key_cols)
+    val_list = list(value_cols)
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join(
+        [f"{c} {types[c]}" for c in key_list + [ts_col, arrival_col] + val_list]
+        + [f"{emit_col} long"]
+    )
+    state_schema = ", ".join(
+        ["tcurr long, k long, last_ts long, emitted long",
+         "ts_vect array<long>, buf_ts array<long>, buf_arr array<long>"]
+        + [f"buf_{c} array<{types[c]}>" for c in val_list]
+    )
+
+    def reorder(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (tcurr, k, last_ts, emitted, ts_vect, b_ts, b_arr, *b_vals) = state.get
+            ts_vect = list(ts_vect)
+            buf = [
+                (b_ts[i], b_arr[i], [bv[i] for bv in b_vals])
+                for i in range(len(b_ts))
+            ]
+        else:
+            tcurr = k = last_ts = emitted = 0
+            ts_vect, buf = [], []
+        released: list[list] = []
+
+        def extract() -> None:
+            nonlocal last_ts
+            limit = tcurr - k
+            i = 0
+            while i < len(buf) and buf[i][0] <= limit:
+                ts, arr, vals = buf[i]
+                if ts >= last_ts:  # behind the horizon → drop (svc:195-200)
+                    released.append([ts, arr, vals])
+                    last_ts = ts
+                i += 1
+            del buf[:i]
+
+        keys = list(key) if isinstance(key, tuple) else [key]
+        for pdf in pdfs:
+            pdf = pdf.sort_values(arrival_col)
+            for row in pdf.to_dict("records"):
+                ts = int(row[ts_col])
+                ts_vect.append(ts)
+                entry = (ts, int(row[arrival_col]), [row[c] for c in val_list])
+                bisect.insort(buf, entry, key=lambda e: (e[0], e[1]))
+                if ts > tcurr:
+                    tcurr = ts
+                    k = max(k, max(tcurr - t for t in ts_vect))
+                    ts_vect.clear()
+                    extract()
+        out = pd.DataFrame(
+            [
+                keys + [ts, arr] + vals + [emitted + i]
+                for i, (ts, arr, vals) in enumerate(released)
+            ],
+            columns=key_list + [ts_col, arrival_col] + val_list + [emit_col],
+        )
+        emitted += len(released)
+        state.update((
+            tcurr, k, last_ts, emitted, ts_vect,
+            [e[0] for e in buf], [e[1] for e in buf],
+            *[[e[2][j] for e in buf] for j in range(len(val_list))],
+        ))
+        yield out if len(out) else pd.DataFrame(
+            {c: [] for c in key_list + [ts_col, arrival_col] + val_list + [emit_col]}
+        )
+
+    return df.groupBy(*key_list).applyInPandasWithState(
+        reorder, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
