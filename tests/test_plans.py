@@ -77,6 +77,7 @@ def test_q1_single_shuffle_and_fused(spark, sf_dir):
 _BNLJ_ALLOWED = {
     "sim_topk_bruteforce",
     "sim_lsh_recall",
+    "sim_ivf_recall",
     "scalar_subquery_above_avg",
     "q11_important_parts",
 }
