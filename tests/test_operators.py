@@ -310,6 +310,34 @@ def test_repetition_scores(spark):
     assert out[3] == (0.0, 0.0)
 
 
+def test_repetition_scores_match_python_model(spark):
+    """Randomized parity with a direct python model — both sides are exact
+    integer-ratio IEEE divisions, so equality is bitwise."""
+    import random
+    from collections import Counter
+
+    from windflow_spark.functions.text import repetition_scores
+
+    rng = random.Random(99)
+    vocab = ["the", "a", "of", "spark", "data", "x"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(80)
+    ]
+    got = {
+        r.doc_id: (r.dup_token_frac, r.top_bigram_frac)
+        for r in repetition_scores(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    for doc_id, text in rows:
+        toks = [t for t in text.split(" ") if t]
+        dup = 1.0 - len(set(toks)) / max(len(toks), 1)
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        top = max(Counter(bgs).values()) / len(bgs) if bgs else 0.0
+        assert got[doc_id] == (dup, top), doc_id
+
+
 def test_lang_id_and_quality(spark):
     from windflow_spark.functions.text import lang_id_heuristic, quality_score
 
