@@ -77,9 +77,29 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entry_mod
-    from windflow_spark import get_spark
 
-    spark = get_spark("check_correctness")
+    # DRIVER-FAITHFUL session: the driver's gate runs a BARE SparkSession —
+    # none of get_spark()'s tuned configs (UTC timezone, AQE knobs, shuffle
+    # width, arrow settings). Queries must be correct without them, so the
+    # local gate uses the same bare session (round 3's regression was
+    # exactly a session-environment drift the tuned session could mask).
+    # Set SPARK_GRAFT_CHECK_TUNED=1 to use the library session instead.
+    if os.environ.get("SPARK_GRAFT_CHECK_TUNED"):
+        from windflow_spark import get_spark
+
+        spark = get_spark("check_correctness")
+    else:
+        from pyspark.sql import SparkSession
+
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+        spark = (
+            SparkSession.builder.appName("check_correctness")
+            .master(f"local[{cpus}]")
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+    spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
