@@ -50,3 +50,35 @@ def test_columnar_scan_pushes_filters(spark, sample, tmp_path_factory):
 def test_infer_format_rejects_unknown():
     with pytest.raises(ValueError, match="cannot infer"):
         infer_format("/data/table.avro2")
+
+
+def test_read_text_lines(spark, tmp_path_factory):
+    from windflow_spark.io import read_text_lines
+
+    p = tmp_path_factory.mktemp("txt")
+    (p / "a.txt").write_text("line one\nline two\n")
+    (p / "b.txt").write_text("third\n")
+    lines = {r.value for r in read_text_lines(spark, str(p)).collect()}
+    assert lines == {"line one", "line two", "third"}
+    whole = {r.value for r in read_text_lines(spark, str(p), whole_file=True).collect()}
+    assert "line one\nline two\n" in whole and len(whole) == 2
+
+
+def test_read_binary_files_feeds_multimodal(spark, tmp_path_factory):
+    """binaryFile source → the multimodal decode plumbing: opaque bytes in,
+    typed metadata + (stubbed) decode out — the corpus on-ramp for
+    image/audio columns."""
+    from windflow_spark.functions.multimodal import decode_image_meta
+    from windflow_spark.io import read_binary_files
+
+    p = tmp_path_factory.mktemp("bin")
+    (p / "x.png").write_bytes(b"\x89PNG fake bytes")
+    (p / "y.png").write_bytes(b"\x89PNG other")
+    (p / "skip.txt").write_bytes(b"not a png")
+    files = read_binary_files(spark, str(p), glob="*.png")
+    rows = files.select("path", "length", "content").collect()
+    assert len(rows) == 2 and all(r.length > 0 for r in rows)
+    decoded = decode_image_meta(
+        files.selectExpr("xxhash64(path) AS media_id", "content AS payload")
+    )
+    assert decoded.count() == 2  # stubbed decode, real plumbing

@@ -81,3 +81,30 @@ def write_table_any(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.options(**options).save(path)
+
+
+def read_text_lines(spark, path: str, whole_file: bool = False) -> DataFrame:
+    """Raw text ingestion (built-in ``text`` source): one row per line —
+    or per FILE with ``whole_file`` (wholetext), the usual entry point for
+    a document corpus arriving as flat files. Returns (value string);
+    join with ``input_file_name()`` downstream for provenance."""
+    return spark.read.format("text").option("wholetext", whole_file).load(path)
+
+
+def read_binary_files(spark, path: str, glob: str | None = None) -> DataFrame:
+    """Opaque-binary ingestion (built-in ``binaryFile`` source) — the
+    multimodal on-ramp: images/audio/video land as (path, modificationTime,
+    length, content binary) rows that feed functions/multimodal.py's
+    decode/feature mapInPandas stages. ``glob`` filters by pattern, e.g.
+    ``*.png`` (pushed to the file index, not a post-filter).
+
+    Scale: files are listed distributed and content is read lazily per
+    task; pair with spark.sql.files.maxPartitionBytes to control how many
+    small files pack into one task. Binary content itself is never parsed
+    JVM-side — it crosses to Python as Arrow binary columns only where a
+    decode stage needs it.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
