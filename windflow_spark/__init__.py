@@ -22,6 +22,13 @@ expressions, AQE-assisted shuffles.
 from windflow_spark.session import get_spark, stop_spark
 from windflow_spark.tables import TABLE_NAMES, load_table, load_tables
 from windflow_spark.core.graph import PipeGraph, MultiPipe, ExecutionMode, TimePolicy
+from windflow_spark.io import (
+    infer_format,
+    read_table_any,
+    write_table_any,
+    read_text_lines,
+    read_binary_files,
+)
 
 __all__ = [
     "get_spark",
@@ -33,6 +40,11 @@ __all__ = [
     "MultiPipe",
     "ExecutionMode",
     "TimePolicy",
+    "infer_format",
+    "read_table_any",
+    "write_table_any",
+    "read_text_lines",
+    "read_binary_files",
 ]
 
 __version__ = "0.1.0"
