@@ -1520,13 +1520,15 @@ def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces the recall numbers exactly."""
     bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
     ap = sim_topk_lsh(spark, sf_dir).select("query_id", "vec_id")
+    # both sides are k x Q-bounded (top-k per bounded query set): broadcast
+    # the comparisons instead of sort-merge-shuffling two tiny frames
     hits = (
-        bf.join(ap, ["query_id", "vec_id"], "left_semi")
+        bf.join(F.broadcast(ap), ["query_id", "vec_id"], "left_semi")
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     n = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    return n.join(hits, "query_id", "left").select(
+    return n.join(F.broadcast(hits), "query_id", "left").select(
         "query_id",
         F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
         (
@@ -2300,13 +2302,14 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     what single-probe IVF loses at the list boundary)."""
     bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
     iv = sim_topk_ivf(spark, sf_dir).select("query_id", "vec_id")
+    # k x Q-bounded frames — broadcast like sim_lsh_recall
     hits = (
-        bf.join(iv, ["query_id", "vec_id"], "left_semi")
+        bf.join(F.broadcast(iv), ["query_id", "vec_id"], "left_semi")
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     n = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    return n.join(hits, "query_id", "left").select(
+    return n.join(F.broadcast(hits), "query_id", "left").select(
         "query_id",
         F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
         (
