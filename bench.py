@@ -82,9 +82,17 @@ def main() -> None:
     # Durable artifact in addition to the stdout line: the r1 BENCH capture
     # truncated mid-line, losing the total and early per-query times, so
     # round-over-round deltas were not computable (VERDICT r1 §wrong-2).
+    # default artifact name is per-sf: only the canonical sf0.1 run may
+    # overwrite the committed BENCH_LOCAL.json (a probe/sf0.01 run
+    # clobbering it cost a round-over-round comparison once)
+    default_name = (
+        "BENCH_LOCAL.json"
+        if sf_dir.rstrip("/").endswith("sf0.1")
+        else f"BENCH_LOCAL_sf{sf}.json"
+    )
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), default_name),
     )
     try:
         with open(out_path, "w") as f:
