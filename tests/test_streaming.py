@@ -239,17 +239,20 @@ def test_streaming_kslack_equals_batch_replay(spark, tmp_path_factory):
     from windflow_spark.operators.kslack import kslack_reorder
     from windflow_spark.streaming import streaming_kslack
 
-    rng = random.Random(7)
     SENT = 10_000_000_000
     rows = []
-    for key in (0, 1):
+    # three independently-seeded disorder patterns, one per key — each key
+    # is its own equivalence case (per-key state), so this is a 3-seed
+    # property check in a single streaming run
+    for key, seed in ((0, 7), (1, 23), (2, 1009)):
+        rng = random.Random(seed)
         arrivals = []
         t = 0
         for i in range(40):
             t += rng.randint(1, 5) * 1_000_000
             arrivals.append(t + rng.choice([0, -2_000_000, -4_500_000, 1_000_000]))
         rows += [(key, max(ts, 0), i, i * 10 + key) for i, ts in enumerate(arrivals)]
-    punct = [(k, SENT, 1_000, -1) for k in (0, 1)]
+    punct = [(k, SENT, 1_000, -1) for k in (0, 1, 2)]
     schema = "key long, ts_us long, arrival long, value long"
     full = spark.createDataFrame(rows + punct, schema)
 
