@@ -281,6 +281,62 @@ def test_streaming_kslack_equals_batch_replay(spark, tmp_path_factory):
     assert got == expect and len(expect) > 50  # most tuples released
 
 
+def test_streaming_kslack_multichunk_group(spark, tmp_path_factory):
+    """A group larger than arrow.maxRecordsPerBatch reaches the state
+    function as MULTIPLE pandas chunks with no cross-chunk order guarantee;
+    the replay must sort the CONCATENATED micro-batch by arrival, not each
+    chunk independently. Forced here by shrinking maxRecordsPerBatch to 8
+    and scrambling one key's 60-row batch so chunk-local order != global
+    arrival order."""
+    import random
+    import time as _time
+
+    from windflow_spark.operators.kslack import kslack_reorder
+    from windflow_spark.streaming import streaming_kslack
+
+    SENT = 10_000_000_000
+    rng = random.Random(42)
+    arrivals = []
+    t = 0
+    for i in range(60):
+        t += rng.randint(1, 5) * 1_000_000
+        arrivals.append(t + rng.choice([0, -2_000_000, -4_500_000, 1_000_000]))
+    rows = [(0, max(ts, 0), i, i * 10) for i, ts in enumerate(arrivals)]
+    # TWO increasing punctuations: one only raises the release limit to
+    # min(recent ts) (K grows with it); the second drains the full buffer,
+    # matching the batch form's EOS flush (see streaming_kslack docstring)
+    punct = [(0, SENT, 1_000, -1), (0, 2 * SENT, 1_001, -1)]
+    schema = "key long, ts_us long, arrival long, value long"
+    full = spark.createDataFrame(rows + punct, schema)
+    expect = sorted(
+        (r.key, r.ts_us, r.arrival, r.value, r.emit_seq)
+        for r in kslack_reorder(full, ["key"], "ts_us", "arrival").collect()
+        if r.ts_us < SENT
+    )
+
+    scrambled = list(rows)
+    rng.shuffle(scrambled)  # chunk-local arrival order != global order
+    path = str(tmp_path_factory.mktemp("kslack_chunk_src"))
+    spark.createDataFrame(scrambled, schema).coalesce(1).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    spark.createDataFrame(punct, schema).coalesce(1).write.mode("append").parquet(path)
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        stream = file_stream(spark, path, full.schema, max_files_per_trigger=1)
+        out = streaming_kslack(stream, ["key"], "ts_us", "arrival", ["value"])
+        name, _ = to_memory_sink(out, output_mode="append")
+        got = sorted(
+            (r.key, r.ts_us, r.arrival, r.value, r.emit_seq)
+            for r in spark.table(name).collect()
+            if r.ts_us < SENT
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert got == expect and len(expect) > 30
+
+
 def test_streaming_exact_dedup_equals_batch(spark, stream_fixture):
     from windflow_spark.streaming import streaming_exact_dedup
 

@@ -80,6 +80,12 @@ def brute_force_topk(
     bounded probe, not a full scan). Pass ``None`` to opt out for a side
     known to be bounded (e.g. a fresh batch of user queries).
 
+    Cost note: the probe is an EAGER job at call time, and the query-side
+    lineage is computed twice (once for the probe, once in the join). If
+    ``queries`` is an expensive derived frame, ``.persist()`` it first (or
+    pass ``max_query_rows=None`` when its bound is already known) —
+    internal registry callers pass literal bounded sides.
+
     Output: (query_id, vec_id, cos_sim rounded 6dp, rk) — ties broken by
     vec_id for determinism.
     """

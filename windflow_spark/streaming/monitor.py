@@ -62,7 +62,13 @@ class StreamMonitor:
                     if d.get("name"):
                         outer._names[qid] = d["name"]
                 if outer._sink is not None:
-                    outer._sink(d)
+                    try:
+                        outer._sink(d)
+                    except Exception:
+                        # A user sink that raises must not kill the listener
+                        # bus (it is shared by ALL queries' monitoring) —
+                        # same defensive posture as the parse guard above.
+                        pass
 
             def onQueryIdle(self, event):
                 pass

@@ -497,8 +497,12 @@ def streaming_kslack(
     key_cols + ts + arrival + value_cols + ``emit_col`` (per-key emission
     number, continuous across batches). Tuples still buffered when the
     stream ends are NOT flushed (the reference flushes on EOS; with
-    availableNow replay, send an in-band max-ts punctuation to drain, the
-    cb_eos_punctuations technique).
+    availableNow replay, drain with TWO successive increasing max-ts
+    punctuations per key, the cb_eos_punctuations technique — one is not
+    always enough: processing punct₁ also grows K by punct₁'s own huge
+    delay-to-min-recent-ts, so the release limit only reaches
+    min(recent ts); punct₂ > punct₁ then lifts the limit past every real
+    timestamp and releases the rest).
     """
     import bisect
 
@@ -541,9 +545,19 @@ def streaming_kslack(
             del buf[:i]
 
         keys = list(key) if isinstance(key, tuple) else [key]
-        for pdf in pdfs:
-            pdf = pdf.sort_values(arrival_col)
-            for row in pdf.to_dict("records"):
+        # applyInPandasWithState delivers a large group as MULTIPLE Arrow
+        # chunks (arrow.maxRecordsPerBatch, default 10k) with no cross-chunk
+        # order guarantee — concatenate first so the arrival_col sort (the
+        # documented replay order) spans the whole micro-batch, not each
+        # chunk independently.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        merged = (
+            pd.concat(chunks, ignore_index=True).sort_values(arrival_col)
+            if chunks
+            else None
+        )
+        if merged is not None:
+            for row in merged.to_dict("records"):
                 ts = int(row[ts_col])
                 ts_vect.append(ts)
                 entry = (ts, int(row[arrival_col]), [row[c] for c in val_list])

@@ -82,7 +82,11 @@ def _load_table_uncached(spark: SparkSession, name: str, sf_dir: str) -> DataFra
     # Read naive parquet timestamps as TIMESTAMP (epoch-µs instants), not
     # TIMESTAMP_NTZ — keeps filter pushdown on ts columns (no wrapping
     # expression) and matches the DuckDB oracle's naive-as-UTC reading.
-    # Runtime-settable; harmless if already false.
+    # SESSION-WIDE EFFECT, intentionally: the engine's whole time model is
+    # epoch-µs TIMESTAMP, so any parquet read in a session that used this
+    # loader should infer the same way (a per-read DataFrameReader option
+    # does not exist for this conf). _normalize_timestamps below is the
+    # belt-and-suspenders for reads that slip through with NTZ anyway.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         # Older generators emitted events.ts as parquet timestamp[ns], which
