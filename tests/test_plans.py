@@ -104,6 +104,20 @@ def test_no_cartesian_anywhere(spark, sf_dir):
     assert nested == [], f"undocumented nested-loop joins in: {nested}"
 
 
+def test_minhash_lsh_fused_exchange_budget(spark, sf_dir):
+    # r5 fusion (r4 VERDICT #1): one shingle pass feeding signatures AND
+    # verify sets, grouped-bucket pair expansion instead of a self-join,
+    # melt-join verify, dedup folded into the verify regroup. Budget: ≤4
+    # keyed exchanges for the flagship, ≤4 for the capped variant (r4: 8
+    # and 11 total / 4 and 7 keyed). A regression here reintroduces a
+    # corpus-sized re-shuffle at 100 TB.
+    from windflow_spark.plans.explain import keyed_shuffle_count
+    from windflow_spark.queries import dedup_minhash_lsh, dedup_minhash_lsh_capped
+
+    assert keyed_shuffle_count(dedup_minhash_lsh(spark, sf_dir)) <= 4
+    assert keyed_shuffle_count(dedup_minhash_lsh_capped(spark, sf_dir)) <= 4
+
+
 def test_q2_dimension_chain_broadcasts(spark, sf_dir):
     from windflow_spark.queries import q2_min_cost_supplier
 

@@ -1361,12 +1361,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates + exact-Jaccard verify, in the
     md5-portable hash mode so the DuckDB oracle reproduces signatures,
     band buckets, and therefore the exact candidate set (graduated from
-    rows-only in r1; xxhash64 stays the library's fast default)."""
-    from windflow_spark.functions.dedup import minhash_lsh_candidates, ngram_jaccard
+    rows-only in r1; xxhash64 stays the library's fast default). r5: the
+    fully-fused form — one shingle pass, grouped-bucket pair expansion,
+    melt-join verify (functions/dedup.minhash_lsh_jaccard)."""
+    from windflow_spark.functions.dedup import minhash_lsh_jaccard
 
     docs = _t(spark, sf_dir, "documents")
-    cands = minhash_lsh_candidates(docs, num_hashes=32, bands=8, hash_mode="md5")
-    return ngram_jaccard(cands, docs).filter(F.col("jaccard") >= 0.8)
+    return minhash_lsh_jaccard(docs, num_hashes=32, bands=8, hash_mode="md5").filter(
+        F.col("jaccard") >= 0.8
+    )
 
 
 @register("dedup_minhash_lsh_capped", _minhash_lsh_sql(max_bucket_width=3))
@@ -1377,13 +1380,12 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     their exact Jaccard — the oracle reproduces the cap via QUALIFY over
     (band, bucket) — so the driver value-checks the cap semantics, not just
     the flagship's >= 0.8 survivors."""
-    from windflow_spark.functions.dedup import minhash_lsh_candidates, ngram_jaccard
+    from windflow_spark.functions.dedup import minhash_lsh_jaccard
 
     docs = _t(spark, sf_dir, "documents")
-    cands = minhash_lsh_candidates(
+    return minhash_lsh_jaccard(
         docs, num_hashes=32, bands=8, hash_mode="md5", max_bucket_width=3
     )
-    return ngram_jaccard(cands, docs)
 
 
 # md5-portable SimHash oracle: per-token 60-bit hash = first 15 hex chars of
