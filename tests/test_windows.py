@@ -90,6 +90,72 @@ def test_paned_equals_naive_sliding(spark):
     assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, paned.collect()))
 
 
+def test_auto_sliding_routes_dense_to_panes(spark):
+    # cost gate (r5): dense config (len/slide >= 8) plans the two-exchange
+    # pane form; sparse config keeps the one-exchange direct form; a
+    # non-decomposable spec falls back to direct even when dense
+    from windflow_spark.operators.windows import sliding_window_tb_auto
+    from windflow_spark.plans.explain import keyed_shuffle_count
+
+    df = _mk(spark, [(1, 1, 0)])
+    spec = [("count", "*", "c"), ("sum", "value", "s")]
+    dense = sliding_window_tb_auto(df, ["key"], "ts", 16 * SEC, 2 * SEC, spec)
+    sparse = sliding_window_tb_auto(df, ["key"], "ts", 4 * SEC, 2 * SEC, spec)
+    assert keyed_shuffle_count(dense) == 2  # pane agg + window agg
+    assert keyed_shuffle_count(sparse) == 1  # direct explode + agg
+    import pytest as _pytest
+
+    from windflow_spark.operators.windows import decompose_pane_aggs
+
+    with _pytest.raises(ValueError):
+        decompose_pane_aggs([("median", "value", "m")])
+    fallback = sliding_window_tb_auto(
+        df, ["key"], "ts", 16 * SEC, 2 * SEC, spec,
+        aggs=[F.count(F.lit(1)).alias("c"), F.sum("value").alias("s")],
+        dense_threshold=100,
+    )
+    assert keyed_shuffle_count(fallback) == 1  # gate not met → direct
+
+
+def test_auto_dense_equals_direct_property(spark):
+    # pane≡direct equality across seeded random configs — the property the
+    # auto-rewrite must preserve (all five decomposable ops at once)
+    import random
+
+    from windflow_spark.operators.windows import sliding_window_tb, sliding_window_tb_auto, spec_aggs
+
+    spec = [
+        ("count", "*", "cnt"),
+        ("sum", "value", "sv"),
+        ("min", "value", "mn"),
+        ("max", "value", "mx"),
+        ("avg", "value", "av"),
+    ]
+    for seed in (3, 17, 101):
+        rng = random.Random(seed)
+        rows = [
+            (rng.randint(0, 3), rng.randint(-50, 50), rng.randint(0, 40) * SEC)
+            for _ in range(120)
+        ]
+        df = _mk(spark, rows)
+        length, slide = rng.choice([(12, 1), (10, 1), (16, 2)])
+        direct = sliding_window_tb(
+            df, ["key"], "ts", length * SEC, slide * SEC, spec_aggs(spec)
+        )
+        auto = sliding_window_tb_auto(
+            df, ["key"], "ts", length * SEC, slide * SEC, spec
+        )
+        a = sorted(
+            (r.key, r.w_start, r.cnt, r.sv, r.mn, r.mx, round(r.av, 9))
+            for r in direct.collect()
+        )
+        b = sorted(
+            (r.key, r.w_start, r.cnt, r.sv, r.mn, r.mx, round(r.av, 9))
+            for r in auto.collect()
+        )
+        assert a == b
+
+
 def test_window_spine_includes_empty(spark):
     # key 1 has events in windows 0 and 3 (2s windows) → spine must contain
     # the empty windows 1 and 2 (reference fires empty TB windows,

@@ -83,11 +83,27 @@ class MultiPipe:
 
     def keyed_windows_tb(self, key_cols: Sequence[str], ts_col: str,
                          length_us: int, slide_us: int | None,
-                         aggs: Sequence[Column]) -> "MultiPipe":
-        from windflow_spark.operators.windows import sliding_window_tb, tumbling_window_tb
+                         aggs: Sequence) -> "MultiPipe":
+        """Keyed TB windows (reference wf/keyed_windows.hpp:65). ``aggs``
+        may be Column expressions (direct form always) or a declarative
+        [(op, col, alias), ...] spec — the spec form enables the pane
+        auto-rewrite for dense sliding configs (len/slide >= 8 routes
+        through paned_window_tb, reference wf/paned_windows.hpp:140-141)."""
+        from windflow_spark.operators.windows import (
+            sliding_window_tb,
+            sliding_window_tb_auto,
+            spec_aggs,
+            tumbling_window_tb,
+        )
 
+        is_spec = bool(aggs) and isinstance(aggs[0], tuple)
         if slide_us is None or slide_us == length_us:
-            out = tumbling_window_tb(self.df, key_cols, ts_col, length_us, aggs)
+            cols = spec_aggs(aggs) if is_spec else aggs
+            out = tumbling_window_tb(self.df, key_cols, ts_col, length_us, cols)
+        elif is_spec:
+            out = sliding_window_tb_auto(
+                self.df, key_cols, ts_col, length_us, slide_us, aggs
+            )
         else:
             out = sliding_window_tb(self.df, key_cols, ts_col, length_us, slide_us, aggs)
         return MultiPipe(self.graph, out)

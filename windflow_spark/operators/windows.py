@@ -237,6 +237,119 @@ def paned_window_tb(
     )
 
 
+# Aggregates with a known pane decomposition (partial op per pane, final
+# combine over panes) — the lift/combine algebra of Ffat_Windows applied to
+# the pane rewrite (reference wf/paned_windows.hpp:140-141: PLQ runs the
+# lift-fold per pane, WLQ the combine per window).
+_PANE_DECOMPOSABLE = ("sum", "count", "min", "max", "avg")
+
+
+def spec_aggs(spec: Sequence[tuple]) -> list[Column]:
+    """Compile a declarative agg spec [(op, col, alias), ...] to direct
+    aggregate Columns. op in {sum, count, min, max, avg}; col "*" (count)."""
+    out = []
+    for op, col, alias in spec:
+        if op == "count":
+            out.append(F.count(F.lit(1) if col in ("*", None) else col).alias(alias))
+        elif op in ("sum", "min", "max", "avg"):
+            out.append(getattr(F, op)(col).alias(alias))
+        else:
+            raise ValueError(f"unknown agg op {op!r}")
+    return out
+
+
+def decompose_pane_aggs(spec: Sequence[tuple]) -> tuple[list[Column], list[Column]]:
+    """Split a declarative agg spec into (pane_aggs, final_aggs) for
+    paned_window_tb: sum→(sum, sum), count→(count, sum), min/max→(op, op),
+    avg→(sum+count panes, sum/sum final). Raises ValueError for ops with no
+    pane decomposition (median, collect_*, ...) — callers fall back to the
+    direct explode form."""
+    pane: list[Column] = []
+    final: list[Column] = []
+    pane_names: set[str] = set()
+
+    def _pane(col: Column, name: str) -> str:
+        if name not in pane_names:
+            pane_names.add(name)
+            pane.append(col.alias(name))
+        return name
+
+    for op, col, alias in spec:
+        if op == "sum":
+            p = _pane(F.sum(col), f"_ps_{col}")
+            final.append(F.sum(p).alias(alias))
+        elif op == "count":
+            p = _pane(
+                F.count(F.lit(1) if col in ("*", None) else col),
+                f"_pc_{'all' if col in ('*', None) else col}",
+            )
+            final.append(F.sum(p).cast("long").alias(alias))
+        elif op in ("min", "max"):
+            p = _pane(getattr(F, op)(col), f"_p{op}_{col}")
+            final.append(getattr(F, op)(p).alias(alias))
+        elif op == "avg":
+            ps = _pane(F.sum(col), f"_ps_{col}")
+            pc = _pane(F.count(col), f"_pcnn_{col}")
+            final.append((F.sum(ps) / F.sum(pc)).alias(alias))
+        else:
+            raise ValueError(f"agg op {op!r} has no pane decomposition")
+    return pane, final
+
+
+def sliding_window_tb_auto(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    length_us: int,
+    slide_us: int,
+    spec: Sequence[tuple],
+    aggs: Sequence[Column] | None = None,
+    window_col: str = "w_start",
+    dense_threshold: int = 8,
+) -> DataFrame:
+    """Cost-gated sliding-window form selection (r4 VERDICT #2; the
+    reference builds Paned_Windows explicitly, wf/paned_windows.hpp:67 —
+    here the engine picks the pane rewrite automatically).
+
+    The direct form explodes each row into ``ceil(len/slide)`` covering
+    windows; at a dense config (1h/1m = 60×) that is 60× pre-shuffle row
+    replication — partial aggregation collapses it map-side, but the
+    assignment work itself scales with the replication. The paned form
+    aggregates gcd(len, slide)-sized panes first (each row touched ONCE)
+    and replicates only the pane aggregates, at the cost of a second keyed
+    exchange. Gate: replication >= ``dense_threshold`` AND every agg is
+    pane-decomposable → paned; otherwise direct. ``spec`` is the
+    declarative [(op, col, alias), ...] form with STRING column names;
+    ``aggs`` optionally supplies pre-built direct Columns (must match
+    spec) to keep exotic expressions (e.g. rounding wrappers) in the
+    sparse path.
+
+    The pane win additionally assumes per-pane DENSITY: with fewer than
+    ~1 row per (key, pane) the pane step compresses nothing and its extra
+    exchange is pure overhead (measured +12 % on a 30-day-sparse toy
+    table; −25 % and growing with scale once panes hold several rows —
+    density rises linearly with data size while explode replication stays
+    len/slide). Raise ``dense_threshold`` or pass prebuilt ``aggs`` with a
+    huge threshold to force the direct form on known-sparse data.
+    """
+    replication = -(-length_us // slide_us) if slide_us < length_us else 1
+    if replication >= dense_threshold:
+        try:
+            pane_aggs, final_aggs = decompose_pane_aggs(spec)
+        except ValueError:
+            pane_aggs = None
+        if pane_aggs is not None:
+            return paned_window_tb(
+                df, key_cols, ts_col, length_us, slide_us,
+                pane_aggs, final_aggs, window_col=window_col,
+            )
+    return sliding_window_tb(
+        df, key_cols, ts_col, length_us, slide_us,
+        list(aggs) if aggs is not None else spec_aggs(spec),
+        window_col=window_col,
+    )
+
+
 def non_incremental_window_tb(
     df: DataFrame,
     key_cols: Sequence[str],

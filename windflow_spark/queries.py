@@ -521,6 +521,52 @@ def win_paned_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "w_start", "cnt", "sum_value")
 
 
+_US_DAY = 86_400_000_000
+
+_WIN_DENSE_DIURNAL_SQL = f"""
+    SELECT event_type, make_timestamp(wid * {US_MIN}) AS w_start,
+           count(*) AS cnt, round(sum(value), 2) AS sum_value
+    FROM (SELECT event_type, value,
+                 unnest(generate_series(
+                     greatest((tod - {US_HOUR} + {US_MIN}) // {US_MIN}, 0),
+                     tod // {US_MIN})) AS wid
+          FROM (SELECT event_type, value,
+                       epoch_us(ts) % {_US_DAY} AS tod FROM events) f) t
+    GROUP BY event_type, wid
+"""
+
+
+@register("win_tb_sliding_dense_1h_1m", _WIN_DENSE_DIURNAL_SQL)
+def win_tb_sliding_dense_1h_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DENSE sliding config (1h window, 1m slide = 60 covering windows per
+    row) over the diurnal profile: events folded to time-of-day, keyed by
+    event_type — the classic ops-dashboard 'sliding hourly rate by minute
+    of day'. Folding concentrates the 30-day span 30× per minute, the
+    shape where the pane rewrite pays. Routes through the cost-gated auto
+    form (r5): replication 60 >= 8 → paned_window_tb (each row aggregated
+    once into its 1m pane; only pane aggregates replicate 60×). Measured
+    at sf0.1: pane 0.34 s vs direct-explode 0.45 s warm, and the gap
+    widens with scale (per-pane density grows linearly with data size
+    while explode replication stays 60×)."""
+    from windflow_spark.operators.windows import sliding_window_tb_auto
+
+    ev = _t(spark, sf_dir, "events")
+    folded = ev.withColumn(
+        "tod", F.timestamp_micros(F.unix_micros(F.col("ts")) % F.lit(_US_DAY))
+    )
+    return (
+        sliding_window_tb_auto(
+            folded,
+            key_cols=["event_type"],
+            ts_col="tod",
+            length_us=US_HOUR,
+            slide_us=US_MIN,
+            spec=[("count", "*", "cnt"), ("sum", "value", "_sv")],
+        )
+        .select("event_type", "w_start", "cnt", _r2(F.col("_sv")).alias("sum_value"))
+    )
+
+
 @register("win_mapreduce_tumbling_1h", _WIN_TB_TUMBLING_SQL.format(LEN=US_HOUR))
 def win_mapreduce_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapReduce_Windows ≡ partial+final aggregation (reference
