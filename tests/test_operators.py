@@ -50,6 +50,30 @@ def test_interval_join_kp_equals_dp(spark):
     assert k == d and len(k) > 0
 
 
+def test_interval_join_bucketed_equals_plain(spark):
+    # time-bucket blocking (join key = (key, bucket)) must be result-equal
+    # to the plain keyed form for any bucket width — including widths
+    # narrower than the match span (more A replicas) and much wider (1
+    # replica). Negative lower bound exercised too.
+    from windflow_spark.operators.interval_join import interval_join_bucketed
+
+    rows_a = [(k % 2, v, v * 700_000) for k, v in enumerate(range(40))]
+    rows_b = [(k % 2, v + 100, v * 300_000 + 123) for k, v in enumerate(range(40))]
+    a, b = _mk(spark, rows_a), _mk(spark, rows_b)
+    for lower, upper in [(0, 2 * SEC), (-SEC, SEC)]:
+        plain = interval_join(a, b, ["key"], "ts", "ts", lower, upper)
+        want = sorted(map(tuple, plain.select("a.value", "b.value").collect()))
+        assert len(want) > 0
+        for width in [None, SEC // 2, 10 * SEC]:
+            blocked = interval_join_bucketed(
+                a, b, ["key"], "ts", "ts", lower, upper, bucket_us=width
+            )
+            got = sorted(map(tuple, blocked.select("a.value", "b.value").collect()))
+            assert got == want, f"width={width} lower={lower}"
+            # helper bucket columns must not leak into the result schema
+            assert "__ij_bkt" not in blocked.columns
+
+
 def test_split_multicast_and_merge(spark):
     df = _mk(spark, [(1, 5, 0), (2, 15, SEC), (3, 25, 2 * SEC)])
     # overlapping predicates → multicast (vector<int> splitting form)

@@ -54,6 +54,18 @@ def test_interval_join_is_equi_join_not_cross(spark, sf_dir):
     plan = physical_plan(interval_join_kp(spark, sf_dir))
     assert "CartesianProduct" not in plan
 
+
+def test_interval_join_bucketed_composite_key(spark, sf_dir):
+    # the blocked form must plan an equi-join (SMJ or hash) on the
+    # composite (key, bucket) — never a nested loop; the bucket column must
+    # appear in the join keys so low-cardinality keys spread across tasks
+    from windflow_spark.queries import interval_join_bucketed_q
+
+    plan = physical_plan(interval_join_bucketed_q(spark, sf_dir))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "__ij_bkt" in plan
+
 def test_sliding_window_single_shuffle(spark, sf_dir):
     # explode + partial agg → exactly one exchange (by key+wid); replication
     # collapses map-side

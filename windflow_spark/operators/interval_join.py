@@ -62,6 +62,73 @@ def _and_all(conds):
     return out
 
 
+def interval_join_bucketed(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: Sequence[str],
+    a_ts: str,
+    b_ts: str,
+    lower_us: int,
+    upper_us: int,
+    bucket_us: int | None = None,
+) -> DataFrame:
+    """Interval join blocked by time bucket — the large-large scale path.
+
+    Same semantics as :func:`interval_join` (reference
+    wf/interval_join.hpp:279-295: match when ts(b) ∈ [ts(a)+lower,
+    ts(a)+upper], bounds inclusive), but the join key is (key, bucket)
+    instead of key alone. With a plain key equi-join, a low-cardinality key
+    puts ALL of that key's rows on one task — at 100 TB that single task is
+    the job. Here time is cut into buckets of width ``bucket_us`` (default
+    upper−lower): each B row lands in exactly one bucket
+    (floor(ts_b / W)), each A row is exploded to the buckets its match
+    interval [ts_a+lower, ts_a+upper] covers (≤ 2 replicas when
+    W ≥ upper−lower), and the equi-join runs on (key, bucket) with the
+    exact range as a residual predicate. Every matching pair shares exactly
+    one bucket (b's), so no duplicate pairs are produced and no post-join
+    dedup is needed. Shuffle parallelism now scales with key × time rather
+    than key cardinality.
+
+    Inner join only (outer semantics would need per-replica dedup of
+    unmatched A rows). Result exposes the same ``a``/``b`` aliases as
+    :func:`interval_join`; the helper bucket columns are dropped.
+    """
+    span = upper_us - lower_us
+    if span < 0:
+        raise ValueError(f"upper_us < lower_us ({upper_us} < {lower_us})")
+    width = int(bucket_us) if bucket_us else max(span, 1)
+    if width <= 0:
+        raise ValueError(f"bucket_us must be positive, got {bucket_us}")
+
+    from windflow_spark.operators.timeutil import event_micros
+
+    a_us = event_micros(a, a_ts)
+    b_us = event_micros(b, b_ts)
+    aa = (
+        a.withColumn(
+            "__ij_bkt",
+            F.explode(
+                F.sequence(
+                    F.floor((a_us + F.lit(lower_us)) / F.lit(width)),
+                    F.floor((a_us + F.lit(upper_us)) / F.lit(width)),
+                )
+            ),
+        )
+    ).alias("a")
+    bb = b.withColumn("__ij_bkt", F.floor(b_us / F.lit(width))).alias("b")
+
+    qa_us = event_micros(a, a_ts, qualifier="a")
+    qb_us = event_micros(b, b_ts, qualifier="b")
+    cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols]
+    cond += [
+        F.col("a.__ij_bkt") == F.col("b.__ij_bkt"),
+        qb_us >= qa_us + F.lit(lower_us),
+        qb_us <= qa_us + F.lit(upper_us),
+    ]
+    joined = aa.join(bb, _and_all(cond), how="inner")
+    return joined.drop(F.col("a.__ij_bkt")).drop(F.col("b.__ij_bkt"))
+
+
 def band_join(
     a: DataFrame,
     b: DataFrame,

@@ -728,6 +728,30 @@ def interval_join_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("interval_join_bucketed", _INTERVAL_JOIN_SQL)
+def interval_join_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket-blocked interval join — the large-large scale variant
+    (reference semantics wf/interval_join.hpp:279-295). Join key is
+    (user_id, time_bucket) so low-cardinality keys spread across tasks;
+    each A row is replicated to ≤2 covering buckets, each matching pair
+    shares exactly one bucket (no dup pairs)."""
+    from windflow_spark.operators.interval_join import interval_join_bucketed
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    j = interval_join_bucketed(
+        clicks, purchases, key_cols=["user_id"], a_ts="ts", b_ts="ts",
+        lower_us=0, upper_us=US_HOUR,
+    )
+    return j.select(
+        F.col("a.event_id").alias("click_id"),
+        F.col("b.event_id").alias("purchase_id"),
+        F.col("a.user_id").alias("user_id"),
+        F.col("b.value").alias("purchase_value"),
+    )
+
+
 @register(
     "merge_union_events",
     """
