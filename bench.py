@@ -4,12 +4,23 @@ and prints ONE JSON line with per-query wall times.
 
 Execution is forced with the noop writer (full pipeline runs, nothing
 collected to the driver) — the honest distributed-throughput measurement.
+
+Noise damping (r4 VERDICT #8): each query runs $SPARK_GRAFT_BENCH_REPEATS
+times (default 3) and reports the per-query MEDIAN; this box's wall times
+drift ±30% run-to-run (time-sliced microVM), so single-shot times made
+round-over-round comparisons mostly noise. "value" is the sum of medians
+(comparable to a single clean pass); "wall_sec" is the actual loop wall.
+
+Scale artifacts: an sf1 run (after `python tools/gen_scale.py 1`) writes
+BENCH_LOCAL_sf1.json by default — commit it so the next round can diff
+10×-scale behavior per query without re-running the probe.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -18,8 +29,27 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def build_payload(
+    times: dict[str, float], sf_dir: str, repeats: int, wall_sec: float
+) -> dict:
+    """Assemble the bench artifact. ``times`` holds per-query medians;
+    failed queries carry -1.0 and are excluded from the total."""
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(t for t in times.values() if t >= 0), 3)
+    return {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "repeats": repeats,
+        "wall_sec": round(wall_sec, 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     import __spark_entry__ as entry_mod
     from windflow_spark import get_spark
 
@@ -60,25 +90,21 @@ def main() -> None:
 
     t_all = time.time()
     for name, fn in qs.items():
-        t0 = time.time()
-        try:
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            times[name] = round(time.time() - t0, 3)
-        except Exception as e:  # a failing query must not hide the rest
-            times[name] = -1.0
-            print(f"bench error in {name}: {e}", file=sys.stderr)
-    total = round(time.time() - t_all, 3)
+        runs: list[float] = []
+        for _ in range(repeats):
+            t0 = time.time()
+            try:
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                runs.append(time.time() - t0)
+            except Exception as e:  # a failing query must not hide the rest
+                runs = []
+                print(f"bench error in {name}: {e}", file=sys.stderr)
+                break
+        times[name] = round(statistics.median(runs), 3) if runs else -1.0
+    wall = time.time() - t_all
 
+    payload = json.dumps(build_payload(times, sf_dir, repeats, wall))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    payload = json.dumps(
-        {
-            "metric": "total_query_wall_time",
-            "value": total,
-            "unit": "sec",
-            "queries": times,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        }
-    )
     # Durable artifact in addition to the stdout line: the r1 BENCH capture
     # truncated mid-line, losing the total and early per-query times, so
     # round-over-round deltas were not computable (VERDICT r1 §wrong-2).

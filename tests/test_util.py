@@ -32,3 +32,24 @@ def test_streaming_frame_untouched(spark, tmp_path_factory):
     sdf = spark.readStream.format("parquet").schema(schema).load(path)
     out = ensure_min_partitions(sdf, 8)
     assert out is sdf and out.isStreaming
+
+
+def test_bench_payload_schema():
+    # bench artifact guard (r4 VERDICT #8): per-query medians in "queries",
+    # failed queries (-1) excluded from the total, sf parsed from the dir,
+    # repeats + actual wall recorded. The driver parses exactly this shape.
+    from bench import build_payload
+
+    p = build_payload(
+        {"q_ok": 1.5, "q_fast": 0.5, "q_broken": -1.0},
+        "/root/testdata/sf0.01",
+        repeats=3,
+        wall_sec=6.789,
+    )
+    assert p["metric"] == "total_query_wall_time" and p["unit"] == "sec"
+    assert p["value"] == 2.0  # sum of medians, broken query excluded
+    assert p["sf"] == 0.01 and p["repeats"] == 3 and p["wall_sec"] == 6.789
+    assert p["queries"]["q_broken"] == -1.0
+    import json
+
+    json.dumps(p)  # must be JSON-serializable as one line
