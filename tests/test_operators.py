@@ -545,3 +545,48 @@ def test_connected_components_clusters(spark):
     )
     got = {r.id: r.component for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_segments_survivor_and_reassembly(spark):
+    # doc 1 owns both its segments; doc 2 repeats doc 1's first segment
+    # (dropped) but keeps its own tail; doc 3 is entirely doc 1's content
+    # and must drop out of the corpus
+    import datetime as _dt
+
+    from windflow_spark.functions.dedup import dedup_segments
+
+    a = "w1 w2 w3 w4"          # one 4-token segment
+    b = "x1 x2 x3 x4"
+    docs = spark.createDataFrame(
+        [(1, f"{a} {b}"), (2, f"{a} y1 y2 y3 y4"), (3, a)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.clean_text, r.n_kept)
+           for r in dedup_segments(docs, seg_tokens=4).collect()}
+    assert out == {1: (f"{a} {b}", 2), 2: ("y1 y2 y3 y4", 1)}  # doc 3 gone
+
+
+def test_rolling_zscore_gating_and_value(spark):
+    # 25 hourly buckets, counts alternating 1,2: bucket 24's trailing-24
+    # sample has mean 1.5, sd_samp sqrt(6/23) -> z = -0.5/sd = -0.98;
+    # buckets below min_periods=12 trailing obs must score NULL
+    import datetime as _dt
+
+    from windflow_spark.operators.timeseries import rolling_zscore
+
+    base = _dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(25):
+        for j in range(h % 2 + 1):  # 1 event on even hours, 2 on odd
+            rows.append((7, base + _dt.timedelta(hours=h, minutes=j), 1.0))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = rolling_zscore(df, ["user_id"], "ts", "value",
+                         bucket_us=3_600_000_000, lookback=24, min_periods=12)
+    got = {
+        int((r.bucket_start.replace(tzinfo=None) - base).total_seconds() // 3600):
+            r.zscore
+        for r in out.collect()
+    }
+    assert got[24] == -0.98
+    assert all(got[h] is None for h in range(12))  # too few trailing obs
+    assert got[13] is not None  # 13 trailing obs >= min_periods

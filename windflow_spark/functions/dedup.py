@@ -44,6 +44,59 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def dedup_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 8,
+) -> DataFrame:
+    """Segment-level exact dedup with document reassembly (the
+    RefinedWeb/C4-style sub-document pass whole-doc dedup misses: repeated
+    boilerplate spans shared across otherwise-distinct documents).
+
+    Cuts each document into consecutive ``seg_tokens``-token segments,
+    keeps one occurrence of each distinct segment corpus-wide (survivor =
+    lexicographic min (doc_id, seg_idx) — deterministic at any scale), and
+    rebuilds each document from its surviving segments in order. Documents
+    whose every segment is owned elsewhere drop out entirely.
+
+    Scale shape: segmentation is a pure column expression at scan speed;
+    one keyed exchange on the segment hash (row_number window) picks
+    survivors; one exchange on doc_id regroups. Segment text crosses the
+    shuffles alongside its hash because the rebuild needs the content —
+    inherent to the op, and segments are bounded (seg_tokens tokens).
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    d = df.select(F.col(id_col), toks.alias("_toks")).filter(F.size("_toks") >= 1)
+    segs = d.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.floor((F.size("_toks") - 1) / F.lit(seg_tokens))
+                ),
+                lambda i: F.array_join(
+                    F.slice("_toks", i * seg_tokens + 1, seg_tokens), " "
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    w = Window.partitionBy(F.md5("seg")).orderBy(id_col, "seg_idx")
+    keep = segs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return keep.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+
+
 def shingles_of(toks: Column, k: int = 3) -> Column:
     """k-word shingles (distinct) from an ALREADY-PROJECTED token-array
     column. The lambda body re-evaluates its captured subtree per element,

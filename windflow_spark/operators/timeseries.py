@@ -73,3 +73,55 @@ def gap_fill_interpolate(
         F.timestamp_micros(F.col("_p")).alias(out_ts),
         filled.alias(out_val),
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket_us: int = 3_600_000_000,
+    lookback: int = 24,
+    min_periods: int = 12,
+) -> DataFrame:
+    """Trailing-window z-score per key on a bucketed series — the standard
+    streaming-metrics anomaly signal (no reference analog; WindFlow would
+    express it as a keyed incremental window, wf/keyed_windows.hpp:65).
+
+    Buckets ``ts_col`` to ``bucket_us``, aggregates ``value_col`` per
+    (key, bucket), then scores each bucket against the mean/stddev of the
+    trailing ``lookback`` buckets (RANGE frame on the integer bucket index,
+    so calendar gaps shrink the sample rather than stretching the window).
+    Buckets with fewer than ``min_periods`` trailing observations or zero
+    variance get a NULL score.
+
+    Scale shape: one keyed exchange for the bucket agg; the window pass
+    reuses the same (key) partitioning with a bounded frame — state per key
+    is ``lookback`` rows regardless of history length.
+    """
+    from windflow_spark.operators.timeutil import event_micros
+
+    bkt_us = (F.floor(event_micros(df, ts_col) / F.lit(bucket_us)) * bucket_us).cast(
+        "long"
+    )
+    hourly = (
+        df.withColumn("_bkt_us", bkt_us)
+        .groupBy(*key_cols, "_bkt_us")
+        .agg(F.count(value_col).alias("cnt"))
+        .withColumn("_bidx", (F.col("_bkt_us") / F.lit(bucket_us)).cast("long"))
+    )
+    w = (
+        W.partitionBy(*key_cols)
+        .orderBy("_bidx")
+        .rangeBetween(-lookback, -1)
+    )
+    m = F.avg("cnt").over(w)
+    sd = F.stddev_samp("cnt").over(w)
+    n = F.count("cnt").over(w)
+    z = F.when((n >= min_periods) & (sd > 0), F.round((F.col("cnt") - m) / sd, 2))
+    return hourly.select(
+        *key_cols,
+        F.timestamp_micros(F.col("_bkt_us")).alias("bucket_start"),
+        "cnt",
+        z.alias("zscore"),
+    )

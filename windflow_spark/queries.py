@@ -823,6 +823,37 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_segments_exact",
+    """
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    segs AS (
+      SELECT doc_id, CAST(i // 8 AS BIGINT) AS seg_idx,
+             array_to_string(toks[i + 1 : i + 8], ' ') AS seg
+      FROM d, unnest(generate_series(0, len(toks) - 1, 8)) AS u(i)
+      WHERE len(toks) >= 1),
+    keep AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY md5(seg)
+                                ORDER BY doc_id, seg_idx) AS rn
+      FROM segs)
+    SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+           count(*) AS n_kept
+    FROM keep WHERE rn = 1 GROUP BY doc_id
+    """,
+)
+def dedup_segments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup: 8-token segments deduplicated corpus-wide
+    (survivor = min (doc_id, seg_idx)), documents rebuilt from surviving
+    segments — the boilerplate-span pass whole-doc dedup misses."""
+    from windflow_spark.functions.dedup import dedup_segments
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return dedup_segments(docs, text_col="text", id_col="doc_id", seg_tokens=8)
+
+
+@register(
     "text_stats",
     """
     SELECT doc_id, lang, length(text) AS n_chars_exact,
@@ -2675,6 +2706,40 @@ def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     return gap_fill_interpolate(ev, ["user_id"], "ts", "value", 7_200_000_000)
+
+
+@register(
+    "ts_zscore_anomaly",
+    f"""
+    WITH hourly AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // {US_HOUR} AS BIGINT) AS bidx,
+             count(value) AS cnt
+      FROM events GROUP BY 1, 2),
+    wz AS (
+      SELECT user_id, bidx, cnt,
+             avg(cnt) OVER w AS m,
+             stddev_samp(cnt) OVER w AS sd,
+             count(cnt) OVER w AS n
+      FROM hourly
+      WINDOW w AS (PARTITION BY user_id ORDER BY bidx
+                   RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT user_id, make_timestamp(bidx * {US_HOUR}) AS bucket_start, cnt,
+           CASE WHEN n >= 12 AND sd > 0
+                THEN round((cnt - m) / sd, 2) END AS zscore
+    FROM wz
+    """,
+)
+def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h z-score per user on hourly event counts — the
+    standard metrics anomaly signal; RANGE frame on the hour index so
+    calendar gaps shrink the sample instead of stretching the window."""
+    from windflow_spark.operators.timeseries import rolling_zscore
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_zscore(
+        ev, ["user_id"], "ts", "value", bucket_us=US_HOUR, lookback=24, min_periods=12
+    )
 
 
 @register(
