@@ -590,3 +590,20 @@ def test_rolling_zscore_gating_and_value(spark):
     assert got[24] == -0.98
     assert all(got[h] is None for h in range(12))  # too few trailing obs
     assert got[13] is not None  # 13 trailing obs >= min_periods
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    # the second probe can only ADD candidate lists, so multi-probe top-k
+    # recall vs brute force must be >= the single-probe path's recall
+    from windflow_spark.queries import (
+        sim_topk_bruteforce,
+        sim_topk_ivf,
+        sim_topk_ivf_multiprobe,
+    )
+
+    bf = {(r.query_id, r.vec_id) for r in
+          sim_topk_bruteforce(spark, sf_dir).collect()}
+    sp = {(r.query_id, r.vec_id) for r in sim_topk_ivf(spark, sf_dir).collect()}
+    mp = {(r.query_id, r.vec_id) for r in
+          sim_topk_ivf_multiprobe(spark, sf_dir).collect()}
+    assert len(bf & mp) >= len(bf & sp)

@@ -90,6 +90,10 @@ _BNLJ_ALLOWED = {
     "sim_topk_bruteforce",
     "sim_lsh_recall",
     "sim_ivf_recall",
+    # codebook (num_lists rows) broadcast to the bounded query side — the
+    # documented multi-probe ranking step; the probe itself is an equi-join
+    "sim_topk_ivf_multiprobe",
+    "sim_ivf_multiprobe_recall",
     "scalar_subquery_above_avg",
     "q11_important_parts",
 }

@@ -246,6 +246,93 @@ def ivf_topk(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    bucket_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-list centroid vectors (the coarse quantizer's codebook),
+    computed distributed: posexplode to (list, dim, value), mean per
+    (list, dim), regroup to an ordered array. Output is num_lists rows —
+    small by construction at any corpus size (that is what makes it
+    broadcastable to the probe step). Dims are rounded to 6dp so the
+    codebook is stable across aggregation orders (float addition is
+    non-associative; partial-agg order varies run to run)."""
+    c = corpus.select(
+        F.col(bucket_col).alias("_bkt"),
+        F.posexplode(as_double_array(vec_col)).alias("_dim", "_val"),
+    )
+    per_dim = c.groupBy("_bkt", "_dim").agg(F.round(F.avg("_val"), 6).alias("_avg"))
+    return per_dim.groupBy("_bkt").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_dim", "_avg"))), lambda x: x["_avg"]
+        ).alias("_cv")
+    )
+
+
+def ivf_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN with multi-probe: each query ranks the inverted lists by
+    centroid cosine and scans its ``nprobe`` nearest lists (FAISS-style
+    query path; ``ivf_topk`` is the nprobe=1 shortcut that trusts the
+    query's own pre-assigned list). Recall rises with nprobe at the cost of
+    probing nprobe× more list entries.
+
+    Scale shape: the codebook (num_lists rows) broadcasts to the bounded
+    query side — a documented bounded-side nested-loop, num_queries ×
+    num_lists pairs; the probe itself is the same shuffle-partitioned
+    bucket equi-join as ``ivf_topk``, now keyed on the probed list id, so
+    per-task work stays bounded by list sizes × nprobe."""
+    cent = ivf_centroids(corpus, bucket_col, vec_col).withColumn(
+        "_cn", _norm(F.col("_cv"))
+    )
+    q = queries.select(
+        F.col(query_id_col), as_double_array(vec_col).alias("_qv")
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    probe_rank = W.partitionBy(query_id_col).orderBy(
+        F.round(
+            cosine_prenorm(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")), 6
+        ).desc(),
+        F.col("_bkt"),
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("_prk", F.row_number().over(probe_rank))
+        .filter(F.col("_prk") <= nprobe)
+        .select(query_id_col, "_bkt", "_qv", "_qn")
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(bucket_col).alias("_bkt"),
+        as_double_array(vec_col).alias("_cv"),
+    ).withColumn("_cn", _norm(F.col("_cv")))
+    scored = (
+        c.join(probes, "_bkt")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_prenorm(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rk")
+    )
+
+
 def embedding_cosine_neardup(
     df: DataFrame,
     threshold: float,

@@ -2421,6 +2421,118 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_MULTIPROBE_SQL = """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    cd AS (
+      SELECT label, u.i AS dim, round(avg(v[u.i]), 6) AS av
+      FROM e, unnest(generate_series(1, len(v))) AS u(i)
+      GROUP BY label, u.i),
+    cent AS (SELECT label, list(av ORDER BY dim) AS cv FROM cd GROUP BY label),
+    pr AS (
+      SELECT query_id, label FROM (
+        SELECT qs.query_id, cent.label,
+               row_number() OVER (PARTITION BY qs.query_id
+                  ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC,
+                           cent.label) AS prk
+        FROM qs CROSS JOIN cent) WHERE prk <= 2),
+    s AS (
+      SELECT qs.query_id, e.vec_id,
+             round(list_cosine_similarity(qv, e.v), 6) AS cos_sim
+      FROM pr JOIN qs USING (query_id)
+           JOIN e ON e.label = pr.label AND e.vec_id <> qs.query_id),
+    r AS (SELECT query_id, vec_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, vec_id) AS rk
+          FROM s)
+    SELECT query_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 5
+"""
+
+
+@register("sim_topk_ivf_multiprobe", _IVF_MULTIPROBE_SQL)
+def sim_topk_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with multi-probe (nprobe=2): each query ranks the inverted
+    lists by centroid cosine and scans its two nearest lists — the FAISS
+    query path; recovers neighbors that single-probe loses at the list
+    boundary."""
+    from windflow_spark.functions.similarity import ivf_topk_multiprobe
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk_multiprobe(emb, queries_df, k=5, nprobe=2)
+
+
+@register(
+    "sim_ivf_multiprobe_recall",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    qs AS (SELECT vec_id AS query_id, label, v AS qv FROM e WHERE vec_id < 10),
+    bf_s AS (
+      SELECT qs.query_id, e.vec_id,
+             round(list_cosine_similarity(qv, e.v), 6) AS cos_sim
+      FROM e JOIN qs ON e.vec_id <> qs.query_id),
+    bf AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rk
+        FROM bf_s) WHERE rk <= 5),
+    cd AS (
+      SELECT label, u.i AS dim, round(avg(v[u.i]), 6) AS av
+      FROM e, unnest(generate_series(1, len(v))) AS u(i)
+      GROUP BY label, u.i),
+    cent AS (SELECT label, list(av ORDER BY dim) AS cv FROM cd GROUP BY label),
+    pr AS (
+      SELECT query_id, label FROM (
+        SELECT qs.query_id, cent.label,
+               row_number() OVER (PARTITION BY qs.query_id
+                  ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC,
+                           cent.label) AS prk
+        FROM qs CROSS JOIN cent) WHERE prk <= 2),
+    mp_s AS (
+      SELECT qs.query_id, e.vec_id,
+             round(list_cosine_similarity(qv, e.v), 6) AS cos_sim
+      FROM pr JOIN qs USING (query_id)
+           JOIN e ON e.label = pr.label AND e.vec_id <> qs.query_id),
+    mp AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rk
+        FROM mp_s) WHERE rk <= 5),
+    h AS (SELECT bf.query_id, count(*) AS n_hits
+          FROM bf JOIN mp ON bf.query_id = mp.query_id AND bf.vec_id = mp.vec_id
+          GROUP BY bf.query_id),
+    n AS (SELECT query_id, count(*) AS n_exact FROM bf GROUP BY query_id)
+    SELECT n.query_id, coalesce(n_hits, 0)::BIGINT AS n_hits,
+           coalesce(n_hits, 0)::DOUBLE / n_exact AS recall
+    FROM n LEFT JOIN h USING (query_id)
+    """,
+)
+def sim_ivf_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of multi-probe IVF (nprobe=2) against the exact brute-force
+    top-5 — quantifies what the second probe recovers vs sim_ivf_recall's
+    single-probe baseline."""
+    bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    mp = sim_topk_ivf_multiprobe(spark, sf_dir).select("query_id", "vec_id")
+    hits = (
+        bf.join(F.broadcast(mp), ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return n.join(F.broadcast(hits), "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_exact")
+        ).alias("recall"),
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     """
