@@ -463,10 +463,17 @@ def minhash_lsh_jaccard(
             ),
         )
     )
-    # pairs NOT deduped here — multi-band duplicates vanish in the verify
-    # regroup below, saving the dedicated distinct exchange
-    pairs = buckets.select(F.explode(pair_arr).alias("_p")).select(
-        F.col("_p.id_a"), F.col("_p.id_b")
+    # pairs ARE deduped before the verify join (r5.1, reversing the first
+    # fused form): a near-identical pair agrees on up to ALL `bands` bands,
+    # so on a dup-heavy corpus the undeduped stream multiplies the melt-join
+    # and the fat regroup (rows carrying whole shingle sets) by ~bands×.
+    # The distinct itself shuffles only narrow (id, id) rows — measured at
+    # the 10× scale probe: 44 s undeduped → the distinct pays for itself
+    # ~8× over. Cheap narrow exchange, fat exchanges collapse.
+    pairs = (
+        buckets.select(F.explode(pair_arr).alias("_p"))
+        .select(F.col("_p.id_a"), F.col("_p.id_b"))
+        .distinct()
     )
     melted = pairs.select(
         "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("_jid")
