@@ -75,6 +75,16 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return ensure_min_partitions(load_table(spark, name, sf_dir))
 
 
+def _in_year(ts_col: str, year: int) -> F.Column:
+    """year(col) == y as a half-open range predicate — pushes to the
+    parquet scan (row-group min/max skipping); `year()` wraps the column in
+    a function and defeats pushdown (sf1 probe: only IsNotNull reached the
+    q12 scan)."""
+    return (F.col(ts_col) >= F.lit(f"{year}-01-01")) & (
+        F.col(ts_col) < F.lit(f"{year + 1}-01-01")
+    )
+
+
 def _r2(col) -> F.Column:
     return F.round(col, 2)
 
@@ -2288,7 +2298,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 adapted (no partsupp): suppliers who shipped >100 units of
     red parts in 1997. Quantity sums are integral-double exact."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1997)
+    li = _t(spark, sf_dir, "lineitem").filter(_in_year("l_shipdate", 1997))
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
     s = _t(spark, sf_dir, "supplier")
     sq = (
@@ -3027,7 +3037,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 structure (conditional dual counts over a fact-dim join)
     adapted: grouped by l_returnflag instead of the absent l_shipmode."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1997)
+    li = _t(spark, sf_dir, "lineitem").filter(_in_year("l_shipdate", 1997))
     o = _t(spark, sf_dir, "orders")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
