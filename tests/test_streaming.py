@@ -687,3 +687,68 @@ def test_streaming_sliding_equals_batch_paned(spark, stream_fixture):
                              output_mode="complete")
     assert _rows(spark, name, ["key", "w_start", "cnt", "sv"]) == expect
     assert len(expect) > 0
+
+
+def test_streaming_rolling_zscore_equals_batch(spark, tmp_path_factory):
+    """The incremental z-score (trailing bucket counts in GroupState) must
+    match the batch RANGE-frame form bucket-for-bucket across micro-batch
+    boundaries, including the min-periods NULL gating and the EOS flush of
+    the final open bucket."""
+    import datetime as _dt
+    import time as _time
+
+    from windflow_spark.operators.timeseries import rolling_zscore
+    from windflow_spark.streaming import cb_eos_punctuations, streaming_rolling_zscore
+
+    US_H = 3_600_000_000
+    rows = []  # (key, ts_us): counts vary per (key, bucket)
+    for k in (1, 2):
+        for b in range(30):
+            for j in range((k * 7 + b * 13) % 5 + 1):
+                rows.append((k, b * US_H + j * 60_000_000 + k))
+    base = _dt.datetime(2024, 1, 1)
+    batch_ts = spark.createDataFrame(
+        [(k, base + _dt.timedelta(microseconds=us), 1.0) for k, us in rows],
+        "key long, ts timestamp, value double",
+    )
+    expect = {}
+    for r in rolling_zscore(
+        batch_ts, ["key"], "ts", "value", bucket_us=US_H, lookback=6, min_periods=3
+    ).collect():
+        us = int((r.bucket_start.replace(tzinfo=None) - base).total_seconds() * 1e6)
+        expect[(r.key, us)] = (r.cnt, r.zscore)
+
+    src_df = spark.createDataFrame(rows, "key long, ts long").withColumn(
+        "eos", F.lit(False)
+    )
+    path = str(tmp_path_factory.mktemp("zscore_src"))
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):  # ts-contiguous chunks
+        src_df.filter(
+            (F.col("ts") >= lo * US_H) & (F.col("ts") < hi * US_H)
+        ).coalesce(1).write.mode("append").parquet(path)
+        _time.sleep(1.1)
+    cb_eos_punctuations(
+        spark.createDataFrame(rows, "key long, ts long"), ["key"], "ts"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    stream = file_stream(spark, path, src_df.schema, max_files_per_trigger=1)
+    out = streaming_rolling_zscore(
+        stream, ["key"], "ts", bucket_us=US_H, lookback=6, min_periods=3, eos_col="eos"
+    )
+    name, q = to_memory_sink(out, output_mode="append")
+    assert q.lastProgress is not None
+    got = {
+        (r.key, r.bucket_start): (r.cnt, r.zscore)
+        for r in spark.table(name).collect()
+    }
+    assert set(got) == set(expect) and len(expect) == 60
+    for kk in expect:
+        assert got[kk][0] == expect[kk][0], kk
+        ez, gz = expect[kk][1], got[kk][1]
+        if ez is None:
+            assert gz is None, kk
+        else:
+            assert gz is not None and abs(gz - ez) <= 0.011, (kk, ez, gz)
+    # the gating is actually exercised: both null and non-null scores exist
+    zs = [z for _, z in expect.values()]
+    assert any(z is None for z in zs) and any(z is not None for z in zs)

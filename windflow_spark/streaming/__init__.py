@@ -20,6 +20,7 @@ from windflow_spark.streaming.ops import (
     streaming_static_enrich,
     ordered_foreach_batch,
     streaming_kslack,
+    streaming_rolling_zscore,
 )
 from windflow_spark.streaming.sinks import (
     to_memory_sink,
@@ -62,4 +63,5 @@ __all__ = [
     "monitor_streams",
     "ordered_foreach_batch",
     "streaming_kslack",
+    "streaming_rolling_zscore",
 ]

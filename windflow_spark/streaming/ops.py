@@ -587,3 +587,107 @@ def streaming_kslack(
     return df.groupBy(*key_list).applyInPandasWithState(
         reorder, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_rolling_zscore(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    bucket_us: int = 3_600_000_000,
+    lookback: int = 24,
+    min_periods: int = 12,
+    eos_col: str | None = None,
+) -> DataFrame:
+    """Trailing-window z-score anomaly signal, STREAMING form — the
+    incremental sibling of operators.timeseries.rolling_zscore. Per key,
+    GroupState holds the open bucket's running count plus the trailing
+    ``lookback`` completed bucket counts (fixed-size state per key,
+    independent of history length — the same bound the batch RANGE frame
+    gives). A bucket is scored and emitted the moment a later bucket's
+    first row arrives; the EOS punctuation (``eos_col``, the
+    cb_eos_punctuations technique) flushes the final open bucket.
+
+    Contract: ``ts_col`` is a LONG µs column and rows arrive per-key in
+    non-decreasing ts order (the reference's in-order event-time model;
+    late rows for already-scored buckets are dropped, matching the
+    late-tuple drop of wf/window_replica.hpp:256-264). Scores match the
+    batch form: mean/stddev_samp over the completed buckets in
+    [b−lookback, b−1], NULL below ``min_periods`` trailing observations or
+    at zero variance, ROUND_HALF_UP to 2dp.
+
+    Output: key_cols + bucket_start (long µs) + cnt + zscore.
+    """
+    import math
+
+    key_list = list(key_cols)
+    out_schema = (
+        ", ".join(f"{k} long" for k in key_list)
+        + ", bucket_start long, cnt long, zscore double"
+    )
+    state_schema = "cur_b long, cur_c long, hist_b array<long>, hist_c array<long>"
+
+    def _score(b: int, c: int, hist: list[tuple[int, int]]):
+        win = [ci for bi, ci in hist if b - lookback <= bi <= b - 1]
+        n = len(win)
+        if n < min_periods or n < 2:
+            return None
+        mean = sum(win) / n
+        var = sum((x - mean) ** 2 for x in win) / (n - 1)
+        if var <= 0:
+            return None
+        z = (c - mean) / math.sqrt(var)
+        return math.copysign(math.floor(abs(z) * 100 + 0.5) / 100, z)
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.exists:
+            cur_b, cur_c, hist_b, hist_c = state.get
+            hist = list(zip(hist_b, hist_c))
+        else:
+            cur_b, cur_c, hist = -1, 0, []
+        out: list[tuple] = []
+
+        def close_current(b_next: int | None) -> None:
+            nonlocal cur_b, cur_c, hist
+            if cur_b < 0:
+                return
+            out.append(key + (cur_b * bucket_us, cur_c, _score(cur_b, cur_c, hist)))
+            hist.append((cur_b, cur_c))
+            floor_b = (b_next if b_next is not None else cur_b + 1) - lookback
+            hist = [(bi, ci) for bi, ci in hist if bi >= floor_b]
+            cur_b, cur_c = -1, 0
+
+        for pdf in pdfs:
+            if eos_col is not None:
+                pdf = pdf.sort_values([eos_col, ts_col])
+                flags = pdf[eos_col].fillna(False).to_numpy(dtype=bool)
+                eos_seen = bool(flags.any())
+                ts = pdf[ts_col].to_numpy(dtype=np.int64)[~flags]
+            else:
+                pdf = pdf.sort_values(ts_col)
+                eos_seen = False
+                ts = pdf[ts_col].to_numpy(dtype=np.int64)
+            if len(ts):
+                ub, uc = np.unique(ts // bucket_us, return_counts=True)
+                for b, c in zip(ub.tolist(), uc.tolist()):
+                    if b == cur_b:
+                        cur_c += c
+                    elif b > cur_b:
+                        close_current(b)
+                        cur_b, cur_c = b, c
+                    # b < cur_b: late row for a scored bucket — dropped
+            if eos_seen:
+                close_current(None)
+                hist = []
+        state.update(
+            (cur_b, cur_c, [b for b, _ in hist], [c for _, c in hist])
+        )
+        cols = key_list + ["bucket_start", "cnt", "zscore"]
+        yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
+            {c: [] for c in cols}
+        )
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
