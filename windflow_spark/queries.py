@@ -1403,6 +1403,76 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_ngram_jaccard_capped",
+    """
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    b AS (
+      SELECT doc_id, toks,
+             concat_ws(' ', toks[1], toks[2], toks[3], toks[4], toks[5]) AS bucket
+      FROM d WHERE len(toks) >= 5),
+    sh AS (
+      SELECT doc_id, bucket,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+      FROM b
+      QUALIFY count(*) OVER (PARTITION BY bucket) <= 8),
+    p AS (
+      SELECT a.doc_id AS id_a, b2.doc_id AS id_b, a.s AS sa, b2.s AS sb
+      FROM sh a JOIN sh b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id)
+    SELECT id_a, id_b,
+           round(len(list_intersect(sa, sb))::DOUBLE
+                 / len(list_distinct(list_concat(sa, sb))), 4) AS jaccard
+    FROM p
+    """,
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_ngram_jaccard with a bucket-width cap (8): prefix buckets
+    wider than the cap are dropped BEFORE the self-join — closes the
+    documented 100× caveat (a boilerplate-shared prefix makes the
+    within-bucket join quadratic; an oversized exact-prefix bucket carries
+    no discriminative signal, same argument as the LSH cap). The width
+    count is a window over the same bucket partitioning the join shuffles
+    on — no extra keyed exchange."""
+    from pyspark.sql import Window
+
+    from windflow_spark.functions.dedup import shingle_sets
+    from windflow_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    buckets = (
+        docs.select("doc_id", tokens("text").alias("_toks"))
+        .filter(F.size("_toks") >= 5)
+        .select("doc_id", F.concat_ws(" ", F.slice("_toks", 1, 5)).alias("bucket"))
+    )
+    d = buckets.join(shingle_sets(docs), "doc_id").select(
+        "doc_id", "bucket", F.col("_sh").alias("s")
+    )
+    d = (
+        d.withColumn("_w", F.count(F.lit(1)).over(Window.partitionBy("bucket")))
+        .filter(F.col("_w") <= 8)
+        .drop("_w")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    union = F.size(F.array_union(F.col("a.s"), F.col("b.s")))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+    )
+
+
 # md5-portable MinHash oracle: one md5 per shingle split into two integer
 # halves (b1 = first 15 hex chars, b2 = next 14); permutation p's hash is
 # b1 + p*b2 and the signature is the per-permutation minimum — mirroring
