@@ -188,3 +188,49 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_q21_fact_shuffles_on_orderkey_only(spark, sf_dir):
+    # r5: repartition("l_orderkey") satisfies both aggs and the self-join
+    # via subset partitioning. Statically the shared fact exchange appears
+    # once per reference (runtime ReusedExchange collapses them), so the
+    # budget is 3 keyed total (2× the same orderkey exchange + the tiny
+    # s_name agg) — and NO exchange may partition on the old composite
+    # (l_orderkey, l_suppkey) key, the signature of the 3-shuffle form.
+    import re
+
+    from windflow_spark.plans.explain import keyed_shuffle_count
+    from windflow_spark.queries import q21_sole_returned_supplier
+
+    df = q21_sole_returned_supplier(spark, sf_dir)
+    assert keyed_shuffle_count(df) <= 3
+    parts = re.findall(r"hashpartitioning\([^)]*\)", physical_plan(df))
+    assert not any("l_suppkey" in p for p in parts), parts
+
+
+def test_q12_filter_pushed_to_scan(spark, sf_dir):
+    # the year-equality filter must reach the scan as a date range
+    # (function-wrapped columns defeat parquet row-group skipping)
+    from windflow_spark.queries import q12_priority_class
+
+    plan = physical_plan(q12_priority_class(spark, sf_dir))
+    assert "GreaterThanOrEqual(l_shipdate" in plan and "LessThan(l_shipdate" in plan
+
+
+def test_dedup_segments_rank_limit_pushdown(spark, sf_dir):
+    # the survivor filter (rn = 1) must run as WindowGroupLimit BEFORE the
+    # exchange too (map-side pruning of duplicate segments); without it
+    # every segment occurrence crosses the shuffle twice
+    from windflow_spark.queries import dedup_segments_exact
+
+    plan = physical_plan(dedup_segments_exact(spark, sf_dir))
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_zscore_two_keyed_exchanges(spark, sf_dir):
+    # bucket agg + RANGE-frame window — anything more means the window
+    # stopped reusing the key partitioning
+    from windflow_spark.plans.explain import keyed_shuffle_count
+    from windflow_spark.queries import ts_zscore_anomaly
+
+    assert keyed_shuffle_count(ts_zscore_anomaly(spark, sf_dir)) <= 2
