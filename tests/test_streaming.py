@@ -752,3 +752,51 @@ def test_streaming_rolling_zscore_equals_batch(spark, tmp_path_factory):
     # the gating is actually exercised: both null and non-null scores exist
     zs = [z for _, z in expect.values()]
     assert any(z is None for z in zs) and any(z is not None for z in zs)
+
+
+def test_streaming_cb_hopping_gaps_matches_batch(spark, tmp_path_factory):
+    """CB hopping-with-gaps (len=3 < slide=7): gap rows belong to NO
+    window in both forms; fired windows and EOS-flushed partials must match
+    the batch assignment exactly across micro-batch boundaries (the
+    reference supports len<slide for CB windows too,
+    wf/window_replica.hpp:267-273)."""
+    import time as _time
+
+    from windflow_spark.operators.windows import sliding_window_cb
+    from windflow_spark.streaming import (
+        cb_eos_punctuations,
+        streaming_sliding_window_cb,
+    )
+
+    rows = [(k % 3, v, v * 700_000 + k * 13_000) for k, v in ((i % 5, i) for i in range(50))]
+    batch = _mk(spark, rows)
+    expect = sorted(
+        (r.key, r.wid, r.cnt, float(r.sv))
+        for r in sliding_window_cb(
+            batch, ["key"], ["ts"], 3, 7,
+            [F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv")],
+        ).collect()
+    )
+    # gaps actually exist: per-key row counts (~16) exceed one slide, and
+    # total assigned rows is LESS than total rows (gap rows unassigned)
+    assert sum(c for _, _, c, _ in expect) < len(rows)
+    path = str(tmp_path_factory.mktemp("cbh_src"))
+    with_flag = batch.withColumn("eos", F.lit(False))
+    for lo, hi in ((0, 23), (23, 50)):
+        with_flag.filter(
+            (F.col("value") >= lo) & (F.col("value") < hi)
+        ).coalesce(1).write.mode("append").parquet(path)
+        _time.sleep(1.1)
+    cb_eos_punctuations(batch, ["key"], "ts").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+    stream = file_stream(spark, path, with_flag.schema, max_files_per_trigger=1)
+    out = streaming_sliding_window_cb(
+        stream, ["key"], "ts", "value", 3, 7, eos_col="eos"
+    )
+    name, _ = to_memory_sink(out, output_mode="append")
+    got = sorted(
+        (r.key, r.wid, r.cnt, float(r.sum_value)) for r in spark.table(name).collect()
+    )
+    assert got == expect and len(expect) > 0

@@ -688,6 +688,24 @@ def win_spine_empty_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("win_cb_hopping_5_10", _WIN_CB_SLIDING_SQL.format(LEN=5, SLIDE=10))
+def win_cb_hopping_5_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based hopping-with-gaps windows (len=5 < slide=10): window w
+    covers per-key ids [w·slide, w·slide+len); ids in the gap belong to NO
+    window (reference supports len<slide for CB too,
+    wf/window_replica.hpp:267-273). Same assignment formula as CB sliding —
+    lo>hi yields an empty window list for gap rows in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    return sliding_window_cb(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        length=5,
+        slide=10,
+        aggs=[F.count(F.lit(1)).alias("cnt"), _r2(F.sum("value")).alias("sum_value")],
+    ).select("user_id", "wid", "cnt", "sum_value")
+
+
 _INTERVAL_JOIN_SQL = f"""
     SELECT a.event_id AS click_id, b.event_id AS purchase_id,
            a.user_id AS user_id, b.value AS purchase_value
