@@ -603,9 +603,20 @@ def connected_components(
     # near-dup pair graphs are orders of magnitude smaller than the corpus;
     # a handful of partitions keeps the per-round fixed cost low (raise
     # n_partitions for billion-edge graphs)
+    # single pass over the edge input: the earlier unionByName of two
+    # selects referenced the (possibly expensive, e.g. LSH-verify) edge
+    # pipeline TWICE and recomputed it both times — at the 10× probe that
+    # doubled an 8 s verify stage. explode of both directions reads it once.
     und = (
-        edges.select(a.alias("src"), b.alias("dst"))
-        .unionByName(edges.select(b.alias("src"), a.alias("dst")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(a.alias("src"), b.alias("dst")),
+                    F.struct(b.alias("src"), a.alias("dst")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
         .repartition(n_partitions, "src")
         .distinct()
         .localCheckpoint(eager=True)
