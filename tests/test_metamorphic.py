@@ -33,6 +33,11 @@ SAMPLE = [
     "dedup_minhash_lsh_capped",     # bucket-width cap window filter (r4)
     "text_repetition_scores",       # distributed per-doc max/sum (r4)
     "sim_lsh_recall",               # two-pipeline set intersection (r4)
+    "interval_join_bucketed",       # composite-key blocking, A-replication (r5)
+    "dedup_segments_exact",         # rank-1 survivor + ordered reassembly (r5)
+    "ts_zscore_anomaly",            # RANGE frame over bucket index (r5)
+    "sim_topk_ivf_multiprobe",      # codebook means + probe ranking (r5)
+    "win_cb_hopping_5_10",          # gap assignment (r5)
 ]
 
 
