@@ -1886,15 +1886,27 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4. r5: the correlated EXISTS (any line shipped after the
+    order date) is algebraically max(l_shipdate) > o_orderdate per
+    orderkey — a map-side-combinable agg plus a pure equi-join, instead of
+    a semi-join whose residual date condition forced AQE to broadcast-build
+    the whole fact side (sf1 A/B: 3.31 s → 2.33 s median, and at real
+    scale the orderkey-sized agg output replaces a fact-table hash build).
+    """
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
     )
-    li = _t(spark, sf_dir, "lineitem")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("_max_ship"))
+    )
     return (
         orders.join(
             li,
-            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            (orders.o_orderkey == li.l_orderkey)
+            & (F.col("_max_ship") > orders.o_orderdate),
             "left_semi",
         )
         .groupBy("o_orderpriority")
