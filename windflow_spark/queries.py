@@ -1846,6 +1846,40 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize",
+    """
+    SELECT doc_id AS media_id,
+           CAST(64 + ('0x' || substr(md5(text), 1, 15))::BIGINT % 512 AS INT)
+             AS width,
+           CAST(64 + (('0x' || substr(md5(text), 1, 15))::BIGINT >> 9) % 512
+                AS INT) AS height,
+           CAST(224 AS INT) AS target_width,
+           CAST(224 AS INT) AS target_height,
+           CAST(224 * 224 * 3 AS BIGINT) AS resized_bytes
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-pipeline plumbing: decode (stub dims, md5-reproducible) →
+    resize to a 224×224 training shape; payload rides along untouched and
+    the output-size budget is what a planner needs. Real pixel work swaps
+    into resize_stub when an image lib is present."""
+    from windflow_spark.functions.multimodal import (
+        attach_binary_metadata,
+        decode_image_meta,
+        resize_stub,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    decoded = decode_image_meta(attach_binary_metadata(docs))
+    return resize_stub(decoded, 224, 224).select(
+        "media_id", "width", "height", "target_width", "target_height", "resized_bytes"
+    )
+
+
+@register(
     "skew_salted_agg",
     """
     SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
