@@ -1880,6 +1880,34 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skew_salted_join",
+    """
+    SELECT c_mktsegment, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join — result-identical to the plain equi-join (the
+    oracle proves it) while a random salt on the big side plus an exploded
+    small side spreads a hot key's rows across salt_buckets tasks. The
+    sibling of skew_salted_agg for the join case; use when the small side
+    exceeds the broadcast budget but a key is hot."""
+    from windflow_spark.operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = salted_join(orders, cust, ["o_custkey"], salt_buckets=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _r2(F.sum("o_totalprice")).alias("total"),
+    )
+
+
+@register(
     "skew_salted_agg",
     """
     SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
