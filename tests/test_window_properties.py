@@ -256,3 +256,50 @@ def test_interval_join_matches_reference_model(spark, a_rows, b_rows, bounds, dp
         if ak == bk and ats + lower <= bts <= ats + upper
     )
     assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),                      # key
+            st.integers(0, 99),                     # value
+            st.integers(0, 40_000_000),             # ts µs
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    lower=st.integers(-5_000_000, 5_000_000),
+    span=st.integers(0, 10_000_000),
+    width=st.one_of(st.none(), st.integers(500_000, 20_000_000)),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_interval_join_bucketed_matches_model(spark, rows, lower, span, width):
+    """Reference interval-join semantics (wf/interval_join.hpp:279-295:
+    match when ts(b) ∈ [ts(a)+lower, ts(a)+upper], inclusive) — the
+    time-bucket-blocked form must match a direct Python model for random
+    bounds, bucket widths (including widths smaller than the span), and
+    streams, with no duplicate pairs from the A-side replication."""
+    from windflow_spark.operators.interval_join import interval_join_bucketed
+
+    upper = lower + span
+    a_rows = [(k, v, ts) for k, v, ts in rows if v % 2 == 0]
+    b_rows = [(k, v, ts) for k, v, ts in rows if v % 2 == 1]
+    model = sorted(
+        (ka, va, vb)
+        for ka, va, ta in a_rows
+        for kb, vb, tb in b_rows
+        if ka == kb and ta + lower <= tb <= ta + upper
+    )
+    if not a_rows or not b_rows:
+        return
+    got_df = interval_join_bucketed(
+        _df(spark, a_rows), _df(spark, b_rows), ["key"], "ts", "ts",
+        lower, upper, bucket_us=width,
+    )
+    got = sorted(
+        (r[0], r[1], r[2])
+        for r in got_df.select(
+            F.col("a.key"), F.col("a.value"), F.col("b.value")
+        ).collect()
+    )
+    assert got == model
