@@ -607,3 +607,42 @@ def test_ivf_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     mp = {(r.query_id, r.vec_id) for r in
           sim_topk_ivf_multiprobe(spark, sf_dir).collect()}
     assert len(bf & mp) >= len(bf & sp)
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path_factory):
+    # reliable=True swaps localCheckpoint (executor-local, lost on executor
+    # failure) for reliable checkpoints on the configured checkpoint dir —
+    # results must be identical
+    from windflow_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    expect = sorted(
+        map(tuple, connected_components(edges).collect())
+    )
+    spark.sparkContext.setCheckpointDir(str(tmp_path_factory.mktemp("cc_ckpt")))
+    got = sorted(
+        map(tuple, connected_components(edges, reliable=True).collect())
+    )
+    assert got == expect
+    assert {c for _, c in got} == {1, 10, 20}
+
+
+def test_text_ops_null_and_empty_safe(spark):
+    # user frames carry nulls the driver tables never do — text/dedup ops
+    # must drop or pass through null/empty text, not crash
+    from windflow_spark.functions.dedup import dedup_segments, shingle_sets
+    from windflow_spark.functions.text import with_text_stats
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "real words here")],
+        "doc_id long, text string",
+    )
+    segs = dedup_segments(df)
+    assert [r.doc_id for r in segs.collect()] == [4]
+    sh = shingle_sets(df)
+    assert [r.doc_id for r in sh.collect()] == [4]
+    stats = with_text_stats(df.filter(F.col("text").isNotNull()))
+    assert stats.count() == 3
