@@ -3437,6 +3437,51 @@ def embedding_norm_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_tb_approx_users_1d",
+    f"""
+    SELECT user_bucket, w_start,
+           CAST(cnt_exact AS BIGINT) AS exact_distinct,
+           TRUE AS hll_within_5pct
+    FROM (
+      SELECT CAST(epoch_us(ts) // {US_DAY} AS BIGINT) % 4 AS user_bucket,
+             make_timestamp((epoch_us(ts) // {US_DAY}) * {US_DAY}) AS w_start,
+             count(DISTINCT user_id) AS cnt_exact
+      FROM events
+      GROUP BY 1, 2)
+    """,
+)
+def win_tb_approx_users_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch × window composition: HLL distinct users per daily tumbling
+    window (keyed by a derived bucket). At 100 TB this is THE pattern for
+    streaming cardinality dashboards — fixed-size mergeable state per
+    window instead of a per-window distinct shuffle. Oracle pins the exact
+    count plus a boolean holding the sketch inside its error bound."""
+    from windflow_spark.operators.timeutil import event_micros
+
+    ev = _t(spark, sf_dir, "events")
+    us = event_micros(ev, "ts")
+    wstart = (F.floor(us / F.lit(US_DAY)) * US_DAY).cast("long")
+    return (
+        ev.withColumn("user_bucket", (F.floor(us / F.lit(US_DAY)) % 4).cast("long"))
+        .withColumn("_ws", wstart)
+        .groupBy("user_bucket", "_ws")
+        .agg(
+            F.count_distinct("user_id").cast("long").alias("exact_distinct"),
+            F.approx_count_distinct("user_id", 0.02).alias("_hll"),
+        )
+        .select(
+            "user_bucket",
+            F.timestamp_micros(F.col("_ws")).alias("w_start"),
+            "exact_distinct",
+            (
+                F.abs(F.col("_hll") - F.col("exact_distinct"))
+                <= F.col("exact_distinct") * F.lit(0.05)
+            ).alias("hll_within_5pct"),
+        )
+    )
+
+
+@register(
     "approx_distinct_users",
     """
     SELECT event_type,
