@@ -82,3 +82,41 @@ def test_read_binary_files_feeds_multimodal(spark, tmp_path_factory):
         files.selectExpr("xxhash64(path) AS media_id", "content AS payload")
     )
     assert decoded.count() == 2  # stubbed decode, real plumbing
+
+
+def test_read_json_robust_captures_corrupt_records(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from windflow_spark.io import read_json_robust
+
+    d = tmp_path_factory.mktemp("robust_json")
+    p = str(d / "data.json")
+    with open(p, "w") as f:
+        f.write('{"id": 1, "name": "ok"}\n')
+        f.write('{"id": 2, "name": "also ok"}\n')
+        f.write('{"id": broken not json\n')          # malformed
+        f.write('{"id": 3, "name": "fine"}\n')
+    schema = StructType().add("id", LongType()).add("name", StringType())
+    df = read_json_robust(spark, p, schema).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted(r.id for r in good.collect()) == [1, 2, 3]
+    assert bad.count() == 1  # quarantined, job did not fail
+    df.unpersist()
+
+
+def test_write_sized_coalesces_small_output(spark, tmp_path_factory):
+    import os
+
+    from windflow_spark.io import estimated_file_count, write_sized
+
+    # a tiny frame spread over many partitions must land as ONE file
+    df = spark.range(0, 10_000, 1, 32).selectExpr("id", "id * 2 AS v")
+    assert estimated_file_count(df, target_mb=256) == 1
+    out = str(tmp_path_factory.mktemp("sized") / "t.parquet")
+    used = write_sized(df, out, target_mb=256)
+    assert used == 1
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert spark.read.parquet(out).count() == 10_000

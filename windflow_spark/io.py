@@ -108,3 +108,72 @@ def read_binary_files(spark, path: str, glob: str | None = None) -> DataFrame:
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def read_json_robust(
+    spark: SparkSession,
+    path: str,
+    schema,
+    corrupt_col: str = "_corrupt_record",
+    **options,
+) -> DataFrame:
+    """JSON ingestion that SURVIVES malformed lines — the production
+    contract for web-scale corpora where some fraction of records is
+    always broken. PERMISSIVE mode routes unparseable lines into
+    ``corrupt_col`` instead of failing the job (or silently dropping,
+    DROPMALFORMED's behavior); callers split the frame on
+    ``corrupt_col IS NULL`` and quarantine the rest. An explicit schema is
+    REQUIRED: corrupt-record capture only works when the schema (including
+    the corrupt column) is known up front.
+    """
+    from pyspark.sql.types import StringType, StructType
+
+    if not isinstance(schema, StructType):
+        raise TypeError("read_json_robust requires an explicit StructType schema")
+    if corrupt_col not in schema.fieldNames():
+        schema = schema.add(corrupt_col, StringType())
+    return (
+        spark.read.format("json")
+        .schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .options(**options)
+        .load(path)
+    )
+
+
+def write_sized(
+    df: DataFrame,
+    path: str,
+    fmt: str | None = None,
+    target_mb: int = 256,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] = (),
+    **options,
+) -> int:
+    """Write with output files sized near ``target_mb`` — the small-files
+    guard. A 100 TB pipeline stage that ends 32k-partitions wide writes
+    32k files per run; downstream listings and scans then pay per-file
+    overhead forever. This derives a file count from the optimizer's
+    sizeInBytes statistic (free — no extra job) and coalesces (narrow, no
+    shuffle) down to it before writing. Returns the file count used.
+    Estimates are approximate; for exact sizing use a two-pass write.
+    Never widens: repartitioning UP would add a shuffle — if the frame is
+    already narrower than the target this is a no-op.
+    """
+    nfiles = estimated_file_count(df, target_mb)
+    cur = df.rdd.getNumPartitions()
+    out = df.coalesce(nfiles) if nfiles < cur else df
+    write_table_any(out, path, fmt=fmt, mode=mode, partition_by=partition_by, **options)
+    return min(nfiles, cur)
+
+
+def estimated_file_count(df: DataFrame, target_mb: int = 256) -> int:
+    """File count for ``write_sized``: Catalyst's sizeInBytes estimate for
+    the optimized plan divided by the target (≥1). Statistics come from the
+    query plan (file sizes + filter selectivity guesses), not a data scan."""
+    jdf = df._jdf
+    size = int(
+        jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    return max(1, size // (target_mb * 1024 * 1024))
