@@ -800,3 +800,45 @@ def test_streaming_cb_hopping_gaps_matches_batch(spark, tmp_path_factory):
         (r.key, r.wid, r.cnt, float(r.sum_value)) for r in spark.table(name).collect()
     )
     assert got == expect and len(expect) > 0
+
+
+def test_streaming_segment_dedup_equals_batch(spark, tmp_path_factory):
+    """First-arrival segment dedup must equal the batch survivor set when
+    documents arrive in id order — including duplicates that span
+    micro-batch boundaries (state remembers emitted hashes), and per-doc
+    reassembly from the surviving segments matches dedup_segments."""
+    import time as _time
+
+    from windflow_spark.functions.dedup import dedup_segments
+    from windflow_spark.streaming import streaming_segment_dedup
+
+    a, b, c = "w1 w2 w3 w4", "x1 x2 x3 x4", "y1 y2 y3 y4"
+    docs = [
+        (1, f"{a} {b}"),        # owns a and b
+        (2, f"{a} {c}"),        # a is a dup (same batch as doc 1 or later)
+        (3, b),                 # dup across the batch boundary
+        (4, f"{c} z1 z2 z3 z4"),
+    ]
+    bdf = spark.createDataFrame(docs, "doc_id long, text string")
+    expect_docs = {
+        r.doc_id: (r.clean_text, r.n_kept)
+        for r in dedup_segments(bdf, seg_tokens=4).collect()
+    }
+
+    path = str(tmp_path_factory.mktemp("segdedup_src"))
+    for ids in ((1, 2), (3, 4)):  # two micro-batches, id order
+        bdf.filter(F.col("doc_id").isin(*ids)).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        _time.sleep(1.1)
+    stream = file_stream(spark, path, bdf.schema, max_files_per_trigger=1)
+    out = streaming_segment_dedup(stream, seg_tokens=4)
+    name, q = to_memory_sink(out, output_mode="append")
+    kept = [(r.doc_id, r.seg_idx, r.seg) for r in spark.table(name).collect()]
+    # reassemble per doc (a doc's segments never split across batches)
+    got_docs = {}
+    for doc_id in {d for d, _, _ in kept}:
+        segs = sorted((i, s) for d, i, s in kept if d == doc_id)
+        got_docs[doc_id] = (" ".join(s for _, s in segs), len(segs))
+    assert got_docs == expect_docs
+    assert 3 not in got_docs  # doc 3's only segment was owned by doc 1

@@ -21,6 +21,7 @@ from windflow_spark.streaming.ops import (
     ordered_foreach_batch,
     streaming_kslack,
     streaming_rolling_zscore,
+    streaming_segment_dedup,
 )
 from windflow_spark.streaming.sinks import (
     to_memory_sink,
@@ -64,4 +65,5 @@ __all__ = [
     "ordered_foreach_batch",
     "streaming_kslack",
     "streaming_rolling_zscore",
+    "streaming_segment_dedup",
 ]

@@ -691,3 +691,73 @@ def streaming_rolling_zscore(
     return df.groupBy(*key_cols).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 8,
+) -> DataFrame:
+    """Segment-level exact dedup, STREAMING form — the incremental sibling
+    of functions.dedup.dedup_segments: documents are cut into
+    ``seg_tokens``-token segments in-stream; per segment HASH, GroupState
+    remembers whether the segment was ever emitted, so the first arrival
+    corpus-wide wins and every later occurrence (same or later
+    micro-batch) is dropped. Within a micro-batch the winner is the min
+    (doc_id, seg_idx), so with documents arriving in id order the kept
+    set equals the batch form's survivor set exactly.
+
+    Output: one row per SURVIVING segment (id, seg_idx, seg) in append
+    mode. A document's segments never split across micro-batches (the
+    explode is per input row), so per-document reassembly is a plain
+    groupBy inside foreachBatch downstream — no second stateful stage.
+
+    State per segment hash is one boolean — the minimal streaming dedup
+    footprint; at corpus scale bound it with a state-TTL or a
+    watermark-scoped variant, same note as streaming_exact_dedup.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    d = df.select(F.col(id_col), toks.alias("_toks")).filter(F.size("_toks") >= 1)
+    segs = d.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.floor((F.size("_toks") - 1) / F.lit(seg_tokens))
+                ),
+                lambda i: F.array_join(
+                    F.slice("_toks", i * seg_tokens + 1, seg_tokens), " "
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    ).withColumn("_h", F.md5("seg"))
+
+    out_schema = f"{id_col} long, seg_idx long, seg string"
+    state_schema = "emitted boolean"
+
+    def keep_first(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        emitted = state.get[0] if state.exists else False
+        rows = []
+        if not emitted:
+            best = None
+            for pdf in pdfs:
+                for r in pdf.itertuples(index=False):
+                    cand = (getattr(r, id_col), r.seg_idx, r.seg)
+                    if best is None or (cand[0], cand[1]) < (best[0], best[1]):
+                        best = cand
+            if best is not None:
+                rows.append(best)
+                emitted = True
+        else:
+            for _ in pdfs:  # drain
+                pass
+        state.update((emitted,))
+        cols = [id_col, "seg_idx", "seg"]
+        yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
+            {c: [] for c in cols}
+        )
+
+    return segs.groupBy("_h").applyInPandasWithState(
+        keep_first, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
