@@ -303,3 +303,38 @@ def test_interval_join_bucketed_matches_model(spark, rows, lower, span, width):
         ).collect()
     )
     assert got == model
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=20),
+        min_size=1,
+        max_size=12,
+    ),
+    seg=st.integers(1, 5),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_dedup_segments_matches_model(spark, docs, seg):
+    """Segment dedup vs a direct model: cut each doc into seg-token chunks,
+    first (doc_id, seg_idx) occurrence of each distinct chunk survives,
+    docs rebuild from survivors in order; all-dup docs vanish."""
+    from windflow_spark.functions.dedup import dedup_segments
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    seen, model = set(), {}
+    for i, toks in enumerate(docs):
+        kept = []
+        chunks = [toks[j : j + seg] for j in range(0, len(toks), seg)]
+        for ch in chunks:
+            key = " ".join(ch)
+            if key and key not in seen:
+                seen.add(key)
+                kept.append(key)
+        if kept:
+            model[i] = (" ".join(kept), len(kept))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept)
+        for r in dedup_segments(df, seg_tokens=seg).collect()
+    }
+    assert got == model
