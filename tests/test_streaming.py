@@ -842,3 +842,31 @@ def test_streaming_segment_dedup_equals_batch(spark, tmp_path_factory):
         got_docs[doc_id] = (" ".join(s for _, s in segs), len(segs))
     assert got_docs == expect_docs
     assert 3 not in got_docs  # doc 3's only segment was owned by doc 1
+
+
+def test_streaming_split_multiplexes_to_two_sinks(spark, stream_fixture, tmp_path_factory):
+    """SURVEY §2.7 split()+select() in STREAMING: one source, one
+    foreachBatch, N filtered sub-frames written to N sinks — the
+    multiplexing mapping (one pass over each micro-batch, no second
+    readStream). Union of the sinks must equal the source; routes must be
+    disjoint per the splitting function."""
+    from windflow_spark.streaming.sinks import run_available_now, to_foreach_batch
+
+    batch, stream = stream_fixture
+    out_a = str(tmp_path_factory.mktemp("split_a"))
+    out_b = str(tmp_path_factory.mktemp("split_b"))
+    ckpt = str(tmp_path_factory.mktemp("split_ckpt"))
+
+    def route(bdf, _bid):
+        bdf.persist()
+        bdf.filter(F.col("value") >= 50).write.mode("append").parquet(out_a)
+        bdf.filter(F.col("value") < 50).write.mode("append").parquet(out_b)
+        bdf.unpersist()
+
+    q = to_foreach_batch(stream, route, ckpt, output_mode="append")
+    run_available_now(q)
+    a = spark.read.parquet(out_a)
+    b = spark.read.parquet(out_b)
+    assert a.filter(F.col("value") < 50).count() == 0
+    assert b.filter(F.col("value") >= 50).count() == 0
+    assert a.count() + b.count() == batch.count()
