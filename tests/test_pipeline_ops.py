@@ -70,3 +70,95 @@ def test_vocab_top_tokens_rank_ties(spark):
     out = [(r.token, r.cnt, r.rk) for r in vocab_top_tokens(df, top_n=2).collect()]
     # a and b tie at 3; tie broken alphabetically
     assert sorted(out) == [("a", 3, 1), ("b", 3, 2)]
+
+
+def test_misra_gries_bounds_zipf(spark):
+    # Zipf-skewed random corpus, capacity far below the key count so the
+    # per-partition prune path actually runs; the mergeable-summaries
+    # bounds must hold for EVERY key under ANY partitioning:
+    #   est <= true  and  true - est <= N/(cap+1)
+    # and every key with true > N/cap must be present.
+    import random
+
+    from windflow_spark.functions.pipeline import misra_gries_summary
+
+    rng = random.Random(7)
+    toks = [f"k{min(int(1.0 / (rng.random() ** 0.8)), 200)}" for _ in range(20_000)]
+    true = {}
+    for t in toks:
+        true[t] = true.get(t, 0) + 1
+    n = len(toks)
+    cap = 8
+    df = spark.createDataFrame([(t,) for t in toks], "token string")
+    for parts in (2, 13):
+        est = {
+            r.token: r.est
+            for r in misra_gries_summary(
+                df.repartition(parts), "token", capacity=cap
+            ).collect()
+        }
+        assert len(est) <= cap * parts
+        for k, e in est.items():
+            assert e <= true[k], (k, e, true[k])
+        for k, c in true.items():
+            e = est.get(k, 0)
+            assert (c - e) * (cap + 1) <= n, (k, c, e)
+            if c * cap > n:
+                assert k in est, f"guaranteed heavy hitter {k} missing"
+
+
+def test_sample_token_budget_boundary_and_determinism(spark):
+    from windflow_spark.functions.pipeline import sample_token_budget
+
+    df = spark.createDataFrame(
+        [(i, "en", " ".join(["w"] * 10)) for i in range(20)],
+        "doc_id long, lang string, text string",
+    )
+    out = sample_token_budget(df, budget=35, strata_cols=["lang"])
+    rows = sorted(map(tuple, out.collect()), key=lambda r: r[3])
+    # 10 tokens per doc -> exactly 3 docs fit (30 <= 35, 40 > 35): the doc
+    # that would CROSS the budget is excluded, not truncated
+    assert [r[3] for r in rows] == [10, 20, 30]
+    # re-sharded input selects the identical prefix (content-addressed order)
+    rows2 = sorted(
+        map(tuple, sample_token_budget(
+            df.repartition(7), budget=35, strata_cols=["lang"]).collect()),
+        key=lambda r: r[3],
+    )
+    assert rows == rows2
+
+
+def test_balanced_source_mix_integer_threshold(spark):
+    # mirror the exact BIGINT rule in python: keep iff h*n_s < min_cnt*1e6
+    import hashlib
+
+    from windflow_spark.functions.pipeline import balanced_source_mix
+
+    rows = [(i, "big" if i < 40 else "small") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    n = {"big": 40, "small": 10}
+    exp = {"big": 0, "small": 0}
+    for i, src in rows:
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1_000_000
+        if h * n[src] < 10 * 1_000_000:
+            exp[src] += 1
+    out = {r.source: (r.n_total, r.n_sampled) for r in balanced_source_mix(df).collect()}
+    assert out == {"big": (40, exp["big"]), "small": (10, exp["small"])}
+    # the small side keeps (almost) everything; the big side is cut ~4x
+    assert exp["small"] >= 8 and exp["big"] <= 15
+
+
+def test_tfidf_hand_checked(spark):
+    import math
+
+    from windflow_spark.functions.pipeline import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    out = {(r.doc_id, r.term): (r.tfidf, r.rk)
+           for r in tfidf_top_terms(df, top_k=3).collect()}
+    idf = lambda dft: math.log((2 + 1) / (dft + 1))  # noqa: E731
+    assert out[(1, "a")] == (round(2 * idf(2), 6), 2)  # idf(a)=ln(1)=0 -> rk by tie
+    assert out[(1, "b")] == (round(1 * idf(1), 6), 1)  # rarest term ranks first
+    assert out[(2, "c")][1] == 1 and out[(2, "a")][1] == 2

@@ -96,6 +96,9 @@ _BNLJ_ALLOWED = {
     "sim_ivf_multiprobe_recall",
     "scalar_subquery_above_avg",
     "q11_important_parts",
+    # one-row doc-count N broadcast onto the vocab-sized idf table —
+    # a 1×vocab nested loop, the right plan for attaching a scalar
+    "tfidf_top_terms",
 }
 
 

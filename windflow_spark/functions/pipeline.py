@@ -190,6 +190,173 @@ def stratified_sample_hash(
     )
 
 
+def sample_token_budget(
+    df: DataFrame,
+    budget: int,
+    strata_cols: Sequence[str] = ("lang",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget sampling: per stratum, take documents in deterministic
+    md5(id) order while the running token total stays within ``budget`` —
+    the standard way a training mix pins "N tokens of lang X" rather than
+    "N documents of lang X". Content-addressed ordering makes the selection
+    stable under re-sharding and engine changes (like stratified_sample_hash).
+
+    One window pass (cumulative sum over the hash order) per stratum. At
+    100 TB a heavy stratum's sort is bounded the same way as stratified
+    sampling: since selection is a hash-order prefix, pre-filter to a hash
+    range slightly above budget/avg_tokens docs before ranking, then window
+    only the survivors. Output: (strata..., id, n_tokens, cum_tokens).
+    """
+    from pyspark.sql import Window as W
+
+    keys = list(strata_cols)
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    d = df.select(
+        *keys, id_col, F.size(tokens(text_col)).cast("long").alias("n_tokens")
+    )
+    return d.withColumn("cum_tokens", F.sum("n_tokens").over(w)).filter(
+        F.col("cum_tokens") <= budget
+    )
+
+
+def balanced_source_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Balanced source mixing: downsample every source to (approximately)
+    the smallest source's row count via a deterministic content-hash
+    threshold — the degenerate "equal weights" case of training-mix
+    construction. A row survives iff ``h * n_s < min_cnt * 1_000_000`` with
+    h = md5(id) mod 1e6: pure BIGINT arithmetic, so Spark and any oracle
+    engine select the exact same rows (no float rates, no seeded RAND()).
+
+    Scale shape: one count aggregation (vocab-of-sources-sized), the
+    min is a window over that aggregated frame (bounded by the number of
+    distinct sources — fine even at 100 TB where sources number in the
+    thousands), then a broadcast join of per-source thresholds back onto
+    the fact scan; the survivor filter is a scan-side predicate. Output:
+    (source, n_total, n_sampled).
+    """
+    from pyspark.sql import Window as W
+
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_total"))
+    counts = counts.withColumn(
+        "min_cnt", F.min("n_total").over(W.partitionBy())
+    )
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % F.lit(1_000_000)
+    return (
+        df.select(source_col, id_col)
+        .join(F.broadcast(counts), source_col)
+        .withColumn(
+            "_keep", h * F.col("n_total") < F.col("min_cnt") * F.lit(1_000_000)
+        )
+        .groupBy(source_col)
+        .agg(
+            F.max("n_total").cast("long").alias("n_total"),
+            F.sum(F.col("_keep").cast("long")).cast("long").alias("n_sampled"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """TF-IDF top terms per document: tf from one explode+count, document
+    frequency from a second (vocab-sized) aggregation, idf = ln((N+1)/(df+1))
+    (smoothed), score = round(tf·idf, 6), top-``top_k`` per doc by
+    (score desc, term).
+
+    Scale shape: the only corpus-sized shuffle is the (doc, term) tf
+    aggregation (map-side combined). The df/idf table is vocab-sized and
+    broadcast; the document count N rides it as a ONE-ROW broadcast joined
+    onto the vocab-sized df table (Catalyst folds the literal key into a
+    1×vocab BroadcastNestedLoopJoin — O(vocab), the right plan for a
+    scalar; documented in tests/test_plans.py's allowlist). The per-doc
+    rank window re-uses the tf grouping's hash partitioning on doc_id.
+    Output: (id, term, tfidf, rk).
+    """
+    from pyspark.sql import Window as W
+
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("dft"))
+    nd = df.agg(F.count(F.lit(1)).cast("long").alias("nd")).withColumn(
+        "_k", F.lit(1)
+    )
+    idf_tbl = (
+        dfreq.withColumn("_k", F.lit(1))
+        .join(F.broadcast(nd), "_k")
+        .drop("_k")
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("nd") + F.lit(1)).cast("double") / (F.col("dft") + F.lit(1))
+            ),
+        )
+    )
+    scored = tf.join(F.broadcast(idf_tbl), "term").withColumn(
+        "tfidf", F.round(F.col("tf").cast("double") * F.col("idf"), 6)
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= top_k)
+        .select(id_col, "term", "tfidf", "rk")
+    )
+
+
+def misra_gries_summary(
+    df: DataFrame, col: str = "token", capacity: int = 32
+) -> DataFrame:
+    """Distributed Misra–Gries frequent-items sketch: each partition builds
+    a ``capacity``-counter summary (mapInPandas, one dict per partition,
+    pruned by the mergeable-summaries rule: on overflow subtract the
+    (capacity+1)-th largest count and drop non-positive counters), then the
+    per-partition summaries are merged by a plain sum.
+
+    Guarantees (Misra–Gries / Agarwal et al., "Mergeable Summaries"):
+    for EVERY item, true_count − N/(capacity+1) ≤ est ≤ true_count, and any
+    item with true_count > N/capacity is present in the merged summary
+    (if Σ_p cnt_p > Σ_p N_p/capacity then some partition kept it). The
+    merged frame is ≤ capacity × partitions rows — constant-size state per
+    partition regardless of data volume, the 100 TB path for "top sources /
+    top hosts / heavy tokens" where exact counting would shuffle the full
+    key set. Output: (col, est) — est is partition-layout-dependent inside
+    the bound; downstream checks must assert bounds, not exact values.
+    """
+    from collections import Counter
+
+    def mg(pdfs):
+        acc: Counter = Counter()
+        for pdf in pdfs:
+            acc.update(pdf[col].value_counts().to_dict())
+            if len(acc) > capacity:
+                cuts = sorted(acc.values(), reverse=True)
+                sub = cuts[capacity]
+                acc = Counter(
+                    {k: v - sub for k, v in acc.items() if v - sub > 0}
+                )
+        yield pd.DataFrame({col: list(acc.keys()), "est": list(acc.values())})
+
+    summaries = df.select(col).mapInPandas(mg, f"{col} string, est long")
+    return summaries.groupBy(col).agg(F.sum("est").cast("long").alias("est"))
+
+
 def embedding_norm_quantize(
     df: DataFrame,
     vec_col: str = "embedding",

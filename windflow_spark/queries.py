@@ -3410,6 +3410,138 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_token_budget",
+    """
+    WITH d AS (
+      SELECT lang, doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+                    PARTITION BY lang
+                    ORDER BY md5(doc_id::VARCHAR), doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM d)
+    SELECT lang, doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 500
+    """,
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling: per language, documents in content-hash order
+    until the running token total exceeds 500 — training mixes pin token
+    counts, not document counts."""
+    from windflow_spark.functions.pipeline import sample_token_budget as _stb
+
+    return _stb(_t(spark, sf_dir, "documents"), budget=500, strata_cols=["lang"])
+
+
+@register(
+    "mix_sources_balanced",
+    """
+    WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_total
+               FROM documents GROUP BY source),
+    m AS (SELECT source, n_total, MIN(n_total) OVER () AS min_cnt FROM c)
+    SELECT d.source, m.n_total,
+           CAST(SUM(CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))
+                              ::UBIGINT % 1000000 * m.n_total
+                         < m.min_cnt * 1000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM documents d JOIN m USING (source)
+    GROUP BY d.source, m.n_total
+    """,
+)
+def mix_sources_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced source mixing: every source downsampled to ~the smallest
+    source's count by an exact-integer content-hash threshold (the equal-
+    weights case of training-mix construction; no RAND(), no float rates)."""
+    from windflow_spark.functions.pipeline import balanced_source_mix
+
+    return balanced_source_mix(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH tf AS (
+      SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+      FROM documents,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS u(tok)
+      GROUP BY doc_id, tok),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS dft FROM tf GROUP BY term),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+    s AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln((n.nd + 1)::DOUBLE / (dfreq.dft + 1)), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    r AS (SELECT doc_id, term, tfidf,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, term) AS BIGINT)
+                   AS rk
+          FROM s)
+    SELECT doc_id, term, tfidf, rk FROM r WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf, 6dp-rounded scores,
+    term tie-break) — the classic relevance/term-weighting analytics pass."""
+    from windflow_spark.functions.pipeline import tfidf_top_terms as _tfidf
+
+    return _tfidf(_t_wide(spark, sf_dir, "documents"), top_k=3)
+
+
+@register(
+    "heavy_hitters_tokens",
+    """
+    WITH t AS (
+      SELECT tok FROM documents,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS u(tok)),
+    c AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt
+          FROM t GROUP BY tok),
+    w AS (SELECT token, cnt, SUM(cnt) OVER () AS n_total FROM c)
+    SELECT token, cnt, TRUE AS found, TRUE AS within_bound
+    FROM w WHERE cnt * 32 > n_total
+    """,
+)
+def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries heavy hitters (capacity 32) over corpus tokens, checked
+    against exact counts: output is every token GUARANTEED to be found
+    (true count > N/32) with booleans asserting the sketch found it within
+    the mergeable-summaries bound (est ≤ true, true − est ≤ N/33). The
+    booleans — not the partition-dependent estimates — are the query
+    result, so the check is deterministic under any partitioning; the
+    pruning path itself is covered by a Zipf property test. At 100 TB only
+    the constant-size sketch side runs; the exact side here is the oracle
+    harness."""
+    from pyspark.sql import Window as W
+
+    from windflow_spark.functions.pipeline import misra_gries_summary
+    from windflow_spark.functions.text import tokens as _toks
+
+    cap = 32
+    toks = _t_wide(spark, sf_dir, "documents").select(
+        F.explode(_toks("text")).alias("token")
+    )
+    est = misra_gries_summary(toks, "token", capacity=cap)
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("n_total", F.sum("cnt").over(W.partitionBy()))
+    )
+    guaranteed = exact.filter(F.col("cnt") * cap > F.col("n_total"))
+    return guaranteed.join(F.broadcast(est), "token", "left").select(
+        "token",
+        "cnt",
+        F.col("est").isNotNull().alias("found"),
+        (
+            F.col("est").isNotNull()
+            & (F.col("est") <= F.col("cnt"))
+            & ((F.col("cnt") - F.col("est")) * (cap + 1) <= F.col("n_total"))
+        ).alias("within_bound"),
+    )
+
+
 _EMB_NORM_CHAIN = " + ".join(f"v[{i}] * v[{i}]" for i in range(1, 65))
 _EMB_Q = "list_transform(v, x -> CAST(trunc(127.0 * x / nrm) AS INT))"
 
