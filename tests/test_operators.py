@@ -646,3 +646,39 @@ def test_text_ops_null_and_empty_safe(spark):
     assert [r.doc_id for r in sh.collect()] == [4]
     stats = with_text_stats(df.filter(F.col("text").isNotNull()))
     assert stats.count() == 3
+
+
+def test_kmeans_codebook_recovers_separated_clusters(spark):
+    # three well-separated axis clusters; 2 Lloyd iterations from the
+    # deterministic first-k init must recover exact memberships, and the
+    # result must be invariant to input partitioning (6dp-rounded codebook,
+    # tie-broken assignment)
+    from windflow_spark.functions.similarity import (
+        _assign_nearest_list,
+        kmeans_codebook,
+    )
+
+    def vec(axis, eps):
+        v = [0.0] * 6
+        v[axis] = 1.0
+        v[(axis + 1) % 6] = eps
+        return v
+
+    rows = [(i, vec(i % 3, 0.01 * (i // 3))) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    expect = None
+    for parts in (1, 7):
+        d = df.repartition(parts)
+        cb = kmeans_codebook(d, n_lists=3, iters=2)
+        got = {
+            r.vec_id: r["_bkt"]
+            for r in _assign_nearest_list(d, cb, "vec_id").collect()
+        }
+        # same-axis vectors land in the same learned list
+        by_axis = {}
+        for vid, bkt in got.items():
+            by_axis.setdefault(vid % 3, set()).add(bkt)
+        assert all(len(s) == 1 for s in by_axis.values()), by_axis
+        assert len({next(iter(s)) for s in by_axis.values()}) == 3
+        expect = expect or got
+        assert got == expect  # partition-invariant

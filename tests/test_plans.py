@@ -99,6 +99,11 @@ _BNLJ_ALLOWED = {
     # one-row doc-count N broadcast onto the vocab-sized idf table —
     # a 1×vocab nested loop, the right plan for attaching a scalar
     "tfidf_top_terms",
+    # k-row trained codebook broadcast onto the corpus — the Lloyd
+    # assignment step, O(N·k) by definition; probe ranking reuses it on
+    # the bounded query side
+    "sim_topk_ivf_kmeans",
+    "sim_ivf_kmeans_recall",
 }
 
 

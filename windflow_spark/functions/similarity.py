@@ -419,3 +419,131 @@ def embedding_cosine_neardup(
         )
     )
     return scored.filter(F.col("cos_sim") >= threshold).select("id_a", "id_b", "cos_sim")
+
+
+def _assign_nearest_list(
+    vec_df: DataFrame,
+    cent: DataFrame,
+    id_col: str,
+    vec_prepped: bool = False,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest codebook centroid by cosine
+    (6dp-rounded, list-id tie-break) — the Lloyd assignment step. The
+    codebook (k rows) broadcasts onto the vector side, so the plan is the
+    k-means-canonical O(N·k) pass: a BroadcastNestedLoopJoin whose inner
+    side is the k-row codebook (documented in tests/test_plans.py).
+    Input cent: (_bkt, _cv); output: vec_df columns + (_bkt)."""
+    c = cent.select(
+        F.col("_bkt").alias("_abkt"),
+        F.col("_cv").alias("_acv"),
+    ).withColumn("_acn", _norm(F.col("_acv")))
+    v = (
+        vec_df
+        if vec_prepped
+        else vec_df.select(
+            F.col(id_col), as_double_array(vec_col).alias("_v")
+        ).withColumn("_vn", _norm(F.col("_v")))
+    )
+    rank = W.partitionBy(id_col).orderBy(
+        F.round(
+            cosine_prenorm(F.col("_v"), F.col("_acv"), F.col("_vn"), F.col("_acn")), 6
+        ).desc(),
+        F.col("_abkt"),
+    )
+    return (
+        v.crossJoin(F.broadcast(c))
+        .withColumn("_ark", F.row_number().over(rank))
+        .filter(F.col("_ark") == 1)
+        .select(*v.columns, F.col("_abkt").alias("_bkt"))
+    )
+
+
+def kmeans_codebook(
+    corpus: DataFrame,
+    n_lists: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train an IVF coarse quantizer with ``iters`` Lloyd iterations,
+    distributed: init = the vectors with id < n_lists (deterministic, no
+    RNG), assignment = broadcast-codebook pass over the corpus, update =
+    per-(list, dim) mean via posexplode (6dp-rounded so the codebook is
+    stable across aggregation orders). Between iterations the codebook —
+    n_lists × dim doubles, trivially driver-sized at ANY corpus scale (the
+    FAISS shape: quantizers are memory-resident) — is collected and
+    re-seeded as a literal frame, so each iteration is exactly ONE corpus
+    pass and the lineage never compounds (same driver-holds-one-small-thing
+    discipline as dedup_clusters' convergence scalar). Clusters that lose
+    all members drop out of the codebook. Output: (_bkt, _cv)."""
+    spark = corpus.sparkSession
+    schema = "_bkt long, _cv array<double>"
+    rows = (
+        corpus.filter(F.col(id_col) < n_lists)
+        .select(
+            F.col(id_col).cast("long").alias("_bkt"),
+            as_double_array(vec_col).alias("_cv"),
+        )
+        .collect()
+    )
+    for _ in range(iters):
+        cent = spark.createDataFrame([(r["_bkt"], list(r["_cv"])) for r in rows], schema)
+        assigned = _assign_nearest_list(corpus, cent, id_col, vec_col=vec_col)
+        rows = ivf_centroids(assigned, "_bkt", "_v").collect()
+    return spark.createDataFrame([(r["_bkt"], list(r["_cv"])) for r in rows], schema)
+
+
+def ivf_topk_kmeans(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 8,
+    iters: int = 2,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN over a TRAINED coarse quantizer (kmeans_codebook) instead of
+    a pre-assigned label column — the full FAISS IVF path: train codebook,
+    assign corpus to inverted lists, rank lists per query by centroid
+    cosine, scan the nprobe nearest lists. The probe is the same
+    shuffle-partitioned list equi-join as ivf_topk; the only non-equi step
+    is the k-row codebook broadcast (assignment + probe ranking)."""
+    cent = kmeans_codebook(corpus, n_lists, iters, id_col, vec_col).withColumn(
+        "_cn", _norm(F.col("_cv"))
+    )
+    assigned = _assign_nearest_list(corpus, cent, id_col, vec_col=vec_col)
+    q = queries.select(
+        F.col(query_id_col), as_double_array(vec_col).alias("_qv")
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    probe_rank = W.partitionBy(query_id_col).orderBy(
+        F.round(
+            cosine_prenorm(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")), 6
+        ).desc(),
+        F.col("_bkt"),
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("_prk", F.row_number().over(probe_rank))
+        .filter(F.col("_prk") <= nprobe)
+        .select(query_id_col, "_bkt", "_qv", "_qn")
+    )
+    scored = (
+        assigned.join(probes, "_bkt")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_prenorm(F.col("_qv"), F.col("_v"), F.col("_qn"), F.col("_vn")),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rk")
+    )

@@ -2705,6 +2705,117 @@ def sim_ivf_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _km_assign_cte(out: str, cent: str) -> str:
+    """Lloyd assignment CTE: every vector to its nearest centroid by
+    6dp-rounded cosine, list-id tie-break (mirrors _assign_nearest_list)."""
+    return f"""{out} AS (SELECT vec_id, v, bkt FROM (
+      SELECT e.vec_id, e.v, c.bkt,
+             row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                         c.bkt) AS ark
+      FROM e CROSS JOIN {cent} c) WHERE ark = 1)"""
+
+
+def _km_update_cte(out: str, assigned: str) -> str:
+    """Lloyd update CTE: per-(list, dim) mean, 6dp-rounded (mirrors
+    ivf_centroids)."""
+    return f"""{out} AS (SELECT bkt, list(av ORDER BY dim) AS cv FROM (
+      SELECT bkt, u.i AS dim, round(avg(v[u.i]), 6) AS av
+      FROM {assigned}, unnest(generate_series(1, len(v))) AS u(i)
+      GROUP BY bkt, u.i) GROUP BY bkt)"""
+
+
+_KMEANS_CTES = f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id::BIGINT AS bkt, v AS cv FROM e WHERE vec_id < 8),
+    {_km_assign_cte("a1", "c0")},
+    {_km_update_cte("c1", "a1")},
+    {_km_assign_cte("a2", "c1")},
+    {_km_update_cte("c2", "a2")},
+    {_km_assign_cte("af", "c2")},
+    qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    qp AS (SELECT query_id, bkt, qv FROM (
+      SELECT qs.query_id, c.bkt, qs.qv,
+             row_number() OVER (PARTITION BY qs.query_id
+                ORDER BY round(list_cosine_similarity(qs.qv, c.cv), 6) DESC,
+                         c.bkt) AS prk
+      FROM qs CROSS JOIN c2 c) WHERE prk <= 1),
+    km_s AS (SELECT qp.query_id, af.vec_id,
+                    round(list_cosine_similarity(qp.qv, af.v), 6) AS cos_sim
+             FROM qp JOIN af ON af.bkt = qp.bkt AND af.vec_id <> qp.query_id),
+    km AS (SELECT query_id, vec_id, cos_sim,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+           FROM km_s)"""
+
+
+@register(
+    "sim_topk_ivf_kmeans",
+    f"""
+    WITH {_KMEANS_CTES}
+    SELECT query_id, vec_id, cos_sim, rk FROM km WHERE rk <= 5
+    """,
+)
+def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over a TRAINED coarse quantizer: 2 Lloyd iterations of
+    distributed k-means (deterministic init = first 8 vectors, 6dp-rounded
+    codebook per iteration), corpus assigned to the learned inverted lists,
+    single-probe query scan — the full FAISS IVF train/assign/probe path
+    (the label-bucket ivf_topk trusts a pre-assigned list instead)."""
+    from windflow_spark.functions.similarity import ivf_topk_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk_kmeans(emb, queries_df, k=5, n_lists=8, iters=2, nprobe=1)
+
+
+@register(
+    "sim_ivf_kmeans_recall",
+    f"""
+    WITH {_KMEANS_CTES},
+    bf_s AS (
+      SELECT qs.query_id, e.vec_id,
+             round(list_cosine_similarity(qv, e.v), 6) AS cos_sim
+      FROM e JOIN qs ON e.vec_id <> qs.query_id),
+    bf AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rk
+        FROM bf_s) WHERE rk <= 5),
+    h AS (SELECT bf.query_id, count(*) AS n_hits
+          FROM bf JOIN km ON bf.query_id = km.query_id
+                         AND bf.vec_id = km.vec_id AND km.rk <= 5
+          GROUP BY bf.query_id),
+    n AS (SELECT query_id, count(*) AS n_exact FROM bf GROUP BY query_id)
+    SELECT n.query_id, coalesce(n_hits, 0)::BIGINT AS n_hits,
+           coalesce(n_hits, 0)::DOUBLE / n_exact AS recall
+    FROM n LEFT JOIN h USING (query_id)
+    """,
+)
+def sim_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the trained-quantizer IVF against the exact brute-force
+    top-5 — how much a LEARNED codebook recovers vs the label-assigned
+    single-probe baseline (sim_ivf_recall)."""
+    bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    km = sim_topk_ivf_kmeans(spark, sf_dir).select("query_id", "vec_id")
+    hits = (
+        bf.join(F.broadcast(km), ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return n.join(F.broadcast(hits), "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_exact")
+        ).alias("recall"),
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     """
