@@ -870,3 +870,58 @@ def test_streaming_split_multiplexes_to_two_sinks(spark, stream_fixture, tmp_pat
     assert a.filter(F.col("value") < 50).count() == 0
     assert b.filter(F.col("value") >= 50).count() == 0
     assert a.count() + b.count() == batch.count()
+
+
+def test_streaming_heavy_hitters_bounds_and_flush(spark, tmp_path_factory):
+    """Zipf token stream split over two micro-batches, EOS punctuation in
+    the second; the flushed per-bucket Misra-Gries summaries must satisfy
+    the per-bucket bounds vs exact counts: est <= true,
+    true - est <= N_bucket/(capacity+1), and every token with
+    true > N_bucket/capacity present."""
+    import random
+    import time as _time
+
+    from windflow_spark.streaming import file_stream as _fs
+    from windflow_spark.streaming import streaming_heavy_hitters, to_memory_sink
+
+    rng = random.Random(11)
+    toks = [f"k{min(int(1.0 / (rng.random() ** 0.8)), 120)}" for _ in range(8_000)]
+    true = {}
+    for t in toks:
+        true[t] = true.get(t, 0) + 1
+    cap, nb = 8, 4
+
+    schema = "token string, is_eos boolean"
+    rows = [(t, False) for t in toks]
+    path = str(tmp_path_factory.mktemp("hh_src"))
+    spark.createDataFrame(rows[:4000], schema).coalesce(1).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        rows[4000:] + [(None, True)], schema
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    src_schema = spark.createDataFrame(rows[:1], schema).schema
+    stream = _fs(spark, path, src_schema, max_files_per_trigger=1)
+    out = streaming_heavy_hitters(
+        stream, "token", capacity=cap, n_buckets=nb, eos_col="is_eos"
+    )
+    name, _ = to_memory_sink(out, output_mode="append")
+    est = {r.token: r.est for r in spark.table(name).collect()}
+    assert 0 < len(est) <= cap * nb
+
+    # recompute each token's bucket load with the engine's own hash
+    bdf = spark.createDataFrame([(t,) for t in true], "token string").select(
+        "token", F.pmod(F.xxhash64("token"), F.lit(nb)).alias("b")
+    )
+    bkt_of = {r.token: r.b for r in bdf.collect()}
+    n_bucket = {}
+    for t, c in true.items():
+        n_bucket[bkt_of[t]] = n_bucket.get(bkt_of[t], 0) + c
+    for t, e in est.items():
+        assert e <= true[t], (t, e, true[t])
+    for t, c in true.items():
+        nb_tot = n_bucket[bkt_of[t]]
+        e = est.get(t, 0)
+        assert (c - e) * (cap + 1) <= nb_tot, (t, c, e, nb_tot)
+        if c * cap > nb_tot:
+            assert t in est, f"guaranteed item {t} missing"

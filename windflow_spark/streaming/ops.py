@@ -761,3 +761,69 @@ def streaming_segment_dedup(
     return segs.groupBy("_h").applyInPandasWithState(
         keep_first, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_heavy_hitters(
+    df: DataFrame,
+    col: str = "token",
+    capacity: int = 32,
+    n_buckets: int = 16,
+    eos_col: str | None = None,
+) -> DataFrame:
+    """Streaming Misra–Gries frequent items — the incremental sibling of
+    functions.pipeline.misra_gries_summary. Items hash into ``n_buckets``
+    disjoint state groups; each group's GroupState holds ONE
+    ``capacity``-counter summary updated per micro-batch (same mergeable
+    prune: on overflow subtract the (capacity+1)-th largest count, drop
+    non-positive). The EOS punctuation (``eos_col``; rows flagged True are
+    replicated to every bucket so the flush reaches all state groups)
+    emits each bucket's final (item, est) rows and clears its state.
+
+    Bounds are TIGHTER than the batch merge: buckets partition the item
+    space, so each item's estimate comes from one summary over exactly its
+    bucket's substream — for every item,
+    true − N_bucket/(capacity+1) ≤ est ≤ true, and any item with
+    true > N_bucket/capacity is present. State is n_buckets × capacity
+    counters TOTAL, independent of stream length — the 100 TB/unbounded
+    path for "top hosts / top tokens" over a stream.
+    """
+    is_eos = (
+        F.coalesce(F.col(eos_col), F.lit(False)) if eos_col else F.lit(False)
+    )
+    bkts = F.when(
+        is_eos, F.sequence(F.lit(0), F.lit(n_buckets - 1))
+    ).otherwise(F.array(F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets))))
+    d = df.select(
+        F.col(col), is_eos.alias("_eos"), F.explode(bkts).alias("_bkt")
+    )
+
+    out_schema = f"{col} string, est long"
+    state_schema = "toks array<string>, cnts array<long>"
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            toks, cnts = state.get
+            acc = dict(zip(toks, cnts))
+        else:
+            acc = {}
+        eos = False
+        for pdf in pdfs:
+            for t, c in pdf.loc[~pdf["_eos"], col].value_counts().items():
+                acc[t] = acc.get(t, 0) + int(c)
+            if len(acc) > capacity:
+                cuts = sorted(acc.values(), reverse=True)
+                sub = cuts[capacity]
+                acc = {t: v - sub for t, v in acc.items() if v - sub > 0}
+            eos = eos or bool(pdf["_eos"].any())
+        if eos:
+            state.update(([], []))
+            yield pd.DataFrame(
+                {col: list(acc.keys()), "est": list(acc.values())}
+            ) if acc else pd.DataFrame({col: [], "est": []})
+        else:
+            state.update((list(acc.keys()), list(acc.values())))
+            yield pd.DataFrame({col: [], "est": []})
+
+    return d.groupBy("_bkt").applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
