@@ -104,6 +104,9 @@ _BNLJ_ALLOWED = {
     # the bounded query side
     "sim_topk_ivf_kmeans",
     "sim_ivf_kmeans_recall",
+    # one-row vocabulary-size V broadcast onto the eval bigram stream —
+    # the scalar-attach plan for the smoothing denominator
+    "lm_perplexity_scores",
 }
 
 

@@ -395,3 +395,72 @@ def embedding_norm_quantize(
         F.array_min(q).cast("long").alias("q_min"),
         F.array_max(q).cast("long").alias("q_max"),
     )
+
+
+def bigram_lm_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+) -> DataFrame:
+    """Perplexity-style quality scoring (the CCNet/KenLM filter signal):
+    an add-one-smoothed bigram language model is "trained" on the
+    content-hash train split and every EVAL document is scored by the
+    average negative log-likelihood of its bigrams,
+    nll(w1,w2) = −ln((c(w1,w2)+1) / (c(w1)+V)), V = distinct train
+    unigrams. High avg_nll = improbable text under the corpus model — the
+    standard "remove gibberish / keep natural text" filter.
+
+    Scale shape: bigrams are extracted JVM-side (slice + arrays_zip — no
+    window, no Python). The train bigram table shuffles once on (w1,w2)
+    and equi-joins the eval bigram stream on the same key; the unigram
+    table is vocab-sized and broadcast; the scalar V rides as a ONE-ROW
+    broadcast onto the eval stream (1×N nested loop, the scalar-attach
+    plan — documented in tests/test_plans.py). Unseen bigrams/unigrams
+    fall back to the smoothed floor via left joins, exactly the add-one
+    contract. Output: (id, n_bigrams, avg_nll 6dp) for eval docs with ≥2
+    tokens.
+    """
+    from windflow_spark.functions.text import hash_split
+
+    d = hash_split(df, content_col=text_col, train_pct=train_pct).select(
+        F.col(id_col), F.col("split"), tokens(text_col).alias("_toks")
+    )
+    n = F.size("_toks")
+    pairs = F.arrays_zip(
+        F.slice("_toks", 1, n - 1).alias("w1"), F.slice("_toks", 2, n - 1).alias("w2")
+    )
+    bigrams = (
+        d.filter(n >= 2)
+        .select(id_col, "split", F.explode(pairs).alias("_p"))
+        .select(id_col, "split", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+    unigrams = d.select(id_col, "split", F.explode("_toks").alias("w1"))
+    tr_b = (
+        bigrams.filter(F.col("split") == "train")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    tr_u = (
+        unigrams.filter(F.col("split") == "train")
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    )
+    vs = tr_u.agg(F.count(F.lit(1)).cast("long").alias("vs"))
+    ev = bigrams.filter(F.col("split") == "eval").select(id_col, "w1", "w2")
+    scored = (
+        ev.join(tr_b, ["w1", "w2"], "left")
+        .join(F.broadcast(tr_u), "w1", "left")
+        .join(F.broadcast(vs))
+        .withColumn(
+            "_nll",
+            -F.log(
+                (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.coalesce(F.col("cu"), F.lit(0)) + F.col("vs"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("_nll"), 6).alias("avg_nll"),
+    )

@@ -3653,6 +3653,50 @@ def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lm_perplexity_scores",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+             CASE WHEN ('0x' || substr(md5(text), 1, 8))::UBIGINT % 100 < 90
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents),
+    tr_b AS (
+      SELECT toks[u.i] AS w1, toks[u.i + 1] AS w2,
+             CAST(count(*) AS BIGINT) AS cb
+      FROM d, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+      WHERE split = 'train' AND len(toks) >= 2
+      GROUP BY 1, 2),
+    tr_u AS (
+      SELECT toks[u.i] AS w1, CAST(count(*) AS BIGINT) AS cu
+      FROM d, unnest(generate_series(1, len(toks))) AS u(i)
+      WHERE split = 'train' GROUP BY 1),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS vs FROM tr_u),
+    ev AS (
+      SELECT doc_id, toks[u.i] AS w1, toks[u.i + 1] AS w2
+      FROM d, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+      WHERE split = 'eval' AND len(toks) >= 2),
+    s AS (
+      SELECT ev.doc_id,
+             -ln((coalesce(cb, 0) + 1)::DOUBLE / (coalesce(cu, 0) + vs)) AS nll
+      FROM ev LEFT JOIN tr_b USING (w1, w2)
+              LEFT JOIN tr_u USING (w1)
+              CROSS JOIN v)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(nll), 6) AS avg_nll
+    FROM s GROUP BY doc_id
+    """,
+)
+def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity scoring (CCNet/KenLM-style quality filter):
+    add-one-smoothed bigram model trained on the content-hash train split,
+    eval documents scored by average negative log-likelihood."""
+    from windflow_spark.functions.pipeline import bigram_lm_nll
+
+    return bigram_lm_nll(_t_wide(spark, sf_dir, "documents"))
+
+
 _EMB_NORM_CHAIN = " + ".join(f"v[{i}] * v[{i}]" for i in range(1, 65))
 _EMB_Q = "list_transform(v, x -> CAST(trunc(127.0 * x / nrm) AS INT))"
 
