@@ -107,6 +107,8 @@ _BNLJ_ALLOWED = {
     # one-row vocabulary-size V broadcast onto the eval bigram stream —
     # the scalar-attach plan for the smoothing denominator
     "lm_perplexity_scores",
+    # k-row codebook broadcast (Lloyd assignment), as sim_topk_ivf_kmeans
+    "cluster_embeddings_kmeans",
 }
 
 

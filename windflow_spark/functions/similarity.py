@@ -427,13 +427,15 @@ def _assign_nearest_list(
     id_col: str,
     vec_prepped: bool = False,
     vec_col: str = "embedding",
+    keep_score: bool = False,
 ) -> DataFrame:
     """Assign every vector to its nearest codebook centroid by cosine
     (6dp-rounded, list-id tie-break) — the Lloyd assignment step. The
     codebook (k rows) broadcasts onto the vector side, so the plan is the
     k-means-canonical O(N·k) pass: a BroadcastNestedLoopJoin whose inner
     side is the k-row codebook (documented in tests/test_plans.py).
-    Input cent: (_bkt, _cv); output: vec_df columns + (_bkt)."""
+    Input cent: (_bkt, _cv); output: vec_df columns + (_bkt), plus the
+    winning 6dp cosine as ``_cos`` when ``keep_score`` is set."""
     c = cent.select(
         F.col("_bkt").alias("_abkt"),
         F.col("_cv").alias("_acv"),
@@ -445,17 +447,19 @@ def _assign_nearest_list(
             F.col(id_col), as_double_array(vec_col).alias("_v")
         ).withColumn("_vn", _norm(F.col("_v")))
     )
-    rank = W.partitionBy(id_col).orderBy(
-        F.round(
-            cosine_prenorm(F.col("_v"), F.col("_acv"), F.col("_vn"), F.col("_acn")), 6
-        ).desc(),
-        F.col("_abkt"),
+    score = F.round(
+        cosine_prenorm(F.col("_v"), F.col("_acv"), F.col("_vn"), F.col("_acn")), 6
     )
+    rank = W.partitionBy(id_col).orderBy(score.desc(), F.col("_abkt"))
+    out_cols = [*v.columns, F.col("_abkt").alias("_bkt")]
+    if keep_score:
+        out_cols.append(F.col("_cos"))
     return (
         v.crossJoin(F.broadcast(c))
+        .withColumn("_cos", score)
         .withColumn("_ark", F.row_number().over(rank))
         .filter(F.col("_ark") == 1)
-        .select(*v.columns, F.col("_abkt").alias("_bkt"))
+        .select(*out_cols)
     )
 
 

@@ -2725,13 +2725,16 @@ def _km_update_cte(out: str, assigned: str) -> str:
       GROUP BY bkt, u.i) GROUP BY bkt)"""
 
 
-_KMEANS_CTES = f"""
+_KMEANS_TRAIN_CTES = f"""
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     c0 AS (SELECT vec_id::BIGINT AS bkt, v AS cv FROM e WHERE vec_id < 8),
     {_km_assign_cte("a1", "c0")},
     {_km_update_cte("c1", "a1")},
     {_km_assign_cte("a2", "c1")},
-    {_km_update_cte("c2", "a2")},
+    {_km_update_cte("c2", "a2")}"""
+
+
+_KMEANS_CTES = f"""{_KMEANS_TRAIN_CTES},
     {_km_assign_cte("af", "c2")},
     qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
     qp AS (SELECT query_id, bkt, qv FROM (
@@ -2813,6 +2816,44 @@ def sim_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_exact")
         ).alias("recall"),
+    )
+
+
+@register(
+    "cluster_embeddings_kmeans",
+    f"""
+    WITH {_KMEANS_TRAIN_CTES},
+    afs AS (SELECT vec_id, bkt, cs FROM (
+      SELECT e.vec_id, c.bkt,
+             round(list_cosine_similarity(e.v, c.cv), 6) AS cs,
+             row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                         c.bkt) AS ark
+      FROM e CROSS JOIN c2 c) WHERE ark = 1)
+    SELECT bkt AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(vec_id) AS BIGINT) AS min_vec_id,
+           round(avg(cs), 6) AS avg_cos
+    FROM afs GROUP BY bkt
+    """,
+)
+def cluster_embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering over the trained codebook: every embedding
+    assigned to its learned k-means cluster, reported as cluster sizes +
+    mean cosine-to-centroid (intra-cluster cohesion) — the corpus
+    organization / topic-bucketing pass of a data pipeline, reusing the
+    same 2-iteration Lloyd training as sim_topk_ivf_kmeans."""
+    from windflow_spark.functions.similarity import (
+        _assign_nearest_list,
+        kmeans_codebook,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = kmeans_codebook(emb, n_lists=8, iters=2)
+    assigned = _assign_nearest_list(emb, cb, "vec_id", keep_score=True)
+    return assigned.groupBy(F.col("_bkt").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("vec_id").cast("long").alias("min_vec_id"),
+        F.round(F.avg("_cos"), 6).alias("avg_cos"),
     )
 
 
