@@ -165,9 +165,8 @@ def test_tfidf_hand_checked(spark):
 
 
 def test_bigram_lm_nll_hand_checked(spark):
-    # force the split with known content hashes? Simpler: compute the
-    # expected value with a python mirror of the exact same model over the
-    # same hash split.
+    # python mirror of the exact model over the same md5 hash split;
+    # fixture texts chosen so both buckets are populated
     import hashlib
     import math
 
@@ -214,3 +213,35 @@ def test_bigram_lm_nll_hand_checked(spark):
     }
     assert n_eval >= 1  # the fixture must actually exercise the eval path
     assert got == expect
+
+
+def test_data_quality_report_dirty_rows(spark):
+    from windflow_spark.functions.pipeline import data_quality_report
+
+    rows = [
+        (1, "O", 10.0),
+        (1, "F", 20.0),      # duplicate key
+        (None, "P", 30.0),   # null key
+        (4, "X", 40.0),      # bad status
+        (5, "O", -1.0),      # negative price
+        (6, None, 50.0),     # NULL status: unknown, NOT a violation
+    ]
+    df = spark.createDataFrame(rows, "k long, st string, price double")
+    out = {
+        r.rule: (r.n_violations, r.n_rows)
+        for r in data_quality_report(
+            df,
+            {
+                "null_k": F.col("k").isNull(),
+                "bad_status": ~F.col("st").isin("O", "F", "P"),
+                "negative_price": F.col("price") < 0,
+            },
+            unique_cols=["k"],
+        ).collect()
+    }
+    assert out == {
+        "null_k": (1, 6),
+        "bad_status": (1, 6),       # NULL st excluded (CASE semantics)
+        "negative_price": (1, 6),
+        "duplicate_k": (1, 6),      # two rows share k=1 -> 1 extra
+    }

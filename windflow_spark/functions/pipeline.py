@@ -464,3 +464,47 @@ def bigram_lm_nll(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.avg("_nll"), 6).alias("avg_nll"),
     )
+
+
+def data_quality_report(
+    df: DataFrame,
+    violation_rules: dict[str, Column],
+    unique_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Deequ-style data-quality report: evaluate every rule in ONE
+    aggregation pass over the table (conditional sums — map-side combined,
+    one exchange regardless of rule count) plus a distinct-count per
+    uniqueness column, then unpivot to one row per rule. This is the
+    validation gate a 100 TB ingest runs before publishing a snapshot.
+
+    ``violation_rules`` maps rule name → boolean Column that is True for a
+    VIOLATING row (NULL predicates count as non-violations, both here and
+    in SQL CASE semantics). ``unique_cols`` adds ``duplicate_<col>`` rules
+    counting non-distinct non-null values. Output: (rule, n_violations,
+    n_rows).
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    names = list(violation_rules)
+    for i, name in enumerate(names):
+        aggs.append(
+            F.sum(
+                F.when(violation_rules[name], F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias(f"_v{i}")
+        )
+    for j, c in enumerate(unique_cols):
+        aggs.append(
+            (F.count(F.col(c)) - F.count_distinct(F.col(c)))
+            .cast("long")
+            .alias(f"_u{j}")
+        )
+    a = df.agg(*aggs)
+    stack_args = []
+    for i, name in enumerate(names):
+        stack_args += [f"'{name}'", f"_v{i}"]
+    for j, c in enumerate(unique_cols):
+        stack_args += [f"'duplicate_{c}'", f"_u{j}"]
+    k = len(names) + len(unique_cols)
+    return a.select(
+        F.expr(f"stack({k}, {', '.join(stack_args)}) as (rule, n_violations)"),
+        F.col("_n").alias("n_rows"),
+    )

@@ -3738,6 +3738,52 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_nll(_t_wide(spark, sf_dir, "documents"))
 
 
+@register(
+    "dq_report_orders",
+    """
+    WITH a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_null_orderkey,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_null_custkey,
+             CAST(sum(CASE WHEN NOT (o_orderstatus IN ('O','F','P'))
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_bad_status,
+             CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_negative_totalprice,
+             CAST(sum(CASE WHEN year(o_orderdate) NOT BETWEEN 1995 AND 1999
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_stale_orderdate,
+             CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+                  AS BIGINT) AS v_dup
+      FROM orders)
+    SELECT r.rule, r.n_violations, a.n AS n_rows FROM a,
+      (SELECT 'null_orderkey' AS rule, v_null_orderkey AS n_violations FROM a
+       UNION ALL SELECT 'null_custkey', v_null_custkey FROM a
+       UNION ALL SELECT 'bad_status', v_bad_status FROM a
+       UNION ALL SELECT 'negative_totalprice', v_negative_totalprice FROM a
+       UNION ALL SELECT 'stale_orderdate', v_stale_orderdate FROM a
+       UNION ALL SELECT 'duplicate_o_orderkey', v_dup FROM a) r
+    """,
+)
+def dq_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate over orders: null / domain / range / uniqueness
+    rules evaluated in one aggregation pass, one output row per rule —
+    the Deequ-style validation report an ingest pipeline runs before
+    publishing (the stale_orderdate freshness rule legitimately flags the
+    2000+ tail of the synthetic data, so the report is non-trivial)."""
+    from windflow_spark.functions.pipeline import data_quality_report
+
+    o = _t(spark, sf_dir, "orders")
+    rules = {
+        "null_orderkey": F.col("o_orderkey").isNull(),
+        "null_custkey": F.col("o_custkey").isNull(),
+        "bad_status": ~F.col("o_orderstatus").isin("O", "F", "P"),
+        "negative_totalprice": F.col("o_totalprice") < 0,
+        "stale_orderdate": ~F.year("o_orderdate").between(1995, 1999),
+    }
+    return data_quality_report(o, rules, unique_cols=["o_orderkey"])
+
+
 _EMB_NORM_CHAIN = " + ".join(f"v[{i}] * v[{i}]" for i in range(1, 65))
 _EMB_Q = "list_transform(v, x -> CAST(trunc(127.0 * x / nrm) AS INT))"
 
