@@ -682,3 +682,31 @@ def test_kmeans_codebook_recovers_separated_clusters(spark):
         assert len({next(iter(s)) for s in by_axis.values()}) == 3
         expect = expect or got
         assert got == expect  # partition-invariant
+
+
+def test_funnel_ordering_constraint(spark):
+    # user 1 completes signup->view in order; user 2 has the view BEFORE
+    # signup (must NOT convert); user 3 only signs up
+    from windflow_spark.operators.behavior import funnel_stages
+
+    rows = [
+        (1, "signup", 100), (1, "view", 200),
+        (2, "view", 100), (2, "signup", 200),
+        (3, "signup", 100),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, us long")
+    out = {r.stage: (r.n_users, r.pct_of_first)
+           for r in funnel_stages(df, ["signup", "view"], us_col=F.col("us")).collect()}
+    assert out == {"signup": (3, 1.0), "view": (1, round(1 / 3, 6))}
+
+
+def test_cohort_retention_offsets(spark):
+    from windflow_spark.operators.behavior import cohort_retention
+
+    # bucket = 10us: user 1 first in bucket 0, returns in 2; user 2 first
+    # in bucket 1 only; user 3 first in 0, active 0 and 1
+    rows = [(1, 5), (1, 25), (2, 15), (3, 1), (3, 12), (3, 13)]
+    df = spark.createDataFrame(rows, "user_id long, us long")
+    out = {(r.cohort_bucket, r.bucket_offset): r.n_users
+           for r in cohort_retention(df, 10, us_col=F.col("us")).collect()}
+    assert out == {(0, 0): 2, (0, 2): 1, (0, 1): 1, (1, 0): 1}

@@ -3784,6 +3784,69 @@ def dq_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return data_quality_report(o, rules, unique_cols=["o_orderkey"])
 
 
+@register(
+    "funnel_signup_purchase",
+    """
+    WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    f0 AS (SELECT user_id, min(us) AS t FROM ev
+           WHERE event_type = 'signup' GROUP BY user_id),
+    f1 AS (SELECT ev.user_id, min(us) AS t FROM ev JOIN f0 USING (user_id)
+           WHERE event_type = 'view' AND us > f0.t GROUP BY ev.user_id),
+    f2 AS (SELECT ev.user_id, min(us) AS t FROM ev JOIN f1 USING (user_id)
+           WHERE event_type = 'click' AND us > f1.t GROUP BY ev.user_id),
+    f3 AS (SELECT ev.user_id, min(us) AS t FROM ev JOIN f2 USING (user_id)
+           WHERE event_type = 'purchase' AND us > f2.t GROUP BY ev.user_id),
+    u AS (
+      SELECT 0 AS stage_idx, 'signup' AS stage, count(*) AS n FROM f0
+      UNION ALL SELECT 1, 'view', count(*) FROM f1
+      UNION ALL SELECT 2, 'click', count(*) FROM f2
+      UNION ALL SELECT 3, 'purchase', count(*) FROM f3)
+    SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+           CAST(n AS BIGINT) AS n_users,
+           round(n::DOUBLE / max(CASE WHEN stage_idx = 0 THEN n END) OVER (),
+                 6) AS pct_of_first
+    FROM u
+    """,
+)
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → view → click → purchase: each stage binds to
+    the earliest event STRICTLY AFTER the previous stage's conversion
+    (first-touch semantics) — the sequence-analytics query a per-type
+    distinct count cannot answer."""
+    from windflow_spark.operators.behavior import funnel_stages
+    from windflow_spark.operators.timeutil import event_micros
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_stages(
+        ev,
+        ["signup", "view", "click", "purchase"],
+        us_col=event_micros(ev, "ts"),
+    )
+
+
+@register(
+    "cohort_retention_weekly",
+    f"""
+    WITH ev AS (SELECT DISTINCT user_id,
+                       epoch_us(ts) // {7 * US_DAY} AS wk FROM events),
+    first AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id)
+    SELECT first.cohort AS cohort_bucket,
+           ev.wk - first.cohort AS bucket_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM ev JOIN first USING (user_id)
+    GROUP BY first.cohort, ev.wk - first.cohort
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-activity week,
+    counted in every later week they return (offset 0 = cohort size)."""
+    from windflow_spark.operators.behavior import cohort_retention
+    from windflow_spark.operators.timeutil import event_micros
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, 7 * US_DAY, us_col=event_micros(ev, "ts"))
+
+
 _EMB_NORM_CHAIN = " + ".join(f"v[{i}] * v[{i}]" for i in range(1, 65))
 _EMB_Q = "list_transform(v, x -> CAST(trunc(127.0 * x / nrm) AS INT))"
 
