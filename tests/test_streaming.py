@@ -925,3 +925,55 @@ def test_streaming_heavy_hitters_bounds_and_flush(spark, tmp_path_factory):
         assert (c - e) * (cap + 1) <= nb_tot, (t, c, e, nb_tot)
         if c * cap > nb_tot:
             assert t in est, f"guaranteed item {t} missing"
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path_factory):
+    """Random per-user event sequences split across two micro-batches
+    (per-key ts order preserved): streaming conversion counts per stage
+    must equal the batch funnel_stages counts, and a user whose later-stage
+    event precedes the earlier stage must not convert."""
+    import random
+    import time as _time
+
+    from windflow_spark.operators.behavior import funnel_stages
+    from windflow_spark.streaming import file_stream as _fs
+    from windflow_spark.streaming import streaming_funnel, to_memory_sink
+
+    STAGES = ["signup", "view", "purchase"]
+    rng = random.Random(5)
+    rows = []
+    for u in range(30):
+        t = 0
+        for _ in range(rng.randint(1, 10)):
+            t += rng.randint(1, 50)
+            rows.append((u, rng.choice(STAGES + ["noise"]), t))
+    # adversarial user: view+purchase strictly before signup
+    rows += [(99, "view", 10), (99, "purchase", 20), (99, "signup", 30)]
+    schema = "user_id long, event_type string, us long"
+    full = spark.createDataFrame(rows, schema)
+    expect = {
+        r.stage: r.n_users
+        for r in funnel_stages(
+            full, STAGES, us_col=F.col("us")
+        ).collect()
+    }
+
+    path = str(tmp_path_factory.mktemp("funnel_src"))
+    first = [r for r in rows if r[2] <= 100]
+    second = [r for r in rows if r[2] > 100]
+    spark.createDataFrame(first, schema).coalesce(1).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    spark.createDataFrame(second, schema).coalesce(1).write.mode("append").parquet(path)
+
+    stream = _fs(spark, path, full.schema, max_files_per_trigger=1)
+    out = streaming_funnel(stream, STAGES)
+    name, _ = to_memory_sink(out, output_mode="append")
+    got_rows = spark.table(name).collect()
+    got = {}
+    for r in got_rows:
+        got[r.stage] = got.get(r.stage, 0) + 1
+    assert {s: got.get(s, 0) for s in STAGES} == {s: expect.get(s, 0) for s in STAGES}
+    # adversarial user only ever converts to signup
+    assert [(r.stage_idx, r.stage) for r in got_rows if r.user_id == 99] == [
+        (0, "signup")
+    ]

@@ -20,6 +20,7 @@ from windflow_spark.streaming.ops import (
     streaming_static_enrich,
     ordered_foreach_batch,
     streaming_kslack,
+    streaming_funnel,
     streaming_heavy_hitters,
     streaming_rolling_zscore,
     streaming_segment_dedup,
@@ -65,6 +66,7 @@ __all__ = [
     "monitor_streams",
     "ordered_foreach_batch",
     "streaming_kslack",
+    "streaming_funnel",
     "streaming_heavy_hitters",
     "streaming_rolling_zscore",
     "streaming_segment_dedup",

@@ -827,3 +827,53 @@ def streaming_heavy_hitters(
     return d.groupBy("_bkt").applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_funnel(
+    df: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    us_col: str = "us",
+) -> DataFrame:
+    """Ordered funnel conversion, STREAMING form — the incremental sibling
+    of operators.behavior.funnel_stages. Per user, GroupState holds the
+    highest stage reached and its conversion time; each micro-batch's rows
+    are processed in event-time order and a row converts the user to the
+    next stage only if its type matches ``stages[next]`` and its time is
+    STRICTLY after the previous conversion (first-touch semantics: the
+    first qualifying event binds, identical to the batch min-chain —
+    greedy-in-order and min-with-constraint pick the same events).
+
+    Contract: per-key in-order event time across micro-batches (the
+    engine's in-order model, as streaming_rolling_zscore). State per user
+    is two scalars — bounded by the user population, not stream length.
+    Output: one append row per conversion (user, stage_idx, stage,
+    conv_us).
+    """
+    out_schema = f"{user_col} long, stage_idx long, stage string, conv_us long"
+    state_schema = "reached long, t_last long"
+    stage_list = list(stages)
+
+    def advance(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        reached, t_last = state.get if state.exists else (-1, -1)
+        out = []
+        chunks = [pdf for pdf in pdfs]
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(us_col)
+        for ty, us in zip(pdf[type_col], pdf[us_col]):
+            nxt = reached + 1
+            if nxt >= len(stage_list):
+                break
+            if ty == stage_list[nxt] and (reached < 0 or us > t_last):
+                reached, t_last = nxt, int(us)
+                out.append((key[0], nxt, stage_list[nxt], int(us)))
+        state.update((reached, t_last))
+        cols = [user_col, "stage_idx", "stage", "conv_us"]
+        yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
+            {c: [] for c in cols}
+        )
+
+    return df.select(user_col, type_col, us_col).groupBy(user_col).applyInPandasWithState(
+        advance, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
