@@ -10,6 +10,7 @@ reference's finite-stream test harness shape):
   stateless   filter + arithmetic projection            (no state)
   window      watermark + keyed 1s tumbling aggregation (windowed state)
   reduce      per-key running fold via applyInPandasWithState (custom state)
+  sketch      Misra-Gries heavy hitters, 16 buckets x 32 counters (constant state)
 
 Prints one JSON line: rows/sec per pipeline.
 
@@ -91,6 +92,18 @@ def main() -> None:
 
     results["reduce_rows_per_sec"] = run(
         "reduce", lambda s: streaming_rolling_reduce(s, ["key"], "ts", "value")
+    )
+
+    from windflow_spark.streaming import streaming_heavy_hitters
+
+    results["sketch_rows_per_sec"] = run(
+        "sketch",
+        lambda s: streaming_heavy_hitters(
+            s.select(F.concat(F.lit("k"), F.col("key")).alias("token")),
+            "token",
+            capacity=32,
+            n_buckets=16,
+        ),
     )
 
     shutil.rmtree(work, ignore_errors=True)
