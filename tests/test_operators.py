@@ -710,3 +710,43 @@ def test_cohort_retention_offsets(spark):
     out = {(r.cohort_bucket, r.bucket_offset): r.n_users
            for r in cohort_retention(df, 10, us_col=F.col("us")).collect()}
     assert out == {(0, 0): 2, (0, 2): 1, (0, 1): 1, (1, 0): 1}
+
+
+def test_funnel_matches_python_model_random(spark):
+    # independent python model over random event streams: first-touch
+    # chain = walk events in ts order, advance on the next stage's first
+    # qualifying event
+    import random
+
+    from windflow_spark.operators.behavior import funnel_stages
+
+    STAGES = ["s0", "s1", "s2"]
+    rng = random.Random(23)
+    rows = []
+    for u in range(60):
+        t = 0
+        for _ in range(rng.randint(0, 12)):
+            t += rng.randint(1, 9)
+            rows.append((u, rng.choice(STAGES + ["x", "y"]), t))
+    if not rows:
+        rows = [(0, "s0", 1)]
+    reached = {}
+    by_user = {}
+    for u, ty, t in sorted(rows, key=lambda r: (r[0], r[2])):
+        by_user.setdefault(u, []).append((ty, t))
+    for u, evs in by_user.items():
+        k, t_last = -1, -1
+        for ty, t in evs:
+            if k + 1 < len(STAGES) and ty == STAGES[k + 1] and (k < 0 or t > t_last):
+                k, t_last = k + 1, t
+        reached[u] = k
+    expect = {
+        (i, s): sum(1 for k in reached.values() if k >= i)
+        for i, s in enumerate(STAGES)
+    }
+    df = spark.createDataFrame(rows, "user_id long, event_type string, us long")
+    got = {
+        (r.stage_idx, r.stage): r.n_users
+        for r in funnel_stages(df, STAGES, us_col=F.col("us")).collect()
+    }
+    assert got == expect
