@@ -245,3 +245,14 @@ def test_data_quality_report_dirty_rows(spark):
         "negative_price": (1, 6),
         "duplicate_k": (1, 6),      # two rows share k=1 -> 1 extra
     }
+
+
+def test_profile_columns_nulls_and_types(spark):
+    from windflow_spark.functions.pipeline import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (None, "b")], "k long, s string"
+    )
+    out = {r.column: (r.n_nulls, r.n_distinct, r.min_value, r.max_value)
+           for r in profile_columns(df, ["k", "s"]).collect()}
+    assert out == {"k": (1, 3, "1", "3"), "s": (1, 2, "a", "b")}

@@ -508,3 +508,34 @@ def data_quality_report(
         F.expr(f"stack({k}, {', '.join(stack_args)}) as (rule, n_violations)"),
         F.col("_n").alias("n_rows"),
     )
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Schema/volume profile: per column, null count, exact distinct
+    count, and min/max (string-rendered for a uniform report schema) in a
+    SINGLE aggregation (the multi-distinct agg plans one Expand pass —
+    rows × columns, the standard profile cost; swap count_distinct for
+    approx_count_distinct at 100 TB when exact cardinalities are not
+    required). The ingest-time sibling of data_quality_report: profiling
+    discovers the thresholds, the DQ gate then enforces them.
+    Output: (column, n_nulls, n_distinct, min_value, max_value).
+    """
+    aggs = []
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("long").alias(f"_n{i}"),
+            F.count_distinct(col).cast("long").alias(f"_d{i}"),
+            F.min(col).cast("string").alias(f"_mn{i}"),
+            F.max(col).cast("string").alias(f"_mx{i}"),
+        ]
+    a = df.agg(*aggs)
+    stack_args = []
+    for i, c in enumerate(cols):
+        stack_args += [f"'{c}'", f"_n{i}", f"_d{i}", f"_mn{i}", f"_mx{i}"]
+    return a.select(
+        F.expr(
+            f"stack({len(cols)}, {', '.join(stack_args)}) as "
+            "(column, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )

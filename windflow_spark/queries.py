@@ -3847,6 +3847,37 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev, 7 * US_DAY, us_col=event_micros(ev, "ts"))
 
 
+@register(
+    "profile_documents",
+    """
+    WITH a AS (
+      SELECT CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(count(DISTINCT lang) AS BIGINT) AS d0,
+             CAST(min(lang) AS VARCHAR) AS mn0, CAST(max(lang) AS VARCHAR) AS mx0,
+             CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(count(DISTINCT source) AS BIGINT) AS d1,
+             CAST(min(source) AS VARCHAR) AS mn1, CAST(max(source) AS VARCHAR) AS mx1,
+             CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(count(DISTINCT n_chars) AS BIGINT) AS d2,
+             CAST(min(n_chars) AS VARCHAR) AS mn2, CAST(max(n_chars) AS VARCHAR) AS mx2
+      FROM documents)
+    SELECT 'lang' AS "column", n0 AS n_nulls, d0 AS n_distinct,
+           mn0 AS min_value, mx0 AS max_value FROM a
+    UNION ALL SELECT 'source', n1, d1, mn1, mx1 FROM a
+    UNION ALL SELECT 'n_chars', n2, d2, mn2, mx2 FROM a
+    """,
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of documents (nulls / exact distincts / min / max per
+    column in one aggregation pass) — the ingest-time discovery sibling of
+    the dq_report gate."""
+    from windflow_spark.functions.pipeline import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "documents"), ["lang", "source", "n_chars"]
+    )
+
+
 _EMB_NORM_CHAIN = " + ".join(f"v[{i}] * v[{i}]" for i in range(1, 65))
 _EMB_Q = "list_transform(v, x -> CAST(trunc(127.0 * x / nrm) AS INT))"
 
