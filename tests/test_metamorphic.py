@@ -38,6 +38,12 @@ SAMPLE = [
     "ts_zscore_anomaly",            # RANGE frame over bucket index (r5)
     "sim_topk_ivf_multiprobe",      # codebook means + probe ranking (r5)
     "win_cb_hopping_5_10",          # gap assignment (r5)
+    "heavy_hitters_tokens",         # sketch booleans must survive any layout (r5)
+    "tfidf_top_terms",              # rank ties on rounded scores (r5)
+    "sample_token_budget",          # cumsum prefix under re-partitioning (r5)
+    "lm_perplexity_scores",         # float-avg over join order (r5)
+    "sim_topk_ivf_kmeans",          # iterative training determinism (r5)
+    "funnel_signup_purchase",       # stage-chain joins (r5)
 ]
 
 

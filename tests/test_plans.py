@@ -247,3 +247,25 @@ def test_zscore_two_keyed_exchanges(spark, sf_dir):
     from windflow_spark.queries import ts_zscore_anomaly
 
     assert keyed_shuffle_count(ts_zscore_anomaly(spark, sf_dir)) <= 2
+
+
+def test_r5_additions_exchange_budgets(spark, sf_dir):
+    # pin the keyed-shuffle budgets of the late-r5 families — a regression
+    # here reintroduces a corpus re-shuffle at 100 TB (budgets from
+    # PLANS.md at the time each operator was tuned)
+    from windflow_spark.plans.explain import keyed_shuffle_count
+
+    budgets = {
+        "tfidf_top_terms": 3,          # tf agg + term window + doc rank
+        "lm_perplexity_scores": 4,     # tf/bigram aggs + eval join + doc agg
+        "heavy_hitters_tokens": 2,     # sketch merge + exact-side agg
+        "mix_sources_balanced": 2,     # source counts + final agg
+        "cohort_retention_weekly": 3,  # distinct + first-activity + join
+        "sample_token_budget": 1,      # one stratum window
+    }
+    over = {}
+    for name, budget in budgets.items():
+        got = keyed_shuffle_count(QUERIES[name](spark, sf_dir))
+        if got > budget:
+            over[name] = (got, budget)
+    assert not over, f"keyed-exchange budgets exceeded: {over}"
