@@ -43,7 +43,13 @@ SAMPLE = [
     "sample_token_budget",          # cumsum prefix under re-partitioning (r5)
     "lm_perplexity_scores",         # float-avg over join order (r5)
     "sim_topk_ivf_kmeans",          # iterative training determinism (r5)
-    "funnel_signup_purchase",       # stage-chain joins (r5)
+    "funnel_signup_purchase",       # one-pass sorted fold (r6 rewrite)
+    "cohort_retention_weekly",      # distinct + first-activity join (r6)
+    "dq_report_orders",             # one-pass conditional aggs (r6)
+    "profile_documents",            # multi-distinct Expand pass (r6)
+    "cluster_embeddings_kmeans",    # trained-codebook assignment (r6)
+    "mix_sources_balanced",         # exact md5-threshold sampling (r6)
+    "sim_ivf_kmeans_recall",        # recall intersection pipelines (r6)
 ]
 
 

@@ -750,3 +750,35 @@ def test_funnel_matches_python_model_random(spark):
         for r in funnel_stages(df, STAGES, us_col=F.col("us")).collect()
     }
     assert got == expect
+
+
+def test_train_codebook_memoizes_per_key(spark):
+    # r5 VERDICT #1: a shared quantizer must train ONCE. With a cache_key,
+    # the trained rows are memoized — a second call with the SAME key but a
+    # different corpus returns the first training's codebook (the cache
+    # trusts the key, the documented FAISS-handle contract); a distinct key
+    # retrains.
+    from windflow_spark.functions.similarity import (
+        _CODEBOOK_CACHE,
+        train_codebook,
+    )
+
+    def corpus(shift):
+        rows = [
+            (i, [1.0 if d == (i + shift) % 3 else 0.0 for d in range(4)])
+            for i in range(12)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    k1 = ("test-memo-a",)
+    k2 = ("test-memo-b",)
+    try:
+        cb1 = sorted(map(tuple, train_codebook(corpus(0), k1, n_lists=3).collect()))
+        assert any(k[0] == k1 for k in _CODEBOOK_CACHE)
+        cb_hit = sorted(map(tuple, train_codebook(corpus(1), k1, n_lists=3).collect()))
+        assert cb_hit == cb1  # cache hit: second corpus ignored
+        cb2 = sorted(map(tuple, train_codebook(corpus(1), k2, n_lists=3).collect()))
+        assert cb2 != cb1     # distinct key: retrained on the shifted corpus
+    finally:
+        for k in [k for k in _CODEBOOK_CACHE if k[0] in (k1, k2)]:
+            del _CODEBOOK_CACHE[k]

@@ -256,3 +256,45 @@ def test_profile_columns_nulls_and_types(spark):
     out = {r.column: (r.n_nulls, r.n_distinct, r.min_value, r.max_value)
            for r in profile_columns(df, ["k", "s"]).collect()}
     assert out == {"k": (1, 3, "1", "3"), "s": (1, 2, "a", "b")}
+
+
+def test_bigram_lm_broadcast_guard_branches(spark):
+    # r5 VERDICT #3: the vocab-sized unigram broadcast is gated on an
+    # up-front vocab count. Both branches — broadcast (vocab under the
+    # cap) and plain shuffle join (cap exceeded) — must produce identical
+    # scores; only the join strategy may differ.
+    from windflow_spark.functions.pipeline import bigram_lm_nll
+
+    docs = [
+        (1, "a b a b c"),
+        (2, "a b a"),
+        (3, "c a b a"),
+        (4, "b c z"),
+        (5, "a q"),
+        (6, "a c b"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = lambda d: sorted(
+        (r.doc_id, r.n_bigrams, r.avg_nll) for r in d.collect()
+    )
+    bcast = bigram_lm_nll(df)                           # vocab << default cap
+    plain = bigram_lm_nll(df, max_broadcast_vocab=0)    # force shuffle branch
+    assert rows(bcast) == rows(plain)
+    assert "broadcast" in bcast._jdf.queryExecution().optimizedPlan().toString().lower()
+
+
+def test_dq_and_profile_names_with_quotes(spark):
+    # rule/column names are interpolated into stack() expression strings —
+    # a single quote must neither break parsing nor inject SQL
+    from windflow_spark.functions.pipeline import data_quality_report
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, None)], "id long, v int"
+    )
+    rep = {
+        r.rule: r.n_violations
+        for r in data_quality_report(
+            df, {"v is'null": F.col("v").isNull()}
+        ).collect()
+    }
+    assert rep == {"v is'null": 1}

@@ -104,9 +104,8 @@ _BNLJ_ALLOWED = {
     # the bounded query side
     "sim_topk_ivf_kmeans",
     "sim_ivf_kmeans_recall",
-    # one-row vocabulary-size V broadcast onto the eval bigram stream —
-    # the scalar-attach plan for the smoothing denominator
-    "lm_perplexity_scores",
+    # (lm_perplexity_scores left this list in r6: V is counted up front
+    # and inlined as a literal, so no scalar-attach BNLJ remains)
     # k-row codebook broadcast (Lloyd assignment), as sim_topk_ivf_kmeans
     "cluster_embeddings_kmeans",
 }
@@ -269,3 +268,13 @@ def test_r5_additions_exchange_budgets(spark, sf_dir):
         if got > budget:
             over[name] = (got, budget)
     assert not over, f"keyed-exchange budgets exceeded: {over}"
+
+
+def test_funnel_single_keyed_exchange(spark, sf_dir):
+    # r6 one-pass rewrite (r5 VERDICT #2): the K-stage funnel is ONE
+    # groupBy(user) — the sorted-fold plan. More keyed exchanges means the
+    # chained per-stage join form crept back (2K jobs for K stages).
+    from windflow_spark.plans.explain import keyed_shuffle_count
+    from windflow_spark.queries import funnel_signup_purchase
+
+    assert keyed_shuffle_count(funnel_signup_purchase(spark, sf_dir)) <= 1

@@ -402,6 +402,7 @@ def bigram_lm_nll(
     text_col: str = "text",
     id_col: str = "doc_id",
     train_pct: int = 90,
+    max_broadcast_vocab: int = 2_000_000,
 ) -> DataFrame:
     """Perplexity-style quality scoring (the CCNet/KenLM filter signal):
     an add-one-smoothed bigram language model is "trained" on the
@@ -413,11 +414,14 @@ def bigram_lm_nll(
 
     Scale shape: bigrams are extracted JVM-side (slice + arrays_zip — no
     window, no Python). The train bigram table shuffles once on (w1,w2)
-    and equi-joins the eval bigram stream on the same key; the unigram
-    table is vocab-sized and broadcast; the scalar V rides as a ONE-ROW
-    broadcast onto the eval stream (1×N nested loop, the scalar-attach
-    plan — documented in tests/test_plans.py). Unseen bigrams/unigrams
-    fall back to the smoothed floor via left joins, exactly the add-one
+    and equi-joins the eval bigram stream on the same key. The unigram
+    table is vocab-sized: V is counted ONCE up front (an eager job at
+    build time) and that exact count both (a) gates the broadcast hint —
+    a web-scale raw-token vocab above ``max_broadcast_vocab`` rows falls
+    back to a plain shuffle join instead of an oversized broadcast — and
+    (b) rides into the smoothing denominator as a plain literal, so no
+    one-row scalar-attach join is needed. Unseen bigrams/unigrams fall
+    back to the smoothed floor via left joins, exactly the add-one
     contract. Output: (id, n_bigrams, avg_nll 6dp) for eval docs with ≥2
     tokens.
     """
@@ -446,17 +450,17 @@ def bigram_lm_nll(
         .groupBy("w1")
         .agg(F.count(F.lit(1)).cast("long").alias("cu"))
     )
-    vs = tr_u.agg(F.count(F.lit(1)).cast("long").alias("vs"))
+    v_count = tr_u.count()  # = |distinct train unigrams| = V, exact
+    u_side = F.broadcast(tr_u) if v_count <= max_broadcast_vocab else tr_u
     ev = bigrams.filter(F.col("split") == "eval").select(id_col, "w1", "w2")
     scored = (
         ev.join(tr_b, ["w1", "w2"], "left")
-        .join(F.broadcast(tr_u), "w1", "left")
-        .join(F.broadcast(vs))
+        .join(u_side, "w1", "left")
         .withColumn(
             "_nll",
             -F.log(
                 (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1)).cast("double")
-                / (F.coalesce(F.col("cu"), F.lit(0)) + F.col("vs"))
+                / (F.coalesce(F.col("cu"), F.lit(0)) + F.lit(v_count))
             ),
         )
     )
@@ -464,6 +468,13 @@ def bigram_lm_nll(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.avg("_nll"), 6).alias("avg_nll"),
     )
+
+
+def _sql_str(name: str) -> str:
+    """Render ``name`` as a SQL single-quoted string literal, escaping
+    embedded quotes — rule/column names are interpolated into ``stack()``
+    expression strings and must not break parsing or inject SQL."""
+    return "'" + name.replace("'", "''") + "'"
 
 
 def data_quality_report(
@@ -500,9 +511,9 @@ def data_quality_report(
     a = df.agg(*aggs)
     stack_args = []
     for i, name in enumerate(names):
-        stack_args += [f"'{name}'", f"_v{i}"]
+        stack_args += [_sql_str(name), f"_v{i}"]
     for j, c in enumerate(unique_cols):
-        stack_args += [f"'duplicate_{c}'", f"_u{j}"]
+        stack_args += [_sql_str(f"duplicate_{c}"), f"_u{j}"]
     k = len(names) + len(unique_cols)
     return a.select(
         F.expr(f"stack({k}, {', '.join(stack_args)}) as (rule, n_violations)"),
@@ -532,7 +543,7 @@ def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     a = df.agg(*aggs)
     stack_args = []
     for i, c in enumerate(cols):
-        stack_args += [f"'{c}'", f"_n{i}", f"_d{i}", f"_mn{i}", f"_mx{i}"]
+        stack_args += [_sql_str(c), f"_n{i}", f"_d{i}", f"_mn{i}", f"_mx{i}"]
     return a.select(
         F.expr(
             f"stack({len(cols)}, {', '.join(stack_args)}) as "

@@ -482,20 +482,77 @@ def kmeans_codebook(
     discipline as dedup_clusters' convergence scalar). Clusters that lose
     all members drop out of the codebook. Output: (_bkt, _cv)."""
     spark = corpus.sparkSession
-    schema = "_bkt long, _cv array<double>"
-    rows = (
-        corpus.filter(F.col(id_col) < n_lists)
+    rows = _kmeans_rows(corpus, n_lists, iters, id_col, vec_col)
+    return spark.createDataFrame(rows, _CODEBOOK_SCHEMA)
+
+
+_CODEBOOK_SCHEMA = "_bkt long, _cv array<double>"
+
+# Trained codebooks memoized per (cache_key, n_lists, iters, id_col,
+# vec_col): each value is n_lists × dim python floats — driver-trivial at
+# any corpus scale (the FAISS memory-resident-quantizer shape). The cache
+# holds plain rows, not DataFrames, so entries survive session restarts
+# harmlessly (a literal frame is rebuilt per call, zero Spark jobs).
+_CODEBOOK_CACHE: dict[tuple, list[tuple[int, list[float]]]] = {}
+
+
+def _kmeans_rows(
+    corpus: DataFrame,
+    n_lists: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+) -> list[tuple[int, list[float]]]:
+    """The Lloyd training loop of kmeans_codebook, returning plain
+    (bucket, centroid) rows — the memoizable artifact."""
+    spark = corpus.sparkSession
+    rows = [
+        (int(r["_bkt"]), list(r["_cv"]))
+        for r in corpus.filter(F.col(id_col) < n_lists)
         .select(
             F.col(id_col).cast("long").alias("_bkt"),
             as_double_array(vec_col).alias("_cv"),
         )
         .collect()
-    )
+    ]
     for _ in range(iters):
-        cent = spark.createDataFrame([(r["_bkt"], list(r["_cv"])) for r in rows], schema)
+        cent = spark.createDataFrame(rows, _CODEBOOK_SCHEMA)
         assigned = _assign_nearest_list(corpus, cent, id_col, vec_col=vec_col)
-        rows = ivf_centroids(assigned, "_bkt", "_v").collect()
-    return spark.createDataFrame([(r["_bkt"], list(r["_cv"])) for r in rows], schema)
+        rows = [
+            (int(r["_bkt"]), list(r["_cv"]))
+            for r in ivf_centroids(assigned, "_bkt", "_v").collect()
+        ]
+    return rows
+
+
+def train_codebook(
+    corpus: DataFrame,
+    cache_key: object = None,
+    n_lists: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train-ONCE handle over ``kmeans_codebook`` (VERDICT r5 #1): the
+    FAISS train/add split. Training an identical deterministic codebook
+    costs ~8 serial Spark jobs; queries that share a quantizer
+    (sim_topk_ivf_kmeans, sim_ivf_kmeans_recall, cluster_embeddings_kmeans)
+    must not each retrain it. Pass a ``cache_key`` identifying the corpus
+    (e.g. the sf_dir path): the trained rows are memoized per
+    (cache_key, n_lists, iters, id_col, vec_col) and later calls rebuild
+    the k-row literal frame with ZERO Spark jobs. ``cache_key=None``
+    trains unconditionally (the old behavior). Callers that mutate the
+    data behind a key must pass a fresh key — the cache trusts the key,
+    by design (same contract as a FAISS index handle)."""
+    spark = corpus.sparkSession
+    key = (cache_key, n_lists, iters, id_col, vec_col)
+    if cache_key is None or key not in _CODEBOOK_CACHE:
+        rows = _kmeans_rows(corpus, n_lists, iters, id_col, vec_col)
+        if cache_key is not None:
+            _CODEBOOK_CACHE[key] = rows
+    else:
+        rows = _CODEBOOK_CACHE[key]
+    return spark.createDataFrame(rows, _CODEBOOK_SCHEMA)
 
 
 def ivf_topk_kmeans(
@@ -508,16 +565,19 @@ def ivf_topk_kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    cache_key: object = None,
 ) -> DataFrame:
     """IVF ANN over a TRAINED coarse quantizer (kmeans_codebook) instead of
     a pre-assigned label column — the full FAISS IVF path: train codebook,
     assign corpus to inverted lists, rank lists per query by centroid
     cosine, scan the nprobe nearest lists. The probe is the same
     shuffle-partitioned list equi-join as ivf_topk; the only non-equi step
-    is the k-row codebook broadcast (assignment + probe ranking)."""
-    cent = kmeans_codebook(corpus, n_lists, iters, id_col, vec_col).withColumn(
-        "_cn", _norm(F.col("_cv"))
-    )
+    is the k-row codebook broadcast (assignment + probe ranking).
+    ``cache_key`` (e.g. the corpus path) routes training through the
+    memoized train_codebook so a shared quantizer trains once."""
+    cent = train_codebook(
+        corpus, cache_key, n_lists, iters, id_col, vec_col
+    ).withColumn("_cn", _norm(F.col("_cv")))
     assigned = _assign_nearest_list(corpus, cent, id_col, vec_col=vec_col)
     q = queries.select(
         F.col(query_id_col), as_double_array(vec_col).alias("_qv")

@@ -131,7 +131,9 @@ def read_json_robust(
     if not isinstance(schema, StructType):
         raise TypeError("read_json_robust requires an explicit StructType schema")
     if corrupt_col not in schema.fieldNames():
-        schema = schema.add(corrupt_col, StringType())
+        # Copy before .add(): StructType.add mutates self, and silently
+        # growing the CALLER's schema object is a surprise on reuse.
+        schema = StructType(list(schema.fields)).add(corrupt_col, StringType())
     return (
         spark.read.format("json")
         .schema(schema)

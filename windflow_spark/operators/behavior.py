@@ -4,11 +4,13 @@ users run downstream of windows/sessions (no reference counterpart; the
 reference's §2.11 UDF surface stops at per-window functors).
 
 Scale shape: both operators stay on (user, bucket/stage) aggregates.
-The funnel chain joins stage frames on the user key only — every stage
-reuses the same hash partitioning, so K stages cost K filtered scans +
-K co-partitioned joins, never a cross product; per-stage scans push the
-event-type filter to the source. Cohort retention is two aggregations and
-one co-partitioned join on user.
+The funnel is ONE pass: a single groupBy(user) collects each user's
+funnel-relevant events (the event-type filter pushes to the source, so
+per-user state is bounded by that user's funnel events, not their full
+history), a JVM-side sorted fold computes the K first-touch stage times,
+and one global partial-aggregated count yields the K-row summary — one
+keyed exchange for a K-stage funnel, never a cross product. Cohort
+retention is two aggregations and one co-partitioned join on user.
 """
 
 from __future__ import annotations
@@ -16,7 +18,6 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -35,40 +36,87 @@ def funnel_stages(
     not count — the ordering constraint is what separates a funnel from a
     per-type distinct count.
 
-    Output: (stage_idx, stage, n_users, pct_of_first) — one row per stage;
-    the pct window runs over the K-row summary, not the event stream.
+    Output: (stage_idx, stage, n_users, pct_of_first) — one row per stage.
+
+    ONE-PASS plan (VERDICT r5 #2): groupBy(user) collects that user's
+    stage events as sort_array(collect_list(struct(us, stage_idx))) — the
+    single keyed exchange — then a JVM ``F.aggregate`` fold walks the
+    sorted list once, binding stage i to the FIRST stage-i event strictly
+    after stage i−1's bound time. (Equivalent to the chained min-agg form:
+    any qualifying stage-i event sorts strictly after the event that set
+    t_{i−1}, so the first qualifying one in scan order IS the min.) The
+    K stage counts then reduce in one partially-aggregated global pass and
+    unpivot via ``inline`` — K stages cost one job, not 2K.
     """
     from windflow_spark.operators.timeutil import event_micros
 
+    n_stages = len(stages)
     us = us_col if us_col is not None else event_micros(df, ts_col)
-    ev = df.select(F.col(user_col), F.col(type_col).alias("_ty"), us.alias("_us"))
-    frames = []
-    cur = None
-    for stage in stages:
-        s = ev.filter(F.col("_ty") == stage)
-        if cur is None:
-            cur = s.groupBy(user_col).agg(F.min("_us").alias("_t"))
-        else:
-            cur = (
-                s.join(cur.select(user_col, F.col("_t").alias("_pt")), user_col)
-                .filter(F.col("_us") > F.col("_pt"))
-                .groupBy(user_col)
-                .agg(F.min("_us").alias("_t"))
-            )
-        frames.append(cur)
-    counts = None
-    for i, (stage, fr) in enumerate(zip(stages, frames)):
-        row = fr.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
-            F.lit(i).cast("long").alias("stage_idx"),
-            F.lit(stage).alias("stage"),
-            "n_users",
-        )
-        counts = row if counts is None else counts.unionByName(row)
-    n0 = F.max(F.when(F.col("stage_idx") == 0, F.col("n_users"))).over(
-        W.partitionBy()
+    # Map event type -> ALL matching stage indices (a stage name may repeat
+    # in the spec; each occurrence is its own funnel step, as in the
+    # chained form). Pure JVM: K-literal array per row, matches exploded.
+    stage_lits = F.array(*[F.lit(s) for s in stages])
+    match_idx = F.filter(
+        F.transform(
+            stage_lits,
+            lambda s, i: F.when(s == F.col("_ty"), i),  # int index
+        ),
+        lambda x: x.isNotNull(),
     )
-    return counts.withColumn(
-        "pct_of_first", F.round(F.col("n_users").cast("double") / n0, 6)
+    ev = (
+        df.select(F.col(user_col), F.col(type_col).alias("_ty"), us.alias("_us"))
+        .filter(F.col("_ty").isin(list(stages)))
+        .select(user_col, "_us", F.explode(match_idx).alias("_s"))
+    )
+
+    def _step(acc, e):
+        s, t = e["_s"], e["_us"]  # s: INT stage index (element_at needs int)
+        # element_at is 1-based; guard the s==0 read (ANSI: index 0 errors)
+        prev_t = F.element_at(acc, F.when(s > 0, s).otherwise(F.lit(1)))
+        prev_ok = (s == 0) | (prev_t.isNotNull() & (t > prev_t))
+        cond = F.element_at(acc, s + 1).isNull() & prev_ok
+        return F.when(
+            cond, F.transform(acc, lambda x, i: F.when(i == s, t).otherwise(x))
+        ).otherwise(acc)
+
+    times = (
+        ev.groupBy(user_col)
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("_us", "_s"))),
+                F.array_repeat(F.lit(None).cast("long"), n_stages),
+                _step,
+            ).alias("_t")
+        )
+    )
+    counts = times.agg(
+        *[
+            F.count(F.element_at("_t", i + 1)).cast("long").alias(f"_c{i}")
+            for i in range(n_stages)
+        ]
+    )
+    summary = counts.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("stage_idx"),
+                        F.lit(stage).alias("stage"),
+                        F.col(f"_c{i}").alias("n_users"),
+                    )
+                    for i, stage in enumerate(stages)
+                ]
+            )
+        ),
+        F.col("_c0").alias("_n0"),
+    )
+    return summary.select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        F.round(F.col("n_users").cast("double") / F.col("_n0"), 6).alias(
+            "pct_of_first"
+        ),
     )
 
 

@@ -2771,7 +2771,9 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk_kmeans(emb, queries_df, k=5, n_lists=8, iters=2, nprobe=1)
+    return ivf_topk_kmeans(
+        emb, queries_df, k=5, n_lists=8, iters=2, nprobe=1, cache_key=sf_dir
+    )
 
 
 @register(
@@ -2844,11 +2846,11 @@ def cluster_embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     same 2-iteration Lloyd training as sim_topk_ivf_kmeans."""
     from windflow_spark.functions.similarity import (
         _assign_nearest_list,
-        kmeans_codebook,
+        train_codebook,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    cb = kmeans_codebook(emb, n_lists=8, iters=2)
+    cb = train_codebook(emb, cache_key=sf_dir, n_lists=8, iters=2)
     assigned = _assign_nearest_list(emb, cb, "vec_id", keep_score=True)
     return assigned.groupBy(F.col("_bkt").alias("cluster_id")).agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),

@@ -658,7 +658,16 @@ def streaming_rolling_zscore(
             hist = [(bi, ci) for bi, ci in hist if bi >= floor_b]
             cur_b, cur_c = -1, 0
 
-        for pdf in pdfs:
+        # Concat ALL chunks before sorting (streaming_funnel's pattern): a
+        # key whose micro-batch rows span multiple Arrow chunks would
+        # otherwise see cross-chunk timestamp inversions and drop
+        # earlier-bucket rows as late.
+        chunks = list(pdfs)
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else (
+            chunks[0] if chunks else None
+        )
+        eos_seen = False
+        if pdf is not None:
             if eos_col is not None:
                 pdf = pdf.sort_values([eos_col, ts_col])
                 flags = pdf[eos_col].fillna(False).to_numpy(dtype=bool)
@@ -666,7 +675,6 @@ def streaming_rolling_zscore(
                 ts = pdf[ts_col].to_numpy(dtype=np.int64)[~flags]
             else:
                 pdf = pdf.sort_values(ts_col)
-                eos_seen = False
                 ts = pdf[ts_col].to_numpy(dtype=np.int64)
             if len(ts):
                 ub, uc = np.unique(ts // bucket_us, return_counts=True)
@@ -677,12 +685,13 @@ def streaming_rolling_zscore(
                         close_current(b)
                         cur_b, cur_c = b, c
                     # b < cur_b: late row for a scored bucket — dropped
-            if eos_seen:
-                close_current(None)
-                hist = []
-        state.update(
-            (cur_b, cur_c, [b for b, _ in hist], [c for _, c in hist])
-        )
+        if eos_seen:
+            close_current(None)
+            state.remove()  # constant-state op: no empty entry after EOS
+        else:
+            state.update(
+                (cur_b, cur_c, [b for b, _ in hist], [c for _, c in hist])
+            )
         cols = key_list + ["bucket_start", "cnt", "zscore"]
         yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
             {c: [] for c in cols}
@@ -816,7 +825,7 @@ def streaming_heavy_hitters(
                 acc = {t: v - sub for t, v in acc.items() if v - sub > 0}
             eos = eos or bool(pdf["_eos"].any())
         if eos:
-            state.update(([], []))
+            state.remove()  # constant-state op: no empty entry after EOS
             yield pd.DataFrame(
                 {col: list(acc.keys()), "est": list(acc.values())}
             ) if acc else pd.DataFrame({col: [], "est": []})
