@@ -98,6 +98,21 @@ def main(replicas: int = 10) -> None:
         row_group=2048,
     )
 
+    # skew probe (VERDICT r5 #8): one hot supplier key owns ~20% of fact
+    # rows (every 5th orderkey deterministically re-pointed at suppkey 1) —
+    # the input for tools/bench_skew.py's salted-vs-plain join measurement.
+    gen(
+        "lineitem_skew",
+        f"""
+        SELECT l_orderkey, l_partkey,
+               CASE WHEN l_orderkey % 5 = 0 THEN 1 ELSE l_suppkey END
+                   AS l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+               l_returnflag, l_linestatus, l_shipdate
+        FROM '{DST}/lineitem.parquet'
+        """,
+    )
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 10)

@@ -12,6 +12,7 @@ from windflow_spark.streaming.ops import (
     streaming_sliding_window_tb,
     streaming_session_window,
     streaming_interval_join,
+    streaming_interval_join_bucketed,
     streaming_rolling_reduce,
     streaming_tumbling_window_cb,
     streaming_sliding_window_cb,
@@ -45,6 +46,7 @@ __all__ = [
     "streaming_sliding_window_tb",
     "streaming_session_window",
     "streaming_interval_join",
+    "streaming_interval_join_bucketed",
     "streaming_rolling_reduce",
     "streaming_tumbling_window_cb",
     "streaming_sliding_window_cb",

@@ -132,6 +132,76 @@ def streaming_interval_join(
     return aa.join(bb, cond, "inner")
 
 
+def streaming_interval_join_bucketed(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: Sequence[str],
+    a_ts: str,
+    b_ts: str,
+    lower_us: int,
+    upper_us: int,
+    bucket_us: int | None = None,
+    watermark_us: int = 1,
+) -> DataFrame:
+    """Stream-stream interval join blocked by time bucket — the streaming
+    sibling of operators.interval_join.interval_join_bucketed (r5 VERDICT
+    #4). Identical match semantics (ts(b) ∈ [ts(a)+lower, ts(a)+upper],
+    bounds inclusive; reference wf/interval_join.hpp:279-295), but the
+    equi-join key is (key, bucket): B rows land in exactly one
+    floor(ts/W) bucket, A rows replicate to the ≤2 buckets their match
+    interval covers (W defaults to upper−lower), and every matching pair
+    shares exactly one bucket — b's — so no duplicate pairs arise.
+
+    Why it matters in streaming: Spark partitions JOIN STATE by the
+    equi-key. With key alone, one hot key concentrates its entire
+    retention window of buffered rows on a single state partition; on
+    (key, bucket) the state spreads over key × time. The per-row state
+    RETENTION bound is unchanged — Spark still derives it from the
+    event-time range condition exactly as the reference purges archives by
+    watermark (A kept while ts ≥ wm − upper, B while ts ≥ wm + lower;
+    wf/interval_join.hpp:109-117,153-159); bucketing changes only where
+    that bounded state lives. A replicas double the A-side state, the
+    price of the key×time spread (same trade as the batch form).
+    """
+    span = upper_us - lower_us
+    if span < 0:
+        raise ValueError(f"upper_us < lower_us ({upper_us} < {lower_us})")
+    width = int(bucket_us) if bucket_us else max(span, 1)
+    if width <= 0:
+        raise ValueError(f"bucket_us must be positive, got {bucket_us}")
+    from windflow_spark.operators.timeutil import event_micros
+
+    a_us = event_micros(a, a_ts)
+    b_us = event_micros(b, b_ts)
+    aa = (
+        a.withWatermark(a_ts, _dur(watermark_us))
+        .withColumn(
+            "__ij_bkt",
+            F.explode(
+                F.sequence(
+                    F.floor((a_us + F.lit(lower_us)) / F.lit(width)),
+                    F.floor((a_us + F.lit(upper_us)) / F.lit(width)),
+                )
+            ),
+        )
+        .alias("a")
+    )
+    bb = (
+        b.withWatermark(b_ts, _dur(watermark_us))
+        .withColumn("__ij_bkt", F.floor(b_us / F.lit(width)))
+        .alias("b")
+    )
+    cond = F.col("a.__ij_bkt") == F.col("b.__ij_bkt")
+    for k in key_cols:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    qa_us = event_micros(a, a_ts, qualifier="a")
+    qb_us = event_micros(b, b_ts, qualifier="b")
+    cond = cond & (qb_us >= qa_us + F.lit(lower_us)) & (qb_us <= qa_us + F.lit(upper_us))
+    return aa.join(bb, cond, "inner").drop(F.col("a.__ij_bkt")).drop(
+        F.col("b.__ij_bkt")
+    )
+
+
 def streaming_rolling_reduce(
     df: DataFrame,
     key_cols: Sequence[str],
