@@ -50,6 +50,9 @@ SAMPLE = [
     "cluster_embeddings_kmeans",    # trained-codebook assignment (r6)
     "mix_sources_balanced",         # exact md5-threshold sampling (r6)
     "sim_ivf_kmeans_recall",        # recall intersection pipelines (r6)
+    "scd2_customer_status",         # two-window islands build (r6)
+    "ts_ohlc_hourly",               # struct-argmin tie-breaks (r6)
+    "source_token_kl",              # float KL over join order (r6)
 ]
 
 

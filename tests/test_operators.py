@@ -782,3 +782,131 @@ def test_train_codebook_memoizes_per_key(spark):
     finally:
         for k in [k for k in _CODEBOOK_CACHE if k[0] in (k1, k2)]:
             del _CODEBOOK_CACHE[k]
+
+
+def test_scd2_intervals_collapse_and_chain(spark):
+    # versions collapse consecutive unchanged attrs; intervals chain
+    # (valid_to of version k == valid_from of k+1); open-ended current row
+    from windflow_spark.operators.timeseries import scd2_intervals
+
+    rows = [
+        (1, 10, "A"), (1, 20, "A"), (1, 30, "B"), (1, 40, "B"), (1, 50, "A"),
+        (2, 10, "X"),
+        (3, 10, None), (3, 20, "Y"), (3, 30, None),  # null <-> value changes
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, st string")
+    got = {
+        (r.k, r.version_seq): (r.st, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_intervals(df, ["k"], "t", ["st"], ["t"]).collect()
+    }
+    assert got == {
+        (1, 1): ("A", 10, 30, False),
+        (1, 2): ("B", 30, 50, False),
+        (1, 3): ("A", 50, None, True),
+        (2, 1): ("X", 10, None, True),
+        (3, 1): (None, 10, 20, False),
+        (3, 2): ("Y", 20, 30, False),
+        (3, 3): (None, 30, None, True),
+    }
+
+
+def test_resample_ohlc_tie_breaks(spark):
+    # open/close pick the value at the earliest/latest ts; equal-ts ties
+    # resolve to min/max value respectively (struct ordering) — the
+    # deterministic contract first()/last() cannot give
+    import datetime as dt
+
+    from windflow_spark.operators.timeseries import resample_ohlc
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", base, 5.0), ("a", base, 3.0),                       # open tie -> 3
+        ("a", base + dt.timedelta(minutes=30), 9.0),
+        ("a", base + dt.timedelta(minutes=59), 2.0),
+        ("a", base + dt.timedelta(minutes=59), 7.0),              # close tie -> 7
+        ("a", base + dt.timedelta(hours=2), 4.0),                 # next bar
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    got = {
+        (r.k, r.bucket_start): (r.open, r.high, r.low, r.close, r.cnt)
+        for r in resample_ohlc(df, ["k"], "ts", "value", 3_600_000_000).collect()
+    }
+    assert got == {
+        ("a", base): (3.0, 9.0, 2.0, 7.0, 5),
+        ("a", base + dt.timedelta(hours=2)): (4.0, 4.0, 4.0, 4.0, 1),
+    }
+
+
+def test_trending_counts_growth_rules(spark):
+    # growth NULL on a key's first bucket; ratio otherwise; buckets with
+    # zero activity simply don't exist (no spine) so lag skips them
+    from windflow_spark.operators.behavior import trending_counts
+
+    rows = [(k, t) for k, ts in [("x", [0, 1, 10, 11, 12, 20]), ("y", [10])]
+            for t in ts]
+    df = spark.createDataFrame(rows, "k string, us long")
+    got = {
+        (r.key, r.bucket): (r.cnt, r.prev_cnt, r.growth)
+        for r in trending_counts(df, "k", 10, us_col=F.col("us")).collect()
+    }
+    assert got == {
+        ("x", 0): (2, None, None),
+        ("x", 10): (3, 2, 1.5),
+        ("x", 20): (1, 3, round(1 / 3, 6)),
+        ("y", 10): (1, None, None),
+    }
+
+
+def test_token_kl_python_mirror(spark):
+    # exact python mirror of the KL formula on a small corpus; a group
+    # identical to the corpus mix has KL ~ 0, a skewed one is positive
+    import math
+
+    from windflow_spark.functions.pipeline import token_kl_by_group
+
+    docs = [
+        (1, "a a b", "s1"), (2, "a b b", "s1"),   # s1: balanced-ish
+        (3, "z z z z", "s2"), (4, "z a", "s2"),   # s2: z-heavy
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    from collections import Counter
+
+    gt: dict[tuple[str, str], int] = Counter()
+    for _, t, s in docs:
+        for w in t.split():
+            gt[(s, w)] += 1
+    ct = Counter()
+    for (s, w), c in gt.items():
+        ct[w] += c
+    n = sum(ct.values())
+    expect = {}
+    for s in ("s1", "s2"):
+        gn = sum(c for (g, _), c in gt.items() if g == s)
+        kl = sum(
+            (c / gn) * math.log((c / gn) / (ct[w] / n))
+            for (g, w), c in gt.items()
+            if g == s
+        )
+        expect[s] = (gn, round(kl, 6))
+    got = {
+        r.source: (r.n_tokens, r.kl)
+        for r in token_kl_by_group(df, "source", "text").collect()
+    }
+    assert got == expect
+    assert got["s1"][1] > 0 and got["s2"][1] > 0  # both diverge from the mix
+
+
+def test_fuzzy_pairs_blocked_residual_and_blocking(spark):
+    from windflow_spark.functions.dedup import fuzzy_pairs_blocked
+
+    rows = [
+        (1, "B1", "smith"), (2, "B1", "smyth"), (3, "B1", "jones"),
+        (4, "B2", "smith"),  # same name, different block: never paired
+        (5, "B2", "smiths"),
+    ]
+    df = spark.createDataFrame(rows, "id long, blk string, nm string")
+    got = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_pairs_blocked(df, "id", "nm", ["blk"], max_dist=2).collect()
+    )
+    assert got == [(1, 2, 1), (4, 5, 1)]

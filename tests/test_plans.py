@@ -108,6 +108,9 @@ _BNLJ_ALLOWED = {
     # and inlined as a literal, so no scalar-attach BNLJ remains)
     # k-row codebook broadcast (Lloyd assignment), as sim_topk_ivf_kmeans
     "cluster_embeddings_kmeans",
+    # one-row corpus-total N broadcast onto the reduced (group, token)
+    # frame — the scalar-attach plan for the KL denominator (r6)
+    "source_token_kl",
 }
 
 

@@ -1022,3 +1022,54 @@ def test_streaming_interval_join_bucketed_equals_batch(
     got = _rows(spark, name, ["av", "bv"])
     assert got == expect and len(expect) > 0
     assert len(got) == len(set(got))  # A-replication produced no dup pairs
+
+
+def test_streaming_cohort_retention_matches_batch(spark, tmp_path_factory):
+    """Per-user activity split across two time-ordered micro-batches: the
+    summed (cohort, offset) increments must equal the batch
+    cohort_retention matrix; a user's re-activity in the same bucket emits
+    no second increment."""
+    import random
+    import time as _time
+
+    from windflow_spark.operators.behavior import cohort_retention
+    from windflow_spark.streaming import (
+        file_stream as _fs,
+        streaming_cohort_retention,
+        to_memory_sink,
+    )
+
+    BUCKET = 100
+    rng = random.Random(11)
+    rows = []
+    for u in range(25):
+        t = rng.randint(0, 300)
+        for _ in range(rng.randint(1, 12)):
+            rows.append((u, t))
+            t += rng.randint(1, 180)
+    schema = "user_id long, us long"
+    full = spark.createDataFrame(rows, schema)
+    expect = sorted(
+        (r.cohort_bucket, r.bucket_offset, r.n_users)
+        for r in cohort_retention(full, BUCKET, us_col=F.col("us")).collect()
+    )
+
+    path = str(tmp_path_factory.mktemp("cohort_src"))
+    mid = 500
+    spark.createDataFrame([r for r in rows if r[1] <= mid], schema).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    spark.createDataFrame([r for r in rows if r[1] > mid], schema).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+    stream = _fs(spark, path, full.schema, max_files_per_trigger=1)
+    out = streaming_cohort_retention(stream, BUCKET)
+    name, _ = to_memory_sink(out, output_mode="append")
+    acc: dict = {}
+    for r in spark.table(name).collect():
+        k = (r.cohort_bucket, r.bucket_offset)
+        acc[k] = acc.get(k, 0) + 1
+    got = sorted((c, o, n) for (c, o), n in acc.items())
+    assert got == expect and len(expect) > 5

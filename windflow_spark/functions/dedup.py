@@ -677,3 +677,44 @@ def connected_components(
 
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select("id", F.col("label").alias("component"))
+
+
+def fuzzy_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    max_dist: int = 2,
+) -> DataFrame:
+    """Record linkage by edit distance with blocking: candidate pairs share
+    the ``block_cols`` key (an equi-self-join — never an all-pairs cross
+    product), ``id_a < id_b`` halves the pair space, and
+    levenshtein ≤ ``max_dist`` is the residual predicate — the classic
+    fuzzy-dedup shape for entity resolution (names, addresses, near-ID
+    strings) where token-set methods (minhash/jaccard, this module) are
+    too coarse. levenshtein runs JVM-side.
+
+    Scale shape identical to dedup_ngram_jaccard's prefix blocking: cost is
+    Σ_b |block_b|², so the block key must bound width (at 100 TB, cap hot
+    blocks exactly as dedup_minhash_lsh_capped caps buckets — the same
+    aggregated-width semi-join drops in here). Output:
+    (id_a, id_b, dist long).
+    """
+    keys = list(block_cols)
+    a = df.select(
+        *[F.col(k) for k in keys],
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("_ta"),
+    )
+    b = df.select(
+        *[F.col(k) for k in keys],
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("_tb"),
+    )
+    return (
+        a.join(b, keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("_ta", "_tb").cast("long"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

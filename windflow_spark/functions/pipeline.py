@@ -550,3 +550,45 @@ def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             "(column, n_nulls, n_distinct, min_value, max_value)"
         )
     )
+
+
+def token_kl_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group token-distribution divergence from the corpus: for each
+    group g (e.g. a crawl source/domain), KL(P_g ‖ P_corpus) =
+    Σ_t p_g(t)·ln(p_g(t)/p(t)) over the group's tokens — the CCNet-style
+    domain-quality signal ("which sources look least like the corpus")
+    used to triage sources before heavier per-document filtering.
+
+    Scale shape: ONE tokenize pass aggregates (group, token) counts — the
+    only corpus-sized shuffle; corpus-wide token counts derive from that
+    already-reduced frame (groupBy token over |groups|×|vocab| rows, not
+    over the corpus); group totals and the corpus total are tiny aggregates
+    broadcast back. The KL sum is a co-partitioned join on token plus one
+    group aggregation. Every term has p_g(t) > 0, and p(t) ≥ p_g(t)·share
+    > 0, so the log is always defined — no smoothing needed.
+
+    Output: (group, n_tokens, kl 6dp), n_tokens = the group's token count.
+    """
+    tok = df.select(
+        F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("tok")
+    )
+    gt = tok.groupBy("grp", "tok").agg(F.count(F.lit(1)).cast("long").alias("cgt"))
+    ct = gt.groupBy("tok").agg(F.sum("cgt").alias("ct"))
+    gtot = gt.groupBy("grp").agg(F.sum("cgt").alias("gn"))
+    tot = gt.agg(F.sum("cgt").alias("n"))
+    pg = F.col("cgt") / F.col("gn")
+    pc = F.col("ct") / F.col("n")
+    return (
+        gt.join(ct, "tok")
+        .join(F.broadcast(gtot), "grp")
+        .join(F.broadcast(tot))
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.sum("cgt").cast("long").alias("n_tokens"),
+            F.round(F.sum(pg * F.log(pg / pc)), 6).alias("kl"),
+        )
+    )

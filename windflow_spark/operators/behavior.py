@@ -18,6 +18,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -148,4 +149,46 @@ def cohort_retention(
             (F.col("_wk") - F.col("_cohort")).alias("bucket_offset"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+def trending_counts(
+    df: DataFrame,
+    key_col: str,
+    bucket_us: int,
+    us_col: Column | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Trend detection: per key, activity counts per time bucket with the
+    previous bucket's count and the growth ratio — the
+    "what's trending week-over-week" query of a product/corpus analytics
+    stack (downstream sibling of funnel/cohort; no reference counterpart).
+
+    Scale shape: one (key, bucket) aggregation, then a lag() window over
+    the aggregated frame — the window input is |keys| × |buckets| rows,
+    already reduced, so the sort is over the summary, never the events.
+    ``growth`` is NULL for a key's first bucket and for prev = 0 (a
+    from-zero jump has no ratio; the count columns carry the signal).
+
+    Output: (bucket (long µs), key, cnt, prev_cnt, growth 6dp).
+    """
+    from windflow_spark.operators.timeutil import event_micros
+
+    us = us_col if us_col is not None else event_micros(df, ts_col)
+    counts = (
+        df.select(F.col(key_col).alias("key"), (us - us % F.lit(bucket_us)).alias("bucket"))
+        .groupBy("key", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = W.partitionBy("key").orderBy("bucket")
+    prev = F.lag("cnt").over(w)
+    return counts.select(
+        "bucket",
+        "key",
+        "cnt",
+        prev.alias("prev_cnt"),
+        F.when(
+            prev.isNotNull() & (prev > 0),
+            F.round(F.col("cnt").cast("double") / prev, 6),
+        ).alias("growth"),
     )

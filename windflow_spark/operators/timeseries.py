@@ -125,3 +125,96 @@ def rolling_zscore(
         "cnt",
         z.alias("zscore"),
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history: per key, ordered
+    by event time, consecutive rows whose tracked attributes are UNCHANGED
+    collapse into one version, and each version gets
+    ``valid_from`` / ``valid_to`` (exclusive; NULL = open) +
+    ``is_current`` — the standard warehouse snapshot-interval build a
+    100 TB ingest runs to turn change events into point-in-time-joinable
+    dimensions (pairs with operators/asof_join for the lookup side).
+
+    Not in the reference (no batch history notion there); semantics are the
+    ANSI gaps-and-islands idiom. Scale shape: two window passes over the
+    SAME (key, time) ordering — one lag() for change detection, one lead()
+    for interval close — so the key exchange happens once and everything
+    else is narrow. ``tiebreak_cols`` breaks equal-timestamp ordering for
+    determinism.
+
+    Output: key_cols + attr_cols + (valid_from ts, valid_to ts,
+    version_seq long, is_current boolean).
+    """
+    keys, attrs = list(key_cols), list(attr_cols)
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreak_cols]
+    w = W.partitionBy(*keys).orderBy(*order)
+    changed = F.lit(False)
+    for a in attrs:
+        prev = F.lag(a).over(w)
+        # null-safe inequality: a change to/from NULL is a new version
+        changed = changed | ~F.col(a).eqNullSafe(prev)
+    versions = (
+        df.withColumn("_chg", F.coalesce(F.lag(ts_col).over(w).isNull(), F.lit(True)) | changed)
+        .filter(F.col("_chg"))
+        .drop("_chg")
+    )
+    w2 = W.partitionBy(*keys).orderBy(*order)
+    return versions.select(
+        *keys,
+        *attrs,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version_seq"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )
+
+
+def resample_ohlc(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket_us: int,
+) -> DataFrame:
+    """Downsample a value stream to OHLC bars (open/high/low/close +
+    count) per key and time bucket — the classic tick→candle resample of
+    any metrics/market pipeline. ONE aggregation pass: open/close are
+    min/max over (ts, value) structs (lexicographic struct ordering gives
+    the value at the earliest/latest timestamp with a deterministic
+    min-value/max-value tie-break — order-independent, so cross-engine
+    exact, unlike first()/last()).
+
+    Output: key_cols + bucket_start (timestamp) + o/h/l/c + cnt.
+    """
+    keys = list(key_cols)
+    from windflow_spark.operators.timeutil import event_micros
+
+    us = event_micros(df, ts_col)
+    b = (us - us % F.lit(bucket_us)).alias("_bkt")
+    d = df.select(*keys, b, us.alias("_us"), F.col(value_col).alias("_v"))
+    return (
+        d.groupBy(*keys, "_bkt")
+        .agg(
+            F.min(F.struct("_us", "_v")).alias("_o"),
+            F.max("_v").alias("high"),
+            F.min("_v").alias("low"),
+            F.max(F.struct("_us", "_v")).alias("_c"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+        .select(
+            *keys,
+            F.timestamp_micros(F.col("_bkt")).alias("bucket_start"),
+            F.col("_o._v").alias("open"),
+            "high",
+            "low",
+            F.col("_c._v").alias("close"),
+            "cnt",
+        )
+    )

@@ -4142,3 +4142,188 @@ def pipeline_corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship for entry(): the TPC-H Q1-style pricing summary."""
     return q1_pricing_summary(spark, sf_dir)
+
+
+# --- r6 additions: warehouse history, timeseries bars, trend/divergence ---
+
+
+@register(
+    "scd2_customer_status",
+    """
+    WITH o AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+               FROM orders),
+    chg AS (
+      SELECT *, lag(o_orderstatus) OVER w AS prev_st
+      FROM o
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    v AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey FROM chg
+          WHERE prev_st IS NULL OR prev_st <> o_orderstatus)
+    SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w2 AS valid_to,
+           CAST(row_number() OVER w2 AS BIGINT) AS version_seq,
+           lead(o_orderdate) OVER w2 IS NULL AS is_current
+    FROM v
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: each customer's order-status change
+    events collapse into versioned validity intervals (valid_from /
+    valid_to / is_current) — the warehouse snapshot-interval op that pairs
+    with asof_join for point-in-time dimension lookups. Two window passes
+    over one (custkey, date) ordering (operators/timeseries.scd2_intervals);
+    the oracle is the independent gaps-and-islands SQL."""
+    from windflow_spark.operators.timeseries import scd2_intervals
+
+    return scd2_intervals(
+        _t(spark, sf_dir, "orders"),
+        ["o_custkey"],
+        "o_orderdate",
+        ["o_orderstatus"],
+        tiebreak_cols=["o_orderkey"],
+    ).select(
+        "o_custkey", "o_orderstatus", "valid_from", "valid_to",
+        "version_seq", "is_current",
+    )
+
+
+@register(
+    "ts_ohlc_hourly",
+    f"""
+    SELECT event_type,
+           make_timestamp((epoch_us(ts) // {US_HOUR}) * {US_HOUR})
+               AS bucket_start,
+           (min({{'t': epoch_us(ts), 'v': value}})).v AS open,
+           max(value) AS high,
+           min(value) AS low,
+           (max({{'t': epoch_us(ts), 'v': value}})).v AS close,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick→candle resample: hourly OHLC bars of event values per type in
+    ONE aggregation pass; open/close via lexicographic (ts, value) struct
+    min/max — order-independent (deterministic under any partitioning),
+    unlike first()/last(). Mirrors the reference's incremental
+    per-window min/max path (wf/window_structure.hpp) generalized to
+    argmin/argmax."""
+    from windflow_spark.operators.timeseries import resample_ohlc
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return resample_ohlc(ev, ["event_type"], "ts", "value", US_HOUR)
+
+
+@register(
+    "trending_types_daily",
+    f"""
+    WITH c AS (
+      SELECT event_type AS key,
+             CAST(epoch_us(ts) - epoch_us(ts) % {US_DAY} AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2)
+    SELECT bucket, key, cnt, lag(cnt) OVER w AS prev_cnt,
+           CASE WHEN lag(cnt) OVER w > 0
+                THEN round(cnt::DOUBLE / (lag(cnt) OVER w), 6) END AS growth
+    FROM c WINDOW w AS (PARTITION BY key ORDER BY bucket)
+    """,
+)
+def trending_types_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend detection: per event type, daily activity with previous-day
+    count and growth ratio — one (key, bucket) aggregation, then lag()
+    over the REDUCED summary (never the event stream)."""
+    from windflow_spark.operators.behavior import trending_counts
+
+    return trending_counts(_t(spark, sf_dir, "events"), "event_type", US_DAY)
+
+
+@register(
+    "source_token_kl",
+    """
+    WITH tok AS (
+      SELECT source AS grp, tok
+      FROM documents,
+           unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS u(tok)),
+    gt AS (SELECT grp, tok, count(*) AS cgt FROM tok GROUP BY 1, 2),
+    ct AS (SELECT tok, sum(cgt) AS ct FROM gt GROUP BY 1),
+    gtot AS (SELECT grp, sum(cgt) AS gn FROM gt GROUP BY 1),
+    tot AS (SELECT sum(cgt) AS n FROM gt)
+    SELECT grp AS source, CAST(sum(cgt) AS BIGINT) AS n_tokens,
+           round(sum((cgt / gn) * ln((cgt / gn) / (ct / n))), 6) AS kl
+    FROM gt JOIN ct USING (tok) JOIN gtot USING (grp) CROSS JOIN tot
+    GROUP BY grp
+    """,
+)
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution KL divergence from the corpus — the
+    CCNet-style domain-quality triage signal. One corpus-sized (group,
+    token) shuffle; everything downstream runs on reduced frames."""
+    from windflow_spark.functions.pipeline import token_kl_by_group
+
+    return token_kl_by_group(_t(spark, sf_dir, "documents"), "source", "text")
+
+
+@register(
+    "fuzzy_match_suppliers",
+    """
+    SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 2
+    """,
+)
+def fuzzy_match_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage by edit distance with nation blocking: supplier-name
+    pairs within a nation at levenshtein ≤ 2 — the entity-resolution shape
+    for near-ID strings where token-set dedup is too coarse. Equi-join on
+    the block key, JVM levenshtein as residual; never an all-pairs cross
+    product."""
+    from windflow_spark.functions.dedup import fuzzy_pairs_blocked
+
+    return fuzzy_pairs_blocked(
+        _t(spark, sf_dir, "supplier"),
+        "s_suppkey",
+        "s_name",
+        ["s_nationkey"],
+        max_dist=2,
+    )
+
+
+@register(
+    "setop_intersect_all_nations",
+    """
+    SELECT c_nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_intersect_all_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics INTERSECT ALL (multiplicity = min of the two sides) —
+    the multiset sibling of setop_intersect_customers; Spark's
+    intersectAll plans one aggregation per side + a co-partitioned join."""
+    c = _t(spark, sf_dir, "customer").select("c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("c_nationkey")
+    )
+    return c.intersectAll(s)
+
+
+@register(
+    "setop_except_all_nations",
+    """
+    SELECT c_nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_except_all_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL (multiplicity = left minus right, floored
+    at 0) — completes the set-operation family with the multiset variant."""
+    c = _t(spark, sf_dir, "customer").select("c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("c_nationkey")
+    )
+    return c.exceptAll(s)

@@ -21,6 +21,7 @@ from windflow_spark.streaming.ops import (
     streaming_static_enrich,
     ordered_foreach_batch,
     streaming_kslack,
+    streaming_cohort_retention,
     streaming_funnel,
     streaming_heavy_hitters,
     streaming_rolling_zscore,
@@ -68,6 +69,7 @@ __all__ = [
     "monitor_streams",
     "ordered_foreach_batch",
     "streaming_kslack",
+    "streaming_cohort_retention",
     "streaming_funnel",
     "streaming_heavy_hitters",
     "streaming_rolling_zscore",

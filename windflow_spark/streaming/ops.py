@@ -956,3 +956,60 @@ def streaming_funnel(
     return df.select(user_col, type_col, us_col).groupBy(user_col).applyInPandasWithState(
         advance, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_cohort_retention(
+    df: DataFrame,
+    bucket_us: int,
+    user_col: str = "user_id",
+    us_col: str = "us",
+) -> DataFrame:
+    """Cohort retention, STREAMING form — the incremental sibling of
+    operators.behavior.cohort_retention. Per user, GroupState holds the
+    cohort bucket (first-activity period) and the set of offsets already
+    emitted; each new (user, bucket) first-occurrence emits ONE
+    (cohort_bucket, bucket_offset) increment row in append mode, so the
+    live retention matrix is a plain downstream count per
+    (cohort_bucket, bucket_offset) — e.g. inside foreachBatch — summing
+    increments as they arrive.
+
+    Contract: per-user rows arrive in non-decreasing event-time order
+    across micro-batches (the engine's in-order model, as
+    streaming_rolling_zscore); a row for a bucket BEFORE the user's known
+    cohort would retro-change the cohort and is dropped as late. Rows
+    inside one micro-batch may be unordered — buckets are processed
+    sorted. State per user is the cohort + distinct active offsets
+    (exactly the batch form's per-user distinct-bucket footprint; bound it
+    with a retention horizon at corpus scale).
+    """
+    out_schema = "cohort_bucket long, bucket_offset long"
+    state_schema = "cohort long, seen array<long>"
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cohort, seen_l = state.get
+            seen = set(seen_l)
+        else:
+            cohort, seen = None, set()
+        chunks = list(pdfs)
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else (
+            chunks[0] if chunks else None
+        )
+        out: list[tuple[int, int]] = []
+        if pdf is not None and len(pdf):
+            for b in sorted(set((pdf[us_col] // bucket_us).astype("int64").tolist())):
+                if cohort is None:
+                    cohort = int(b)
+                off = int(b) - cohort
+                if off >= 0 and off not in seen:
+                    seen.add(off)
+                    out.append((cohort, off))
+        state.update((cohort if cohort is not None else -1, sorted(seen)))
+        cols = ["cohort_bucket", "bucket_offset"]
+        yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
+            {c: [] for c in cols}
+        )
+
+    return df.groupBy(user_col).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
