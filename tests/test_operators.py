@@ -910,3 +910,31 @@ def test_fuzzy_pairs_blocked_residual_and_blocking(spark):
         for r in fuzzy_pairs_blocked(df, "id", "nm", ["blk"], max_dist=2).collect()
     )
     assert got == [(1, 2, 1), (4, 5, 1)]
+
+
+def test_ivf_index_save_probe_matches_inline(spark, tmp_path_factory):
+    # the persisted FAISS-style index (train once, probe forever) must
+    # return the EXACT inline ivf_topk_kmeans results for the same params
+    from windflow_spark.functions.similarity import (
+        ivf_topk_from_index,
+        ivf_topk_kmeans,
+        save_ivf_index,
+    )
+
+    rows = [
+        (i, [1.0 if d == i % 4 else 0.05 * ((i * 7 + d) % 5) for d in range(6)])
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    inline = sorted(
+        map(tuple, ivf_topk_kmeans(corpus, queries, k=3, n_lists=4, nprobe=2).collect())
+    )
+    path = str(tmp_path_factory.mktemp("ivf_idx"))
+    save_ivf_index(corpus, path, n_lists=4)
+    stored = sorted(
+        map(tuple, ivf_topk_from_index(spark, path, queries, k=3, nprobe=2).collect())
+    )
+    assert stored == inline and len(inline) > 0

@@ -273,6 +273,27 @@ def test_r5_additions_exchange_budgets(spark, sf_dir):
     assert not over, f"keyed-exchange budgets exceeded: {over}"
 
 
+def test_r6_additions_exchange_budgets(spark, sf_dir):
+    # keyed-shuffle budgets of the r6 families (from PLANS.md at tuning
+    # time) — a regression reintroduces a corpus re-shuffle at 100 TB
+    from windflow_spark.plans.explain import keyed_shuffle_count
+
+    budgets = {
+        "scd2_customer_status": 1,   # both windows share one key ordering
+        "ts_ohlc_hourly": 1,         # single (key, bucket) agg
+        "trending_types_daily": 2,   # bucket agg + lag over the summary
+        "source_token_kl": 4,        # corpus (grp,tok) + tok/grp windows;
+                                     # tot branch rides ReuseExchange
+        "fuzzy_match_suppliers": 1,  # block-key equi-self-join only
+    }
+    over = {}
+    for name, budget in budgets.items():
+        got = keyed_shuffle_count(QUERIES[name](spark, sf_dir))
+        if got > budget:
+            over[name] = (got, budget)
+    assert not over, f"keyed-exchange budgets exceeded: {over}"
+
+
 def test_funnel_single_keyed_exchange(spark, sf_dir):
     # r6 one-pass rewrite (r5 VERDICT #2): the K-stage funnel is ONE
     # groupBy(user) — the sorted-fold plan. More keyed exchanges means the

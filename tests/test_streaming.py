@@ -1073,3 +1073,56 @@ def test_streaming_cohort_retention_matches_batch(spark, tmp_path_factory):
         acc[k] = acc.get(k, 0) + 1
     got = sorted((c, o, n) for (c, o), n in acc.items())
     assert got == expect and len(expect) > 5
+
+
+def test_streaming_trending_counts_matches_batch(spark, tmp_path_factory):
+    """Per-key daily-ish trend increments across two time-ordered
+    micro-batches + an EOS flush file: emitted (bucket, cnt, prev_cnt,
+    growth) rows must equal the batch trending_counts frame, including
+    lag-skips-empty-buckets semantics."""
+    import random
+    import time as _time
+
+    from windflow_spark.operators.behavior import trending_counts
+    from windflow_spark.streaming import (
+        file_stream as _fs,
+        streaming_trending_counts,
+        to_memory_sink,
+    )
+
+    BUCKET = 50
+    rng = random.Random(3)
+    rows = []
+    for k in ("a", "b", "c"):
+        t = rng.randint(0, 60)
+        for _ in range(rng.randint(5, 25)):
+            rows.append((k, t, False))
+            t += rng.randint(1, 120)  # some buckets skipped -> lag gap
+    schema = "k string, us long, eos boolean"
+    data = spark.createDataFrame(rows, schema)
+    expect = sorted(
+        (r.key, r.bucket, r.cnt, r.prev_cnt, r.growth)
+        for r in trending_counts(data, "k", BUCKET, us_col=F.col("us")).collect()
+    )
+
+    path = str(tmp_path_factory.mktemp("trend_src"))
+    mid = 400
+    spark.createDataFrame([r for r in rows if r[1] <= mid], schema).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    spark.createDataFrame([r for r in rows if r[1] > mid], schema).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    eos = [(k, 10**9, True) for k in ("a", "b", "c")]
+    spark.createDataFrame(eos, schema).coalesce(1).write.mode("append").parquet(path)
+
+    stream = _fs(spark, path, data.schema, max_files_per_trigger=1)
+    out = streaming_trending_counts(stream, "k", BUCKET, eos_col="eos")
+    name, _ = to_memory_sink(out, output_mode="append")
+    got = sorted(
+        (r.k, r.bucket, r.cnt, r.prev_cnt, r.growth)
+        for r in spark.table(name).collect()
+    )
+    assert got == expect and len(expect) > 10

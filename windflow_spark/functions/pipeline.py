@@ -564,31 +564,33 @@ def token_kl_by_group(
     used to triage sources before heavier per-document filtering.
 
     Scale shape: ONE tokenize pass aggregates (group, token) counts — the
-    only corpus-sized shuffle; corpus-wide token counts derive from that
-    already-reduced frame (groupBy token over |groups|×|vocab| rows, not
-    over the corpus); group totals and the corpus total are tiny aggregates
-    broadcast back. The KL sum is a co-partitioned join on token plus one
-    group aggregation. Every term has p_g(t) > 0, and p(t) ≥ p_g(t)·share
-    > 0, so the log is always defined — no smoothing needed.
+    only corpus-sized shuffle. Token totals and group totals are WINDOW
+    sums over that already-reduced |groups|×|vocab| frame (no join back,
+    no second corpus scan); the corpus total is the one scalar that needs
+    its own aggregation branch, and that branch is the IDENTICAL (grp,
+    tok) agg subtree, so Spark's ReuseExchange serves it from the main
+    shuffle — the executed plan scans the corpus once (pinned by test).
+    The final group aggregation reuses the grp window's partitioning.
+    Every term has p_g(t) > 0 and p(t) ≥ p_g(t)·share > 0, so the log is
+    always defined — no smoothing needed.
 
     Output: (group, n_tokens, kl 6dp), n_tokens = the group's token count.
     """
+    from pyspark.sql import Window as W
+
     tok = df.select(
         F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("tok")
     )
     gt = tok.groupBy("grp", "tok").agg(F.count(F.lit(1)).cast("long").alias("cgt"))
-    ct = gt.groupBy("tok").agg(F.sum("cgt").alias("ct"))
-    gtot = gt.groupBy("grp").agg(F.sum("cgt").alias("gn"))
     tot = gt.agg(F.sum("cgt").alias("n"))
+    enriched = (
+        gt.withColumn("ct", F.sum("cgt").over(W.partitionBy("tok")))
+        .withColumn("gn", F.sum("cgt").over(W.partitionBy("grp")))
+        .join(F.broadcast(tot))
+    )
     pg = F.col("cgt") / F.col("gn")
     pc = F.col("ct") / F.col("n")
-    return (
-        gt.join(ct, "tok")
-        .join(F.broadcast(gtot), "grp")
-        .join(F.broadcast(tot))
-        .groupBy(F.col("grp").alias(group_col))
-        .agg(
-            F.sum("cgt").cast("long").alias("n_tokens"),
-            F.round(F.sum(pg * F.log(pg / pc)), 6).alias("kl"),
-        )
+    return enriched.groupBy(F.col("grp").alias(group_col)).agg(
+        F.sum("cgt").cast("long").alias("n_tokens"),
+        F.round(F.sum(pg * F.log(pg / pc)), 6).alias("kl"),
     )

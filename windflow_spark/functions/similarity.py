@@ -611,3 +611,94 @@ def ivf_topk_kmeans(
         .filter(F.col("rk") <= k)
         .select(query_id_col, id_col, "cos_sim", "rk")
     )
+
+
+def save_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    cache_key: object = None,
+    n_lists: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist a trained IVF index — the durable half of the FAISS
+    train/add split (train_codebook covers the in-session half). Writes
+    ``<path>/codebook`` (k rows) and ``<path>/lists`` (the corpus with
+    prenormed vectors, PARTITIONED BY inverted list) so a 100 TB corpus
+    indexes ONCE and every later query batch probes the stored lists:
+    the nprobe selected lists map to parquet partitions, so a probe scan
+    touches nprobe/n_lists of the data (dynamic partition pruning; at
+    scale raise n_lists so each list is a few files). Columns are
+    flattened to (id, vector, norm, list) on disk."""
+    cent = train_codebook(corpus, cache_key, n_lists, iters, id_col, vec_col)
+    assigned = _assign_nearest_list(corpus, cent, id_col, vec_col=vec_col)
+    cent.select(
+        F.col("_bkt").alias("list_id"), F.col("_cv").alias("centroid")
+    ).write.mode("overwrite").parquet(f"{path}/codebook")
+    assigned.select(
+        F.col(id_col),
+        F.col("_v").alias("vector"),
+        F.col("_vn").alias("norm"),
+        F.col("_bkt").alias("list_id"),
+    ).write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/lists")
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe a stored IVF index (save_ivf_index): rank stored centroids
+    per query by cosine (k-row broadcast), scan the nprobe nearest lists
+    via the list equi-join. Result-identical to ivf_topk_kmeans over the
+    same corpus/params — pinned by test — without retraining or
+    re-assigning anything."""
+    cent = (
+        spark.read.parquet(f"{path}/codebook")
+        .select(F.col("list_id").alias("_bkt"), F.col("centroid").alias("_cv"))
+        .withColumn("_cn", _norm(F.col("_cv")))
+    )
+    lists = spark.read.parquet(f"{path}/lists").select(
+        F.col(id_col),
+        F.col("vector").alias("_v"),
+        F.col("norm").alias("_vn"),
+        F.col("list_id").alias("_bkt"),
+    )
+    q = queries.select(
+        F.col(query_id_col), as_double_array(vec_col).alias("_qv")
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    probe_rank = W.partitionBy(query_id_col).orderBy(
+        F.round(
+            cosine_prenorm(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")), 6
+        ).desc(),
+        F.col("_bkt"),
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("_prk", F.row_number().over(probe_rank))
+        .filter(F.col("_prk") <= nprobe)
+        .select(query_id_col, "_bkt", "_qv", "_qn")
+    )
+    scored = (
+        lists.join(probes, "_bkt")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_prenorm(F.col("_qv"), F.col("_v"), F.col("_qn"), F.col("_vn")),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rk")
+    )

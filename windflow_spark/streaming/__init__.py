@@ -22,6 +22,7 @@ from windflow_spark.streaming.ops import (
     ordered_foreach_batch,
     streaming_kslack,
     streaming_cohort_retention,
+    streaming_trending_counts,
     streaming_funnel,
     streaming_heavy_hitters,
     streaming_rolling_zscore,
@@ -70,6 +71,7 @@ __all__ = [
     "ordered_foreach_batch",
     "streaming_kslack",
     "streaming_cohort_retention",
+    "streaming_trending_counts",
     "streaming_funnel",
     "streaming_heavy_hitters",
     "streaming_rolling_zscore",

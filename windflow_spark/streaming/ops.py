@@ -1013,3 +1013,81 @@ def streaming_cohort_retention(
     return df.groupBy(user_col).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_trending_counts(
+    df: DataFrame,
+    key_col: str,
+    bucket_us: int,
+    us_col: str = "us",
+    eos_col: str | None = None,
+) -> DataFrame:
+    """Trend detection, STREAMING form — the incremental sibling of
+    operators.behavior.trending_counts. Per key, GroupState holds the open
+    bucket's running count plus the last CLOSED bucket's (index, count);
+    a bucket emits (bucket, cnt, prev_cnt, growth) the moment a later
+    bucket's first row arrives, and the EOS punctuation flushes the final
+    open bucket and clears the state. State per key is three longs —
+    constant, independent of history (prev_cnt refers to the immediately
+    preceding ACTIVE bucket, exactly the batch lag() semantics, which
+    skips empty buckets).
+
+    Contract: per-key non-decreasing event time across micro-batches (the
+    in-order model of streaming_rolling_zscore); late rows for closed
+    buckets are dropped. Growth matches the batch form: NULL for the
+    key's first bucket, round(cnt/prev, 6) otherwise.
+    """
+    key_out = f"{key_col} string"
+    out_schema = f"{key_out}, bucket long, cnt long, prev_cnt long, growth double"
+    state_schema = "cur_b long, cur_c long, last_b long, last_c long"
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cur_b, cur_c, last_b, last_c = state.get
+        else:
+            cur_b, cur_c, last_b, last_c = -1, 0, -1, -1
+        out: list[tuple] = []
+
+        def close(b_next: int | None) -> None:
+            nonlocal cur_b, cur_c, last_b, last_c
+            if cur_b < 0:
+                return
+            prev = last_c if last_c >= 0 else None
+            growth = round(cur_c / prev, 6) if prev and prev > 0 else None
+            out.append(key + (cur_b * bucket_us, cur_c, prev, growth))
+            last_b, last_c = cur_b, cur_c
+            cur_b, cur_c = -1, 0
+
+        chunks = list(pdfs)
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else (
+            chunks[0] if chunks else None
+        )
+        eos_seen = False
+        if pdf is not None and len(pdf):
+            if eos_col is not None:
+                flags = pdf[eos_col].fillna(False).to_numpy(dtype=bool)
+                eos_seen = bool(flags.any())
+                pdf = pdf.loc[~flags]
+            for b, c in (
+                (pdf[us_col] // bucket_us).value_counts().sort_index().items()
+            ):
+                b, c = int(b), int(c)
+                if b == cur_b:
+                    cur_c += c
+                elif b > cur_b:
+                    close(b)
+                    cur_b, cur_c = b, c
+                # b < cur_b: late row for an emitted bucket — dropped
+        if eos_seen:
+            close(None)
+            state.remove()
+        else:
+            state.update((cur_b, cur_c, last_b, last_c))
+        cols = [key_col, "bucket", "cnt", "prev_cnt", "growth"]
+        yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
+            {c: [] for c in cols}
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
