@@ -50,6 +50,8 @@ SAMPLE = [
     "cluster_embeddings_kmeans",    # trained-codebook assignment (r6)
     "mix_sources_balanced",         # exact md5-threshold sampling (r6)
     "sim_ivf_kmeans_recall",        # recall intersection pipelines (r6)
+    "winsorize_order_prices",       # float avg over join/shuffle order (r6)
+    "pmi_token_pairs",              # capped pair expansion + N literal (r6)
     "scd2_customer_status",         # two-window islands build (r6)
     "ts_ohlc_hourly",               # struct-argmin tie-breaks (r6)
     "source_token_kl",              # float KL over join order (r6)

@@ -3,6 +3,7 @@ path at sf0.01; these pin the boundaries)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from windflow_spark.functions.pipeline import (
@@ -298,3 +299,89 @@ def test_dq_and_profile_names_with_quotes(spark):
         ).collect()
     }
     assert rep == {"v is'null": 1}
+
+
+def test_winsorize_summary_matches_python_model(spark):
+    import numpy as np
+
+    vals = {"a": [1.0, 2.0, 3.0, 4.0, 100.0], "b": [10.0, 20.0, 30.0]}
+    rows = [(g, v) for g, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from windflow_spark.functions.pipeline import winsorize_summary
+
+    out = {
+        r.g: (r.p_lo, r.p_hi, r.n_below, r.n_above, r.mean_winsorized)
+        for r in winsorize_summary(df, "v", ["g"]).collect()
+    }
+    for g, vs in vals.items():
+        lo = float(np.percentile(vs, 5))
+        hi = float(np.percentile(vs, 95))
+        clamped = [min(max(v, lo), hi) for v in vs]
+        # numpy's interpolation arithmetic differs from Spark/DuckDB by an
+        # ulp (the cross-ENGINE exactness that matters is the oracle gate);
+        # the python model is approximate on the bounds, exact on counts.
+        got = out[g]
+        assert got[0] == pytest.approx(lo, rel=1e-12)
+        assert got[1] == pytest.approx(hi, rel=1e-12)
+        assert got[2:4] == (sum(v < lo for v in vs), sum(v > hi for v in vs))
+        assert got[4] == pytest.approx(
+            round(sum(clamped) / len(clamped), 6), abs=1e-5
+        )
+
+
+def test_winsorize_summary_ungrouped(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "v double")
+    from windflow_spark.functions.pipeline import winsorize_summary
+
+    r = winsorize_summary(df, "v").collect()[0]
+    # percentile(linear) over 1..100: p05 = 5.95, p95 = 95.05
+    assert (r.p_lo, r.p_hi) == (5.95, 95.05)
+    assert (r.n_below, r.n_above) == (5, 5)
+
+
+def test_token_pmi_pairs_matches_python_model(spark):
+    import math
+    from collections import Counter
+    from itertools import combinations
+
+    docs = [
+        (1, "x y z"),
+        (2, "x y"),
+        (3, "x z q"),
+        (4, "y z"),
+        (5, "x y w"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from windflow_spark.functions.pipeline import token_pmi_pairs
+
+    got = {
+        (r.tok_a, r.tok_b): (r.n_pair_docs, r.pmi)
+        for r in token_pmi_pairs(df, min_pair_docs=2).collect()
+    }
+    n = len(docs)
+    dfreq, pairs = Counter(), Counter()
+    for _, text in docs:
+        tk = sorted(set(text.split()))
+        dfreq.update(tk)
+        pairs.update(combinations(tk, 2))
+    exp = {
+        p: (c, round(math.log(float(c) * n / (dfreq[p[0]] * dfreq[p[1]])), 6))
+        for p, c in pairs.items()
+        if c >= 2
+    }
+    assert got == exp
+
+
+def test_token_pmi_cap_bounds_pair_expansion(spark):
+    # the deterministic cap keeps the quadratic expansion bounded: a doc
+    # with 50 distinct tokens contributes pairs only from its sorted
+    # 5-token prefix when capped at 5
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i:02d}" for i in range(50)))], "doc_id long, text string"
+    )
+    from windflow_spark.functions.pipeline import token_pmi_pairs
+
+    out = token_pmi_pairs(df, max_tokens_per_doc=5, min_pair_docs=1).collect()
+    assert len(out) == 10  # C(5,2)
+    toks = {t for r in out for t in (r.tok_a, r.tok_b)}
+    assert toks == {f"t{i:02d}" for i in range(5)}

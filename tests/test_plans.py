@@ -285,6 +285,9 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
         "source_token_kl": 4,        # corpus (grp,tok) + tok/grp windows;
                                      # tot branch rides ReuseExchange
         "fuzzy_match_suppliers": 1,  # block-key equi-self-join only
+        "winsorize_order_prices": 2, # bounds agg + clamp agg (same keys;
+                                     # bounds ride back via broadcast)
+        "pmi_token_pairs": 4,        # pair agg + dfreq agg + 2 tok joins
     }
     over = {}
     for name, budget in budgets.items():

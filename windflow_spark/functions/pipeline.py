@@ -594,3 +594,115 @@ def token_kl_by_group(
         F.sum("cgt").cast("long").alias("n_tokens"),
         F.round(F.sum(pg * F.log(pg / pc)), 6).alias("kl"),
     )
+
+
+def winsorize_summary(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    lower_p: float = 0.05,
+    upper_p: float = 0.95,
+) -> DataFrame:
+    """Winsorization report: per group, the exact [p_lo, p_hi] percentile
+    bounds (linear interpolation — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` compute the identical value, verified bit-exact),
+    how many values each tail clamps, and the winsorized mean — the
+    outlier-robust normalization step before feeding a metric into
+    training or monitoring.
+
+    Two aggregations over the same grouping (bounds, then clamp stats) —
+    the second reuses the first's hash partitioning; bounds ride back via
+    a broadcast join (|groups| rows). Exact percentile holds a per-group
+    sorted buffer, the right tool up to very large groups; at 100 TB swap
+    ``percentile_approx`` in for the bounds pass (the clamp pass is
+    unchanged) and accept sketch error on the cut points.
+
+    Output: group_cols + (p_lo, p_hi, n_below, n_above, mean_winsorized).
+    """
+    keys = list(group_cols)
+    v = F.col(value_col)
+    bounds = df.groupBy(*keys).agg(
+        F.percentile(v, F.lit(lower_p)).alias("p_lo"),
+        F.percentile(v, F.lit(upper_p)).alias("p_hi"),
+    )
+    joined = df.join(F.broadcast(bounds), keys) if keys else df.crossJoin(
+        F.broadcast(bounds)
+    )
+    clamped = F.least(F.greatest(v, F.col("p_lo")), F.col("p_hi"))
+    return joined.groupBy(*keys).agg(
+        F.min("p_lo").alias("p_lo"),
+        F.min("p_hi").alias("p_hi"),
+        F.sum(F.when(v < F.col("p_lo"), 1).otherwise(0)).cast("long").alias("n_below"),
+        F.sum(F.when(v > F.col("p_hi"), 1).otherwise(0)).cast("long").alias("n_above"),
+        F.round(F.avg(clamped), 6).alias("mean_winsorized"),
+    )
+
+
+def token_pmi_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens_per_doc: int = 30,
+    min_pair_docs: int = 5,
+) -> DataFrame:
+    """Collocation mining: document-level pointwise mutual information of
+    token pairs, PMI(a,b) = ln(c_ab·N / (df_a·df_b)) over doc frequencies
+    — the classic "which terms travel together" corpus-analytics signal
+    (phrase detection, topic seeds).
+
+    Scale shape: per document the DISTINCT token set is sorted and CAPPED
+    at ``max_tokens_per_doc`` (deterministic prefix — the cap is what
+    bounds the quadratic pair expansion, same discipline as the LSH
+    bucket caps), pairs are expanded JVM-side from the capped array
+    (≤ K²/2 rows per doc, no self-join of the exploded token table), and
+    everything downstream is two counts joined on reduced frames. Doc
+    frequencies are counted over the SAME capped sets, so numerator and
+    denominators share one universe.
+
+    Output: (tok_a, tok_b, n_pair_docs, pmi 6dp) for pairs in
+    ≥ ``min_pair_docs`` documents.
+    """
+    toks = F.slice(
+        F.array_sort(F.array_distinct(tokens(text_col))), 1, max_tokens_per_doc
+    )
+    d = df.select(F.col(id_col), toks.alias("_tk")).filter(F.size("_tk") >= 1)
+    n_docs = d.count()  # scalar N — one count job, inlined as a literal
+    pairs_expr = F.flatten(
+        F.transform(
+            "_tk",
+            lambda x, i: F.transform(
+                F.slice("_tk", i + 2, F.greatest(F.size("_tk") - (i + 1), F.lit(0))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pair_docs = (
+        d.select(F.explode(pairs_expr).alias("_p"))
+        .groupBy(F.col("_p.a").alias("tok_a"), F.col("_p.b").alias("tok_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair_docs"))
+        .filter(F.col("n_pair_docs") >= min_pair_docs)
+    )
+    dfreq = (
+        d.select(F.explode("_tk").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    return (
+        pair_docs.join(dfreq.withColumnRenamed("tok", "tok_a"), "tok_a")
+        .withColumnRenamed("df", "df_a")
+        .join(dfreq.withColumnRenamed("tok", "tok_b"), "tok_b")
+        .withColumnRenamed("df", "df_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_pair_docs",
+            F.round(
+                F.log(
+                    F.col("n_pair_docs").cast("double")
+                    * F.lit(float(n_docs))
+                    / (F.col("df_a") * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -4327,3 +4327,78 @@ def setop_except_all_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("c_nationkey")
     )
     return c.exceptAll(s)
+
+
+@register(
+    "winsorize_order_prices",
+    """
+    WITH b AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS p_lo,
+             quantile_cont(o_totalprice, 0.95) AS p_hi
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o.o_orderpriority, b.p_lo, b.p_hi,
+           CAST(SUM(CASE WHEN o.o_totalprice < b.p_lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_below,
+           CAST(SUM(CASE WHEN o.o_totalprice > b.p_hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above,
+           round(AVG(LEAST(GREATEST(o.o_totalprice, b.p_lo), b.p_hi)), 6)
+             AS mean_winsorized
+    FROM orders o JOIN b USING (o_orderpriority)
+    GROUP BY o.o_orderpriority, b.p_lo, b.p_hi
+    """,
+)
+def winsorize_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized order-price summary per priority: exact p05/p95 bounds
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, linear interpolation,
+    verified bit-exact), tail clamp counts, winsorized mean — the
+    outlier-robust normalization report before a metric feeds training or
+    monitoring. Two aggregations on one grouping + a broadcast of the
+    |groups|-row bounds frame."""
+    from windflow_spark.functions.pipeline import winsorize_summary
+
+    return winsorize_summary(
+        _t(spark, sf_dir, "orders"), "o_totalprice", ["o_orderpriority"]
+    )
+
+
+@register(
+    "pmi_token_pairs",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_slice(list_sort(list_distinct(
+               list_filter(string_split(text, ' '), x -> x <> ''))), 1, 30)
+               AS tk
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM d),
+    p AS (
+      SELECT a.tok_a, b.tok_b
+      FROM (SELECT doc_id, unnest(tk) AS tok_a FROM d) a
+      JOIN (SELECT doc_id, unnest(tk) AS tok_b FROM d) b USING (doc_id)
+      WHERE a.tok_a < b.tok_b),
+    pc AS (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n_pair_docs
+           FROM p GROUP BY tok_a, tok_b HAVING count(*) >= 5),
+    dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+              FROM (SELECT doc_id, unnest(tk) AS tok FROM d) GROUP BY tok)
+    SELECT pc.tok_a, pc.tok_b, pc.n_pair_docs,
+           round(ln(pc.n_pair_docs::DOUBLE * n.nd / (fa.df * fb.df)), 6)
+             AS pmi
+    FROM pc JOIN dfreq fa ON pc.tok_a = fa.tok
+            JOIN dfreq fb ON pc.tok_b = fb.tok
+    CROSS JOIN n
+    """,
+)
+def pmi_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: document-level PMI of token pairs over doc
+    frequencies — "which terms travel together" (phrase detection, topic
+    seeds). The per-doc distinct token set is sorted and capped at 30, so
+    the pair expansion is bounded (same cap discipline as the LSH bucket
+    caps) and, because the capped set is sorted-distinct, the index-pair
+    condition i<j is exactly tok_a < tok_b on both engines."""
+    from windflow_spark.functions.pipeline import token_pmi_pairs
+
+    return token_pmi_pairs(
+        _t_wide(spark, sf_dir, "documents"), max_tokens_per_doc=30, min_pair_docs=5
+    )
