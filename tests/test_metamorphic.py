@@ -52,6 +52,10 @@ SAMPLE = [
     "sim_ivf_kmeans_recall",        # recall intersection pipelines (r6)
     "winsorize_order_prices",       # float avg over join/shuffle order (r6)
     "pmi_token_pairs",              # capped pair expansion + N literal (r6)
+    "ts_ewma_daily",                # sequential fold under re-partitioning (r6)
+    "pagerank_purchase_graph",      # iterative float sums + cached edges (r6)
+    "key_skew_events",              # entropy sum order (r6)
+    "corr_lineitem_metrics",        # co-moment partial-merge order (r6)
     "scd2_customer_status",         # two-window islands build (r6)
     "ts_ohlc_hourly",               # struct-argmin tie-breaks (r6)
     "source_token_kl",              # float KL over join order (r6)

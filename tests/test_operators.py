@@ -938,3 +938,99 @@ def test_ivf_index_save_probe_matches_inline(spark, tmp_path_factory):
         map(tuple, ivf_topk_from_index(spark, path, queries, k=3, nprobe=2).collect())
     )
     assert stored == inline and len(inline) > 0
+
+
+def test_ewma_smooth_matches_python_model(spark):
+    # sequential left-to-right recurrence: bit-exact vs the python fold
+    rows = [
+        ("a", i * 86_400_000_000, None) for i in (0, 1, 2, 5)  # gap at 3,4
+    ] + [("b", 0, None), ("b", 86_400_000_000, None)]
+    # two events in a's bucket 1 to vary counts
+    rows.append(("a", 86_400_000_000 + 5, None))
+    df = spark.createDataFrame(
+        [(k, ts) for k, ts, _ in rows], "k string, us long"
+    ).select("k", F.timestamp_micros("us").alias("ts"))
+    from windflow_spark.operators.timeseries import ewma_smooth
+
+    out = {
+        (r.k, r.bucket_start.day - 1): (r.cnt, r.ewma)
+        for r in ewma_smooth(df, ["k"], "ts", alpha=0.25).collect()
+    }
+    series = {"a": [(0, 1), (1, 2), (2, 1), (5, 1)], "b": [(0, 1), (1, 1)]}
+    for k, pts in series.items():
+        e = None
+        for b, c in pts:
+            e = float(c) if e is None else 0.25 * c + 0.75 * e
+            assert out[(k, b)] == (c, round(e, 6)), (k, b)
+
+
+def test_mad_anomaly_flags_spike(spark):
+    # 9 quiet days (1 event) + one 50-event spike: med=1, mad=0? no —
+    # abs devs are [0]*9+[49] -> mad 0. Use varied base so MAD > 0.
+    counts = [4, 5, 4, 6, 5, 4, 6, 5, 50]
+    rows = []
+    for day, c in enumerate(counts):
+        rows += [(day * 86_400_000_000 + i) for i in range(c)]
+    df = spark.createDataFrame([(u,) for u in rows], "us long").select(
+        F.lit("k").alias("k"), F.timestamp_micros("us").alias("ts")
+    )
+    from windflow_spark.operators.timeseries import mad_anomaly
+
+    out = {
+        r.bucket_start.day - 1: (r.cnt, r.med, r.mad, r.mod_z, r.is_anomaly)
+        for r in mad_anomaly(df, ["k"], "ts").collect()
+    }
+    import statistics
+
+    med = statistics.median(counts)
+    mad = statistics.median([abs(c - med) for c in counts])
+    for day, c in enumerate(counts):
+        mz = round(0.6745 * (c - med) / mad, 6)
+        assert out[day] == (c, med, mad, mz, abs(mz) > 3.5), day
+    assert out[8][4] is True and not any(out[d][4] for d in range(8))
+
+
+def test_mad_anomaly_zero_mad_yields_null_not_flag(spark):
+    rows = [(d * 86_400_000_000,) for d in range(5)] + [(5 * 86_400_000_000 + i,) for i in range(9)]
+    df = spark.createDataFrame(rows, "us long").select(
+        F.lit("k").alias("k"), F.timestamp_micros("us").alias("ts")
+    )
+    from windflow_spark.operators.timeseries import mad_anomaly
+
+    out = {r.bucket_start.day - 1: r for r in mad_anomaly(df, ["k"], "ts").collect()}
+    assert out[5].mad == 0.0
+    assert out[5].mod_z is None and out[5].is_anomaly is False
+
+
+def test_pagerank_matches_python_model(spark):
+    # small undirected star + chain; 2 unrolled iterations by hand
+    und = [(1, 2), (1, 3), (1, 4), (4, 5)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from windflow_spark.operators.graph import pagerank
+
+    got = {r.node: r.pr for r in pagerank(df, iters=2, damping=0.85).collect()}
+
+    outdeg, inc = {}, {}
+    for s, d in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+        inc.setdefault(d, []).append(s)
+    nodes = sorted(outdeg)
+    r = {n: 1.0 for n in nodes}
+    for _ in range(2):
+        r = {
+            n: (1.0 - 0.85) + 0.85 * sum(r[s] / outdeg[s] for s in inc.get(n, []))
+            for n in nodes
+        }
+    assert got == {n: round(v, 6) for n, v in r.items()}
+    assert got[1] > got[4] > got[2]  # hub > bridge > leaf
+
+
+def test_pagerank_dangling_node_gets_base_mass(spark):
+    # directed: 1 -> 2; node 2 has no outgoing edges, node 1 no incoming
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    from windflow_spark.operators.graph import pagerank
+
+    got = {r.node: r.pr for r in pagerank(df, iters=1, damping=0.85).collect()}
+    assert got[1] == round(1.0 - 0.85, 6)          # no in-edges: base only
+    assert got[2] == round((1.0 - 0.85) + 0.85 * 1.0, 6)

@@ -385,3 +385,47 @@ def test_token_pmi_cap_bounds_pair_expansion(spark):
     assert len(out) == 10  # C(5,2)
     toks = {t for r in out for t in (r.tok_a, r.tok_b)}
     assert toks == {f"t{i:02d}" for i in range(5)}
+
+
+def test_chi2_contingency_matches_python_model(spark):
+    rows = [("x", "p")] * 30 + [("x", "q")] * 10 + [("y", "p")] * 10 + [("y", "q")] * 50
+    df = spark.createDataFrame(rows, "a string, b string")
+    from windflow_spark.functions.pipeline import chi2_contingency
+
+    got = {
+        (r.a, r.b): (r.n_obs, r.n_exp, r.chi2_contrib)
+        for r in chi2_contingency(df, "a", "b").collect()
+    }
+    n = len(rows)
+    from collections import Counter
+
+    cells = Counter(rows)
+    ra = Counter(a for a, _ in rows)
+    cb = Counter(b for _, b in rows)
+    for (a, b), obs in cells.items():
+        exp = (ra[a] * cb[b]) / n
+        d = obs - exp
+        assert got[(a, b)] == (obs, round(exp, 6), round(d * d / exp, 6))
+    # association is strong: total chi² far above the df=1 critical value
+    assert sum(v[2] for v in got.values()) > 3.84
+
+
+def test_key_distribution_report_uniform_vs_skewed(spark):
+    import math
+
+    from windflow_spark.functions.pipeline import key_distribution_report
+
+    uni = spark.createDataFrame([(i % 10,) for i in range(100)], "k long")
+    r = key_distribution_report(uni, "k").collect()[0]
+    assert (r.n_keys, r.n_total, r.max_cnt) == (10, 100, 10)
+    assert r.top_share == 0.1
+    assert r.norm_entropy == 1.0  # uniform: H = ln(n_keys)
+
+    skew = spark.createDataFrame(
+        [(0,)] * 91 + [(i,) for i in range(1, 10)], "k long"
+    )
+    s = key_distribution_report(skew, "k").collect()[0]
+    assert (s.n_keys, s.max_cnt, s.top_share) == (10, 91, 0.91)
+    h = math.log(100) - (91 * math.log(91)) / 100  # 9 singleton keys: ln(1)=0
+    assert s.entropy == round(h, 6)
+    assert s.norm_entropy < 0.25

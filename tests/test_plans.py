@@ -288,6 +288,15 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
         "winsorize_order_prices": 2, # bounds agg + clamp agg (same keys;
                                      # bounds ride back via broadcast)
         "pmi_token_pairs": 4,        # pair agg + dfreq agg + 2 tok joins
+        "ts_ewma_daily": 2,          # bucket agg + per-key fold
+        "ts_mad_anomaly_daily": 2,   # bucket agg + one repartition-by-key
+                                     # shared by BOTH percentile windows
+        "chi2_segment_priority": 1,  # cell agg; marginals are window sums
+        "key_skew_events": 1,        # per-key counts; report is global agg
+        "corr_lineitem_metrics": 1,  # single co-moment aggregation pass
+        "pagerank_purchase_graph": 14,  # logical count over the UNCACHED
+                                     # lineage; at runtime the persisted
+                                     # edge list collapses the repeats
     }
     over = {}
     for name, budget in budgets.items():

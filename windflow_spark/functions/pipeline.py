@@ -706,3 +706,81 @@ def token_pmi_pairs(
             ).alias("pmi"),
         )
     )
+
+
+def chi2_contingency(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Chi-squared contingency table of two categorical columns: observed
+    vs expected cell counts and each cell's chi² contribution — the
+    independence screen behind feature selection and drift detection
+    (are the two dimensions associated, and WHICH cells drive it).
+
+    Scale shape: ONE keyed exchange builds the (a, b) cell counts; row
+    totals, column totals, and the grand total are window sums over that
+    reduced |A|×|B| frame (the source_token_kl reshape — no joins back to
+    re-derived aggregates, the tiny frame is re-windowed in place).
+    Expected counts come from exact BIGINT products divided once in
+    double, so cells value-match cross-engine; only the 6dp rounding
+    touches float formatting.
+
+    Output: (col_a, col_b, n_obs, n_exp 6dp, chi2_contrib 6dp).
+    """
+    from pyspark.sql import Window as W
+
+    cell = df.groupBy(col_a, col_b).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    row_tot = F.sum("n_obs").over(W.partitionBy(col_a))
+    col_tot = F.sum("n_obs").over(W.partitionBy(col_b))
+    n = F.sum("n_obs").over(W.partitionBy())
+    withe = cell.withColumn(
+        "_exp", (row_tot * col_tot).cast("double") / n
+    )
+    d = F.col("n_obs") - F.col("_exp")
+    return withe.select(
+        col_a,
+        col_b,
+        "n_obs",
+        F.round("_exp", 6).alias("n_exp"),
+        F.round(d * d / F.col("_exp"), 6).alias("chi2_contrib"),
+    )
+
+
+def key_distribution_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Partition-skew diagnostic for a prospective shuffle/join key: key
+    cardinality, total rows, the hottest key's share, and the Shannon
+    entropy of the key distribution (plus entropy normalized by ln of the
+    cardinality — 1.0 means uniform, → 0 means one key dominates). This
+    is the measurement that decides whether a 100 TB join on ``key_col``
+    needs salting (operators/skew.py) or AQE skew splitting BEFORE the
+    job runs, not after it straggles.
+
+    Scale shape: one keyed exchange for the per-key counts, then a single
+    global aggregation using the identity
+    ``H = ln(N) - (1/N) * sum(c*ln(c))`` — no second pass to attach N to
+    every key. Output is ONE row: (n_keys, n_total, max_cnt, top_share,
+    entropy, norm_entropy), floats 6dp.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    a = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("_c").cast("long").alias("n_total"),
+        F.max("_c").cast("long").alias("max_cnt"),
+        F.sum(F.col("_c").cast("double") * F.log(F.col("_c"))).alias("_s"),
+    )
+    h = F.log(F.col("n_total")) - F.col("_s") / F.col("n_total")
+    return a.select(
+        "n_keys",
+        "n_total",
+        "max_cnt",
+        F.round(F.col("max_cnt").cast("double") / F.col("n_total"), 6).alias(
+            "top_share"
+        ),
+        F.round(h, 6).alias("entropy"),
+        F.round(h / F.log(F.col("n_keys").cast("double")), 6).alias(
+            "norm_entropy"
+        ),
+    )

@@ -218,3 +218,133 @@ def resample_ohlc(
             "cnt",
         )
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    alpha: float = 0.25,
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Exponentially weighted moving average of per-bucket event counts —
+    the standard metrics-smoothing pass (no reference analog; WindFlow
+    would express it as a keyed rolling Reduce, wf/basic_operators.hpp).
+
+    ``y_t = alpha*x_t + (1-alpha)*y_{t-1}`` over the key's OBSERVED
+    buckets in time order (calendar gaps advance to the next observation,
+    they do not decay through empties — resample first via
+    gap_fill_interpolate if empty-bucket decay is wanted).
+
+    Scale shape: one keyed exchange for the bucket aggregation, then the
+    recurrence folds JVM-side (``F.aggregate``) over each key's sorted
+    bucket series — per-key state is the TIMELINE length (buckets, e.g.
+    days), bounded and tiny regardless of event volume; the fold is a
+    strict left-to-right sequential product, so the result is independent
+    of partitioning and bit-reproducible cross-engine (oracle: the
+    equivalent recursive CTE). Prefer a dyadic ``alpha`` (0.25, 0.5): both
+    alpha and 1-alpha are then exact doubles on every engine.
+    """
+    from windflow_spark.operators.timeutil import event_micros
+
+    bidx = F.floor(event_micros(df, ts_col) / F.lit(bucket_us)).cast("long")
+    bucketed = (
+        df.withColumn("_bidx", bidx)
+        .groupBy(*key_cols, "_bidx")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    lst = F.sort_array(
+        F.collect_list(F.struct(F.col("_bidx").alias("b"), F.col("cnt").alias("c")))
+    )
+    zero = F.struct(
+        F.expr("CAST(array() AS array<struct<b:bigint,c:bigint,e:double>>)").alias(
+            "arr"
+        ),
+        F.lit(None).cast("double").alias("last"),
+    )
+
+    def _step(acc, x):
+        new_e = F.when(acc["last"].isNull(), x["c"].cast("double")).otherwise(
+            F.lit(alpha) * x["c"] + F.lit(1.0 - alpha) * acc["last"]
+        )
+        return F.struct(
+            F.concat(
+                acc["arr"],
+                F.array(
+                    F.struct(
+                        x["b"].alias("b"), x["c"].alias("c"), new_e.alias("e")
+                    )
+                ),
+            ).alias("arr"),
+            new_e.alias("last"),
+        )
+
+    folded = bucketed.groupBy(*key_cols).agg(
+        F.aggregate(lst, zero, _step).alias("_r")
+    )
+    return folded.select(
+        *key_cols, F.explode(F.col("_r.arr")).alias("_x")
+    ).select(
+        *key_cols,
+        F.timestamp_micros(F.col("_x.b") * F.lit(bucket_us)).alias("bucket_start"),
+        F.col("_x.c").alias("cnt"),
+        F.round(F.col("_x.e"), 6).alias("ewma"),
+    )
+
+
+def mad_anomaly(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    bucket_us: int = 86_400_000_000,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust outlier detection on bucketed counts via the modified
+    z-score (Iglewicz–Hoaglin): ``0.6745*(x - median)/MAD``, flagged above
+    ``threshold``. Median/MAD resist the very outliers a mean/stddev
+    z-score (rolling_zscore) gets dragged by — the batch-monitoring
+    sibling for spiky series.
+
+    Scale shape: one keyed exchange for the bucket agg, then the two
+    exact percentiles (median, then median absolute deviation) are
+    WHOLE-PARTITION WINDOW aggregates over the key — both window passes
+    reuse one repartition-by-key, no joins back to re-derived aggregate
+    frames (2 keyed exchanges total vs 7 for the agg+broadcast-join
+    form). Per-key sorted-buffer state is the timeline length (buckets),
+    not event volume. Spark ``percentile`` ≡ DuckDB ``quantile_cont``
+    bit-exact, so med/MAD/score all value-match cross-engine.
+
+    Output: key_cols + (bucket_start, cnt, med, mad, mod_z 6dp,
+    is_anomaly); zero-MAD series yield NULL scores and FALSE flags.
+    """
+    from windflow_spark.operators.timeutil import event_micros
+
+    keys = list(key_cols)
+    bidx = F.floor(event_micros(df, ts_col) / F.lit(bucket_us)).cast("long")
+    bucketed = (
+        df.withColumn("_bidx", bidx)
+        .groupBy(*keys, "_bidx")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wk = W.partitionBy(*keys)
+    scored = bucketed.withColumn(
+        "med", F.percentile(F.col("cnt"), F.lit(0.5)).over(wk)
+    ).withColumn(
+        "mad",
+        F.percentile(F.abs(F.col("cnt") - F.col("med")), F.lit(0.5)).over(wk),
+    )
+    mz = F.when(
+        F.col("mad") > 0,
+        F.round(
+            F.lit(0.6745) * (F.col("cnt") - F.col("med")) / F.col("mad"), 6
+        ),
+    )
+    return scored.select(
+        *keys,
+        F.timestamp_micros(F.col("_bidx") * F.lit(bucket_us)).alias("bucket_start"),
+        "cnt",
+        "med",
+        "mad",
+        mz.alias("mod_z"),
+        F.coalesce(F.abs(mz) > F.lit(threshold), F.lit(False)).alias("is_anomaly"),
+    )

@@ -4402,3 +4402,243 @@ def pmi_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_pmi_pairs(
         _t_wide(spark, sf_dir, "documents"), max_tokens_per_doc=30, min_pair_docs=5
     )
+
+
+@register(
+    "ts_ewma_daily",
+    f"""
+    WITH RECURSIVE c AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // {US_DAY} AS BIGINT) AS bidx,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, bidx, cnt,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                                         ORDER BY bidx) AS BIGINT) AS rn
+          FROM c),
+    e AS (
+      SELECT event_type, bidx, cnt, rn, CAST(cnt AS DOUBLE) AS ewma
+      FROM r WHERE rn = 1
+      UNION ALL
+      SELECT r.event_type, r.bidx, r.cnt, r.rn,
+             CAST(0.25 AS DOUBLE) * r.cnt + CAST(0.75 AS DOUBLE) * e.ewma
+      FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1)
+    SELECT event_type, make_timestamp(bidx * {US_DAY}) AS bucket_start, cnt,
+           round(ewma, 6) AS ewma
+    FROM e
+    """,
+)
+def ts_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA-smoothed daily event counts per type (alpha=0.25, dyadic so
+    alpha and 1-alpha are exact doubles on both engines). The recurrence
+    folds JVM-side over each key's sorted bucket series — per-key state is
+    the timeline length in days; the oracle is the equivalent recursive
+    CTE, which runs the identical left-to-right float sequence."""
+    from windflow_spark.operators.timeseries import ewma_smooth
+
+    return ewma_smooth(
+        _t(spark, sf_dir, "events"), ["event_type"], "ts", alpha=0.25, bucket_us=US_DAY
+    )
+
+
+@register(
+    "ts_mad_anomaly_daily",
+    f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // {US_DAY} AS BIGINT) AS bidx,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type, quantile_cont(cnt, 0.5) AS med
+          FROM c GROUP BY event_type),
+    cm AS (SELECT c.*, m.med FROM c JOIN m USING (event_type)),
+    md AS (SELECT event_type, quantile_cont(abs(cnt - med), 0.5) AS mad
+           FROM cm GROUP BY event_type),
+    s AS (SELECT cm.*, md.mad FROM cm JOIN md USING (event_type)),
+    z AS (SELECT *, CASE WHEN mad > 0 THEN
+                 round(CAST(0.6745 AS DOUBLE) * (cnt - med) / mad, 6)
+            END AS mod_z
+          FROM s)
+    SELECT event_type, make_timestamp(bidx * {US_DAY}) AS bucket_start,
+           cnt, med, mad, mod_z,
+           COALESCE(abs(mod_z) > CAST(3.5 AS DOUBLE), FALSE) AS is_anomaly
+    FROM z
+    """,
+)
+def ts_mad_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) modified z-score over daily event counts per
+    type — the outlier flag that is not dragged by the outliers
+    themselves, pairing with ts_zscore_anomaly's trailing mean/stddev
+    form. Exact percentiles value-match DuckDB quantile_cont."""
+    from windflow_spark.operators.timeseries import mad_anomaly
+
+    return mad_anomaly(
+        _t(spark, sf_dir, "events"), ["event_type"], "ts", bucket_us=US_DAY
+    )
+
+
+@register(
+    "pagerank_purchase_graph",
+    """
+    WITH ed0 AS (
+      SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS src,
+                      CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    ed AS (SELECT src, dst FROM ed0 UNION ALL SELECT dst, src FROM ed0),
+    n AS (SELECT DISTINCT src AS node FROM ed),
+    od AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM ed GROUP BY src),
+    r0 AS (SELECT node, CAST(1 AS DOUBLE) AS pr FROM n),
+    c1 AS (SELECT ed.dst AS node, SUM(r0.pr / od.od) AS m
+           FROM ed JOIN od USING (src) JOIN r0 ON r0.node = ed.src
+           GROUP BY ed.dst),
+    r1 AS (SELECT n.node,
+                  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                    + CAST(0.85 AS DOUBLE)
+                      * COALESCE(c1.m, CAST(0 AS DOUBLE)) AS pr
+           FROM n LEFT JOIN c1 USING (node)),
+    c2 AS (SELECT ed.dst AS node, SUM(r1.pr / od.od) AS m
+           FROM ed JOIN od USING (src) JOIN r1 ON r1.node = ed.src
+           GROUP BY ed.dst),
+    r2 AS (SELECT n.node,
+                  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                    + CAST(0.85 AS DOUBLE)
+                      * COALESCE(c2.m, CAST(0 AS DOUBLE)) AS pr
+           FROM n LEFT JOIN c2 USING (node))
+    SELECT node, round(pr, 6) AS pr FROM r2
+    """,
+)
+def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-iteration PageRank over the undirected customer–supplier
+    purchase graph (distinct orders⋈lineitem pairs, both edge directions).
+    Fixed-iteration power method: each round is one co-partitioned edge⋈
+    rank join + one groupBy — nothing driver-side; the oracle unrolls the
+    same two rounds. Node ids are INTEGER-encoded (cust·2 / supp·2+1) —
+    integer shuffle keys, no string concat on the hot path. In the
+    undirected graph every node has in-edges, so the dangling-mass term
+    never fires here (the operator still handles it via the left join)."""
+    from windflow_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank(edges, iters=2, damping=0.85)
+
+
+@register(
+    "chi2_segment_priority",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    cell AS (SELECT segment, priority, CAST(count(*) AS BIGINT) AS n_obs
+             FROM j GROUP BY 1, 2),
+    rt AS (SELECT segment, CAST(sum(n_obs) AS BIGINT) AS row_tot
+           FROM cell GROUP BY segment),
+    ct AS (SELECT priority, CAST(sum(n_obs) AS BIGINT) AS col_tot
+           FROM cell GROUP BY priority),
+    t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM cell),
+    e AS (SELECT cell.segment, cell.priority, cell.n_obs,
+                 CAST(rt.row_tot * ct.col_tot AS DOUBLE) / t.n AS exp
+          FROM cell JOIN rt USING (segment) JOIN ct USING (priority)
+          CROSS JOIN t)
+    SELECT segment, priority, n_obs, round(exp, 6) AS n_exp,
+           round((n_obs - exp) * (n_obs - exp) / exp, 6) AS chi2_contrib
+    FROM e
+    """,
+)
+def chi2_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence screen of market segment × order priority:
+    observed vs expected counts and per-cell chi² contributions. Expected
+    counts derive from exact BIGINT marginal products — one double
+    division — so cells value-match cross-engine; Spark computes the
+    marginals as window sums over the reduced cell frame (one keyed
+    exchange total)."""
+    from windflow_spark.functions.pipeline import chi2_contingency
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    return chi2_contingency(j, "segment", "priority")
+
+
+@register(
+    "key_skew_events",
+    """
+    WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY user_id),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(c) AS BIGINT) AS n_total,
+                 CAST(max(c) AS BIGINT) AS max_cnt,
+                 sum(CAST(c AS DOUBLE) * ln(c)) AS s
+          FROM c)
+    SELECT n_keys, n_total, max_cnt,
+           round(CAST(max_cnt AS DOUBLE) / n_total, 6) AS top_share,
+           round(ln(n_total) - s / n_total, 6) AS entropy,
+           round((ln(n_total) - s / n_total)
+                 / ln(CAST(n_keys AS DOUBLE)), 6) AS norm_entropy
+    FROM a
+    """,
+)
+def key_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic for events.user_id: cardinality, hottest
+    key share, Shannon entropy (via H = ln N − Σ c·ln c / N — one global
+    agg, no N-join-back), normalized entropy. The pre-flight measurement
+    that decides salting vs AQE skew handling for a 100 TB join on this
+    key."""
+    from windflow_spark.functions.pipeline import key_distribution_report
+
+    return key_distribution_report(_t(spark, sf_dir, "events"), "user_id")
+
+
+@register(
+    "corr_lineitem_metrics",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(covar_samp(l_quantity, l_extendedprice)
+                 / var_samp(l_quantity), 4) AS slope,
+           round(avg(l_extendedprice)
+                 - round(covar_samp(l_quantity, l_extendedprice)
+                         / var_samp(l_quantity), 4) * avg(l_quantity), 2)
+             AS intercept
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def corr_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics battery per return flag in ONE aggregation
+    pass: Pearson correlation, sample covariance, stddev, and the
+    least-squares slope/intercept of extendedprice on quantity (slope =
+    covar/var; the intercept uses the ROUNDED slope so both engines
+    multiply the identical double). Rounding precision is magnitude-aware
+    (corr 6dp; covar/intercept 2dp; sd/slope 4dp) — co-moment aggregates
+    are stable but their partial-merge order differs across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    slope = F.round(
+        F.covar_samp("l_quantity", "l_extendedprice")
+        / F.var_samp("l_quantity"),
+        4,
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qp"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        slope.alias("slope"),
+        F.round(
+            F.avg("l_extendedprice") - slope * F.avg("l_quantity"), 2
+        ).alias("intercept"),
+    )
