@@ -56,6 +56,9 @@ SAMPLE = [
     "pagerank_purchase_graph",      # iterative float sums + cached edges (r6)
     "key_skew_events",              # entropy sum order (r6)
     "corr_lineitem_metrics",        # co-moment partial-merge order (r6)
+    "split_train_val_test",         # hash-bucket stamp under re-sharding (r6)
+    "ts_rolling_corr",              # window-frame recurrence determinism (r6)
+    "bin_equal_freq",               # global-sort ntile determinism (r6)
     "scd2_customer_status",         # two-window islands build (r6)
     "ts_ohlc_hourly",               # struct-argmin tie-breaks (r6)
     "source_token_kl",              # float KL over join order (r6)

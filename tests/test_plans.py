@@ -297,6 +297,13 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
         "pagerank_purchase_graph": 14,  # logical count over the UNCACHED
                                      # lineage; at runtime the persisted
                                      # edge list collapses the repeats
+        "pivot_segment_priority": 2,  # fact⋈dim join + pivot agg
+        "split_train_val_test": 1,    # hash-stamp + one split agg
+        "hist_doc_lengths": 1,        # bucket agg; total is a window sum
+        "ts_rolling_corr": 1,         # one conditional-agg pass builds
+                                      # BOTH series (no self-join)
+        "bin_equal_freq": 0,          # global ntile sort (SinglePartition
+                                      # exchange, not keyed) + final agg
     }
     over = {}
     for name, budget in budgets.items():

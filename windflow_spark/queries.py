@@ -4642,3 +4642,216 @@ def corr_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("l_extendedprice") - slope * F.avg("l_quantity"), 2
         ).alias("intercept"),
     )
+
+
+@register(
+    "pivot_segment_priority",
+    """
+    SELECT c.c_mktsegment AS segment,
+           CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p_urgent,
+           CAST(SUM(CASE WHEN o.o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p_high,
+           CAST(SUM(CASE WHEN o.o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p_medium,
+           CAST(SUM(CASE WHEN o.o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p_notspec,
+           CAST(SUM(CASE WHEN o.o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p_low
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def pivot_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-format pivot: order counts per segment × priority as columns
+    (`DataFrame.pivot` with EXPLICIT values — no values-discovery job, so
+    one keyed exchange; Catalyst compiles it to the same conditional
+    aggregation the oracle spells out)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    wide = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .pivot("o_orderpriority", pri)
+        .count()
+    )
+    names = ["p_urgent", "p_high", "p_medium", "p_notspec", "p_low"]
+    return wide.select(
+        "segment",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(n)
+          for p, n in zip(pri, names)],
+    )
+
+
+@register(
+    "split_train_val_test",
+    """
+    WITH s AS (
+      SELECT CASE
+               WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100 < 90
+                 THEN 'train'
+               WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100 < 95
+                 THEN 'val'
+               ELSE 'test'
+             END AS split,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+      FROM documents)
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM s GROUP BY split
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by content-addressed md5
+    bucket of the document id — the canonical dataset split, reproducible
+    under any partitioning and engine (exact integer hash bucket, no
+    RAND()). Output: per-split doc and token counts (the split itself is a
+    column stamp; this report is the auditable artifact)."""
+    from windflow_spark.functions.text import tokens as _toks
+
+    d = _t_wide(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), F.size(_toks("text")).alias("n_tok"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "hist_doc_lengths",
+    """
+    WITH t AS (
+      SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  // 50 * 50 AS BIGINT) AS bucket_lo
+      FROM documents),
+    h AS (SELECT bucket_lo, CAST(count(*) AS BIGINT) AS n_docs FROM t
+          GROUP BY bucket_lo),
+    w AS (SELECT bucket_lo, n_docs, SUM(n_docs) OVER () AS n FROM h)
+    SELECT bucket_lo, n_docs,
+           round(CAST(n_docs AS DOUBLE) / n, 6) AS pct
+    FROM w
+    """,
+)
+def hist_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (50-token integer buckets — exact integer
+    arithmetic, no float log bucketing that rounds differently at powers
+    across engines) with each bucket's share of the corpus: the
+    distribution panel every data-quality dashboard opens with. One keyed
+    exchange + a window total over the reduced histogram frame."""
+    from pyspark.sql import Window as W
+
+    from windflow_spark.functions.text import tokens as _toks
+
+    d = _t_wide(spark, sf_dir, "documents")
+    h = (
+        d.select(
+            ((F.size(_toks("text")).cast("long") / 50).cast("long") * 50).alias(
+                "bucket_lo"
+            )
+        )
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    n = F.sum("n_docs").over(W.partitionBy())
+    return h.select(
+        "bucket_lo",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / n, 6).alias("pct"),
+    )
+
+
+@register(
+    "ts_rolling_corr",
+    f"""
+    WITH d AS (
+      SELECT CAST(epoch_us(ts) // {US_DAY} AS BIGINT) AS day,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY 1)
+    SELECT make_timestamp(day * {US_DAY}) AS bucket_start, x, y,
+           CASE WHEN count(*) OVER w >= 5
+                THEN round(corr(x, y) OVER w, 4) END AS corr_7d
+    FROM d
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day correlation between two event series (clicks vs
+    views per day) — the co-movement monitor for metric pairs. One keyed
+    exchange builds both daily series in a single conditional-agg pass
+    (no self-join of the event table); the bounded ROWS frame keeps
+    window state at 7 tuples; <5 observations yield NULL (4dp — the
+    co-moment frame recurrence differs across engines at the ulp level)."""
+    from pyspark.sql import Window as W
+
+    from windflow_spark.operators.timeutil import event_micros
+
+    e = _t(spark, sf_dir, "events")
+    day = F.floor(event_micros(e, "ts") / F.lit(US_DAY)).cast("long")
+    d = (
+        e.withColumn("_day", day)
+        .groupBy("_day")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    w = W.orderBy("_day").rowsBetween(-6, 0)
+    corr = F.when(
+        F.count(F.lit(1)).over(w) >= 5, F.round(F.corr("x", "y").over(w), 4)
+    )
+    return d.select(
+        F.timestamp_micros(F.col("_day") * F.lit(US_DAY)).alias("bucket_start"),
+        "x",
+        "y",
+        corr.alias("corr_7d"),
+    )
+
+
+@register(
+    "bin_equal_freq",
+    """
+    WITH b AS (
+      SELECT o_totalprice,
+             CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                  AS BIGINT) AS bin
+      FROM orders)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+           round(avg(o_totalprice), 2) AS mean
+    FROM b GROUP BY bin
+    """,
+)
+def bin_equal_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (decile) binning of order prices with per-bin
+    stats — the feature-engineering discretization step. ntile over a
+    TOTAL ordering (price, orderkey tie-break) so bin assignment is
+    deterministic on every engine; one global sort + one aggregation.
+    At 100 TB swap the exact ntile for percentile_approx cut points and a
+    range join — the report shape is unchanged."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    b = o.select(
+        "o_totalprice",
+        F.ntile(10)
+        .over(W.orderBy("o_totalprice", "o_orderkey"))
+        .cast("long")
+        .alias("bin"),
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.round(F.avg("o_totalprice"), 2).alias("mean"),
+    )

@@ -22,6 +22,7 @@ from windflow_spark.streaming.ops import (
     ordered_foreach_batch,
     streaming_kslack,
     streaming_cohort_retention,
+    streaming_ewma,
     streaming_trending_counts,
     streaming_funnel,
     streaming_heavy_hitters,
@@ -71,6 +72,7 @@ __all__ = [
     "ordered_foreach_batch",
     "streaming_kslack",
     "streaming_cohort_retention",
+    "streaming_ewma",
     "streaming_trending_counts",
     "streaming_funnel",
     "streaming_heavy_hitters",

@@ -1091,3 +1091,83 @@ def streaming_trending_counts(
     return df.groupBy(key_col).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_ewma(
+    df: DataFrame,
+    key_col: str,
+    bucket_us: int,
+    alpha: float = 0.25,
+    us_col: str = "us",
+    eos_col: str | None = None,
+) -> DataFrame:
+    """EWMA over bucketed counts, STREAMING form — the incremental sibling
+    of operators.timeseries.ewma_smooth. Per key, GroupState holds the
+    open bucket's (index, running count) and the last emitted smoothed
+    value: a bucket emits (bucket, cnt, ewma) the moment a later bucket's
+    first row arrives, and the EOS punctuation flushes the final open
+    bucket and clears the state. State per key is two longs + one double —
+    constant, independent of history, the textbook exponential-decay
+    recurrence (the whole point of EWMA vs a trailing mean is that the
+    state never grows).
+
+    Contract: per-key non-decreasing event time across micro-batches (the
+    in-order model of streaming_trending_counts); late rows for emitted
+    buckets are dropped. ``y = x`` for the key's first bucket, then
+    ``y = alpha*x + (1-alpha)*y_prev`` over OBSERVED buckets (gaps skip,
+    matching the batch fold). Values match the batch form bit-for-bit:
+    python floats are IEEE doubles running the identical sequence.
+    """
+    out_schema = f"{key_col} string, bucket long, cnt long, ewma double"
+    state_schema = "cur_b long, cur_c long, prev_e double, has_prev boolean"
+    a, b1 = float(alpha), 1.0 - float(alpha)
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cur_b, cur_c, prev_e, has_prev = state.get
+        else:
+            cur_b, cur_c, prev_e, has_prev = -1, 0, 0.0, False
+        out: list[tuple] = []
+
+        def close() -> None:
+            nonlocal cur_b, cur_c, prev_e, has_prev
+            if cur_b < 0:
+                return
+            e = a * cur_c + b1 * prev_e if has_prev else float(cur_c)
+            out.append(key + (cur_b * bucket_us, cur_c, round(e, 6)))
+            prev_e, has_prev = e, True
+            cur_b, cur_c = -1, 0
+
+        chunks = list(pdfs)
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else (
+            chunks[0] if chunks else None
+        )
+        eos_seen = False
+        if pdf is not None and len(pdf):
+            if eos_col is not None:
+                flags = pdf[eos_col].fillna(False).to_numpy(dtype=bool)
+                eos_seen = bool(flags.any())
+                pdf = pdf.loc[~flags]
+            for b, c in (
+                (pdf[us_col] // bucket_us).value_counts().sort_index().items()
+            ):
+                b, c = int(b), int(c)
+                if b == cur_b:
+                    cur_c += c
+                elif b > cur_b:
+                    close()
+                    cur_b, cur_c = b, c
+                # b < cur_b: late row for an emitted bucket — dropped
+        if eos_seen:
+            close()
+            state.remove()
+        else:
+            state.update((cur_b, cur_c, prev_e, has_prev))
+        cols = [key_col, "bucket", "cnt", "ewma"]
+        yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
+            {c: [] for c in cols}
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
