@@ -304,6 +304,8 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
                                       # BOTH series (no self-join)
         "bin_equal_freq": 0,          # global ntile sort (SinglePartition
                                       # exchange, not keyed) + final agg
+        "markov_event_transitions": 3,  # user lead() + (from,to) agg +
+                                      # from_type window over tiny frame
     }
     over = {}
     for name, budget in budgets.items():

@@ -1184,3 +1184,120 @@ def test_streaming_ewma_matches_batch(spark, tmp_path_factory):
         (r.k, r.bucket, r.cnt, r.ewma) for r in spark.table(name).collect()
     )
     assert got == expect and len(expect) > 10
+
+
+def test_streaming_ohlc_matches_batch(spark, tmp_path_factory):
+    """Per-key OHLC bars across two time-ordered micro-batches + EOS:
+    emitted bars must equal the batch resample_ohlc frame, including the
+    struct-min/max open/close tie-break on equal timestamps."""
+    import random
+    import time as _time
+
+    from windflow_spark.operators.timeseries import resample_ohlc
+    from windflow_spark.streaming import (
+        file_stream as _fs,
+        streaming_ohlc,
+        to_memory_sink,
+    )
+
+    BUCKET = 40
+    rng = random.Random(5)
+    rows = []
+    for k in ("a", "b"):
+        t = rng.randint(0, 30)
+        for _ in range(rng.randint(15, 40)):
+            rows.append((k, t, round(rng.uniform(-5, 5), 3), False))
+            # duplicate timestamps sometimes -> exercises the tie-break
+            t += rng.choice([0, 1, 7, 45])
+    schema = "k string, us long, v double, eos boolean"
+    data = spark.createDataFrame(rows, schema)
+    batch = resample_ohlc(
+        data.select("k", F.timestamp_micros("us").alias("ts"), "v"),
+        ["k"], "ts", "v", BUCKET,
+    )
+    expect = sorted(
+        (r.k, int(r.bucket_start.timestamp() * 1_000_000),
+         r.open, r.high, r.low, r.close, r.cnt)
+        for r in batch.collect()
+    )
+
+    path = str(tmp_path_factory.mktemp("ohlc_src"))
+    mid = 300
+    spark.createDataFrame([r for r in rows if r[1] <= mid], schema).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    spark.createDataFrame([r for r in rows if r[1] > mid], schema).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    eos = [(k, 10**9, 0.0, True) for k in ("a", "b")]
+    spark.createDataFrame(eos, schema).coalesce(1).write.mode("append").parquet(path)
+
+    stream = _fs(spark, path, data.schema, max_files_per_trigger=1)
+    out = streaming_ohlc(stream, "k", "v", BUCKET, eos_col="eos")
+    name, _ = to_memory_sink(out, output_mode="append")
+    got = sorted(
+        (r.k, r.bucket, r.open, r.high, r.low, r.close, r.cnt)
+        for r in spark.table(name).collect()
+    )
+    assert got == expect and len(expect) > 6
+
+
+def test_streaming_scd2_matches_batch(spark, tmp_path_factory):
+    """Per-key SCD2 versions across micro-batches + EOS: closed and open
+    (is_current) versions must equal the batch scd2_intervals frame,
+    including null-safe change detection and version numbering."""
+    import random
+    import time as _time
+
+    from windflow_spark.operators.timeseries import scd2_intervals
+    from windflow_spark.streaming import (
+        file_stream as _fs,
+        streaming_scd2,
+        to_memory_sink,
+    )
+
+    rng = random.Random(9)
+    rows = []
+    for k in ("a", "b", "c"):
+        t = rng.randint(0, 10)
+        for _ in range(rng.randint(6, 18)):
+            status = rng.choice(["open", "open", "hold", "closed", None])
+            rows.append((k, t, status, False))
+            t += rng.randint(1, 50)  # strictly increasing per key
+    schema = "k string, us long, status string, eos boolean"
+    data = spark.createDataFrame(rows, schema)
+    batch = scd2_intervals(
+        data.select("k", F.timestamp_micros("us").alias("ts"), "status"),
+        ["k"], "ts", ["status"],
+    )
+    to_us = lambda x: None if x is None else int(x.timestamp() * 1_000_000)
+    nkey = lambda t: tuple("" if x is None else x for x in t[:2]) + t[4:5]
+    expect = sorted(
+        ((r.k, r.status, to_us(r.valid_from), to_us(r.valid_to),
+          r.version_seq, r.is_current)
+         for r in batch.collect()), key=nkey,
+    )
+
+    path = str(tmp_path_factory.mktemp("scd2_src"))
+    mid = 250
+    spark.createDataFrame([r for r in rows if r[1] <= mid], schema).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    spark.createDataFrame([r for r in rows if r[1] > mid], schema).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    eos = [(k, 10**9, None, True) for k in ("a", "b", "c")]
+    spark.createDataFrame(eos, schema).coalesce(1).write.mode("append").parquet(path)
+
+    stream = _fs(spark, path, data.schema, max_files_per_trigger=1)
+    out = streaming_scd2(stream, "k", "status", eos_col="eos")
+    name, _ = to_memory_sink(out, output_mode="append")
+    got = sorted(
+        ((r.k, r.status, r.valid_from, r.valid_to, r.version_seq, r.is_current)
+         for r in spark.table(name).collect()), key=nkey,
+    )
+    assert got == expect and len(expect) > 8

@@ -4855,3 +4855,52 @@ def bin_equal_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("hi"),
         F.round(F.avg("o_totalprice"), 2).alias("mean"),
     )
+
+
+@register(
+    "markov_event_transitions",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    t AS (SELECT event_type AS from_type, next_type AS to_type,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM s WHERE next_type IS NOT NULL
+          GROUP BY 1, 2),
+    w AS (SELECT from_type, to_type, n,
+                 SUM(n) OVER (PARTITION BY from_type) AS row_n
+          FROM t)
+    SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE) / row_n, 6) AS p
+    FROM w
+    """,
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event sequences:
+    counts and conditional probabilities P(next | current) — the sequence
+    model behind session-flow analysis and next-event prediction. One
+    keyed exchange on user for the lead() ordering (event_id tie-break for
+    determinism), one (from,to) aggregation; row totals are window sums
+    over the reduced |types|² frame."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    t = s.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    row_n = F.sum("n").over(W.partitionBy("from_type"))
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / row_n, 6).alias("p"),
+    )

@@ -23,6 +23,8 @@ from windflow_spark.streaming.ops import (
     streaming_kslack,
     streaming_cohort_retention,
     streaming_ewma,
+    streaming_ohlc,
+    streaming_scd2,
     streaming_trending_counts,
     streaming_funnel,
     streaming_heavy_hitters,
@@ -73,6 +75,8 @@ __all__ = [
     "streaming_kslack",
     "streaming_cohort_retention",
     "streaming_ewma",
+    "streaming_ohlc",
+    "streaming_scd2",
     "streaming_trending_counts",
     "streaming_funnel",
     "streaming_heavy_hitters",

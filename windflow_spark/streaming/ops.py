@@ -1171,3 +1171,166 @@ def streaming_ewma(
     return df.groupBy(key_col).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_ohlc(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    bucket_us: int,
+    us_col: str = "us",
+    eos_col: str | None = None,
+) -> DataFrame:
+    """OHLC resample, STREAMING form — the incremental sibling of
+    operators.timeseries.resample_ohlc. Per key, GroupState holds ONE open
+    bar: the lexicographic-min/max (us, value) tuples for open/close (the
+    exact tie-break contract of the batch struct-min/max — min value at
+    the earliest timestamp, max value at the latest) plus high/low/count.
+    A bar emits when a later bucket's first row arrives; the EOS
+    punctuation flushes the final open bar and clears the state. State per
+    key is one bar — constant, independent of history.
+
+    Contract: per-key non-decreasing event time across micro-batches (the
+    in-order model of streaming_trending_counts); late rows for emitted
+    bars are dropped.
+    """
+    out_schema = (
+        f"{key_col} string, bucket long, open double, high double, "
+        "low double, close double, cnt long"
+    )
+    state_schema = (
+        "bkt long, o_us long, o_v double, hi double, lo double, "
+        "c_us long, c_v double, cnt long"
+    )
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            bkt, o_us, o_v, hi, lo, c_us, c_v, cnt = state.get
+        else:
+            bkt, o_us, o_v, hi, lo, c_us, c_v, cnt = -1, 0, 0.0, 0.0, 0.0, 0, 0.0, 0
+        out: list[tuple] = []
+
+        def close() -> None:
+            nonlocal bkt, cnt
+            if bkt < 0:
+                return
+            out.append(key + (bkt * bucket_us, o_v, hi, lo, c_v, cnt))
+            bkt, cnt = -1, 0
+
+        chunks = list(pdfs)
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else (
+            chunks[0] if chunks else None
+        )
+        eos_seen = False
+        if pdf is not None and len(pdf):
+            if eos_col is not None:
+                flags = pdf[eos_col].fillna(False).to_numpy(dtype=bool)
+                eos_seen = bool(flags.any())
+                pdf = pdf.loc[~flags]
+            pdf = pdf.sort_values(us_col)
+            for us, v in zip(
+                pdf[us_col].to_numpy(dtype="int64"),
+                pdf[value_col].to_numpy(dtype="float64"),
+            ):
+                us, v, b = int(us), float(v), int(us) // bucket_us
+                if b < bkt:
+                    continue  # late row for an emitted bar — dropped
+                if b != bkt:
+                    close()
+                    bkt = b
+                    o_us, o_v, hi, lo, c_us, c_v, cnt = us, v, v, v, us, v, 1
+                    continue
+                cnt += 1
+                if (us, v) < (o_us, o_v):
+                    o_us, o_v = us, v
+                if (us, v) > (c_us, c_v):
+                    c_us, c_v = us, v
+                hi, lo = max(hi, v), min(lo, v)
+        if eos_seen:
+            close()
+            state.remove()
+        else:
+            state.update((bkt, o_us, o_v, hi, lo, c_us, c_v, cnt))
+        cols = [key_col, "bucket", "open", "high", "low", "close", "cnt"]
+        yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
+            {c: [] for c in cols}
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_scd2(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    us_col: str = "us",
+    eos_col: str | None = None,
+) -> DataFrame:
+    """SCD type-2 interval build, STREAMING form — the CDC sibling of
+    operators.timeseries.scd2_intervals for a single tracked attribute.
+    Per key, GroupState holds the OPEN version (attribute value, its
+    NULL flag, valid_from, version counter): a change event (null-safe
+    inequality, the batch contract) closes the open version — emitting it
+    with ``valid_to`` = the change's timestamp and ``is_current`` false —
+    and opens the next; the EOS punctuation emits the open version with
+    NULL ``valid_to`` / ``is_current`` true and clears the state. State
+    per key is one version — constant; this is exactly the reference's
+    P_Reduce keyed-state shape (wf/persistent/p_reduce.hpp) applied to
+    warehouse history.
+
+    Contract: per-key non-decreasing event time across micro-batches;
+    equal-timestamp ordering within a batch falls back to input order —
+    feed a unique, monotone ``us_col`` per key for exact batch parity.
+    """
+    out_schema = (
+        f"{key_col} string, {attr_col} string, valid_from long, "
+        "valid_to long, version_seq long, is_current boolean"
+    )
+    state_schema = "attr string, attr_null boolean, vfrom long, ver long"
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            attr, attr_null, vfrom, ver = state.get
+        else:
+            attr, attr_null, vfrom, ver = None, True, -1, 0
+        has_open = ver > 0
+        out: list[tuple] = []
+
+        chunks = list(pdfs)
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else (
+            chunks[0] if chunks else None
+        )
+        eos_seen = False
+        if pdf is not None and len(pdf):
+            if eos_col is not None:
+                flags = pdf[eos_col].fillna(False).to_numpy(dtype=bool)
+                eos_seen = bool(flags.any())
+                pdf = pdf.loc[~flags]
+            pdf = pdf.sort_values(us_col, kind="stable")
+            for us, a in zip(pdf[us_col].to_numpy(dtype="int64"), pdf[attr_col]):
+                us = int(us)
+                a = None if pd.isna(a) else str(a)
+                a_null = a is None
+                if has_open and a_null == attr_null and a == attr:
+                    continue  # unchanged: stays in the open version
+                if has_open:
+                    out.append(key + (attr, vfrom, us, ver, False))
+                attr, attr_null, vfrom, ver = a, a_null, us, ver + 1
+                has_open = True
+        if eos_seen:
+            if has_open:
+                out.append(key + (attr, vfrom, None, ver, True))
+            state.remove()
+        else:
+            state.update((attr, attr_null, vfrom, ver))
+        cols = [key_col, attr_col, "valid_from", "valid_to", "version_seq",
+                "is_current"]
+        yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
+            {c: [] for c in cols}
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
