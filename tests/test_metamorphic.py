@@ -60,6 +60,7 @@ SAMPLE = [
     "ts_rolling_corr",              # window-frame recurrence determinism (r6)
     "bin_equal_freq",               # global-sort ntile determinism (r6)
     "markov_event_transitions",     # lead() tie-break determinism (r6)
+    "psi_price_drift",              # decile cuts + exact-count rationals (r6)
     "scd2_customer_status",         # two-window islands build (r6)
     "ts_ohlc_hourly",               # struct-argmin tie-breaks (r6)
     "source_token_kl",              # float KL over join order (r6)

@@ -111,6 +111,9 @@ _BNLJ_ALLOWED = {
     # one-row corpus-total N broadcast onto the reduced (group, token)
     # frame — the scalar-attach plan for the KL denominator (r6)
     "source_token_kl",
+    # one-row 9-cut decile array broadcast onto both populations — the
+    # scalar-attach plan for PSI binning (r6)
+    "psi_price_drift",
 }
 
 
@@ -306,6 +309,9 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
                                       # exchange, not keyed) + final agg
         "markov_event_transitions": 3,  # user lead() + (from,to) agg +
                                       # from_type window over tiny frame
+        "psi_price_drift": 2,         # one bin agg per population; cuts
+                                      # ride as a one-row broadcast
+        "selfjoin_size_estimate": 1,  # per-key counts; report is global
     }
     over = {}
     for name, budget in budgets.items():

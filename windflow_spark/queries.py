@@ -4904,3 +4904,123 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / row_n, 6).alias("p"),
     )
+
+
+@register(
+    "psi_price_drift",
+    """
+    WITH r AS (SELECT o_totalprice AS v FROM orders
+               WHERE year(o_orderdate) < 1998),
+    c AS (SELECT o_totalprice AS v FROM orders
+          WHERE year(o_orderdate) >= 1998),
+    q AS (SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+                   AS cuts
+          FROM r),
+    rb AS (SELECT CAST(list_sum(list_transform(q.cuts,
+                    x -> CASE WHEN r.v > x THEN 1 ELSE 0 END)) AS BIGINT)
+                    AS bin
+           FROM r, q),
+    cb AS (SELECT CAST(list_sum(list_transform(q.cuts,
+                    x -> CASE WHEN c.v > x THEN 1 ELSE 0 END)) AS BIGINT)
+                    AS bin
+           FROM c, q),
+    rc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_ref FROM rb GROUP BY bin),
+    cc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_cur FROM cb GROUP BY bin),
+    j AS (SELECT rc.bin, rc.n_ref, COALESCE(cc.n_cur, 0) AS n_cur
+          FROM rc LEFT JOIN cc USING (bin)),
+    w AS (SELECT bin, n_ref, n_cur,
+                 SUM(n_ref) OVER () AS tr, SUM(n_cur) OVER () AS tc
+          FROM j)
+    SELECT bin, n_ref, n_cur,
+           CASE WHEN n_cur > 0 THEN
+             round((CAST(n_cur AS DOUBLE) / tc - CAST(n_ref AS DOUBLE) / tr)
+                   * ln((CAST(n_cur AS DOUBLE) / tc)
+                        / (CAST(n_ref AS DOUBLE) / tr)), 6)
+           END AS psi_contrib
+    FROM w
+    """,
+)
+def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of order prices, pre-1998 (reference)
+    vs 1998+ (current) — THE drift monitor for a feature/metric feeding a
+    model. Bins are the reference population's exact deciles (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont`` bit-exact); both
+    populations bucket against the broadcast 9-cut array (one row — the
+    scalar-attach plan); per-bin PSI contributions are exact-count
+    rationals through single float ops, so values match cross-engine.
+    Bins the current population misses yield NULL (sum the rest for the
+    headline PSI)."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("y"), F.col("o_totalprice").alias("v")
+    )
+    ref, cur = o.filter(F.col("y") < 1998), o.filter(F.col("y") >= 1998)
+    cuts = ref.agg(
+        F.percentile("v", F.array(*[F.lit(i / 10) for i in range(1, 10)])).alias(
+            "cuts"
+        )
+    )
+
+    def binned(pop, out):
+        b = F.aggregate(
+            F.col("cuts"),
+            F.lit(0),
+            lambda acc, x: acc + F.when(F.col("v") > x, 1).otherwise(0),
+        ).cast("long")
+        return (
+            pop.crossJoin(F.broadcast(cuts))
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    j = binned(ref, "n_ref").join(binned(cur, "n_cur_raw"), "bin", "left").select(
+        "bin", "n_ref", F.coalesce(F.col("n_cur_raw"), F.lit(0)).alias("n_cur")
+    )
+    w = W.partitionBy()
+    tr = F.sum("n_ref").over(w)
+    tc = F.sum("n_cur").over(w)
+    pr = F.col("n_ref").cast("double") / tr
+    pc = F.col("n_cur").cast("double") / tc
+    psi = F.when(F.col("n_cur") > 0, F.round((pc - pr) * F.log(pc / pr), 6))
+    return j.select("bin", "n_ref", "n_cur", psi.alias("psi_contrib"))
+
+
+@register(
+    "selfjoin_size_estimate",
+    """
+    WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(sum(c * c) AS BIGINT) AS n_pairs,
+           CAST(max(c * c) AS BIGINT) AS top_key_pairs,
+           round(CAST(max(c * c) AS DOUBLE) / sum(c * c), 6) AS top_share
+    FROM c
+    """,
+)
+def selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join-size/skew estimator: the exact output cardinality
+    of a self-join on events.user_id is Σ c_k² — computable from one
+    per-key count pass, WITHOUT running the join. top_share (hottest
+    key's fraction of the output) is the number that predicts a straggler
+    task at 100 TB and motivates salting/AQE before the fact — the
+    companion to key_skew_events' entropy view."""
+    from windflow_spark.functions.pipeline import key_distribution_report  # noqa: F401 (family)
+
+    c = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    sq = F.col("c") * F.col("c")
+    return c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.sum(sq).cast("long").alias("n_pairs"),
+        F.max(sq).cast("long").alias("top_key_pairs"),
+        F.round(
+            F.max(sq).cast("double") / F.sum(sq), 6
+        ).alias("top_share"),
+    )
