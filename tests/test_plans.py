@@ -312,6 +312,10 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
         "psi_price_drift": 2,         # one bin agg per population; cuts
                                       # ride as a one-row broadcast
         "selfjoin_size_estimate": 1,  # per-key counts; report is global
+        "scd2_point_in_time_join": 1, # versions + fact co-partition on
+                                      # custkey: window exchange reused
+        "wau_rolling_7d": 3,          # distinct -> 7x expand -> distinct
+                                      # -> day agg, all on (user,day) frames
     }
     over = {}
     for name, budget in budgets.items():

@@ -5024,3 +5024,106 @@ def selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(sq).cast("double") / F.sum(sq), 6
         ).alias("top_share"),
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    """
+    WITH o AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+               FROM orders),
+    chg AS (
+      SELECT *, lag(o_orderstatus) OVER w AS prev_st
+      FROM o
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    v AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey FROM chg
+          WHERE prev_st IS NULL OR prev_st <> o_orderstatus),
+    iv AS (SELECT o_custkey, o_orderstatus AS status,
+                  o_orderdate AS valid_from,
+                  lead(o_orderdate) OVER w2 AS valid_to,
+                  CAST(row_number() OVER w2 AS BIGINT) AS version_seq
+           FROM v
+           WINDOW w2 AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey))
+    SELECT ord.o_orderkey, ord.o_custkey, iv.version_seq, iv.status
+    FROM orders ord JOIN iv
+      ON ord.o_custkey = iv.o_custkey
+     AND iv.valid_from <= ord.o_orderdate
+     AND (iv.valid_to IS NULL OR ord.o_orderdate < iv.valid_to)
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lookup half of the SCD2 story: every order joined to the
+    customer-status VERSION valid at its order date (half-open
+    [valid_from, valid_to) intervals from scd2_intervals, so a change-day
+    fact lands in the new version and empty same-day intervals match
+    nothing — each fact hits exactly one version). Equi-join on the
+    customer key with the interval bounds as residual — the interval-join
+    KP shape; the dimension side is version-count-sized, far smaller than
+    the fact side."""
+    from windflow_spark.operators.timeseries import scd2_intervals
+
+    o = _t(spark, sf_dir, "orders")
+    iv = scd2_intervals(
+        o.select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"),
+        ["o_custkey"],
+        "o_orderdate",
+        ["o_orderstatus"],
+        tiebreak_cols=["o_orderkey"],
+    ).select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        "valid_from",
+        "valid_to",
+        "version_seq",
+    )
+    f = o.select("o_orderkey", F.col("o_custkey").alias("f_custkey"), "o_orderdate")
+    return f.join(
+        iv,
+        (F.col("f_custkey") == iv.o_custkey)
+        & (iv.valid_from <= F.col("o_orderdate"))
+        & (iv.valid_to.isNull() | (F.col("o_orderdate") < iv.valid_to)),
+    ).select(
+        "o_orderkey",
+        F.col("f_custkey").alias("o_custkey"),
+        "version_seq",
+        "status",
+    )
+
+
+@register(
+    "wau_rolling_7d",
+    f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // {US_DAY} AS BIGINT) AS day
+      FROM events),
+    cov AS (
+      SELECT DISTINCT user_id, ud.day + g.d AS day
+      FROM ud, unnest(generate_series(0, 6)) AS g(d))
+    SELECT make_timestamp(day * {US_DAY}) AS day_start,
+           CAST(count(*) AS BIGINT) AS wau
+    FROM cov GROUP BY day
+    """,
+)
+def wau_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per calendar day — the DAU/WAU panel.
+    Exact windowed DISTINCT counting without a distinct-over-window
+    (which no engine supports): each (user, active-day) pair EXPANDS to
+    the 7 report days it covers, and a plain distinct + count finishes
+    the job. Three keyed exchanges, each over frames already reduced to
+    (user, day) granularity — the fact table is touched once; the 7×
+    expansion happens after the first distinct, so it multiplies user-days,
+    not events."""
+    from windflow_spark.operators.timeutil import event_micros
+
+    e = _t(spark, sf_dir, "events")
+    day = F.floor(event_micros(e, "ts") / F.lit(US_DAY)).cast("long")
+    ud = e.select("user_id", day.alias("day")).distinct()
+    cov = ud.select(
+        "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day")
+    ).distinct()
+    return cov.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("wau")
+    ).select(
+        F.timestamp_micros(F.col("day") * F.lit(US_DAY)).alias("day_start"), "wau"
+    )
