@@ -316,6 +316,8 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
                                       # custkey: window exchange reused
         "wau_rolling_7d": 3,          # distinct -> 7x expand -> distinct
                                       # -> day agg, all on (user,day) frames
+        "forward_fill_last_purchase": 1,  # one per-user window ordering
+        "interarrival_stats": 2,      # user lag window + type agg
     }
     over = {}
     for name, budget in budgets.items():

@@ -11,6 +11,7 @@ reference's finite-stream test harness shape):
   window      watermark + keyed 1s tumbling aggregation (windowed state)
   reduce      per-key running fold via applyInPandasWithState (custom state)
   sketch      Misra-Gries heavy hitters, 16 buckets x 32 counters (constant state)
+  ohlc        per-key 1s OHLC bar building (one open bar per key, constant state)
 
 Prints one JSON line: rows/sec per pipeline.
 
@@ -103,6 +104,22 @@ def main() -> None:
             "token",
             capacity=32,
             n_buckets=16,
+        ),
+    )
+
+    from windflow_spark.streaming import streaming_ohlc
+
+    results["ohlc_rows_per_sec"] = run(
+        "ohlc",
+        lambda s: streaming_ohlc(
+            s.select(
+                F.concat(F.lit("k"), F.col("key")).alias("key"),
+                F.unix_micros("ts").alias("us"),
+                F.col("value").alias("v"),
+            ),
+            "key",
+            "v",
+            1_000_000,
         ),
     )
 

@@ -5127,3 +5127,81 @@ def wau_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.timestamp_micros(F.col("day") * F.lit(US_DAY)).alias("day_start"), "wau"
     )
+
+
+@register(
+    "forward_fill_last_purchase",
+    """
+    SELECT event_id, user_id, event_type,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM events
+    """,
+)
+def forward_fill_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Carry-forward (LOCF) enrichment: every event annotated with the
+    user's most recent purchase amount — ``last_value ... IGNORE NULLS``
+    over the per-user timeline, the standard sparse-observation fill that
+    pairs with asof_join (same semantics, window form — right when the
+    fill source and target are ONE ordered stream rather than two
+    tables). One keyed exchange; NULL until the user's first purchase."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.last(pv, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+@register(
+    "interarrival_stats",
+    """
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events)
+    SELECT event_type, CAST(count(gap) AS BIGINT) AS n_gaps,
+           quantile_cont(gap, 0.5) AS p50_us,
+           quantile_cont(gap, 0.95) AS p95_us,
+           CAST(max(gap) AS BIGINT) AS max_us
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution per event type (gap = time since the
+    user's previous event, attributed to the later event): exact
+    p50/p95/max — the telemetry panel behind session-timeout and
+    rate-limit tuning, and the empirical basis for choosing a session gap
+    (win_session_30m) or K-slack horizon. One keyed exchange for the
+    per-user lag ordering, one per-type aggregation; Spark ``percentile``
+    ≡ DuckDB ``quantile_cont`` bit-exact."""
+    from pyspark.sql import Window as W
+
+    from windflow_spark.operators.timeutil import event_micros
+
+    e = _t(spark, sf_dir, "events")
+    us = event_micros(e, "ts")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("gap").cast("long").alias("n_gaps"),
+        F.percentile("gap", F.lit(0.5)).alias("p50_us"),
+        F.percentile("gap", F.lit(0.95)).alias("p95_us"),
+        F.max("gap").cast("long").alias("max_us"),
+    )
