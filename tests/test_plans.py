@@ -318,6 +318,10 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
                                       # -> day agg, all on (user,day) frames
         "forward_fill_last_purchase": 1,  # one per-user window ordering
         "interarrival_stats": 2,      # user lag window + type agg
+        "funnel_latency_percentiles": 2,  # two stage aggs co-partitioned
+                                      # on user; report is a global agg
+        "embedding_source_drift": 5,  # (source,dim) means + dim means +
+                                      # dot products over tiny frames
     }
     over = {}
     for name, budget in budgets.items():

@@ -5205,3 +5205,112 @@ def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("gap", F.lit(0.95)).alias("p95_us"),
         F.max("gap").cast("long").alias("max_us"),
     )
+
+
+@register(
+    "funnel_latency_percentiles",
+    """
+    WITH s0 AS (SELECT user_id, min(epoch_us(ts)) AS t0
+                FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    s1 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t1
+           FROM events e JOIN s0 USING (user_id)
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s0.t0
+           GROUP BY e.user_id),
+    l AS (SELECT s1.t1 - s0.t0 AS lat FROM s1 JOIN s0 USING (user_id))
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           quantile_cont(lat, 0.5) AS p50_us,
+           quantile_cont(lat, 0.9) AS p90_us,
+           CAST(max(lat) AS BIGINT) AS max_us
+    FROM l
+    """,
+)
+def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the signup→purchase funnel
+    (first-touch semantics, matching funnel_signup_purchase: the purchase
+    must be strictly after the user's FIRST signup): exact p50/p90/max of
+    the conversion latency — the metric product teams read next to the
+    conversion rate. Both stage frames aggregate on the user key and join
+    co-partitioned; the K filtered scans push the event-type filter to the
+    source."""
+    from pyspark.sql import Window as W  # noqa: F401 (family import style)
+
+    from windflow_spark.operators.timeutil import event_micros
+
+    e = _t(spark, sf_dir, "events")
+    us = event_micros(e, "ts")
+    s0 = (
+        e.filter(F.col("event_type") == "signup")
+        .select("user_id", us.alias("_us"))
+        .groupBy("user_id")
+        .agg(F.min("_us").alias("t0"))
+    )
+    s1 = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("_us"))
+        .join(s0, "user_id")
+        .filter(F.col("_us") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("_us").alias("t1"), F.min("t0").alias("t0"))
+    )
+    lat = (F.col("t1") - F.col("t0")).alias("lat")
+    return s1.select(lat).agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.percentile("lat", F.lit(0.5)).alias("p50_us"),
+        F.percentile("lat", F.lit(0.9)).alias("p90_us"),
+        F.max("lat").cast("long").alias("max_us"),
+    )
+
+
+@register(
+    "embedding_source_drift",
+    """
+    WITH x AS (
+      SELECT d.source,
+             generate_subscripts(e.embedding, 1) - 1 AS i,
+             unnest(e.embedding) AS v
+      FROM embeddings e
+      JOIN documents d ON e.vec_id = d.doc_id),
+    dim AS (
+      SELECT source, i, avg(v) AS m FROM x GROUP BY source, i),
+    corpus AS (
+      SELECT i, avg(m) AS c FROM dim GROUP BY i),
+    dots AS (
+      SELECT dim.source,
+             SUM(dim.m * corpus.c) AS dp,
+             SUM(dim.m * dim.m) AS nn,
+             SUM(corpus.c * corpus.c) AS cc
+      FROM dim JOIN corpus USING (i) GROUP BY dim.source)
+    SELECT source, round(dp / (sqrt(nn) * sqrt(cc)), 6) AS cos_to_corpus
+    FROM dots
+    """,
+)
+def embedding_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: each source's mean embedding
+    vector compared (cosine) to the mean of the source means — sources
+    whose centroid points away from the corpus consensus flag a domain
+    shift before it reaches training. Per-dimension means via
+    posexplode (one (source, dim) exchange over dims·|sources| cells);
+    the |sources|×dim centroid frame is tiny thereafter. 6dp — float sum
+    order differs across engines."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = _t(spark, sf_dir, "embeddings")
+    j = emb.join(d, emb.vec_id == d.doc_id).select(
+        "source", F.posexplode("embedding").alias("i", "v")
+    )
+    dim = j.groupBy("source", "i").agg(F.avg("v").alias("m"))
+    corpus = dim.groupBy("i").agg(F.avg("m").alias("c"))
+    dots = (
+        dim.join(corpus, "i")
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("m") * F.col("c")).alias("dp"),
+            F.sum(F.col("m") * F.col("m")).alias("nn"),
+            F.sum(F.col("c") * F.col("c")).alias("cc"),
+        )
+    )
+    return dots.select(
+        "source",
+        F.round(
+            F.col("dp") / (F.sqrt(F.col("nn")) * F.sqrt(F.col("cc"))), 6
+        ).alias("cos_to_corpus"),
+    )
