@@ -224,3 +224,32 @@ def test_facade_session_asof_kslack(spark):
 
     ks = src.kslack(["key"], "ts", "value").add_sink()
     assert "emit_seq" in ks.columns and ks.count() <= 24  # horizon may drop
+
+
+def test_flat_map_py_udtf_imperative_emit(spark):
+    # the UDTF escape hatch must support genuinely imperative emission —
+    # here: variable fan-out with early stop, state across yields within a
+    # row — and pass keep-columns through the lateral join
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from windflow_spark.core.graph import MultiPipe, PipeGraph
+
+    df = spark.createDataFrame(
+        [(1, "a bb ccc dddd"), (2, "zz"), (3, "")], "id long, text string"
+    )
+    mp = MultiPipe(PipeGraph(spark), df)
+
+    def running_prefix(text):
+        # emit tokens until the running char total would exceed 6
+        total = 0
+        for w in (text or "").split():
+            total += len(w)
+            if total > 6:
+                return
+            yield w, total
+
+    out = mp.flat_map_py(
+        running_prefix, "tok: string, run_len: int", ["text"], keep=["id"]
+    ).df
+    got = sorted((r.id, r.tok, r.run_len) for r in out.collect())
+    assert got == [(1, "a", 1), (1, "bb", 3), (1, "ccc", 6), (2, "zz", 2)]

@@ -72,6 +72,44 @@ class MultiPipe:
         out = self.df.select(*keep, F.explode(explode_col).alias(alias))
         return MultiPipe(self.graph, out)
 
+    def flat_map_py(
+        self,
+        fn,
+        out_schema: str,
+        in_cols: Sequence[str],
+        keep: Sequence[str] = (),
+    ) -> "MultiPipe":
+        """1→N transform with IMPERATIVE per-row python logic — the escape
+        hatch for FlatMap functors (reference wf/flatmap.hpp:215, the
+        arbitrary-emit `Shipper` form) that no array expression can
+        express. ``fn(*in_col_values)`` must be a generator yielding
+        output tuples matching ``out_schema``. Compiled to a Spark Python
+        UDTF in a LATERAL join; ``keep`` columns pass through alongside.
+
+        This is the SLOW path — per-row Python, not Arrow-vectorized
+        (enable spark.sql.execution.pythonUDTF.arrow.enabled to batch the
+        transfer). Reach for `flat_map` (JVM explode) first, then
+        mapInPandas for batchable logic; use this only when the emission
+        logic is genuinely imperative per-row.
+        """
+        from pyspark.sql.functions import udtf
+
+        class _FlatMap:
+            def eval(self, *args):  # noqa: ANN001 - UDTF protocol
+                yield from fn(*args)
+
+        u = udtf(_FlatMap, returnType=out_schema)
+        df = self.df
+        # .outer() marks the args as correlated references into the left
+        # side of the lateral join (PySpark 4 lateral-correlation API)
+        joined = df.lateralJoin(u(*[F.col(c).outer() for c in in_cols]))
+        return MultiPipe(
+            self.graph,
+            joined.select(
+                *keep, *[f.split(":")[0].strip() for f in out_schema.split(",")]
+            ),
+        )
+
     # -- stateful ops
 
     def reduce(self, key_cols: Sequence[str], order_cols: Sequence[str],
