@@ -120,3 +120,55 @@ def test_write_sized_coalesces_small_output(spark, tmp_path_factory):
     files = [f for f in os.listdir(out) if f.endswith(".parquet")]
     assert len(files) == 1
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_compact_files_reduces_count_preserves_rows(spark, tmp_path_factory):
+    import os
+
+    from windflow_spark.io import compact_files
+
+    path = str(tmp_path_factory.mktemp("compact") / "t")
+    df = spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("g")
+    )
+    df.repartition(24).write.parquet(path)
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before >= 24
+    before, after = compact_files(spark, path, target_mb=256)
+    assert before >= 24 and after < before
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("id")).collect()[0][0] == 10_000 * 9_999 // 2
+
+
+def test_read_parquet_evolving_merges_schemas(spark, tmp_path_factory):
+    from windflow_spark.io import read_parquet_evolving
+
+    path = str(tmp_path_factory.mktemp("evolve") / "t")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 3.5)], "id long, s string, score double"
+    ).write.mode("append").parquet(path)
+    got = read_parquet_evolving(spark, path)
+    assert set(got.columns) == {"id", "s", "score"}
+    rows = {r.id: (r.s, r.score) for r in got.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 3.5)}
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path_factory):
+    # partition pruning is the 100-TB table-layout contract: a filter on
+    # the partition column must become a PartitionFilter (metadata-only
+    # pruning), NOT a data filter evaluated per row
+    from windflow_spark.plans import physical_plan
+
+    path = str(tmp_path_factory.mktemp("parts") / "t")
+    df = spark.createDataFrame(
+        [(i, ["x", "y", "z"][i % 3]) for i in range(300)], "id long, part string"
+    )
+    df.write.partitionBy("part").parquet(path)
+    scan = spark.read.parquet(path).filter(F.col("part") == "y")
+    plan = physical_plan(scan)
+    assert "PartitionFilters" in plan and "part" in plan.split("PartitionFilters", 1)[1][:120]
+    assert scan.count() == 100

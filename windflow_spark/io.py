@@ -179,3 +179,64 @@ def estimated_file_count(df: DataFrame, target_mb: int = 256) -> int:
         jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     )
     return max(1, size // (target_mb * 1024 * 1024))
+
+
+def compact_files(
+    spark,
+    path: str,
+    fmt: str | None = None,
+    target_mb: int = 256,
+) -> tuple[int, int]:
+    """Compact an EXISTING small-files directory in place: read, rewrite
+    at ``target_mb`` sizing (write_sized), swap. The maintenance sibling
+    of write_sized — streaming sinks and wide final stages leave
+    thousands of tiny files behind, and every later scan pays per-file
+    open/footer overhead until someone runs exactly this.
+
+    Returns (files_before, files_after). The swap is rename-based, NOT
+    transactional — readers racing the swap can see a missing directory;
+    at production scale run it under a table format's transaction (or a
+    path-flip) instead. Local filesystems only (os.rename semantics).
+    """
+    import os
+    import shutil
+
+    data_files = [
+        f
+        for f in os.listdir(path)
+        if not f.startswith("_") and not f.startswith(".")
+    ]
+    before = len(data_files)
+    if fmt is None:
+        # extensionless directory: sniff the part-files instead
+        try:
+            fmt = infer_format(path)
+        except ValueError:
+            fmt = infer_format(data_files[0]) if data_files else "parquet"
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df = read_table_any(spark, path, fmt=fmt)
+    write_sized(df, tmp, fmt=fmt, target_mb=target_mb)
+    old = path.rstrip("/") + "__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    after = len(
+        [
+            f
+            for f in os.listdir(path)
+            if not f.startswith("_") and not f.startswith(".")
+        ]
+    )
+    return before, after
+
+
+def read_parquet_evolving(spark, path: str) -> DataFrame:
+    """Read a parquet directory whose files were written with EVOLVING
+    schemas (columns added over time): ``mergeSchema`` unions all file
+    footers into one schema, older files yield NULL for columns they
+    predate. The ingestion contract for long-lived append directories —
+    without it Spark samples ONE footer and silently drops late-added
+    columns. Schema merging costs a footer pass over every file; at
+    100 TB keep it off for stable-schema tables and on only where
+    producers actually evolve."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
