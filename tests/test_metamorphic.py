@@ -65,6 +65,7 @@ SAMPLE = [
     "wau_rolling_7d",               # interval-expansion distinct (r6)
     "forward_fill_last_purchase",   # IGNORE NULLS frame determinism (r6)
     "embedding_source_drift",       # per-dim float means over shuffles (r6)
+    "ts_twap_daily",                # duration attribution tie-break (r6)
     "scd2_customer_status",         # two-window islands build (r6)
     "ts_ohlc_hourly",               # struct-argmin tie-breaks (r6)
     "source_token_kl",              # float KL over join order (r6)

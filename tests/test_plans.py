@@ -322,6 +322,8 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
                                       # on user; report is a global agg
         "embedding_source_drift": 5,  # (source,dim) means + dim means +
                                       # dot products over tiny frames
+        "ts_twap_daily": 1,           # ONE (type,day) exchange: lead
+                                      # window + agg share the partitioning
     }
     over = {}
     for name, budget in budgets.items():

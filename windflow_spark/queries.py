@@ -5314,3 +5314,69 @@ def embedding_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dp") / (F.sqrt(F.col("nn")) * F.sqrt(F.col("cc"))), 6
         ).alias("cos_to_corpus"),
     )
+
+
+@register(
+    "ts_twap_daily",
+    f"""
+    WITH e AS (
+      SELECT event_type, value, epoch_us(ts) AS us,
+             CAST(epoch_us(ts) // {US_DAY} AS BIGINT) AS day
+      FROM events),
+    d AS (
+      SELECT event_type, day, value, us,
+             COALESCE(
+               lead(us) OVER (PARTITION BY event_type, day
+                              ORDER BY us, value),
+               (day + 1) * {US_DAY}) - us AS dur
+      FROM e),
+    a AS (SELECT event_type, day,
+                 SUM(value * dur) AS vw, SUM(dur) AS w,
+                 CAST(count(*) AS BIGINT) AS n_obs
+          FROM d GROUP BY event_type, day)
+    SELECT event_type, make_timestamp(day * {US_DAY}) AS bucket_start,
+           n_obs, round(vw / w, 6) AS twap
+    FROM a
+    """,
+)
+def ts_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per type and day — the right mean for
+    IRREGULARLY sampled series (a value that held for 20 h must outweigh
+    one that held for 5 min; the plain avg is sampling-rate-biased, the
+    TWAP is not). Each observation is weighted by its holding duration:
+    until the next observation in the same (type, day), the last one
+    extending to day end. One keyed exchange; the lead() window reuses
+    the (type, day) partitioning; (us, value) ordering makes
+    equal-timestamp duration attribution deterministic."""
+    from pyspark.sql import Window as W
+
+    from windflow_spark.operators.timeutil import event_micros
+
+    e = _t(spark, sf_dir, "events")
+    us = event_micros(e, "ts")
+    d0 = e.select(
+        "event_type",
+        "value",
+        us.alias("us"),
+        F.floor(us / F.lit(US_DAY)).cast("long").alias("day"),
+    )
+    w = W.partitionBy("event_type", "day").orderBy("us", "value")
+    dur = (
+        F.coalesce(F.lead("us").over(w), (F.col("day") + 1) * F.lit(US_DAY))
+        - F.col("us")
+    )
+    a = (
+        d0.withColumn("dur", dur)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum(F.col("value") * F.col("dur")).alias("vw"),
+            F.sum("dur").alias("w"),
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+        )
+    )
+    return a.select(
+        "event_type",
+        F.timestamp_micros(F.col("day") * F.lit(US_DAY)).alias("bucket_start"),
+        "n_obs",
+        F.round(F.col("vw") / F.col("w"), 6).alias("twap"),
+    )
