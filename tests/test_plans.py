@@ -114,6 +114,8 @@ _BNLJ_ALLOWED = {
     # one-row 9-cut decile array broadcast onto both populations — the
     # scalar-attach plan for PSI binning (r6)
     "psi_price_drift",
+    # one-row sketch-cutpoint array broadcast — same scalar-attach plan
+    "bin_equal_freq_approx",
 }
 
 
@@ -324,6 +326,9 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
                                       # dot products over tiny frames
         "ts_twap_daily": 1,           # ONE (type,day) exchange: lead
                                       # window + agg share the partitioning
+        "winsorize_approx_bounds": 1, # one sketch+exact agg per group
+        "bin_equal_freq_approx": 1,   # sketch cutpoints broadcast; ONE
+                                      # bin agg — no global sort
     }
     over = {}
     for name, budget in budgets.items():

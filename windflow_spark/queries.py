@@ -5380,3 +5380,93 @@ def ts_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_obs",
         F.round(F.col("vw") / F.col("w"), 6).alias("twap"),
     )
+
+
+@register(
+    "winsorize_approx_bounds",
+    """
+    WITH b AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.04) AS lo_min,
+             quantile_cont(o_totalprice, 0.06) AS lo_max,
+             quantile_cont(o_totalprice, 0.94) AS hi_min,
+             quantile_cont(o_totalprice, 0.96) AS hi_max,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, n, TRUE AS lo_within_bound,
+           TRUE AS hi_within_bound
+    FROM b
+    """,
+)
+def winsorize_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The designated 100 TB path for winsorize_order_prices: sketch-based
+    ``percentile_approx`` bounds (mergeable KLL-style state, no per-group
+    sorted buffer) with the accuracy CONTRACT as the query result — the
+    approx p05/p95 must land inside the exact [p04,p06]/[p94,p96]
+    brackets (rank error at accuracy 10k is ~100× tighter; the booleans,
+    not the sketch values, are compared, so the check is deterministic
+    under any partitioning and engine — the heavy_hitters_tokens oracle
+    pattern). Swap these bounds into winsorize_summary's clamp pass and
+    the report is sketch-powered end to end."""
+    o = _t(spark, sf_dir, "orders")
+    b = o.groupBy("o_orderpriority").agg(
+        F.percentile_approx(
+            "o_totalprice", F.array(F.lit(0.05), F.lit(0.95)), F.lit(10000)
+        ).alias("ap"),
+        F.percentile(
+            "o_totalprice",
+            F.array(F.lit(0.04), F.lit(0.06), F.lit(0.94), F.lit(0.96)),
+        ).alias("ex"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    lo, hi = F.element_at("ap", 1), F.element_at("ap", 2)
+    return b.select(
+        "o_orderpriority",
+        "n",
+        ((F.element_at("ex", 1) <= lo) & (lo <= F.element_at("ex", 2))).alias(
+            "lo_within_bound"
+        ),
+        ((F.element_at("ex", 3) <= hi) & (hi <= F.element_at("ex", 4))).alias(
+            "hi_within_bound"
+        ),
+    )
+
+
+@register(
+    "bin_equal_freq_approx",
+    """
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders)
+    SELECT g.bin, TRUE AS within_tol
+    FROM n, unnest(generate_series(0, 9)) AS g(bin)
+    """,
+)
+def bin_equal_freq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The designated 100 TB path for bin_equal_freq: decile CUTPOINTS
+    from one percentile_approx sketch (9 doubles to the driver — no
+    global sort), bucket assignment as a broadcast-cutpoint comparison
+    (the PSI shape, embarrassingly parallel), and the equal-frequency
+    CONTRACT as the result: every bin's share must sit within ±2 % of
+    1/10 (sketch rank error at accuracy 10k is ~100× tighter). Ten
+    (bin, TRUE) rows — deterministic under any partitioning/engine."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_totalprice").alias("v"))
+    cuts = o.agg(
+        F.percentile_approx(
+            "v", F.array(*[F.lit(i / 10) for i in range(1, 10)]), F.lit(10000)
+        ).alias("cuts"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    b = F.aggregate(
+        F.col("cuts"),
+        F.lit(0),
+        lambda acc, x: acc + F.when(F.col("v") > x, 1).otherwise(0),
+    ).cast("long")
+    binned = (
+        o.crossJoin(F.broadcast(cuts))
+        .select(b.alias("bin"), "n")
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"), F.min("n").alias("n"))
+    )
+    share = F.col("cnt").cast("double") / F.col("n")
+    return binned.select(
+        "bin", ((share >= 0.08) & (share <= 0.12)).alias("within_tol")
+    )
