@@ -172,3 +172,29 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path_factory):
     plan = physical_plan(scan)
     assert "PartitionFilters" in plan and "part" in plan.split("PartitionFilters", 1)[1][:120]
     assert scan.count() == 100
+
+
+def test_overwrite_partitions_dynamic_touches_only_written_parts(
+    spark, tmp_path_factory
+):
+    from windflow_spark.io import overwrite_partitions_dynamic
+
+    path = str(tmp_path_factory.mktemp("dynpart") / "t")
+    base = spark.createDataFrame(
+        [(i, ["d1", "d2", "d3"][i % 3]) for i in range(90)], "id long, day string"
+    )
+    overwrite_partitions_dynamic(base, path, ["day"])
+    # backfill ONLY d2 with corrected rows
+    fix = spark.createDataFrame(
+        [(1000 + i, "d2") for i in range(5)], "id long, day string"
+    )
+    overwrite_partitions_dynamic(fix, path, ["day"])
+    got = spark.read.parquet(path)
+    by_day = {r.day: r.n for r in got.groupBy("day").agg(F.count("*").alias("n")).collect()}
+    # d1/d3 untouched (30 rows each), d2 replaced by the 5-row backfill
+    assert by_day == {"d1": 30, "d2": 5, "d3": 30}
+    assert got.filter("day = 'd2'").agg(F.min("id")).collect()[0][0] == 1000
+    # the session conf was restored (scoped override)
+    assert spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "STATIC"
+    ).upper() == "STATIC"

@@ -1301,3 +1301,57 @@ def test_streaming_scd2_matches_batch(spark, tmp_path_factory):
          for r in spark.table(name).collect()), key=nkey,
     )
     assert got == expect and len(expect) > 8
+
+
+def test_streaming_transitions_matches_batch_lead(spark, tmp_path_factory):
+    """Per-key transition stream across micro-batches + EOS: the multiset
+    of emitted (from, to) pairs must equal the batch lead() pairs, and
+    the last event per key must emit no successor."""
+    import random
+    import time as _time
+    from collections import Counter
+
+    from windflow_spark.streaming import (
+        file_stream as _fs,
+        streaming_transitions,
+        to_memory_sink,
+    )
+
+    rng = random.Random(21)
+    rows = []
+    for k in ("a", "b", "c"):
+        t = rng.randint(0, 10)
+        for _ in range(rng.randint(5, 20)):
+            rows.append((k, t, rng.choice(["x", "y", "z"]), False))
+            t += rng.randint(1, 9)  # strictly increasing per key
+    schema = "k string, us long, ty string, eos boolean"
+
+    expect = Counter()
+    seqs = {}
+    for k, t, ty, _ in sorted(rows, key=lambda r: (r[0], r[1])):
+        seqs.setdefault(k, []).append(ty)
+    for k, seq in seqs.items():
+        for a, b in zip(seq, seq[1:]):
+            expect[(k, a, b)] += 1
+
+    path = str(tmp_path_factory.mktemp("trans_src"))
+    mid = 60
+    spark.createDataFrame([r for r in rows if r[1] <= mid], schema).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    spark.createDataFrame([r for r in rows if r[1] > mid], schema).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    eos = [(k, 10**9, "x", True) for k in ("a", "b", "c")]
+    spark.createDataFrame(eos, schema).coalesce(1).write.mode("append").parquet(path)
+
+    stream = _fs(spark, path, spark.createDataFrame(rows, schema).schema,
+                 max_files_per_trigger=1)
+    out = streaming_transitions(stream, "k", "ty", eos_col="eos")
+    name, _ = to_memory_sink(out, output_mode="append")
+    got = Counter(
+        (r.k, r.from_type, r.to_type) for r in spark.table(name).collect()
+    )
+    assert got == expect and sum(expect.values()) > 10

@@ -240,3 +240,36 @@ def read_parquet_evolving(spark, path: str) -> DataFrame:
     100 TB keep it off for stable-schema tables and on only where
     producers actually evolve."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    fmt: str = "parquet",
+) -> None:
+    """Backfill/replay write: overwrite ONLY the partitions present in
+    ``df``, leaving every other partition untouched — Spark's DYNAMIC
+    partitionOverwriteMode, scoped to this one write (session conf is
+    saved and restored). This is how a 100 TB pipeline re-runs one bad
+    day: recompute that day's frame, write it, and the other 3 649
+    partitions are never listed, read, or rewritten. STATIC mode (the
+    default) would instead drop EVERY partition under ``path`` first —
+    the classic accidental-table-wipe; scoping the conf here makes the
+    safe form the easy one."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .format(fmt)
+            .save(path)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

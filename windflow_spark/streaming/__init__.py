@@ -24,6 +24,7 @@ from windflow_spark.streaming.ops import (
     streaming_cohort_retention,
     streaming_ewma,
     streaming_ohlc,
+    streaming_transitions,
     streaming_scd2,
     streaming_trending_counts,
     streaming_funnel,
@@ -76,6 +77,7 @@ __all__ = [
     "streaming_cohort_retention",
     "streaming_ewma",
     "streaming_ohlc",
+    "streaming_transitions",
     "streaming_scd2",
     "streaming_trending_counts",
     "streaming_funnel",

@@ -1334,3 +1334,62 @@ def streaming_scd2(
     return df.groupBy(key_col).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_transitions(
+    df: DataFrame,
+    key_col: str,
+    type_col: str,
+    us_col: str = "us",
+    eos_col: str | None = None,
+) -> DataFrame:
+    """Event-sequence transition emitter, STREAMING form — the incremental
+    feeder of markov_event_transitions. Per key, GroupState holds ONLY the
+    last seen event type (plus its timestamp for ordering): each arriving
+    event emits one (from_type, to_type) transition row and replaces the
+    state — constant per-key state, transitions stream out as they
+    happen, and a downstream streaming aggregation (or the batch query)
+    turns them into the transition matrix. EOS clears the state (the last
+    event has no successor — exactly the batch lead() semantics).
+
+    Contract: per-key non-decreasing event time across micro-batches;
+    within a batch rows sort by (us, type) so equal-timestamp ordering is
+    deterministic."""
+    out_schema = f"{key_col} string, from_type string, to_type string"
+    state_schema = "last_ty string, last_us long"
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_ty, last_us = state.get
+        else:
+            last_ty, last_us = None, -1
+        out: list[tuple] = []
+
+        chunks = list(pdfs)
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else (
+            chunks[0] if chunks else None
+        )
+        eos_seen = False
+        if pdf is not None and len(pdf):
+            if eos_col is not None:
+                flags = pdf[eos_col].fillna(False).to_numpy(dtype=bool)
+                eos_seen = bool(flags.any())
+                pdf = pdf.loc[~flags]
+            pdf = pdf.sort_values([us_col, type_col], kind="stable")
+            for us, ty in zip(pdf[us_col].to_numpy(dtype="int64"), pdf[type_col]):
+                us, ty = int(us), str(ty)
+                if last_ty is not None:
+                    out.append(key + (last_ty, ty))
+                last_ty, last_us = ty, us
+        if eos_seen:
+            state.remove()
+        else:
+            state.update((last_ty, last_us))
+        cols = [key_col, "from_type", "to_type"]
+        yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
+            {c: [] for c in cols}
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
