@@ -18,6 +18,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def _round_half_up(x: float, nd: int = 6) -> float:
+    """Round exactly as Spark's ``F.round`` / DuckDB's ``round`` do on
+    doubles: decimal HALF_UP (away from zero) on the exact binary value.
+    Python's builtin ``round`` is banker's (half-even) — a dyadic result
+    landing exactly on a .5 decimal boundary (e.g. an alpha=0.25 EWMA
+    reaching 1.6328125) would differ in the last digit and break
+    streaming≡batch parity. Decimal(float) is exact, matching the JVM's
+    BigDecimal(double) path."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(x).quantize(Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP)
+    )
+
+
 def _dur(us: int) -> str:
     return f"{us} microseconds"
 
@@ -1053,7 +1068,7 @@ def streaming_trending_counts(
             if cur_b < 0:
                 return
             prev = last_c if last_c >= 0 else None
-            growth = round(cur_c / prev, 6) if prev and prev > 0 else None
+            growth = _round_half_up(cur_c / prev) if prev and prev > 0 else None
             out.append(key + (cur_b * bucket_us, cur_c, prev, growth))
             last_b, last_c = cur_b, cur_c
             cur_b, cur_c = -1, 0
@@ -1134,7 +1149,7 @@ def streaming_ewma(
             if cur_b < 0:
                 return
             e = a * cur_c + b1 * prev_e if has_prev else float(cur_c)
-            out.append(key + (cur_b * bucket_us, cur_c, round(e, 6)))
+            out.append(key + (cur_b * bucket_us, cur_c, _round_half_up(e)))
             prev_e, has_prev = e, True
             cur_b, cur_c = -1, 0
 
