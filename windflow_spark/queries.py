@@ -5470,3 +5470,58 @@ def bin_equal_freq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned.select(
         "bin", ((share >= 0.08) & (share <= 0.12)).alias("within_tol")
     )
+
+
+@register(
+    "ri_check_star_schema",
+    """
+    SELECT * FROM (
+      SELECT 'orders.custkey->customer' AS fk,
+             CAST((SELECT count(*) FROM orders o
+                   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                     WHERE c.c_custkey = o.o_custkey))
+                  AS BIGINT) AS n_orphans
+      UNION ALL
+      SELECT 'lineitem.orderkey->orders',
+             CAST((SELECT count(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_orderkey = l.l_orderkey))
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem.suppkey->supplier',
+             CAST((SELECT count(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                     WHERE s.s_suppkey = l.l_suppkey))
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'customer.nationkey->nation',
+             CAST((SELECT count(*) FROM customer c
+                   WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                     WHERE n.n_nationkey = c.c_nationkey))
+                  AS BIGINT)
+    )
+    """,
+)
+def ri_check_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan counts
+    for four foreign keys, each a LEFT ANTI join (completing the DQ family
+    next to data_quality_report's null/domain/range/uniqueness rules —
+    RI is the one rule class that needs TWO tables). Anti joins
+    broadcast the dimension side where small; orphan count 0 is the
+    healthy result, and the query stays cheap at 100 TB because an anti
+    join short-circuits per probe."""
+    checks = [
+        ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    out = None
+    for name, ft, fk, dt_, dk in checks:
+        f = _t(spark, sf_dir, ft)
+        d = _t(spark, sf_dir, dt_)
+        orphans = f.join(d, f[fk] == d[dk], "left_anti").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orphans")
+        ).select(F.lit(name).alias("fk"), "n_orphans")
+        out = orphans if out is None else out.unionByName(orphans)
+    return out
