@@ -5007,8 +5007,6 @@ def selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     key's fraction of the output) is the number that predicts a straggler
     task at 100 TB and motivates salting/AQE before the fact — the
     companion to key_skew_events' entropy view."""
-    from windflow_spark.functions.pipeline import key_distribution_report  # noqa: F401 (family)
-
     c = (
         _t(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -5232,8 +5230,6 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversion rate. Both stage frames aggregate on the user key and join
     co-partitioned; the K filtered scans push the event-type filter to the
     source."""
-    from pyspark.sql import Window as W  # noqa: F401 (family import style)
-
     from windflow_spark.operators.timeutil import event_micros
 
     e = _t(spark, sf_dir, "events")
