@@ -68,6 +68,7 @@ SAMPLE = [
     "ts_twap_daily",                # duration attribution tie-break (r6)
     "winsorize_approx_bounds",      # sketch-merge bound booleans (r6)
     "bin_equal_freq_approx",        # sketch cutpoints + share tolerance (r6)
+    "sim_quantized_recall",         # exact-integer quantized ranking (r6)
     "scd2_customer_status",         # two-window islands build (r6)
     "ts_ohlc_hourly",               # struct-argmin tie-breaks (r6)
     "source_token_kl",              # float KL over join order (r6)

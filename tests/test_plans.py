@@ -116,6 +116,9 @@ _BNLJ_ALLOWED = {
     "psi_price_drift",
     # one-row sketch-cutpoint array broadcast — same scalar-attach plan
     "bin_equal_freq_approx",
+    # k x Q-bounded brute-force frames on BOTH sides (exact + quantized),
+    # same contract as sim_lsh_recall
+    "sim_quantized_recall",
 }
 
 

@@ -5521,3 +5521,87 @@ def ri_check_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(name).alias("fk"), "n_orphans")
         out = orphans if out is None else out.unionByName(orphans)
     return out
+
+
+def _sim_quantized_recall_sql() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt({_EMB_NORM_CHAIN}) AS nrm FROM e),
+    qz AS (SELECT vec_id,
+                  list_transform(v, x -> CAST(CAST(trunc(127.0 * x / nrm)
+                                              AS INT) AS DOUBLE)) AS qv
+           FROM n),
+    qs AS (SELECT vec_id AS query_id, v AS qev FROM e WHERE vec_id < 10),
+    bf_s AS (
+      SELECT qs.query_id, e.vec_id,
+             round(list_cosine_similarity(qev, v), 6) AS cs
+      FROM e JOIN qs ON e.vec_id <> qs.query_id),
+    bf AS (SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cs DESC, vec_id) AS rk
+             FROM bf_s) WHERE rk <= 5),
+    zq AS (SELECT vec_id AS query_id, qv AS qqv FROM qz WHERE vec_id < 10),
+    ap_s AS (
+      SELECT zq.query_id, qz.vec_id,
+             round(list_cosine_similarity(qqv, qv), 6) AS cs
+      FROM qz JOIN zq ON qz.vec_id <> zq.query_id),
+    ap AS (SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cs DESC, vec_id) AS rk
+             FROM ap_s) WHERE rk <= 5),
+    h AS (SELECT bf.query_id, count(*) AS n_hits
+          FROM bf JOIN ap ON bf.query_id = ap.query_id
+                         AND bf.vec_id = ap.vec_id
+          GROUP BY bf.query_id),
+    nn AS (SELECT query_id, count(*) AS n_exact FROM bf GROUP BY query_id)
+    SELECT nn.query_id, coalesce(n_hits, 0)::BIGINT AS n_hits,
+           coalesce(n_hits, 0)::DOUBLE / n_exact AS recall
+    FROM nn LEFT JOIN h USING (query_id)
+    """
+
+
+@register("sim_quantized_recall", _sim_quantized_recall_sql())
+def sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deploy-tradeoff measurement for int8 embedding quantization: per-
+    query recall@5 of brute-force cosine over the QUANTIZED vectors
+    (embedding_norm_quantize's trunc(127·v/‖v‖) scheme) against the exact
+    float top-5 — the number that says whether the 4× memory/bandwidth
+    saving of int8 search costs any retrieval quality. Quantized dot
+    products are EXACT integers, so both engines rank identically; the
+    comparison frames are k×Q-bounded broadcasts."""
+    from windflow_spark.functions.similarity import (
+        _norm,
+        as_double_array,
+        brute_force_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = as_double_array("embedding")
+    qemb = emb.select(
+        F.col("vec_id"), v.alias("_v"), _norm(v).alias("_n")
+    ).select(
+        "vec_id",
+        F.transform(
+            "_v", lambda x: (F.lit(127.0) * x / F.col("_n")).cast("int").cast("double")
+        ).alias("embedding"),
+    )
+    zq = qemb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ap = brute_force_topk(qemb, zq, k=5).select("query_id", "vec_id")
+    bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    hits = (
+        bf.join(F.broadcast(ap), ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return n.join(F.broadcast(hits), "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_exact")
+        ).alias("recall"),
+    )
