@@ -72,6 +72,9 @@ SAMPLE = [
     "scd2_customer_status",         # two-window islands build (r6)
     "ts_ohlc_hourly",               # struct-argmin tie-breaks (r6)
     "source_token_kl",              # float KL over join order (r6)
+    "ab_test_welch",                # variance partial-merge order (r6)
+    "cdc_upsert_latest",            # latest-wins tie-break + merge paths (r6)
+    "incremental_agg_merge",        # partial-agg merge associativity (r6)
 ]
 
 

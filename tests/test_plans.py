@@ -332,6 +332,13 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
         "winsorize_approx_bounds": 1, # one sketch+exact agg per group
         "bin_equal_freq_approx": 1,   # sketch cutpoints broadcast; ONE
                                       # bin agg — no global sort
+        "ab_test_welch": 2,           # per-user means + two-arm stats;
+                                      # t/df math is a one-row select
+        "cdc_upsert_latest": 2,       # change window + base shuffle; the
+                                      # change exchange is reused by the
+                                      # full-outer merge join
+        "incremental_agg_merge": 2,   # base+delta partials merge without
+                                      # a third full-width exchange
     }
     over = {}
     for name, budget in budgets.items():

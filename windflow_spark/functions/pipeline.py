@@ -749,6 +749,63 @@ def chi2_contingency(
     )
 
 
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups of ``value_col``
+    — the A/B experiment readout (does the treatment move the metric, with
+    how many effective degrees of freedom). Complements chi2_contingency:
+    chi² screens categorical association, Welch compares continuous means
+    without assuming equal variances or equal group sizes.
+
+    Scale shape: ONE aggregation pass computes count/mean/sample-variance
+    per group (Spark's partial-merge aggregates — map-side combine, one
+    keyed exchange over exactly two groups), then the two rows collapse to
+    one via conditional aggregation; the t statistic and the
+    Welch–Satterthwaite df are closed-form column arithmetic on that
+    single row. Nothing driver-side, nothing quadratic.
+
+    Output: ONE row (n_a, n_b, mean_a, mean_b, var_a, var_b, t_stat,
+    df_welch), floats 6dp.
+    """
+    g = F.col(group_col)
+    s = df.filter(g.isin([group_a, group_b])).groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.avg(value_col).alias("_m"),
+        F.var_samp(value_col).alias("_v"),
+    )
+    pick = lambda c, grp: F.max(F.when(g == F.lit(grp), F.col(c)))  # noqa: E731
+    one = s.agg(
+        pick("_n", group_a).alias("n_a"),
+        pick("_n", group_b).alias("n_b"),
+        pick("_m", group_a).alias("_ma"),
+        pick("_m", group_b).alias("_mb"),
+        pick("_v", group_a).alias("_va"),
+        pick("_v", group_b).alias("_vb"),
+    )
+    sea = F.col("_va") / F.col("n_a")
+    seb = F.col("_vb") / F.col("n_b")
+    se2 = sea + seb
+    t = (F.col("_ma") - F.col("_mb")) / F.sqrt(se2)
+    dfw = (se2 * se2) / (
+        sea * sea / (F.col("n_a") - 1) + seb * seb / (F.col("n_b") - 1)
+    )
+    return one.select(
+        "n_a",
+        "n_b",
+        F.round("_ma", 6).alias("mean_a"),
+        F.round("_mb", 6).alias("mean_b"),
+        F.round("_va", 6).alias("var_a"),
+        F.round("_vb", 6).alias("var_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dfw, 6).alias("df_welch"),
+    )
+
+
 def key_distribution_report(df: DataFrame, key_col: str) -> DataFrame:
     """Partition-skew diagnostic for a prospective shuffle/join key: key
     cardinality, total rows, the hottest key's share, and the Shannon

@@ -5605,3 +5605,158 @@ def sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_exact")
         ).alias("recall"),
     )
+
+
+@register(
+    "ab_test_welch",
+    """
+    WITH u AS (
+      SELECT user_id, avg(value) AS um,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::UBIGINT % 2 AS g
+      FROM events GROUP BY user_id),
+    s AS (SELECT g, CAST(count(*) AS BIGINT) AS n, avg(um) AS m,
+                 var_samp(um) AS v
+          FROM u GROUP BY g),
+    w AS (SELECT
+            max(CASE WHEN g = 0 THEN n END) AS n_a,
+            max(CASE WHEN g = 1 THEN n END) AS n_b,
+            max(CASE WHEN g = 0 THEN m END) AS ma,
+            max(CASE WHEN g = 1 THEN m END) AS mb,
+            max(CASE WHEN g = 0 THEN v END) AS va,
+            max(CASE WHEN g = 1 THEN v END) AS vb
+          FROM s)
+    SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+           round(va, 6) AS var_a, round(vb, 6) AS var_b,
+           round((ma - mb) / sqrt(va / n_a + vb / n_b), 6) AS t_stat,
+           round(pow(va / n_a + vb / n_b, 2)
+                 / (pow(va / n_a, 2) / (n_a - 1)
+                    + pow(vb / n_b, 2) / (n_b - 1)), 6) AS df_welch
+    FROM w
+    """,
+)
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users are hash-split 50/50 by the same
+    content-addressed md5 bucket as split_train_val_test (deterministic,
+    engine-portable — no RAND()), the per-user metric is their mean event
+    value, and the arms are compared with Welch's unequal-variance t-test
+    (functions/pipeline.welch_ttest). Two aggregation passes total —
+    per-user means (one user-keyed exchange), then the two-arm
+    count/mean/variance pass — and the t/df arithmetic runs on a single
+    row. An md5 split of a random user population should read as null:
+    |t| small at thousands of df."""
+    from windflow_spark.functions.pipeline import welch_ttest
+
+    e = _t(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2
+    )
+    u = (
+        e.groupBy("user_id")
+        .agg(F.avg("value").alias("um"))
+        .select(bucket.alias("g"), "um")
+    )
+    return welch_ttest(u, "g", "um", 0, 1)
+
+
+@register(
+    "cdc_upsert_latest",
+    """
+    WITH ch AS (
+      SELECT o_custkey AS k, o_totalprice AS bal,
+             CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC)
+               AS rn
+      FROM orders),
+    latest AS (SELECT k, bal, op FROM ch WHERE rn = 1),
+    m AS (SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment,
+                 l.k, l.bal, l.op
+          FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.k)
+    SELECT CAST(coalesce(c_custkey, k) AS BIGINT) AS cust_key,
+           CASE WHEN op IS NULL THEN c_acctbal ELSE bal END AS acct_bal,
+           coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+           CASE WHEN op IS NULL THEN 'base'
+                WHEN c_custkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS merge_src
+    FROM m
+    WHERE op IS NULL OR op <> 'D'
+    """,
+)
+def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (MERGE INTO / SCD type-1): fold a change feed into the
+    customer snapshot with latest-wins semantics via
+    operators/cdc.upsert_latest. The feed is derived from orders — each
+    order is an account-balance upsert stamped (o_orderdate, o_orderkey),
+    and a final-status ('F') winner deletes the account — exercising all
+    three merge paths (update, insert of change-only keys, delete).
+    One window pass picks the winner per key; ONE co-partitioned
+    full-outer join applies it (the key exchange is reused between the
+    window and the join — plan-budget-pinned). Complements
+    scd2_customer_status: SCD2 keeps the whole history, this keeps the
+    final state."""
+    from windflow_spark.operators.cdc import upsert_latest
+    from windflow_spark.operators.timeutil import event_micros
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("cust_key"),
+        F.col("c_acctbal").alias("acct_bal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    o = _t(spark, sf_dir, "orders")
+    ch = o.select(
+        F.col("o_custkey").cast("long").alias("cust_key"),
+        event_micros(o, "o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_totalprice").alias("acct_bal"),
+        F.when(F.col("o_orderstatus") == "F", "D").otherwise("U").alias("op"),
+    )
+    m = upsert_latest(c, ch, "cust_key", ["ts", "seq"], op_col="op")
+    return m.select(
+        "cust_key",
+        "acct_bal",
+        F.coalesce(F.col("segment"), F.lit("UNKNOWN")).alias("segment"),
+        F.col("_merge_src").alias("merge_src"),
+    )
+
+
+@register(
+    "incremental_agg_merge",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a stored daily summary
+    (the 'base' partials, everything before a cutoff day) is refreshed by
+    aggregating ONLY the delta partition and merging partials —
+    count/sum are mergeable, so union + re-aggregate of two partial
+    frames is algebraically identical to the full recompute the oracle
+    runs. At 100 TB this is the difference between rescanning the whole
+    fact table on every refresh and scanning one day: the delta branch's
+    predicate pushes to the scan (plan-pinned), the merge re-aggregation
+    touches only summary-sized frames, and the same shape extends to any
+    algebraic aggregate (sum/count/min/max, HLL registers, M2 moments)."""
+    e = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-24").cast("timestamp")
+    day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+
+    def partials(df):
+        return df.groupBy(day, "event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value").alias("_sv"),
+        )
+
+    base = partials(e.filter(F.col("ts") < cutoff))
+    delta = partials(e.filter(F.col("ts") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.round(F.sum("_sv"), 2).alias("sum_value"),
+        )
+    )
