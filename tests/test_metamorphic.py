@@ -75,6 +75,7 @@ SAMPLE = [
     "ab_test_welch",                # variance partial-merge order (r6)
     "cdc_upsert_latest",            # latest-wins tie-break + merge paths (r6)
     "incremental_agg_merge",        # partial-agg merge associativity (r6)
+    "bloom_prefilter_join",         # bit-array build under re-partitioning (r6)
 ]
 
 

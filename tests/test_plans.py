@@ -119,6 +119,9 @@ _BNLJ_ALLOWED = {
     # k x Q-bounded brute-force frames on BOTH sides (exact + quantized),
     # same contract as sim_lsh_recall
     "sim_quantized_recall",
+    # one-row bloom bit-array broadcast onto the fact scan — the
+    # scalar-attach plan for the semi-join reduction pre-filter (r6)
+    "bloom_prefilter_join",
 }
 
 
@@ -339,6 +342,10 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
                                       # full-outer merge join
         "incremental_agg_merge": 2,   # base+delta partials merge without
                                       # a third full-width exchange
+        "bloom_prefilter_join": 3,    # bloom build (bounded positions +
+                                      # words) + final supplier agg; the
+                                      # fact side pre-filters WITHOUT a
+                                      # shuffle and the join broadcasts
     }
     over = {}
     for name, budget in budgets.items():

@@ -5760,3 +5760,42 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("_sv"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "bloom_prefilter_join",
+    """
+    SELECT CAST(s.s_suppkey AS BIGINT) AS supp_key, s.s_name,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_nationkey = 3
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+)
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact⋈dim join accelerated by an explicit bloom-filter
+    semi-join reduction (functions/bloom.py): the nation-3 supplier keys
+    fold into a 64 Kbit bit-array filter (one bounded aggregation), the
+    one-row filter broadcasts, and the lineitem scan drops non-members
+    BEFORE any shuffle with k=3 codegen bit tests per row. The real join
+    behind the pre-filter keeps the result EXACT regardless of false
+    positives, so the oracle is the plain join. At 100 TB the pre-filter
+    is what turns a full fact shuffle into a matching-fraction shuffle
+    when the join can't broadcast (measured on the skewed 10× probe:
+    SCALE.md)."""
+    from windflow_spark.functions.bloom import bloom_build, bloom_prefilter
+
+    sup = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
+    li = _t(spark, sf_dir, "lineitem")
+    bf = bloom_build(sup, "s_suppkey", m_bits=1 << 16, k=3)
+    pre = bloom_prefilter(li, "l_suppkey", bf, m_bits=1 << 16, k=3)
+    j = pre.join(sup, pre.l_suppkey == sup.s_suppkey)
+    return j.groupBy(
+        F.col("s_suppkey").cast("long").alias("supp_key"), F.col("s_name")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
