@@ -76,6 +76,7 @@ SAMPLE = [
     "cdc_upsert_latest",            # latest-wins tie-break + merge paths (r6)
     "incremental_agg_merge",        # partial-agg merge associativity (r6)
     "bloom_prefilter_join",         # bit-array build under re-partitioning (r6)
+    "zorder_locality_tiles",        # global z-sort ntile determinism (r6)
 ]
 
 

@@ -346,6 +346,9 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
                                       # words) + final supplier agg; the
                                       # fact side pre-filters WITHOUT a
                                       # shuffle and the join broadcasts
+        "zorder_locality_tiles": 1,   # global ntile sort is a
+                                      # SinglePartition exchange (the
+                                      # bin_equal_freq shape) + tile agg
     }
     over = {}
     for name, budget in budgets.items():

@@ -5799,3 +5799,57 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+def _zorder_tiles_sql() -> str:
+    from windflow_spark.functions.layout import zvalue_sql
+
+    z = zvalue_sql("ck", "dy", bits=18)
+    return f"""
+    WITH b AS (
+      SELECT o_orderkey, o_custkey AS ck,
+             date_diff('day', DATE '1995-01-01', o_orderdate) AS dy
+      FROM orders),
+    z AS (SELECT o_orderkey, ck, dy, ({z}) AS zv FROM b),
+    t AS (SELECT ck, dy,
+                 ntile(64) OVER (ORDER BY zv, o_orderkey) AS tile
+          FROM z)
+    SELECT CAST(tile AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n,
+           CAST(max(ck) - min(ck) AS BIGINT) AS ck_span,
+           CAST(max(dy) - min(dy) AS BIGINT) AS day_span
+    FROM t GROUP BY tile
+    """
+
+
+@register("zorder_locality_tiles", _zorder_tiles_sql())
+def zorder_locality_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit: Morton-interleave (customer key × day index)
+    (functions/layout.zvalue — pure codegen bit arithmetic), slice the
+    z-ordering into 64 equal-count tiles (what 64 output files would
+    contain), and report each tile's customer-key span and day span. A
+    good multi-dimensional layout keeps BOTH spans small per tile — this
+    is the audit a warehouse runs before committing to a ZORDER BY
+    clustering, and the read-side payoff (row-group min/max pruning on
+    2-D predicates) is measured in tests/test_layout.py on real parquet
+    footers. The ntile is a global range sort — the same single
+    SinglePartition-exchange shape as bin_equal_freq, paid at write time
+    in the real pipeline."""
+    from windflow_spark.functions.layout import zvalue
+
+    o = _t(spark, sf_dir, "orders")
+    b = o.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("ck"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).alias("dy"),
+    )
+    z = b.withColumn("zv", zvalue(F.col("ck"), F.col("dy"), bits=18))
+    t = z.withColumn(
+        "tile", F.ntile(64).over(W.orderBy(F.col("zv"), F.col("o_orderkey")))
+    )
+    return t.groupBy(F.col("tile").cast("long").alias("tile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.max("ck") - F.min("ck")).cast("long").alias("ck_span"),
+        (F.max("dy") - F.min("dy")).cast("long").alias("day_span"),
+    )
