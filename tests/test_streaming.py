@@ -1355,3 +1355,78 @@ def test_streaming_transitions_matches_batch_lead(spark, tmp_path_factory):
         (r.k, r.from_type, r.to_type) for r in spark.table(name).collect()
     )
     assert got == expect and sum(expect.values()) > 10
+
+
+def test_streaming_forward_fill_matches_batch_window(spark, tmp_path_factory):
+    """LOCF across micro-batches + EOS: every emitted row's carried value
+    must equal the batch IGNORE NULLS last_value window on the same
+    frame, including rows before a key's first marker (null carry)."""
+    import random
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from windflow_spark.streaming import (
+        file_stream as _fs,
+        streaming_forward_fill,
+        to_memory_sink,
+    )
+
+    rng = random.Random(33)
+    rows = []
+    rid = 0
+    for k in (1, 2, 3):
+        t = rng.randint(0, 10)
+        for _ in range(rng.randint(8, 25)):
+            ty = rng.choice(["view", "click", "purchase"])
+            rows.append((k, t, rid, ty, round(rng.uniform(1, 99), 2), False))
+            rid += 1
+            t += rng.randint(1, 9)  # strictly increasing per key
+    schema = "k long, us long, rid long, ty string, v double, eos boolean"
+
+    batch = spark.createDataFrame(rows, schema)
+    w = (
+        W.partitionBy("k")
+        .orderBy("us", "rid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    expect = {
+        r["rid"]: r["want"]
+        for r in batch.select(
+            "rid",
+            F.last(
+                F.when(F.col("ty") == "purchase", F.col("v")), ignorenulls=True
+            )
+            .over(w)
+            .alias("want"),
+        ).collect()
+    }
+
+    path = str(tmp_path_factory.mktemp("locf_src"))
+    mid = 60
+    spark.createDataFrame([r for r in rows if r[1] <= mid], schema).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    spark.createDataFrame([r for r in rows if r[1] > mid], schema).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    eos = [(k, 10**9, 10**6 + k, "view", 0.0, True) for k in (1, 2, 3)]
+    spark.createDataFrame(eos, schema).coalesce(1).write.mode("append").parquet(
+        path
+    )
+
+    stream = _fs(spark, path, batch.schema, max_files_per_trigger=1)
+    out = streaming_forward_fill(
+        stream, "k", "us", "rid", "ty", "v", "purchase", eos_col="eos"
+    )
+    name, _ = to_memory_sink(out, output_mode="append")
+    got = {r["rid"]: r["last_fill_value"] for r in spark.table(name).collect()}
+    assert set(got) == set(expect) and len(got) > 20
+    for rid_, want in expect.items():
+        if want is None:
+            assert got[rid_] is None
+        else:
+            assert abs(got[rid_] - want) < 1e-9

@@ -25,6 +25,7 @@ from windflow_spark.streaming.ops import (
     streaming_ewma,
     streaming_ohlc,
     streaming_transitions,
+    streaming_forward_fill,
     streaming_scd2,
     streaming_trending_counts,
     streaming_funnel,
@@ -78,6 +79,7 @@ __all__ = [
     "streaming_ewma",
     "streaming_ohlc",
     "streaming_transitions",
+    "streaming_forward_fill",
     "streaming_scd2",
     "streaming_trending_counts",
     "streaming_funnel",

@@ -1408,3 +1408,72 @@ def streaming_transitions(
     return df.groupBy(key_col).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_forward_fill(
+    df: DataFrame,
+    key_col: str,
+    us_col: str,
+    id_col: str,
+    type_col: str,
+    value_col: str,
+    fill_type: str,
+    eos_col: str | None = None,
+) -> DataFrame:
+    """Last-observation-carried-forward, STREAMING form — the incremental
+    sibling of forward_fill_last_purchase's IGNORE NULLS window. Per key,
+    GroupState holds ONLY the last observed marker value (one double +
+    its timestamp): every arriving row emits itself stamped with the
+    carried value, and a row whose ``type_col`` equals ``fill_type``
+    updates the carry BEFORE emitting (the batch frame is
+    ROWS ... AND CURRENT ROW — inclusive). Constant per-key state, exact
+    parity with the batch window under the per-key ordering contract.
+
+    Contract: per-key non-decreasing event time across micro-batches;
+    within a batch rows sort by (us, id) so equal-timestamp ordering is
+    deterministic (the batch window's tie-break). EOS clears the state.
+    """
+    out_schema = (
+        f"{key_col} long, {id_col} long, {type_col} string, "
+        "last_fill_value double"
+    )
+    state_schema = "last_val double, has_val boolean"
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_val, has_val = state.get
+        else:
+            last_val, has_val = 0.0, False
+        chunks = list(pdfs)
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else (
+            chunks[0] if chunks else None
+        )
+        out: list[tuple] = []
+        eos_seen = False
+        if pdf is not None and len(pdf):
+            if eos_col is not None:
+                flags = pdf[eos_col].fillna(False).to_numpy(dtype=bool)
+                eos_seen = bool(flags.any())
+                pdf = pdf.loc[~flags]
+            pdf = pdf.sort_values([us_col, id_col], kind="stable")
+            for rid, ty, val in zip(
+                pdf[id_col].to_numpy(dtype="int64"),
+                pdf[type_col],
+                pdf[value_col].to_numpy(dtype="float64"),
+            ):
+                if str(ty) == fill_type:
+                    last_val, has_val = float(val), True
+                out.append(key + (int(rid), str(ty),
+                                  last_val if has_val else None))
+        if eos_seen:
+            state.remove()
+        else:
+            state.update((last_val, has_val))
+        cols = [key_col, id_col, type_col, "last_fill_value"]
+        yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
+            {c: [] for c in cols}
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
