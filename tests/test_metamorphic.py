@@ -77,6 +77,7 @@ SAMPLE = [
     "incremental_agg_merge",        # partial-agg merge associativity (r6)
     "bloom_prefilter_join",         # bit-array build under re-partitioning (r6)
     "zorder_locality_tiles",        # global z-sort ntile determinism (r6)
+    "sim_topk_pq",                  # joint-subspace training determinism (r6)
 ]
 
 

@@ -429,3 +429,55 @@ def test_key_distribution_report_uniform_vs_skewed(spark):
     h = math.log(100) - (91 * math.log(91)) / 100  # 9 singleton keys: ln(1)=0
     assert s.entropy == round(h, 6)
     assert s.norm_entropy < 0.25
+
+
+def test_pq_codebook_memoized_and_codes_shape(spark, sf_dir):
+    from windflow_spark.functions import similarity as S
+    from windflow_spark.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    n = emb.count()
+    S._PQ_CACHE.clear()
+    cb1 = S.train_pq_codebooks(emb, cache_key="k1", m=4, n_centroids=8)
+    assert len(S._PQ_CACHE) == 1
+    rows1 = sorted((r["_sub"], r["_bkt"]) for r in cb1.collect())
+    # a second call with the same key must NOT retrain (cache returns the
+    # identical rows even for a different corpus frame)
+    cb2 = S.train_pq_codebooks(
+        emb.limit(10), cache_key="k1", m=4, n_centroids=8
+    )
+    assert sorted((r["_sub"], r["_bkt"]) for r in cb2.collect()) == rows1
+    # every codebook entry is a sub_dim-length centroid; every subspace
+    # has at most n_centroids lists
+    for r in cb1.collect():
+        assert len(r["_cv"]) == 16
+        assert 0 <= r["_sub"] < 4 and 0 <= r["_bkt"] < 8
+    # encode: every vector gets exactly m codes
+    es = S._subvector_frame(emb, "vec_id", "embedding", 4, 16)
+    codes = S._pq_assign(es, cb1, "vec_id")
+    assert codes.count() == n * 4
+    S._PQ_CACHE.clear()
+
+
+def test_pq_adc_orders_like_exact_on_separable_data(spark):
+    # two well-separated gaussian-ish blobs: PQ-ADC must rank a query's
+    # own blob ahead of the other blob even at 4 subspaces x 2 centroids
+    from pyspark.sql import Row
+
+    from windflow_spark.functions import similarity as S
+
+    def vec(center, i):
+        return [center + ((i * 37 + d * 11) % 7) * 0.01 for d in range(16)]
+
+    rows = [Row(vec_id=i, embedding=vec(0.0, i)) for i in range(0, 12)] + [
+        Row(vec_id=i, embedding=vec(5.0, i)) for i in range(12, 24)
+    ]
+    emb = spark.createDataFrame(rows)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = S.pq_topk(
+        emb, q, k=8, m=4, n_centroids=2, iters=2, dim=16, cache_key=None
+    ).collect()
+    assert len(top) == 8
+    assert all(r["vec_id"] < 12 for r in top)  # all hits from the 0-blob

@@ -122,6 +122,10 @@ _BNLJ_ALLOWED = {
     # one-row bloom bit-array broadcast onto the fact scan — the
     # scalar-attach plan for the semi-join reduction pre-filter (r6)
     "bloom_prefilter_join",
+    # 10-row query frame broadcast for the exact-L2 side of the PQ
+    # recall — the sim_topk_bruteforce contract (PQ itself is BNLJ-free:
+    # its codebook joins are equi-joins on the subspace id)
+    "sim_pq_recall",
 }
 
 
@@ -349,6 +353,12 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
         "zorder_locality_tiles": 1,   # global ntile sort is a
                                       # SinglePartition exchange (the
                                       # bin_equal_freq shape) + tile agg
+        "sim_topk_pq": 3,             # assignment windows per (vec, sub)
+                                      # + the (query, vec) ADC sum; the
+                                      # codebook and distance table ride
+                                      # broadcasts
+        "sim_pq_recall": 5,           # PQ side + exact-L2 rank + the two
+                                      # bounded recall-intersection aggs
     }
     over = {}
     for name, budget in budgets.items():

@@ -702,3 +702,196 @@ def ivf_topk_from_index(
         .filter(F.col("rk") <= k)
         .select(query_id_col, id_col, "cos_sim", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the FAISS IVF-PQ residual of the ANN family —
+# split each vector into m subspaces, k-means each subspace independently,
+# store every vector as m small codes (here 3-bit: 8 centroids/subspace; a
+# production table uses 8-bit: 256), and answer queries with asymmetric
+# distance computation (ADC): per query, ONE m×k table of exact
+# query-subvector↔centroid distances, then every candidate's distance is a
+# sum of m table lookups. Completes the deploy spectrum measured by the
+# registry: float32 exact → int8 (4×, recall sim_quantized_recall) → PQ
+# (dim·4bytes → m codes, here 64×, recall sim_pq_recall).
+#
+# Scale shape: training = iters × ONE corpus pass (the m·k×sub_dim codebook
+# — 512 doubles here — is the only driver-resident artifact, the FAISS
+# memory-resident-quantizer discipline shared with train_codebook); encode =
+# one broadcast-codebook pass; ADC = a Q·m·k distance table broadcast onto
+# the code frame, one equi-join on (subspace, code), one (query, vec) sum.
+# Nothing is ever pairwise on raw vectors.
+# ---------------------------------------------------------------------------
+
+_PQ_SCHEMA = "_sub int, _bkt long, _cv array<double>"
+
+# (cache_key, m, n_centroids, iters, id_col, vec_col) -> plain codebook rows
+_PQ_CACHE: dict[tuple, list[tuple[int, int, list[float]]]] = {}
+
+
+def _l2d2(a: Column, b: Column) -> Column:
+    """Squared L2 distance, 6dp-rounded, in the engine-mirrored form
+    ``(ip(a,a) - 2·ip(a,b)) + ip(b,b)`` — the same inner-product folds the
+    cosine family already proves round-6-stable cross-engine."""
+    return F.round((_dot(a, a) - F.lit(2.0) * _dot(a, b)) + _dot(b, b), 6)
+
+
+def _subvector_frame(
+    df: DataFrame, id_col: str, vec_col: str, m: int, sub_dim: int
+) -> DataFrame:
+    """Explode vectors into (id, _sub, _sv) subvector rows — one pass, no
+    shuffle (the explode is map-side)."""
+    v = as_double_array(vec_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("_sub"),
+                F.slice(v, j * sub_dim + 1, sub_dim).alias("_sv"),
+            )
+            for j in range(m)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(pairs).alias("_p")).select(
+        id_col, F.col("_p._sub").alias("_sub"), F.col("_p._sv").alias("_sv")
+    )
+
+
+def _pq_assign(es: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
+    """Nearest-centroid assignment per (vector, subspace): broadcast
+    equi-join on the subspace id (m·k rows), 6dp squared-L2, centroid-id
+    tie-break — the Lloyd assignment, one corpus pass."""
+    c = cent.select(
+        F.col("_sub").alias("_cs"), F.col("_bkt"), F.col("_cv")
+    )
+    j = es.join(F.broadcast(c), es["_sub"] == F.col("_cs"))
+    d2 = _l2d2(F.col("_sv"), F.col("_cv"))
+    w = W.partitionBy(id_col, "_sub").orderBy(d2.asc(), F.col("_bkt"))
+    return (
+        j.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, "_sub", "_sv", "_bkt")
+    )
+
+
+def _pq_rows(
+    corpus: DataFrame,
+    m: int,
+    n_centroids: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+) -> list[tuple[int, int, list[float]]]:
+    """Train all m subspace codebooks JOINTLY: the subvector explode makes
+    every Lloyd iteration one assignment pass + one mean pass for ALL
+    subspaces (training cost independent of m in job count). Deterministic
+    init = subvectors of the first n_centroids ids; per-(sub, bkt, dim)
+    means are 6dp-rounded so the codebook is stable across aggregation
+    orders. Returns plain rows (the memoizable, driver-trivial artifact)."""
+    spark = corpus.sparkSession
+    sub_dim = dim // m
+    es = _subvector_frame(corpus, id_col, vec_col, m, sub_dim)
+    rows = [
+        (int(r["_sub"]), int(r["_bkt"]), list(r["_cv"]))
+        for r in es.filter(F.col(id_col) < n_centroids)
+        .select(
+            "_sub",
+            F.col(id_col).cast("long").alias("_bkt"),
+            F.col("_sv").alias("_cv"),
+        )
+        .collect()
+    ]
+    for _ in range(iters):
+        cent = spark.createDataFrame(rows, _PQ_SCHEMA)
+        a = _pq_assign(es, cent, id_col)
+        per = (
+            a.select("_sub", "_bkt", F.posexplode("_sv").alias("_dim", "_val"))
+            .groupBy("_sub", "_bkt", "_dim")
+            .agg(F.round(F.avg("_val"), 6).alias("_avg"))
+        )
+        upd = per.groupBy("_sub", "_bkt").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_dim", "_avg"))),
+                lambda x: x["_avg"],
+            ).alias("_cv")
+        )
+        rows = [
+            (int(r["_sub"]), int(r["_bkt"]), list(r["_cv"])) for r in upd.collect()
+        ]
+    return rows
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    cache_key: object = None,
+    m: int = 4,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Train-once handle over the PQ codebooks (same contract as
+    train_codebook): pass a cache_key identifying the corpus and later
+    calls rebuild the m·k-row literal frame with zero Spark jobs."""
+    spark = corpus.sparkSession
+    key = (cache_key, m, n_centroids, iters, id_col, vec_col)
+    if cache_key is None or key not in _PQ_CACHE:
+        rows = _pq_rows(corpus, m, n_centroids, iters, id_col, vec_col, dim)
+        if cache_key is not None:
+            _PQ_CACHE[key] = rows
+    else:
+        rows = _PQ_CACHE[key]
+    return spark.createDataFrame(rows, _PQ_SCHEMA)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    cache_key: object = None,
+) -> DataFrame:
+    """ADC top-k: encode the corpus to (id, sub, code), build the per-query
+    exact distance table (Q·m·k rows — broadcast), and rank candidates by
+    the summed table lookups. Output: (query_id, vec_id, adc_d2, rk≤k),
+    self-pairs excluded, distance-then-id tie-break."""
+    sub_dim = dim // m
+    cent = train_pq_codebooks(
+        corpus, cache_key, m, n_centroids, iters, id_col, vec_col, dim
+    )
+    es = _subvector_frame(corpus, id_col, vec_col, m, sub_dim)
+    codes = _pq_assign(es, cent, id_col).select(id_col, "_sub", "_bkt")
+    qs = _subvector_frame(queries, query_id_col, vec_col, m, sub_dim)
+    dt = (
+        qs.join(
+            F.broadcast(
+                cent.select(F.col("_sub").alias("_cs"), "_bkt", "_cv")
+            ),
+            qs["_sub"] == F.col("_cs"),
+        )
+        .select(
+            query_id_col,
+            "_sub",
+            "_bkt",
+            _l2d2(F.col("_sv"), F.col("_cv")).alias("_d2"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(dt), ["_sub", "_bkt"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("_d2"), 6).alias("adc_d2"))
+    )
+    wq = W.partitionBy(query_id_col).orderBy(
+        F.col("adc_d2").asc(), F.col(id_col)
+    )
+    return adc.withColumn(
+        "rk", F.row_number().over(wq).cast("long")
+    ).filter(F.col("rk") <= k)

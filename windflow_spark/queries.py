@@ -5853,3 +5853,160 @@ def zorder_locality_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("ck") - F.min("ck")).cast("long").alias("ck_span"),
         (F.max("dy") - F.min("dy")).cast("long").alias("day_span"),
     )
+
+
+def _pq_d2_sql(a: str, b: str) -> str:
+    return (
+        f"round((list_inner_product({a}, {a})"
+        f" - 2 * list_inner_product({a}, {b}))"
+        f" + list_inner_product({b}, {b}), 6)"
+    )
+
+
+def _pq_assign_cte(out: str, cent: str) -> str:
+    d2 = _pq_d2_sql("es.sv", "c.cv")
+    return f"""{out} AS (SELECT vec_id, sub, sv, bkt FROM (
+      SELECT es.vec_id, es.sub, es.sv, c.bkt,
+             row_number() OVER (PARTITION BY es.vec_id, es.sub
+                ORDER BY {d2} ASC, c.bkt) AS ark
+      FROM es JOIN {cent} c ON es.sub = c.sub) WHERE ark = 1)"""
+
+
+def _pq_update_cte(out: str, assigned: str) -> str:
+    return f"""{out} AS (SELECT sub, bkt, list(av ORDER BY dim) AS cv FROM (
+      SELECT sub, bkt, u.i AS dim, round(avg(sv[u.i]), 6) AS av
+      FROM {assigned}, unnest(generate_series(1, len(sv))) AS u(i)
+      GROUP BY sub, bkt, u.i) GROUP BY sub, bkt)"""
+
+
+def _pq_ctes(m: int, k: int, dim: int = 64) -> str:
+    sub = dim // m
+    subs = ", ".join(str(j) for j in range(m))
+    return f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    es AS (SELECT vec_id, u.j AS sub, v[u.j*{sub}+1 : u.j*{sub}+{sub}] AS sv
+           FROM e, unnest([{subs}]) AS u(j)),
+    p0 AS (SELECT sub, vec_id::BIGINT AS bkt, sv AS cv FROM es
+           WHERE vec_id < {k}),
+    {_pq_assign_cte("pa1", "p0")},
+    {_pq_update_cte("pc1", "pa1")},
+    {_pq_assign_cte("pa2", "pc1")},
+    {_pq_update_cte("pc2", "pa2")},
+    {_pq_assign_cte("paf", "pc2")},
+    pqs AS (SELECT vec_id AS query_id, sub, sv AS qsv FROM es
+            WHERE vec_id < 10),
+    pdt AS (SELECT q.query_id, q.sub, c.bkt,
+                   {_pq_d2_sql("q.qsv", "c.cv")} AS d2
+            FROM pqs q JOIN pc2 c ON q.sub = c.sub),
+    padc AS (SELECT d.query_id, a.vec_id, round(sum(d.d2), 6) AS adc_d2
+             FROM paf a JOIN pdt d ON a.sub = d.sub AND a.bkt = d.bkt
+             WHERE a.vec_id <> d.query_id
+             GROUP BY d.query_id, a.vec_id),
+    prk AS (SELECT query_id, vec_id, adc_d2,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY adc_d2 ASC, vec_id) AS BIGINT) AS rk
+            FROM padc)"""
+
+
+_PQ_CTES = _pq_ctes(m=8, k=16)
+
+
+@register(
+    "sim_topk_pq",
+    f"""
+    WITH {_PQ_CTES}
+    SELECT query_id, vec_id, adc_d2, rk FROM prk WHERE rk <= 5
+    """,
+)
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (functions/similarity.pq_topk): 8 subspaces
+    of 8 dims, 16 centroids each (nibble codes) trained JOINTLY by 2
+    distributed Lloyd iterations over the subvector explode (deterministic
+    init, 6dp-rounded means — the same oracle-mirrorable training
+    discipline as sim_topk_ivf_kmeans), corpus encoded to 8×4-bit codes
+    per vector, queries answered by asymmetric distance computation: a
+    Q·m·k exact distance table broadcast onto the code frame, candidates
+    ranked by summed lookups. Completes the registry's deploy spectrum:
+    float32 exact → int8 (4× smaller, sim_quantized_recall) → PQ (64×
+    smaller here, sim_pq_recall)."""
+    from windflow_spark.functions.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(
+        emb, queries_df, k=5, m=8, n_centroids=16, cache_key=sf_dir
+    )
+
+
+@register(
+    "sim_pq_recall",
+    f"""
+    WITH {_PQ_CTES},
+    qf AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    bf_s AS (SELECT qf.query_id, e.vec_id,
+                    {_pq_d2_sql("qf.qv", "e.v")} AS d2
+             FROM e JOIN qf ON e.vec_id <> qf.query_id),
+    bf AS (SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY d2 ASC, vec_id) AS brk
+             FROM bf_s) WHERE brk <= 5),
+    h AS (SELECT bf.query_id, count(*) AS n_hits
+          FROM bf JOIN prk ON bf.query_id = prk.query_id
+                          AND bf.vec_id = prk.vec_id AND prk.rk <= 5
+          GROUP BY bf.query_id),
+    n AS (SELECT query_id, count(*) AS n_exact FROM bf GROUP BY query_id)
+    SELECT n.query_id, coalesce(n_hits, 0)::BIGINT AS n_hits,
+           coalesce(n_hits, 0)::DOUBLE / n_exact AS recall
+    FROM n LEFT JOIN h USING (query_id)
+    """,
+)
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of PQ-ADC ranking against the exact full-vector L2 top-5 —
+    the quality cost of 64× compression, next to sim_quantized_recall's
+    int8 (4×) and sim_ivf_kmeans_recall's coarse-only numbers. The exact
+    side is a size-guarded broadcast of the 10-query frame (the
+    sim_topk_bruteforce BNLJ contract) with squared-L2 ranking."""
+    from windflow_spark.functions.similarity import (
+        _l2d2,
+        as_double_array,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("_v")
+    )
+    qf = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("_v").alias("_qv")
+    )
+    bf_s = (
+        emb.crossJoin(F.broadcast(qf))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _l2d2(F.col("_qv"), F.col("_v")).alias("d2"),
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("vec_id"))
+    bf = (
+        bf_s.withColumn("brk", F.row_number().over(wq))
+        .filter(F.col("brk") <= 5)
+        .select("query_id", "vec_id")
+    )
+    pq = sim_topk_pq(spark, sf_dir).select("query_id", "vec_id")
+    hits = (
+        bf.join(F.broadcast(pq), ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return n.join(F.broadcast(hits), "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+            / F.col("n_exact")
+        ).alias("recall"),
+    )
