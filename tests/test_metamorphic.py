@@ -78,6 +78,8 @@ SAMPLE = [
     "bloom_prefilter_join",         # bit-array build under re-partitioning (r6)
     "zorder_locality_tiles",        # global z-sort ntile determinism (r6)
     "sim_topk_pq",                  # joint-subspace training determinism (r6)
+    "attribution_last_touch",       # strictly-before carry frame (r6)
+    "ts_seasonal_dow",              # pre-rounded seasonal means (r6)
 ]
 
 

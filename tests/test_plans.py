@@ -359,6 +359,10 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
                                       # broadcasts
         "sim_pq_recall": 5,           # PQ side + exact-L2 rank + the two
                                       # bounded recall-intersection aggs
+        "attribution_last_touch": 2,  # per-user carry window + channel agg
+        "k_anonymity_audit": 1,       # QI class sizes; report is global
+        "ts_seasonal_dow": 2,         # daily agg + (type, dow) window over
+                                      # the reduced frame
     }
     over = {}
     for name, budget in budgets.items():

@@ -6010,3 +6010,144 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_exact")
         ).alias("recall"),
     )
+
+
+@register(
+    "attribution_last_touch",
+    """
+    WITH a AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM events)
+    SELECT coalesce(channel, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 2) AS attributed_revenue
+    FROM a WHERE event_type = 'purchase'
+    GROUP BY coalesce(channel, 'direct')
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase credits its value
+    to the last non-purchase event type STRICTLY before it in the user's
+    stream (frame ... AND 1 PRECEDING — a purchase must not attribute to
+    itself); purchases with no prior touch credit 'direct'. One per-user
+    window ordering (the forward-fill exchange shape) + one channel
+    aggregation — co-partitioned, nothing quadratic, and the window state
+    is one carried string per user at 100 TB. Completes the behavioral
+    family: funnel (did they convert), cohort (do they return),
+    attribution (what gets the credit)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    a = e.withColumn(
+        "channel",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        a.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_revenue"),
+        )
+    )
+
+
+@register(
+    "k_anonymity_audit",
+    """
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS k
+      FROM customer GROUP BY c_nationkey, c_mktsegment)
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(k) AS BIGINT) AS n_rows,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_classes_below_5,
+           CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+             AS n_rows_below_5
+    FROM cls
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (nation, market
+    segment): the data-governance gate a dataset must pass before
+    release — every QI equivalence class should hold at least k
+    individuals, and the rows in classes below the threshold are the
+    re-identification exposure. ONE keyed exchange builds the class
+    sizes; the report is a single global aggregation over the reduced
+    class frame. The same two-pass shape holds for any QI arity at
+    100 TB (classes shrink as QI columns grow — the audit's cost does
+    not). Output: one row (n_classes, n_rows, min_k, n_classes_below_5,
+    n_rows_below_5)."""
+    c = _t(spark, sf_dir, "customer")
+    cls = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    below = F.col("k") < 5
+    return cls.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("k").cast("long").alias("n_rows"),
+        F.min("k").cast("long").alias("min_k"),
+        F.sum(F.when(below, 1).otherwise(0)).cast("long").alias(
+            "n_classes_below_5"
+        ),
+        F.sum(F.when(below, F.col("k")).otherwise(0)).cast("long").alias(
+            "n_rows_below_5"
+        ),
+    )
+
+
+@register(
+    "ts_seasonal_dow",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(sum(value), 6) AS daily
+      FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type, day, daily,
+                 round(avg(daily) OVER (PARTITION BY event_type,
+                                        dayofweek(day)), 6) AS seasonal
+          FROM d)
+    SELECT event_type, day, daily, seasonal,
+           round(daily - seasonal, 6) AS residual
+    FROM s
+    """,
+)
+def ts_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonal decomposition of the daily event-value series:
+    seasonal component = the mean of the series on the same day-of-week,
+    residual = daily − seasonal (the deseasonalized signal anomaly
+    detectors should consume instead of the raw series —
+    ts_zscore_anomaly / ts_mad_anomaly flag every weekend otherwise).
+    One (type, day) aggregation, then a window mean over the reduced
+    daily frame partitioned by (type, dow) — both exchanges touch only
+    summary-sized data after the first pass. Daily sums are 6dp-rounded
+    BEFORE the seasonal mean so both engines average identical inputs."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.round(F.sum("value"), 6).alias("daily"))
+    # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek: 0=Sunday..6
+    # — both are constant WITHIN a (type, dow) partition, so partitioning
+    # by either numbering yields identical groups.
+    wsea = W.partitionBy("event_type", F.dayofweek("day"))
+    s = d.withColumn("seasonal", F.round(F.avg("daily").over(wsea), 6))
+    return s.select(
+        "event_type",
+        "day",
+        "daily",
+        "seasonal",
+        F.round(F.col("daily") - F.col("seasonal"), 6).alias("residual"),
+    )
