@@ -80,6 +80,7 @@ SAMPLE = [
     "sim_topk_pq",                  # joint-subspace training determinism (r6)
     "attribution_last_touch",       # strictly-before carry frame (r6)
     "ts_seasonal_dow",              # pre-rounded seasonal means (r6)
+    "itemitem_cosine_topk",         # basket-cap pair gen + rank ties (r6)
 ]
 
 

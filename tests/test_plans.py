@@ -363,6 +363,11 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
         "k_anonymity_audit": 1,       # QI class sizes; report is global
         "ts_seasonal_dow": 2,         # daily agg + (type, dow) window over
                                       # the reduced frame
+        "itemitem_cosine_topk": 6,    # orderkey join + (ck,pk) agg + two
+                                      # windows + basket collect + pair
+                                      # agg + rank; pair EXPLOSION is
+                                      # in-row (≤C(10,2) per customer),
+                                      # never a keyed exchange
     }
     over = {}
     for name, budget in budgets.items():

@@ -6151,3 +6151,127 @@ def ts_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seasonal",
         F.round(F.col("daily") - F.col("seasonal"), 6).alias("residual"),
     )
+
+
+@register(
+    "itemitem_cosine_topk",
+    """
+    WITH b0 AS (
+      SELECT o.o_custkey AS ck, l.l_partkey AS pk, max(o.o_orderdate) AS md
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2),
+    b AS (SELECT ck, pk FROM (
+            SELECT ck, pk, row_number() OVER (PARTITION BY ck
+                     ORDER BY md DESC, pk) AS rn
+            FROM b0) WHERE rn <= 10),
+    cnt AS (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY pk),
+    pr AS (SELECT a.pk AS pa, b2.pk AS pb, CAST(count(*) AS BIGINT) AS cooc
+           FROM b a JOIN b b2 ON a.ck = b2.ck AND a.pk < b2.pk
+           GROUP BY 1, 2
+           HAVING count(*) >= 2),
+    sym AS (SELECT pa AS item_a, pb AS item_b, cooc FROM pr
+            UNION ALL
+            SELECT pb, pa, cooc FROM pr),
+    sc AS (SELECT s.item_a, s.item_b, s.cooc,
+                  round(s.cooc / sqrt(ca.n * cb.n), 6) AS cosine_sim
+           FROM sym s JOIN cnt ca ON s.item_a = ca.pk
+                      JOIN cnt cb ON s.item_b = cb.pk)
+    SELECT item_a, item_b, cooc, cosine_sim,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY item_a
+                      ORDER BY cosine_sim DESC, item_b) AS rk
+          FROM sc)
+    WHERE rk <= 3
+    """,
+)
+def itemitem_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-3 most-similar parts per
+    part by co-occurrence cosine over customer baskets — the classic
+    neighborhood rec-sys build. The scale discipline is the BASKET CAP:
+    each customer contributes only their 10 most recently purchased
+    distinct items (recency rank, deterministic tie-break), so the
+    pair-generating self-join emits ≤ C(10,2)=45 rows per customer —
+    LINEAR in customers, never quadratic in catalog or history (the same
+    width-cap move as dedup_minhash_lsh_capped's bucket cap). Support
+    ≥ 2 prunes noise pairs before the cosine; cosine = cooc/√(n_a·n_b)
+    on exact BIGINTs. Everything shuffles on either custkey or item —
+    co-partitioned joins at 100 TB."""
+    # Physical form: the oracle's self-join is replaced by per-customer
+    # pair GENERATION inside a collected ≤10-element basket array (the cap
+    # bounds the array), and the per-item basket counts ride along as a
+    # struct field attached by ONE window — so no frame is referenced
+    # twice (no lineage re-derivation, no count-attach joins): join →
+    # basket agg → recency window → count window → basket collect → pair
+    # explode → pair agg → rank. Values identical to the oracle SQL.
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    b0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk")
+        )
+        .agg(F.max("o_orderdate").alias("md"))
+    )
+    wb = W.partitionBy("ck").orderBy(F.col("md").desc(), F.col("pk"))
+    b = (
+        b0.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= 10)
+        .select("ck", "pk")
+    )
+    bn = b.withColumn(
+        "n", F.count(F.lit(1)).over(W.partitionBy("pk")).cast("long")
+    )
+    baskets = bn.groupBy("ck").agg(
+        F.array_sort(F.collect_list(F.struct("pk", "n"))).alias("items")
+    )
+    # both directions are emitted AT GENERATION (an unordered pair costs 2
+    # rows through one shuffle) so the symmetrized frame is built without
+    # a union that would re-derive the whole upstream chain twice
+    def _pair(x, nx, y, ny):
+        return F.struct(
+            x.alias("pa"), nx.alias("na"), y.alias("pb"), ny.alias("nb")
+        )
+
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("items"),
+                    lambda x, i: F.flatten(
+                        F.transform(
+                            F.slice(
+                                F.col("items"), i + 2, F.size(F.col("items"))
+                            ),
+                            lambda y: F.array(
+                                _pair(x["pk"], x["n"], y["pk"], y["n"]),
+                                _pair(y["pk"], y["n"], x["pk"], x["n"]),
+                            ),
+                        )
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.pa", "p.na", "p.pb", "p.nb")
+    sym = (
+        pairs.groupBy("pa", "na", "pb", "nb")
+        .agg(F.count(F.lit(1)).cast("long").alias("cooc"))
+        .filter(F.col("cooc") >= 2)
+        .select(
+            F.col("pa").alias("item_a"),
+            F.col("pb").alias("item_b"),
+            "cooc",
+            F.round(
+                F.col("cooc")
+                / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    wr = W.partitionBy("item_a").orderBy(
+        F.col("cosine_sim").desc(), F.col("item_b")
+    )
+    return (
+        sym.withColumn("rk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("item_a", "item_b", "cooc", "cosine_sim", "rk")
+    )
