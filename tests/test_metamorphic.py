@@ -81,6 +81,9 @@ SAMPLE = [
     "attribution_last_touch",       # strictly-before carry frame (r6)
     "ts_seasonal_dow",              # pre-rounded seasonal means (r6)
     "itemitem_cosine_topk",         # basket-cap pair gen + rank ties (r6)
+    "graph_triangle_count",         # degree-oriented wedge closure (r6)
+    "assoc_rules_lift",             # raw-lift TakeOrdered boundary (r6)
+    "rfm_customer_segments",        # global ntile + integer HALF_UP (r6)
 ]
 
 

@@ -126,6 +126,9 @@ _BNLJ_ALLOWED = {
     # recall — the sim_topk_bruteforce contract (PQ itself is BNLJ-free:
     # its codebook joins are equi-joins on the subspace id)
     "sim_pq_recall",
+    # three ONE-ROW summary frames (degree stats / edge count / triangle
+    # count) combined by 1×1 crossJoins into the single report row
+    "graph_triangle_count",
 }
 
 
@@ -368,6 +371,18 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
                                       # agg + rank; pair EXPLOSION is
                                       # in-row (≤C(10,2) per customer),
                                       # never a keyed exchange
+        "graph_triangle_count": 10,   # logical count over the UNCACHED
+                                      # lineage (pagerank-style persisted
+                                      # oriented edge list collapses the
+                                      # repeats at runtime): basket agg +
+                                      # pair distinct + 2 degree windows
+                                      # + wedge/close joins + deg distinct
+        "assoc_rules_lift": 4,        # basket agg + item-count window +
+                                      # rule agg + TakeOrdered (no sort
+                                      # exchange); pair gen is in-row
+        "rfm_customer_segments": 1,   # ONE keyed exchange (custkey agg);
+                                      # ntile sorts are SinglePartition
+                                      # over the dimension-sized frame
     }
     over = {}
     for name, budget in budgets.items():

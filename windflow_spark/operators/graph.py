@@ -17,7 +17,7 @@ geometrically at the damping rate). Dangling nodes receive the base mass
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -85,3 +85,107 @@ def pagerank(
             ),
         )
     return ranks.select("node", F.round("pr", 6).alias("pr"))
+
+
+def triangle_count(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Exact triangle count + global clustering over an undirected edge
+    list (rows must be distinct with ``u < v``). One summary row:
+    (nodes, edges, open_wedges, triangles, global_clustering).
+
+    Degree-oriented wedge enumeration (the MapReduce triangle algorithm):
+    every edge is directed from its lower-(degree, id) endpoint, wedges
+    are pairs of out-neighbors, and a wedge counts iff its closing edge
+    exists in the oriented list. Out-degrees are bounded by O(sqrt(m)),
+    so the wedge set is O(m^1.5) even on power-law graphs — a hub of
+    degree 1M generates ZERO wedges from its own key (all its edges point
+    INTO it), where the naive sum(C(deg,2)) form would emit 5·10^11.
+
+    Degrees are attached with two window counts over the both-direction
+    exploded frame (each endpoint appears exactly deg times per side) —
+    no degree-table joins. The oriented list is repartitioned to cluster
+    parallelism and persisted: wedge generation, wedge closing, and the
+    degree summary all read it, and a cached relation freezes its
+    partitioning (see pagerank above).
+    """
+    spark = edges.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    both = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(u).alias("_a"), F.col(v).alias("_b")),
+                F.struct(F.col(v).alias("_a"), F.col(u).alias("_b")),
+            )
+        ).alias("e")
+    ).select("e._a", "e._b")
+    win_b = Window.partitionBy("_b")
+    win_a = Window.partitionBy("_a")
+    d2 = both.withColumn(
+        "_db", F.count(F.lit(1)).over(win_b).cast("long")
+    ).withColumn("_da", F.count(F.lit(1)).over(win_a).cast("long"))
+    lower = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("_a") < F.col("_b"))
+    )
+    ed = (
+        d2.filter(lower)
+        .select(
+            F.col("_a").alias("src"),
+            F.col("_b").alias("dst"),
+            F.col("_da").alias("sdeg"),
+            F.col("_db").alias("ddeg"),
+        )
+        .repartition(p, "src")
+        .persist()
+    )
+    x, y = ed.alias("x"), ed.alias("y")
+    wedges = (
+        x.join(y, "src")
+        .filter(
+            (F.col("x.ddeg") < F.col("y.ddeg"))
+            | (
+                (F.col("x.ddeg") == F.col("y.ddeg"))
+                & (F.col("x.dst") < F.col("y.dst"))
+            )
+        )
+        .select(F.col("x.dst").alias("a"), F.col("y.dst").alias("b"))
+    )
+    closed = wedges.join(
+        ed.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_semi",
+    )
+    deg = (
+        ed.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("n"), F.col("sdeg").alias("d")),
+                    F.struct(F.col("dst").alias("n"), F.col("ddeg").alias("d")),
+                )
+            ).alias("nd")
+        )
+        .select("nd.n", "nd.d")
+        .distinct()
+    )
+    s_deg = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("nodes"),
+        F.sum((F.col("d") * (F.col("d") - F.lit(1))) / F.lit(2))
+        .cast("long")
+        .alias("open_wedges"),
+    )
+    s_e = ed.agg(F.count(F.lit(1)).cast("long").alias("edges"))
+    s_t = closed.agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    return (
+        s_deg.crossJoin(s_e)
+        .crossJoin(s_t)
+        .select(
+            "nodes",
+            "edges",
+            "open_wedges",
+            "triangles",
+            F.round(
+                F.lit(3.0)
+                * F.col("triangles")
+                / F.col("open_wedges").cast("double"),
+                6,
+            ).alias("global_clustering"),
+        )
+    )

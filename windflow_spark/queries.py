@@ -6275,3 +6275,316 @@ def itemitem_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("item_a", "item_b", "cooc", "cosine_sim", "rk")
     )
+
+
+@register(
+    "graph_triangle_count",
+    """
+    WITH li AS (SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_size <= 25),
+    e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+    deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+            GROUP BY 1),
+    tri AS (SELECT count(*) AS t
+            FROM e e1 JOIN e e2 ON e1.v = e2.u
+                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS edges,
+           (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg)
+             AS open_wedges,
+           (SELECT CAST(t AS BIGINT) FROM tri) AS triangles,
+           round(3.0 * (SELECT t FROM tri)
+                 / (SELECT sum(d * (d - 1) / 2.0) FROM deg), 6)
+             AS global_clustering
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the co-purchase
+    graph (parts co-occurring in an order are adjacent). The oracle uses
+    the textbook a<b<c three-way self-join; the Spark plan uses the
+    DEGREE-ORIENTED wedge algorithm (each edge directed from its
+    lower-(degree,id) endpoint, wedges enumerated between out-neighbors,
+    closed by one more join) — the same count, but the wedge set shrinks
+    from sum(C(deg,2)) to O(m^1.5): on a power-law co-purchase graph at
+    100 TB the hub vertices would otherwise generate quadratic wedge
+    blowups on single keys. Edge generation itself is in-row from
+    per-order basket arrays (baskets are bounded per order), never an
+    order-keyed self-join."""
+    from windflow_spark.operators.graph import triangle_count
+
+    pt = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 25)
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    baskets = li.groupBy("ok").agg(
+        F.array_sort(F.collect_set("pk")).alias("ps")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ps"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                            lambda y: F.struct(x.alias("u"), y.alias("v")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .distinct()
+    )
+    return triangle_count(pairs)
+
+
+@register(
+    "assoc_rules_lift",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem),
+    n AS (SELECT count(DISTINCT ok) AS nb FROM li),
+    cnt AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY pk),
+    pr AS (SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS cooc
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2
+           HAVING count(*) >= 2),
+    rules AS (SELECT pa AS antecedent, pb AS consequent, cooc FROM pr
+              UNION ALL
+              SELECT pb, pa, cooc FROM pr),
+    sc AS (SELECT r.antecedent, r.consequent, r.cooc,
+                  round(r.cooc / CAST((SELECT nb FROM n) AS DOUBLE), 6)
+                    AS support,
+                  round(r.cooc / CAST(ca.c AS DOUBLE), 6) AS confidence,
+                  (r.cooc * (SELECT nb FROM n)) / CAST(ca.c * cb.c AS DOUBLE)
+                    AS lift_raw
+           FROM rules r JOIN cnt ca ON r.antecedent = ca.pk
+                        JOIN cnt cb ON r.consequent = cb.pk)
+    SELECT antecedent, consequent, cooc, support, confidence,
+           round(lift_raw, 6) AS lift
+    FROM sc
+    ORDER BY lift_raw DESC, confidence DESC, antecedent, consequent
+    LIMIT 20
+    """,
+)
+def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets: top-20 rules by lift
+    with support count >= 2. support = cooc/N, confidence = cooc/n_a,
+    lift = cooc*N/(n_a*n_b) — all from exact BIGINTs so both engines
+    compute identical doubles; ordering uses the RAW lift (bit-identical
+    IEEE ops) with (confidence, antecedent, consequent) tie-breaks. Scale
+    shape mirrors itemitem_cosine_topk: order baskets are naturally
+    bounded (a few lineitems each), pairs are generated IN-ROW from the
+    collected basket array with per-item counts riding a window — linear
+    in orders, and the global top-20 is a TakeOrdered, never a full
+    sort."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    n_baskets = li.select("ok").distinct().count()
+    cn = li.withColumn(
+        "c", F.count(F.lit(1)).over(W.partitionBy("pk")).cast("long")
+    )
+    baskets = cn.groupBy("ok").agg(
+        F.array_sort(F.collect_list(F.struct("pk", "c"))).alias("items")
+    )
+
+    def _rule(a, ca, b, cb):
+        return F.struct(
+            a.alias("pa"), ca.alias("ca"), b.alias("pb"), cb.alias("cb")
+        )
+
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("items"),
+                    lambda x, i: F.flatten(
+                        F.transform(
+                            F.slice(
+                                F.col("items"), i + 2, F.size(F.col("items"))
+                            ),
+                            lambda y: F.array(
+                                _rule(x["pk"], x["c"], y["pk"], y["c"]),
+                                _rule(y["pk"], y["c"], x["pk"], x["c"]),
+                            ),
+                        )
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.pa", "p.ca", "p.pb", "p.cb")
+    sc = (
+        pairs.groupBy("pa", "ca", "pb", "cb")
+        .agg(F.count(F.lit(1)).cast("long").alias("cooc"))
+        .filter(F.col("cooc") >= 2)
+        .select(
+            F.col("pa").alias("antecedent"),
+            F.col("pb").alias("consequent"),
+            "cooc",
+            F.round(F.col("cooc") / F.lit(float(n_baskets)), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("cooc") / F.col("ca").cast("double"), 6
+            ).alias("confidence"),
+            (
+                (F.col("cooc") * F.lit(n_baskets))
+                / (F.col("ca") * F.col("cb")).cast("double")
+            ).alias("lift_raw"),
+        )
+    )
+    return (
+        sc.orderBy(
+            F.col("lift_raw").desc(),
+            F.col("confidence").desc(),
+            "antecedent",
+            "consequent",
+        )
+        .limit(20)
+        .select(
+            "antecedent",
+            "consequent",
+            "cooc",
+            "support",
+            "confidence",
+            F.round("lift_raw", 6).alias("lift"),
+        )
+    )
+
+
+@register(
+    "rfm_customer_segments",
+    """
+    WITH c AS (SELECT o_custkey AS ck, max(o_orderdate) AS last_order,
+                      CAST(count(*) AS BIGINT) AS freq,
+                      CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                           AS BIGINT) AS mon_c
+               FROM orders GROUP BY 1),
+    s AS (SELECT ck,
+                 date_diff('day', CAST(last_order AS DATE),
+                           CAST((SELECT max(last_order) FROM c) AS DATE))
+                   AS rec_days,
+                 freq, mon_c FROM c),
+    q AS (SELECT CAST(ntile(5) OVER (ORDER BY rec_days, ck) AS BIGINT)
+                   AS r_q,
+                 CAST(ntile(5) OVER (ORDER BY freq DESC, ck) AS BIGINT)
+                   AS f_q,
+                 CAST(ntile(5) OVER (ORDER BY mon_c DESC, ck) AS BIGINT)
+                   AS m_q,
+                 rec_days, mon_c FROM s)
+    SELECT r_q, f_q, m_q,
+           CASE WHEN r_q <= 2 AND f_q <= 2 AND m_q <= 2 THEN 'champion'
+                WHEN r_q >= 4 AND f_q >= 4 AND m_q >= 4 THEN 'lost'
+                WHEN r_q >= 4 AND f_q <= 2 THEN 'at_risk'
+                WHEN r_q <= 2 AND f_q >= 4 THEN 'fresh'
+                ELSE 'regular' END AS segment,
+           CAST(count(*) AS BIGINT) AS customers,
+           CAST((200 * sum(rec_days) + count(*)) // (2 * count(*))
+                AS DOUBLE) / 100.0 AS avg_recency_days,
+           CAST((2 * sum(mon_c) + count(*)) // (2 * count(*))
+                AS DOUBLE) / 100.0 AS avg_monetary
+    FROM q GROUP BY 1, 2, 3, 4
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation: exact
+    quintile scores per metric (quintile 1 = best), CASE-labelled
+    segments, and per-cell counts/averages (<=125 cells). Quintiles are
+    ntile(5) with (metric, custkey) deterministic ordering — a global
+    sort over the PER-CUSTOMER frame (dimension-sized, not fact-sized);
+    at 100 TB swap the exact ntile for sketch cutpoints exactly as
+    bin_equal_freq_approx does — the segmentation CASE and rollup are
+    unchanged. Recency anchor = corpus max order date via a window max
+    (no driver round-trip)."""
+    c = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).cast("long").alias("mon_c"),
+        )
+    )
+    wg = W.partitionBy()
+    s = c.select(
+        "ck",
+        F.datediff(
+            F.to_date(F.max("last_order").over(wg)), F.to_date("last_order")
+        ).alias("rec_days"),
+        "freq",
+        "mon_c",
+    )
+    q = s.select(
+        F.ntile(5).over(W.orderBy("rec_days", "ck")).cast("long").alias("r_q"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("freq").desc(), "ck"))
+        .cast("long")
+        .alias("f_q"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("mon_c").desc(), "ck"))
+        .cast("long")
+        .alias("m_q"),
+        "rec_days",
+        "mon_c",
+    )
+    seg = (
+        F.when(
+            (F.col("r_q") <= 2) & (F.col("f_q") <= 2) & (F.col("m_q") <= 2),
+            F.lit("champion"),
+        )
+        .when(
+            (F.col("r_q") >= 4) & (F.col("f_q") >= 4) & (F.col("m_q") >= 4),
+            F.lit("lost"),
+        )
+        .when((F.col("r_q") >= 4) & (F.col("f_q") <= 2), F.lit("at_risk"))
+        .when((F.col("r_q") <= 2) & (F.col("f_q") >= 4), F.lit("fresh"))
+        .otherwise(F.lit("regular"))
+    )
+    # decimal-exact HALF_UP without float round(): (2a+b) div (2b) on
+    # BIGINTs is the same integer on both engines, then one exact /100.0
+    # (Spark's round() parses the SHORTEST decimal repr of a double while
+    # DuckDB rounds the binary value -- they disagree at true .xx5 ties)
+    return (
+        q.withColumn("segment", seg)
+        .groupBy("r_q", "f_q", "m_q", "segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("customers"),
+            F.sum(F.col("rec_days").cast("long")).alias("_sr"),
+            F.sum("mon_c").alias("_sm"),
+        )
+        .select(
+            "r_q",
+            "f_q",
+            "m_q",
+            "segment",
+            "customers",
+            (
+                F.expr("(200 * _sr + customers) div (2 * customers)").cast(
+                    "double"
+                )
+                / F.lit(100.0)
+            ).alias("avg_recency_days"),
+            (
+                F.expr("(2 * _sm + customers) div (2 * customers)").cast(
+                    "double"
+                )
+                / F.lit(100.0)
+            ).alias("avg_monetary"),
+        )
+    )
