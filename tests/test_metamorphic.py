@@ -84,6 +84,9 @@ SAMPLE = [
     "graph_triangle_count",         # degree-oriented wedge closure (r6)
     "assoc_rules_lift",             # raw-lift TakeOrdered boundary (r6)
     "rfm_customer_segments",        # global ntile + integer HALF_UP (r6)
+    "survival_kaplan_meier",        # cumulative log-product fold (r6)
+    "ts_changepoint_meanshift",     # exact-cents argmax ordering (r6)
+    "revenue_gini_segments",        # BIGINT rank-weight sums (r6)
 ]
 
 

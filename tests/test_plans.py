@@ -383,6 +383,11 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
         "rfm_customer_segments": 1,   # ONE keyed exchange (custkey agg);
                                       # ntile sorts are SinglePartition
                                       # over the dimension-sized frame
+        "survival_kaplan_meier": 1,   # custkey agg; KM windows run over
+                                      # the timeline-sized week frame
+        "ts_changepoint_meanshift": 2,  # daily agg + per-type windows
+        "revenue_gini_segments": 2,   # ck agg (join reuses it) + segment
+                                      # rank window feeding the final agg
     }
     over = {}
     for name, budget in budgets.items():

@@ -6588,3 +6588,273 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_monetary"),
         )
     )
+
+
+@register(
+    "survival_kaplan_meier",
+    """
+    WITH cust AS (SELECT o_custkey AS ck, min(o_orderdate) AS first_o,
+                         max(o_orderdate) AS last_o
+                  FROM orders GROUP BY 1),
+    s AS (SELECT date_diff('day', CAST(first_o AS DATE),
+                           CAST(last_o AS DATE)) // 7 AS wk,
+                 CASE WHEN date_diff('day', CAST(last_o AS DATE),
+                        CAST((SELECT max(last_o) FROM cust) AS DATE)) >= 90
+                      THEN 1 ELSE 0 END AS obs
+          FROM cust),
+    ev AS (SELECT CAST(wk AS BIGINT) AS week,
+                  CAST(sum(obs) AS BIGINT) AS n_events,
+                  CAST(count(*) - sum(obs) AS BIGINT) AS n_censored
+           FROM s GROUP BY 1),
+    km AS (SELECT week, n_events, n_censored,
+                  CAST((SELECT count(*) FROM s)
+                       - COALESCE(sum(n_events + n_censored)
+                           OVER (ORDER BY week ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS n_risk
+           FROM ev)
+    SELECT week, n_risk, n_events, n_censored,
+           round(exp(sum(ln(1 - n_events / CAST(n_risk AS DOUBLE)))
+                     OVER (ORDER BY week)), 6) AS survival
+    FROM km
+    """,
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of customer lifetime (weeks between
+    first and last order), right-censored: a customer still ordering
+    within 90 days of the corpus end is censored, not churned. The
+    estimator S(t) = prod(1 - d_i/n_i) is computed as exp(cumsum(ln)) —
+    the distributed form of a running product (both engines fold the SAME
+    per-week doubles in week order, so 6dp rounding is stable). At-risk
+    counts come from ONE cumulative window over the week-level frame
+    (#weeks rows, tiny); the only fact-sized exchange is the per-customer
+    agg. The week frame after aggregation is timeline-sized — at 100 TB
+    this is thousands of rows regardless of corpus size."""
+    cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.min("o_orderdate").alias("first_o"),
+            F.max("o_orderdate").alias("last_o"),
+        )
+    )
+    wg = W.partitionBy()
+    s = cust.select(
+        F.floor(
+            F.datediff(F.to_date("last_o"), F.to_date("first_o")) / 7
+        )
+        .cast("long")
+        .alias("wk"),
+        F.when(
+            F.datediff(
+                F.to_date(F.max("last_o").over(wg)), F.to_date("last_o")
+            )
+            >= 90,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("obs"),
+    )
+    ev = s.groupBy(F.col("wk").alias("week")).agg(
+        F.sum("obs").cast("long").alias("n_events"),
+        (F.count(F.lit(1)) - F.sum("obs")).cast("long").alias("n_censored"),
+    )
+    wcum = W.orderBy("week").rowsBetween(W.unboundedPreceding, -1)
+    wsur = W.orderBy("week")
+    km = ev.withColumn(
+        "n_risk",
+        (
+            F.sum(F.col("n_events") + F.col("n_censored")).over(wg)
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(wcum),
+                F.lit(0),
+            )
+        ).cast("long"),
+    )
+    return km.select(
+        "week",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.round(
+            F.exp(
+                F.sum(
+                    F.log(
+                        F.lit(1)
+                        - F.col("n_events") / F.col("n_risk").cast("double")
+                    )
+                ).over(wsur)
+            ),
+            6,
+        ).alias("survival"),
+    )
+
+
+@register(
+    "ts_changepoint_meanshift",
+    f"""
+    WITH d AS (SELECT event_type,
+                      CAST(epoch_us(ts) // {US_DAY} AS BIGINT) AS day,
+                      CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                           AS BIGINT) AS vc
+               FROM events GROUP BY 1, 2),
+    w AS (SELECT event_type, day, vc,
+                 sum(vc) OVER (PARTITION BY event_type ORDER BY day) AS ps,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                        ORDER BY day) AS BIGINT) AS k,
+                 sum(vc) OVER (PARTITION BY event_type) AS tot,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n
+          FROM d),
+    st AS (SELECT event_type, day, k, n,
+                  ps / (100.0 * k) AS mean_before,
+                  (tot - ps) / (100.0 * (n - k)) AS mean_after,
+                  sqrt(k * (n - k) / CAST(n AS DOUBLE))
+                    * abs(ps / (100.0 * k)
+                          - (tot - ps) / (100.0 * (n - k))) AS stat
+           FROM w WHERE k < n)
+    SELECT event_type, make_timestamp(day * {US_DAY}) AS change_day,
+           stat AS shift_stat, mean_before, mean_after
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                      ORDER BY stat DESC, day) AS rn
+          FROM st)
+    WHERE rn = 1
+    """,
+)
+def ts_changepoint_meanshift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single most-likely changepoint per event-type series (binary
+    segmentation step): the split day maximizing the scaled two-sample
+    mean shift sqrt(k(n-k)/n)*|mean_L - mean_R| over the daily
+    value-total series. Daily totals are EXACT CENTS (BIGINT) so prefix
+    sums are order-independent and every downstream double — means,
+    statistic, the argmax ordering — is bit-identical across engines and
+    partitionings; outputs are raw doubles, no rounding needed. One
+    fact-sized exchange (the daily agg); every window runs over the
+    timeline-sized per-type frame. At 100 TB the candidate scan stays
+    O(days) per key — this is the CUSUM-family changepoint scan without
+    a sequential recurrence, so it needs no driver loop at any scale."""
+    from windflow_spark.operators.timeutil import event_micros
+
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.withColumn(
+            "day",
+            F.floor(event_micros(ev, "ts") / F.lit(US_DAY)).cast("long"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("vc")
+        )
+    )
+    wt = W.partitionBy("event_type")
+    wo = wt.orderBy("day")
+    w = d.select(
+        "event_type",
+        "day",
+        F.sum("vc").over(wo).alias("ps"),
+        F.row_number().over(wo).cast("long").alias("k"),
+        F.sum("vc").over(wt).alias("tot"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("n"),
+    ).filter(F.col("k") < F.col("n"))
+    mean_before = F.col("ps") / (F.lit(100.0) * F.col("k"))
+    mean_after = (F.col("tot") - F.col("ps")) / (
+        F.lit(100.0) * (F.col("n") - F.col("k"))
+    )
+    st = w.select(
+        "event_type",
+        "day",
+        mean_before.alias("mean_before"),
+        mean_after.alias("mean_after"),
+        (
+            F.sqrt(
+                F.col("k") * (F.col("n") - F.col("k"))
+                / F.col("n").cast("double")
+            )
+            * F.abs(mean_before - mean_after)
+        ).alias("stat"),
+    )
+    wr = W.partitionBy("event_type").orderBy(F.col("stat").desc(), "day")
+    return (
+        st.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.timestamp_micros(F.col("day") * F.lit(US_DAY)).alias(
+                "change_day"
+            ),
+            F.col("stat").alias("shift_stat"),
+            "mean_before",
+            "mean_after",
+        )
+    )
+
+
+@register(
+    "revenue_gini_segments",
+    """
+    WITH r AS (SELECT o_custkey AS ck,
+                      CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                           AS BIGINT) AS rev_c
+               FROM orders GROUP BY 1),
+    j AS (SELECT c.c_mktsegment AS segment, r.rev_c, r.ck
+          FROM r JOIN customer c ON r.ck = c.c_custkey),
+    w AS (SELECT segment, rev_c,
+                 CAST(row_number() OVER (PARTITION BY segment
+                        ORDER BY rev_c, ck) AS BIGINT) AS i
+          FROM j)
+    SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(rev_c) AS DOUBLE) / 100.0 AS total_revenue,
+           CAST(2 * sum(i * rev_c) - (count(*) + 1) * sum(rev_c) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * CAST(sum(rev_c) AS DOUBLE))
+             AS gini
+    FROM w GROUP BY 1
+    """,
+)
+def revenue_gini_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per market segment: the exact Gini
+    coefficient G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over
+    customers ranked ascending by revenue (custkey tie-break). Revenue is
+    carried as exact cents so the rank weights and both Gini sums are
+    BIGINTs — ONE double division at the end, bit-identical across
+    engines and shuffle widths with no rounding at all (the BIGINT
+    numerator is safe to ~sf10; beyond that promote to DECIMAL(38)).
+    Shape: per-customer agg + one co-partitioned customer join + one
+    per-segment rank window + one per-segment agg — all keyed on ck or
+    segment, nothing fact-sized crosses twice."""
+    r = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), F.col("c_mktsegment").alias("segment")
+    )
+    j = r.join(c, "ck")
+    w = j.select(
+        "segment",
+        "rev_c",
+        F.row_number()
+        .over(W.partitionBy("segment").orderBy("rev_c", "ck"))
+        .cast("long")
+        .alias("i"),
+    )
+    return w.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        (F.sum("rev_c").cast("double") / F.lit(100.0)).alias("total_revenue"),
+        (
+            (
+                F.lit(2) * F.sum(F.col("i") * F.col("rev_c"))
+                - (F.count(F.lit(1)) + F.lit(1)) * F.sum("rev_c")
+            ).cast("double")
+            / (
+                F.count(F.lit(1)).cast("double")
+                * F.sum("rev_c").cast("double")
+            )
+        ).alias("gini"),
+    )
