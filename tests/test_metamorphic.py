@@ -87,6 +87,9 @@ SAMPLE = [
     "survival_kaplan_meier",        # cumulative log-product fold (r6)
     "ts_changepoint_meanshift",     # exact-cents argmax ordering (r6)
     "revenue_gini_segments",        # BIGINT rank-weight sums (r6)
+    "bm25_top_docs",                # token-ordered float fold (r6)
+    "snapshot_diff_events",         # as-of windows + double equality (r6)
+    "event_path_trigrams",          # lead chain tie-breaks (r6)
 ]
 
 

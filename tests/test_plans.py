@@ -129,6 +129,9 @@ _BNLJ_ALLOWED = {
     # three ONE-ROW summary frames (degree stats / edge count / triangle
     # count) combined by 1×1 crossJoins into the single report row
     "graph_triangle_count",
+    # one-row total-token-count frame broadcast onto the tf frame — the
+    # tfidf_top_terms scalar-attach shape (avgdl denominator)
+    "bm25_top_docs",
 }
 
 
@@ -388,6 +391,16 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
         "ts_changepoint_meanshift": 2,  # daily agg + per-type windows
         "revenue_gini_segments": 2,   # ck agg (join reuses it) + segment
                                       # rank window feeding the final agg
+        "bm25_top_docs": 5,           # (doc,tok) tf agg + doc dl window +
+                                      # vocab df agg + per-doc fold; the
+                                      # query terms and scalar stats ride
+                                      # broadcasts, top-20 is TakeOrdered
+        "snapshot_diff_events": 3,    # ONE (user,type,bucket) window
+                                      # partitioning shared by both as-of
+                                      # states + the co-partitioned diff
+                                      # join + final class agg
+        "event_path_trigrams": 2,     # user window (both leads share it)
+                                      # + path agg; top-20 is TakeOrdered
     }
     over = {}
     for name, budget in budgets.items():

@@ -841,3 +841,100 @@ def key_distribution_report(df: DataFrame, key_col: str) -> DataFrame:
             "norm_entropy"
         ),
     )
+
+
+def bm25_top_docs(
+    docs: DataFrame,
+    n_query_terms: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval scoring (Robertson/Sparck Jones, the Lucene
+    ``ln(1 + (N-df+0.5)/(df+0.5))`` idf form): score every document
+    against a deterministic query — the corpus's ``n_query_terms``
+    highest-document-frequency tokens — and return the ``top_n`` docs.
+
+    Cross-engine float discipline: tf/df/dl are BIGINTs; per-term
+    contributions are folded in TOKEN ORDER via ``aggregate(array_sort(
+    collect_list(...)))`` (DuckDB mirrors with an ORDER BY inside sum),
+    so the <=n_query_terms-term sum is one fixed double sequence on both
+    engines regardless of partitioning; avgdl is attached from a one-row
+    broadcast (the tfidf_top_terms scalar-attach shape).
+
+    Scale: one tokenize scan feeds tf; dl rides a doc-keyed window on the
+    SAME exchange; df is a vocab-sized agg; the query-term frame is
+    TakeOrdered(n) and broadcast — the corpus never shuffles on anything
+    but doc_id/token. N is the parquet row count (metadata-cheap eager
+    scan, inlined as a literal like lm_perplexity's vocab size).
+    """
+    from pyspark.sql import Window as W
+
+    n_docs = docs.count()
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
+    tf = tok.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    tfd = tf.withColumn(
+        "dl", F.sum("tf").over(W.partitionBy(id_col)).cast("long")
+    )
+    df_t = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    q = df_t.orderBy(F.col("df").desc(), "tok").limit(n_query_terms)
+    stats = tf.agg(F.sum("tf").cast("long").alias("tot"))
+    scored = (
+        tfd.join(F.broadcast(q), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            "tok",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (
+                        F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)
+                    )
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (
+                    F.col("tf") * F.lit(k1 + 1.0)
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0 - b)
+                            + F.lit(b)
+                            * F.col("dl")
+                            / (F.col("tot") / F.lit(float(n_docs)))
+                        )
+                    )
+                )
+            ).alias("contrib"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("tok", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("score_raw")
+    )
+    return (
+        agg.orderBy(F.col("score_raw").desc(), id_col)
+        .limit(top_n)
+        .select(
+            id_col,
+            F.round("score_raw", 6).alias("bm25"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(W.orderBy(F.col("bm25").desc(), id_col))
+            .cast("long"),
+        )
+    )

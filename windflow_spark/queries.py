@@ -6858,3 +6858,197 @@ def revenue_gini_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gini"),
     )
+
+
+@register(
+    "bm25_top_docs",
+    """
+    WITH tok AS (SELECT doc_id, tok
+                 FROM documents,
+                      unnest(list_filter(string_split(text, ' '),
+                                         x -> x <> '')) AS u(tok)),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, tok, tf,
+                  CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+           FROM tf),
+    dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    q AS (SELECT tok, df FROM dft ORDER BY df DESC, tok LIMIT 3),
+    st AS (SELECT CAST(sum(tf) AS BIGINT) AS tot FROM tf),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    sc AS (SELECT d.doc_id, d.tok,
+                  ln(CAST(1.0 AS DOUBLE)
+                     + (CAST((SELECT n FROM nn) AS DOUBLE) - q.df
+                        + CAST(0.5 AS DOUBLE))
+                       / (q.df + CAST(0.5 AS DOUBLE)))
+                  * (d.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                     / (d.tf + CAST(1.2 AS DOUBLE)
+                        * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                           + CAST(0.75 AS DOUBLE) * d.dl
+                             / ((SELECT tot FROM st)
+                                / CAST((SELECT n FROM nn) AS DOUBLE)))))
+                  AS contrib
+           FROM dl d JOIN q ON d.tok = q.tok),
+    ag AS (SELECT doc_id, sum(contrib ORDER BY tok) AS score_raw
+           FROM sc GROUP BY doc_id),
+    top AS (SELECT doc_id, round(score_raw, 6) AS bm25
+            FROM ag ORDER BY score_raw DESC, doc_id LIMIT 20)
+    SELECT doc_id, bm25,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+             AS rk
+    FROM top
+    """,
+)
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for the corpus's 3 highest-df query terms —
+    the retrieval-ranking sibling of tfidf_top_terms. See
+    functions/pipeline.bm25_top_docs for the token-ordered float fold
+    and scalar-attach scale notes."""
+    from windflow_spark.functions.pipeline import bm25_top_docs as _bm25
+
+    return _bm25(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "snapshot_diff_events",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu,
+                      epoch_us(ts) // 2592000000000 AS day, value, event_id
+               FROM events),
+    cut AS (SELECT (min(tu) + max(tu)) // 2 AS c FROM e),
+    b AS (SELECT user_id, event_type, day, value FROM (
+            SELECT *, row_number() OVER (
+                        PARTITION BY user_id, event_type, day
+                        ORDER BY tu DESC, event_id DESC) AS rn
+            FROM e) WHERE rn = 1),
+    a AS (SELECT user_id, event_type, day, value FROM (
+            SELECT *, row_number() OVER (
+                        PARTITION BY user_id, event_type, day
+                        ORDER BY tu DESC, event_id DESC) AS rn
+            FROM e WHERE tu <= (SELECT c FROM cut)) WHERE rn = 1),
+    cl AS (SELECT b.event_type,
+                  CASE WHEN a.user_id IS NULL THEN 'added'
+                       WHEN b.value <> a.value THEN 'changed'
+                       ELSE 'unchanged' END AS change_kind
+           FROM b LEFT JOIN a ON b.user_id = a.user_id
+                             AND b.event_type = a.event_type
+                             AND b.day = a.day)
+    SELECT event_type, change_kind, CAST(count(*) AS BIGINT) AS n_keys
+    FROM cl GROUP BY 1, 2
+    """,
+)
+def snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff the latest-value-per-(user, type)
+    state at the corpus midpoint vs at the end, classifying every current
+    key as added / changed / unchanged — the table-diff audit that
+    validates a CDC pipeline (cdc_upsert_latest builds the state; this
+    op verifies two builds against each other). Both as-of states come
+    from the SAME (user, type) window partitioning (one keyed exchange,
+    reused by the left join); the midpoint cut is (min+max)//2 on exact
+    epoch-µs BIGINTs. At 100 TB: state size is keys, not events, and the
+    diff join is co-partitioned on the state key."""
+    from windflow_spark.operators.timeutil import event_micros
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        event_micros(ev, "ts").alias("tu"),
+        F.floor(event_micros(ev, "ts") / F.lit(30 * US_DAY))
+        .cast("long")
+        .alias("day"),
+        "value",
+        "event_id",
+    )
+    cut_row = e.agg(
+        F.expr("(min(tu) + max(tu)) div 2").alias("c")
+    ).collect()[0]
+    cut = int(cut_row["c"])
+    wk = W.partitionBy("user_id", "event_type", "day").orderBy(
+        F.col("tu").desc(), F.col("event_id").desc()
+    )
+    b = (
+        e.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "day", "value")
+    )
+    a = (
+        e.filter(F.col("tu") <= cut)
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("a_uid"),
+            F.col("event_type").alias("a_et"),
+            F.col("day").alias("a_day"),
+            F.col("value").alias("a_value"),
+        )
+    )
+    cl = b.join(
+        a,
+        (F.col("user_id") == F.col("a_uid"))
+        & (F.col("event_type") == F.col("a_et"))
+        & (F.col("day") == F.col("a_day")),
+        "left",
+    ).select(
+        "event_type",
+        F.when(F.col("a_uid").isNull(), F.lit("added"))
+        .when(F.col("value") != F.col("a_value"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_kind"),
+    )
+    return cl.groupBy("event_type", "change_kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys")
+    )
+
+
+@register(
+    "event_path_trigrams",
+    """
+    WITH t AS (SELECT user_id, event_type AS e1,
+                      lead(event_type, 1) OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id) AS e2,
+                      lead(event_type, 2) OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id) AS e3
+               FROM events),
+    g AS (SELECT e1 || '>' || e2 || '>' || e3 AS path,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM t WHERE e3 IS NOT NULL GROUP BY 1)
+    SELECT path, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, path) AS BIGINT) AS rk
+    FROM g ORDER BY cnt DESC, path LIMIT 20
+    """,
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step behavioral paths (event-type trigrams per user
+    timeline, ts+event_id deterministic ordering) — the sequence-mining
+    step beyond markov_event_transitions' single-step matrix. One
+    user-keyed window exchange (both leads share it) + one path agg; the
+    global top-20 is a TakeOrdered. Trigram cardinality is bounded by
+    |event_type|^3, so the agg frame is tiny at any corpus size."""
+    from windflow_spark.operators.timeutil import event_micros
+
+    ev = _t(spark, sf_dir, "events")
+    wk = W.partitionBy("user_id").orderBy(
+        event_micros(ev, "ts"), F.col("event_id")
+    )
+    t = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(wk).alias("e2"),
+        F.lead("event_type", 2).over(wk).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    g = (
+        t.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    top = g.orderBy(F.col("cnt").desc(), "path").limit(20)
+    return top.select(
+        "path",
+        "cnt",
+        F.row_number()
+        .over(W.orderBy(F.col("cnt").desc(), "path"))
+        .cast("long")
+        .alias("rk"),
+    )
