@@ -90,6 +90,9 @@ SAMPLE = [
     "bm25_top_docs",                # token-ordered float fold (r6)
     "snapshot_diff_events",         # as-of windows + double equality (r6)
     "event_path_trigrams",          # lead chain tie-breaks (r6)
+    "sample_weighted_aes",          # md5-arrival ordering (r6)
+    "inverted_postings_topdf",      # posting-list sort + slice (r6)
+    "approx_overlap_event_users",   # sketch-bound booleans (r6)
 ]
 
 

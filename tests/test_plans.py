@@ -401,6 +401,16 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
                                       # join + final class agg
         "event_path_trigrams": 2,     # user window (both leads share it)
                                       # + path agg; top-20 is TakeOrdered
+        "sample_weighted_aes": 1,     # row-local arrival key + ONE
+                                      # per-stratum rank window
+        "inverted_postings_topdf": 4, # (tok,doc) distinct + df agg +
+                                      # broadcast term join + postings agg
+        "approx_overlap_event_users": 8,  # logical count over the shared
+                                      # distinct(t,u) lineage (exact self-
+                                      # join sides + sketch agg); runtime
+                                      # collapses via ReuseExchange, and
+                                      # the scale path is the sketch-only
+                                      # branch (types² frame)
     }
     over = {}
     for name, budget in budgets.items():

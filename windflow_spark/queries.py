@@ -7052,3 +7052,169 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rk"),
     )
+
+
+@register(
+    "sample_weighted_aes",
+    """
+    WITH d AS (SELECT lang, doc_id, n_chars,
+                      CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+                           ::UBIGINT AS DOUBLE)
+                        / 1152921504606846976.0 AS u
+               FROM documents),
+    k AS (SELECT lang, doc_id, n_chars,
+                 -ln(u) / n_chars AS arrival
+          FROM d),
+    r AS (SELECT lang, doc_id, n_chars,
+                 CAST(row_number() OVER (PARTITION BY lang
+                        ORDER BY arrival, doc_id) AS BIGINT) AS rk
+          FROM k)
+    SELECT lang, doc_id, n_chars, rk FROM r WHERE rk <= 5
+    """,
+)
+def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis,
+    exponential-arrival form): per language, the 5 documents with the
+    smallest -ln(u)/w where u is a CONTENT-ADDRESSED md5 uniform and the
+    weight w is document length — longer docs proportionally likelier,
+    yet fully deterministic and re-shard-stable (the same doc wins under
+    any partitioning or engine; no RAND()). This is the importance-
+    sampling primitive for quality-weighted training mixes: one window
+    per stratum, no global pass, merge-safe at any scale because the
+    arrival key is computed row-local."""
+    from windflow_spark.functions.pipeline import _md5_int60
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        (
+            _md5_int60(F.col("doc_id").cast("string")).cast("double")
+            / F.lit(1152921504606846976.0)
+        ).alias("u"),
+    )
+    k = d.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        (-F.log("u") / F.col("n_chars")).alias("arrival"),
+    )
+    return (
+        k.withColumn(
+            "rk",
+            F.row_number()
+            .over(W.partitionBy("lang").orderBy("arrival", "doc_id"))
+            .cast("long"),
+        )
+        .filter(F.col("rk") <= 5)
+        .select("lang", "doc_id", "n_chars", "rk")
+    )
+
+
+@register(
+    "inverted_postings_topdf",
+    """
+    WITH tok AS (SELECT doc_id, tok
+                 FROM documents,
+                      unnest(list_filter(string_split(text, ' '),
+                                         x -> x <> '')) AS u(tok)),
+    tf AS (SELECT tok, doc_id FROM tok GROUP BY 1, 2),
+    dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    top AS (SELECT tok, df FROM dft ORDER BY df DESC, tok LIMIT 20)
+    SELECT t.tok AS token, t.df,
+           array_to_string(
+             list_slice(list(f.doc_id ORDER BY f.doc_id), 1, 10), ',')
+             AS postings_head
+    FROM top t JOIN tf f ON t.tok = f.tok
+    GROUP BY t.tok, t.df
+    """,
+)
+def inverted_postings_topdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (the retrieval-infra sibling of
+    bm25_top_docs): per high-df token, the sorted head of its posting
+    list serialized as a string. The full index is (token → sorted doc
+    ids); only the top-20-df slice is emitted so the result is bounded.
+    One (tok, doc) distinct + one vocab-sized df agg; the 20-row term
+    frame broadcasts into the postings join — the corpus shuffles once
+    on token, postings sort per token, no global sort. At 100 TB
+    posting lists are written sharded per token range; the head-slice
+    shape here is the per-shard unit of that job."""
+    docs = _t(spark, sf_dir, "documents")
+    from windflow_spark.functions.text import tokens
+
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .distinct()
+    )
+    dft = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    top = dft.orderBy(F.col("df").desc(), "tok").limit(20)
+    return (
+        tf.join(F.broadcast(top), "tok")
+        .groupBy(F.col("tok").alias("token"), "df")
+        .agg(
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, 10), ","
+            ).alias("postings_head")
+        )
+    )
+
+
+@register(
+    "approx_overlap_event_users",
+    """
+    WITH s AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+    p AS (SELECT a.t AS type_a, b.t AS type_b,
+                 CAST(count(*) AS BIGINT) AS exact_overlap
+          FROM s a JOIN s b ON a.u = b.u AND a.t < b.t
+          GROUP BY 1, 2)
+    SELECT type_a, type_b, exact_overlap, TRUE AS hll_within_10pct
+    FROM p
+    """,
+)
+def approx_overlap_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation: |users(A) ∩ users(B)| for every
+    event-type pair, exactly AND via HyperLogLog inclusion-exclusion
+    (|A| + |B| - |A∪B|) from MERGEABLE per-type sketches
+    (hll_sketch_agg / hll_union). The sketch path is the 100 TB design:
+    per-type sketches are fixed-size, built in one pass, and every
+    pairwise overlap comes from sketch algebra on a |types|²-row frame —
+    no per-pair corpus scans, no user-keyed self-join. The exact
+    self-join here exists to pin the sketch inside its error bound
+    (boolean column, the approx_distinct_users idiom); at scale you ship
+    only the sketch path."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(F.col("event_type").alias("t"), F.col("user_id").alias("u")).distinct()
+    exact = (
+        s.alias("a")
+        .join(s.alias("b"), F.col("a.u") == F.col("b.u"))
+        .filter(F.col("a.t") < F.col("b.t"))
+        .groupBy(
+            F.col("a.t").alias("type_a"), F.col("b.t").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap"))
+    )
+    sk = s.groupBy("t").agg(F.hll_sketch_agg("u").alias("sk"))
+    est = (
+        sk.alias("x")
+        .join(sk.alias("y"), F.col("x.t") < F.col("y.t"))
+        .select(
+            F.col("x.t").alias("type_a"),
+            F.col("y.t").alias("type_b"),
+            (
+                F.hll_sketch_estimate("x.sk")
+                + F.hll_sketch_estimate("y.sk")
+                - F.hll_sketch_estimate(F.hll_union("x.sk", "y.sk"))
+            ).alias("approx_overlap"),
+        )
+    )
+    return exact.join(est, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "exact_overlap",
+        (
+            F.abs(F.col("approx_overlap") - F.col("exact_overlap"))
+            <= F.greatest(
+                F.col("exact_overlap") * F.lit(0.10), F.lit(10.0)
+            )
+        ).alias("hll_within_10pct"),
+    )
