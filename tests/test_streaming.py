@@ -1430,3 +1430,64 @@ def test_streaming_forward_fill_matches_batch_window(spark, tmp_path_factory):
             assert got[rid_] is None
         else:
             assert abs(got[rid_] - want) < 1e-9
+
+
+def test_streaming_weighted_sample_matches_batch(spark, tmp_path_factory):
+    """The A-ES reservoir is order-insensitive: documents split across two
+    micro-batches in a SHUFFLED order must yield exactly the batch
+    sample_weighted_aes rows (same arrival doubles — the key is computed
+    by the same JVM expression upstream on both paths)."""
+    import random
+    import time as _time
+
+    from windflow_spark.functions.pipeline import _md5_int60
+    from windflow_spark.queries import sample_weighted_aes
+    from windflow_spark.streaming import file_stream as _fs
+    from windflow_spark.streaming import (
+        streaming_weighted_sample,
+        to_memory_sink,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = {
+        (r.lang, r.doc_id, r.n_chars, r.rk)
+        for r in sample_weighted_aes(spark, sf_dir).collect()
+    }
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "lang", "doc_id", "n_chars"
+    )
+    rows = [(r.lang, r.doc_id, r.n_chars, False) for r in docs.collect()]
+    rng = random.Random(7)
+    rng.shuffle(rows)
+    schema = "lang string, doc_id long, n_chars long, is_eos boolean"
+    path = str(tmp_path_factory.mktemp("aes_src"))
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    _time.sleep(1.1)
+    langs = sorted({r[0] for r in rows})
+    spark.createDataFrame(
+        rows[half:] + [(lg, -1, 1, True) for lg in langs], schema
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    src_schema = spark.createDataFrame(rows[:1], schema).schema
+    stream = _fs(spark, path, src_schema, max_files_per_trigger=1)
+    keyed = stream.withColumn(
+        "arrival",
+        -F.log(
+            _md5_int60(F.col("doc_id").cast("string")).cast("double")
+            / F.lit(1152921504606846976.0)
+        )
+        / F.col("n_chars"),
+    )
+    out = streaming_weighted_sample(
+        keyed, "lang", "doc_id", "n_chars", "arrival", k=5, eos_col="is_eos"
+    )
+    name, _ = to_memory_sink(out, output_mode="append")
+    got = {
+        (r.lang, r.doc_id, r.n_chars, r.rk)
+        for r in spark.table(name).collect()
+    }
+    assert got == batch

@@ -32,6 +32,7 @@ from windflow_spark.streaming.ops import (
     streaming_heavy_hitters,
     streaming_rolling_zscore,
     streaming_segment_dedup,
+    streaming_weighted_sample,
 )
 from windflow_spark.streaming.sinks import (
     to_memory_sink,
@@ -84,6 +85,7 @@ __all__ = [
     "streaming_trending_counts",
     "streaming_funnel",
     "streaming_heavy_hitters",
+    "streaming_weighted_sample",
     "streaming_rolling_zscore",
     "streaming_segment_dedup",
 ]

@@ -1477,3 +1477,80 @@ def streaming_forward_fill(
     return df.groupBy(key_col).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    weight_col: str,
+    arrival_col: str,
+    k: int = 5,
+    eos_col: str | None = None,
+) -> DataFrame:
+    """Streaming weighted reservoir (Efraimidis–Spirakis): per key, keep
+    the ``k`` rows with the smallest ``arrival_col`` (= -ln(u)/w computed
+    UPSTREAM as a JVM column expression so batch and streaming fold the
+    exact same doubles), emit the ranked sample on EOS punctuation.
+
+    The batch sibling is queries.sample_weighted_aes. A-ES is the
+    mergeable-reservoir algorithm: the per-key state is exactly the k
+    best (arrival, id, weight) triples — CONSTANT state independent of
+    stream length, order-insensitive (any interleaving or lateness yields
+    the same sample, no watermark needed), and the EOS flush removes the
+    state entry. Reference sink-punctuation contract:
+    wf/basic.hpp EOS semantics; sampling itself is a Spark-first
+    extension (the training-mix primitive).
+    """
+    out_schema = (
+        f"{key_col} string, {id_col} long, {weight_col} long, rk long"
+    )
+    state_schema = "arr array<double>, ids array<long>, ws array<long>"
+
+    def fold(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        best: list[tuple] = []
+        if state.exists:
+            arr, ids, ws = state.get
+            best = list(zip(arr, ids, ws))
+        eos_seen = False
+        for pdf in pdfs:
+            if eos_col is not None:
+                flags = pdf[eos_col].fillna(False).to_numpy(dtype=bool)
+                eos_seen = eos_seen or bool(flags.any())
+                pdf = pdf[~flags]
+            for a, i, w in zip(
+                pdf[arrival_col].tolist(),
+                pdf[id_col].tolist(),
+                pdf[weight_col].tolist(),
+            ):
+                best.append((float(a), int(i), int(w)))
+        # k smallest by (arrival, id) — the batch window's exact ordering
+        best.sort(key=lambda t: (t[0], t[1]))
+        best = best[:k]
+        if eos_seen:
+            state.remove()  # constant-state op: no entry after EOS
+            out = pd.DataFrame(
+                [
+                    (key[0], i, w, rk + 1)
+                    for rk, (_, i, w) in enumerate(best)
+                ],
+                columns=[key_col, id_col, weight_col, "rk"],
+            )
+            yield out
+        else:
+            state.update(
+                (
+                    [a for a, _, _ in best],
+                    [i for _, i, _ in best],
+                    [w for _, _, w in best],
+                )
+            )
+            yield pd.DataFrame(
+                {c: [] for c in [key_col, id_col, weight_col, "rk"]}
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
