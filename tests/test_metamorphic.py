@@ -93,6 +93,7 @@ SAMPLE = [
     "sample_weighted_aes",          # md5-arrival ordering (r6)
     "inverted_postings_topdf",      # posting-list sort + slice (r6)
     "approx_overlap_event_users",   # sketch-bound booleans (r6)
+    "recsys_hitrate_at3",           # holdout-split eval counts (r6)
 ]
 
 

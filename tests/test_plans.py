@@ -132,6 +132,13 @@ _BNLJ_ALLOWED = {
     # one-row total-token-count frame broadcast onto the tf frame — the
     # tfidf_top_terms scalar-attach shape (avgdl denominator)
     "bm25_top_docs",
+    # three ONE-ROW eval-count frames combined by 1×1 crossJoins into the
+    # single report row (the graph_triangle_count shape)
+    "recsys_hitrate_at3",
+    # |types|-row sketch table self-paired on t<t — a bounded-frame
+    # nested loop BY DESIGN (sketch algebra runs on the tiny pair frame;
+    # the corpus-sized work is the one distinct+sketch pass)
+    "approx_overlap_event_users",
 }
 
 
@@ -411,6 +418,10 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
                                       # collapses via ReuseExchange, and
                                       # the scale path is the sketch-only
                                       # branch (types² frame)
+        "recsys_hitrate_at3": 23,     # logical count over the UNCACHED
+                                      # basket/model lineages; both are
+                                      # persisted at runtime (pagerank
+                                      # discipline), measured 6.5→2.4 s
     }
     over = {}
     for name, budget in budgets.items():

@@ -1,0 +1,108 @@
+"""Neighborhood recommender building blocks: capped customer baskets,
+item-item cosine similarity, and temporal-holdout evaluation.
+
+No reference analog — WindFlow stops at streaming operators; this is the
+batch rec-sys family a purchase/interaction corpus needs, built with the
+same width-cap discipline as functions/dedup's LSH bucket caps: every
+customer contributes at most ``basket_cap`` items, so the pair space is
+``C(cap, 2)`` per customer — LINEAR in customers at any catalog size, and
+every shuffle keys on customer or item.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def capped_baskets(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    basket_cap: int = 10,
+) -> DataFrame:
+    """(ck, pk): each customer's ``basket_cap`` most recently purchased
+    distinct parts (recency by max order date, deterministic pk
+    tie-break). One orderkey join + one (ck, pk) agg + one ck window."""
+    b0 = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk")
+        )
+        .agg(F.max("o_orderdate").alias("md"))
+    )
+    wb = W.partitionBy("ck").orderBy(F.col("md").desc(), F.col("pk"))
+    return (
+        b0.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= basket_cap)
+        .select("ck", "pk")
+    )
+
+
+def itemitem_topk(
+    baskets: DataFrame,
+    min_cooc: int = 2,
+    topk: int = 3,
+) -> DataFrame:
+    """Top-``topk`` most-similar items per item by co-occurrence cosine
+    over capped baskets: (item_a, item_b, cooc, cosine_sim, rk).
+
+    Per-item basket counts ride a window; pairs are generated IN-ROW from
+    the collected basket array (bounded by the cap), both directions
+    emitted at generation so the symmetric frame needs no union that
+    would re-derive the upstream chain twice. cosine = cooc/sqrt(n_a*n_b)
+    on exact BIGINTs."""
+    bn = baskets.withColumn(
+        "n", F.count(F.lit(1)).over(W.partitionBy("pk")).cast("long")
+    )
+    arrays = bn.groupBy("ck").agg(
+        F.array_sort(F.collect_list(F.struct("pk", "n"))).alias("items")
+    )
+
+    def _pair(x, nx, y, ny):
+        return F.struct(
+            x.alias("pa"), nx.alias("na"), y.alias("pb"), ny.alias("nb")
+        )
+
+    pairs = arrays.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("items"),
+                    lambda x, i: F.flatten(
+                        F.transform(
+                            F.slice(
+                                F.col("items"), i + 2, F.size(F.col("items"))
+                            ),
+                            lambda y: F.array(
+                                _pair(x["pk"], x["n"], y["pk"], y["n"]),
+                                _pair(y["pk"], y["n"], x["pk"], x["n"]),
+                            ),
+                        )
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.pa", "p.na", "p.pb", "p.nb")
+    sym = (
+        pairs.groupBy("pa", "na", "pb", "nb")
+        .agg(F.count(F.lit(1)).cast("long").alias("cooc"))
+        .filter(F.col("cooc") >= min_cooc)
+        .select(
+            F.col("pa").alias("item_a"),
+            F.col("pb").alias("item_b"),
+            "cooc",
+            F.round(
+                F.col("cooc")
+                / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    wr = W.partitionBy("item_a").orderBy(
+        F.col("cosine_sim").desc(), F.col("item_b")
+    )
+    return (
+        sym.withColumn("rk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rk") <= topk)
+        .select("item_a", "item_b", "cooc", "cosine_sim", "rk")
+    )

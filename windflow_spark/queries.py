@@ -6196,85 +6196,11 @@ def itemitem_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ 2 prunes noise pairs before the cosine; cosine = cooc/√(n_a·n_b)
     on exact BIGINTs. Everything shuffles on either custkey or item —
     co-partitioned joins at 100 TB."""
-    # Physical form: the oracle's self-join is replaced by per-customer
-    # pair GENERATION inside a collected ≤10-element basket array (the cap
-    # bounds the array), and the per-item basket counts ride along as a
-    # struct field attached by ONE window — so no frame is referenced
-    # twice (no lineage re-derivation, no count-attach joins): join →
-    # basket agg → recency window → count window → basket collect → pair
-    # explode → pair agg → rank. Values identical to the oracle SQL.
+    from windflow_spark.operators.recsys import capped_baskets, itemitem_topk
+
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    b0 = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy(
-            F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk")
-        )
-        .agg(F.max("o_orderdate").alias("md"))
-    )
-    wb = W.partitionBy("ck").orderBy(F.col("md").desc(), F.col("pk"))
-    b = (
-        b0.withColumn("rn", F.row_number().over(wb))
-        .filter(F.col("rn") <= 10)
-        .select("ck", "pk")
-    )
-    bn = b.withColumn(
-        "n", F.count(F.lit(1)).over(W.partitionBy("pk")).cast("long")
-    )
-    baskets = bn.groupBy("ck").agg(
-        F.array_sort(F.collect_list(F.struct("pk", "n"))).alias("items")
-    )
-    # both directions are emitted AT GENERATION (an unordered pair costs 2
-    # rows through one shuffle) so the symmetrized frame is built without
-    # a union that would re-derive the whole upstream chain twice
-    def _pair(x, nx, y, ny):
-        return F.struct(
-            x.alias("pa"), nx.alias("na"), y.alias("pb"), ny.alias("nb")
-        )
-
-    pairs = baskets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("items"),
-                    lambda x, i: F.flatten(
-                        F.transform(
-                            F.slice(
-                                F.col("items"), i + 2, F.size(F.col("items"))
-                            ),
-                            lambda y: F.array(
-                                _pair(x["pk"], x["n"], y["pk"], y["n"]),
-                                _pair(y["pk"], y["n"], x["pk"], x["n"]),
-                            ),
-                        )
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.pa", "p.na", "p.pb", "p.nb")
-    sym = (
-        pairs.groupBy("pa", "na", "pb", "nb")
-        .agg(F.count(F.lit(1)).cast("long").alias("cooc"))
-        .filter(F.col("cooc") >= 2)
-        .select(
-            F.col("pa").alias("item_a"),
-            F.col("pb").alias("item_b"),
-            "cooc",
-            F.round(
-                F.col("cooc")
-                / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
-                6,
-            ).alias("cosine_sim"),
-        )
-    )
-    wr = W.partitionBy("item_a").orderBy(
-        F.col("cosine_sim").desc(), F.col("item_b")
-    )
-    return (
-        sym.withColumn("rk", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rk") <= 3)
-        .select("item_a", "item_b", "cooc", "cosine_sim", "rk")
-    )
+    return itemitem_topk(capped_baskets(li, o, basket_cap=10), min_cooc=2, topk=3)
 
 
 @register(
@@ -7217,4 +7143,133 @@ def approx_overlap_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("exact_overlap") * F.lit(0.10), F.lit(10.0)
             )
         ).alias("hll_within_10pct"),
+    )
+
+
+@register(
+    "recsys_hitrate_at3",
+    """
+    WITH cut AS (SELECT (min(epoch_us(o_orderdate))
+                         + max(epoch_us(o_orderdate))) // 2 AS c
+                 FROM orders),
+    tro AS (SELECT * FROM orders
+            WHERE epoch_us(o_orderdate) <= (SELECT c FROM cut)),
+    teo AS (SELECT * FROM orders
+            WHERE epoch_us(o_orderdate) > (SELECT c FROM cut)),
+    b0 AS (SELECT o.o_custkey AS ck, l.l_partkey AS pk,
+                  max(o.o_orderdate) AS md
+           FROM lineitem l JOIN tro o ON l.l_orderkey = o.o_orderkey
+           GROUP BY 1, 2),
+    b AS (SELECT ck, pk FROM (
+            SELECT ck, pk, row_number() OVER (PARTITION BY ck
+                     ORDER BY md DESC, pk) AS rn
+            FROM b0) WHERE rn <= 10),
+    cnt AS (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY pk),
+    pr AS (SELECT a.pk AS pa, b2.pk AS pb, CAST(count(*) AS BIGINT) AS cooc
+           FROM b a JOIN b b2 ON a.ck = b2.ck AND a.pk < b2.pk
+           GROUP BY 1, 2
+           HAVING count(*) >= 2),
+    sym AS (SELECT pa AS item_a, pb AS item_b, cooc FROM pr
+            UNION ALL
+            SELECT pb, pa, cooc FROM pr),
+    sc AS (SELECT s.item_a, s.item_b,
+                  round(s.cooc / sqrt(ca.n * cb.n), 6) AS cosine_sim
+           FROM sym s JOIN cnt ca ON s.item_a = ca.pk
+                      JOIN cnt cb ON s.item_b = cb.pk),
+    model AS (SELECT item_a, item_b FROM (
+                SELECT *, row_number() OVER (PARTITION BY item_a
+                          ORDER BY cosine_sim DESC, item_b) AS rk
+                FROM sc) WHERE rk <= 3),
+    preds AS (SELECT DISTINCT b.ck, m.item_b AS pk
+              FROM b JOIN model m ON b.pk = m.item_a),
+    test AS (SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+             FROM lineitem l JOIN teo o ON l.l_orderkey = o.o_orderkey),
+    eval_u AS (SELECT DISTINCT t.ck FROM test t
+               WHERE t.ck IN (SELECT ck FROM b)),
+    hit_u AS (SELECT DISTINCT t.ck FROM test t
+              JOIN preds p ON t.ck = p.ck AND t.pk = p.pk)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM eval_u) AS n_eval_users,
+           (SELECT CAST(count(*) AS BIGINT) FROM hit_u) AS n_hit_users,
+           (SELECT count(*) FROM hit_u)
+             / CAST((SELECT count(*) FROM eval_u) AS DOUBLE) AS hit_rate,
+           (SELECT CAST(count(DISTINCT item_b) AS BIGINT) FROM model)
+             AS n_distinct_recommended
+    """,
+)
+def recsys_hitrate_at3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-holdout evaluation of the item-item recommender — the
+    measured-quality artifact for the recsys family, exactly as
+    sim_*_recall measures the ANN family. Orders are split at the exact
+    midpoint order-date (epoch-µs BIGINT midpoint, no sampling); the
+    itemitem model trains on the PAST half only; a held-out user scores a
+    hit when any future purchase appears among the top-3 neighbors of
+    their train basket. Output: eval/hit user counts, hit rate (one
+    BIGINT division — bit-identical), and distinct recommended items
+    (catalog coverage). Same capped-basket scale shape as the model
+    itself; evaluation adds only co-partitioned (ck, pk) joins."""
+    from windflow_spark.operators.recsys import capped_baskets, itemitem_topk
+    from windflow_spark.operators.timeutil import event_micros
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ou = o.withColumn("_ou", event_micros(o, "o_orderdate"))
+    cut = int(
+        ou.agg(F.expr("(min(_ou) + max(_ou)) div 2").alias("c")).collect()[0][
+            "c"
+        ]
+    )
+    tro = ou.filter(F.col("_ou") <= cut).drop("_ou")
+    teo = ou.filter(F.col("_ou") > cut).drop("_ou")
+    # the basket and model frames are each read 2-3x downstream (model
+    # build, prediction join, eval cohort) -- persist at cluster
+    # parallelism so the capped-basket chain runs once (the pagerank /
+    # triangle_count iterative-reference discipline)
+    p = spark.sparkContext.defaultParallelism
+    b = capped_baskets(li, tro, basket_cap=10).repartition(p, "ck").persist()
+    model = (
+        itemitem_topk(b, min_cooc=2, topk=3)
+        .select("item_a", "item_b")
+        .persist()
+    )
+    preds = (
+        b.join(model, b.pk == model.item_a)
+        .select("ck", F.col("item_b").alias("ppk"))
+        .distinct()
+    )
+    test = (
+        li.join(teo, li.l_orderkey == teo.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    eval_u = test.join(b.select("ck").distinct(), "ck", "left_semi").select(
+        "ck"
+    ).distinct()
+    hit_u = (
+        test.join(
+            preds,
+            (test.ck == preds.ck) & (test.pk == preds.ppk),
+            "left_semi",
+        )
+        .select("ck")
+        .distinct()
+    )
+    s_e = eval_u.agg(F.count(F.lit(1)).cast("long").alias("n_eval_users"))
+    s_h = hit_u.agg(F.count(F.lit(1)).cast("long").alias("n_hit_users"))
+    s_m = model.agg(
+        F.count_distinct("item_b").cast("long").alias("n_distinct_recommended")
+    )
+    return (
+        s_e.crossJoin(s_h)
+        .crossJoin(s_m)
+        .select(
+            "n_eval_users",
+            "n_hit_users",
+            (
+                F.col("n_hit_users")
+                / F.col("n_eval_users").cast("double")
+            ).alias("hit_rate"),
+            "n_distinct_recommended",
+        )
     )
