@@ -94,6 +94,10 @@ SAMPLE = [
     "inverted_postings_topdf",      # posting-list sort + slice (r6)
     "approx_overlap_event_users",   # sketch-bound booleans (r6)
     "recsys_hitrate_at3",           # holdout-split eval counts (r6)
+    "ts_holt_linear",               # level+trend sequential fold (r6)
+    "cms_heavy_tokens",             # commutative sketch sums + top-20 (r6)
+    "split_group_holdout",          # group-hash stamp inheritance (r6)
+    "split_temporal_embargo",       # data-derived cutoff scalar (r6)
 ]
 
 

@@ -139,6 +139,9 @@ _BNLJ_ALLOWED = {
     # nested loop BY DESIGN (sketch algebra runs on the tiny pair frame;
     # the corpus-sized work is the one distinct+sketch pass)
     "approx_overlap_event_users",
+    # one-row max-day cutoff broadcast onto the event scan — the
+    # scalar-attach plan for the embargo boundary
+    "split_temporal_embargo",
 }
 
 
@@ -426,6 +429,17 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
                                       # basket/model lineages; both are
                                       # persisted at runtime (pagerank
                                       # discipline), measured 6.5→2.4 s
+        "ts_holt_linear": 2,          # bucket agg + per-key fold (the
+                                      # ts_ewma_daily shape)
+        "cms_heavy_tokens": 3,        # token agg + sketch-counter agg
+                                      # (over the REDUCED frame) + probe
+                                      # agg; sketch rides a broadcast,
+                                      # top-20 is TakeOrdered
+        "split_group_holdout": 2,     # customer-stamp agg + orders join/
+                                      # agg; 2-row split join broadcasts
+        "split_temporal_embargo": 2,  # split agg + distinct-user agg;
+                                      # the max-day cutoff is a one-row
+                                      # broadcast scalar
     }
     over = {}
     for name, budget in budgets.items():

@@ -938,3 +938,71 @@ def bm25_top_docs(
             .cast("long"),
         )
     )
+
+
+def cms_token_estimates(
+    docs: DataFrame,
+    depth: int = 3,
+    width: int = 1024,
+    top_n: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-Min Sketch over the corpus token stream, reported as the CMS
+    estimate vs the true count for the top-N tokens — the second classic
+    mergeable heavy-hitter summary next to Misra-Gries
+    (misra_gries_summary), trading MG's deterministic support bound for
+    CMS's point-query estimates with one-sided error (est >= true,
+    always; the overestimate column is the audit).
+
+    Scale shape: token counts reduce with one keyed exchange (map-side
+    partial agg); the sketch itself is built from the REDUCED (token,
+    cnt) frame — depth x width integer counters (a few thousand rows), a
+    second tiny keyed sum whose result is independent of partitioning
+    because counter updates are commutative integer adds. Candidate
+    estimates probe the sketch via a broadcast-joinable (row, idx) key.
+    The md5-derived row hashes make the sketch bit-identical on any
+    engine, so the oracle recomputes the full sketch exactly in SQL.
+    """
+    tok_counts = (
+        docs.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+    def _idx(row: int, tok_col) -> Column:
+        h = F.md5(F.concat(F.lit(str(row)), F.lit("|"), tok_col))
+        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width).cast(
+            "long"
+        )
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("r"), _idx(r, F.col("tok")).alias("idx")
+            )
+            for r in range(depth)
+        ]
+    )
+    sketch = (
+        tok_counts.select(F.explode(rows).alias("_h"), "cnt")
+        .groupBy(F.col("_h.r").alias("r"), F.col("_h.idx").alias("idx"))
+        .agg(F.sum("cnt").alias("counter"))
+    )
+    cand = tok_counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(top_n)
+    probes = cand.select("tok", "cnt", F.explode(rows).alias("_h")).select(
+        "tok", "cnt", F.col("_h.r").alias("r"), F.col("_h.idx").alias("idx")
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "idx"])
+        .groupBy("tok")
+        .agg(
+            F.first("cnt").alias("true_cnt"),
+            F.min("counter").cast("long").alias("cms_est"),
+        )
+    )
+    return est.select(
+        "tok",
+        "true_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("true_cnt")).cast("long").alias("overestimate"),
+    )

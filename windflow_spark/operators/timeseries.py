@@ -348,3 +348,84 @@ def mad_anomaly(
         mz.alias("mod_z"),
         F.coalesce(F.abs(mz) > F.lit(threshold), F.lit(False)).alias("is_anomaly"),
     )
+
+
+def holt_smooth(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Holt double-exponential (level + trend) smoothing of per-bucket
+    event counts, with the one-step-ahead forecast — EWMA's sibling for
+    trending series (no reference analog; WindFlow would express it as a
+    keyed rolling Reduce, wf/basic_operators.hpp).
+
+    Recurrence (t >= 2, init l_1 = x_1, b_1 = 0):
+      ``l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})``
+      ``b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}``
+      ``forecast_t = l_t + b_t``  (next-bucket prediction)
+
+    Scale shape: identical to ewma_smooth — one keyed exchange for the
+    bucket aggregation, then a strict left-to-right JVM-side fold
+    (``F.aggregate``) over each key's sorted bucket series; per-key state
+    is the timeline length in buckets. Dyadic alpha/beta keep every
+    coefficient an exact double on both engines, so the recursive-CTE
+    oracle reproduces the float sequence bit-exactly.
+    """
+    from windflow_spark.operators.timeutil import event_micros
+
+    keys = list(key_cols)
+    bidx = F.floor(event_micros(df, ts_col) / F.lit(bucket_us)).cast("long")
+    bucketed = (
+        df.withColumn("_bidx", bidx)
+        .groupBy(*keys, "_bidx")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    lst = F.sort_array(
+        F.collect_list(F.struct(F.col("_bidx").alias("b"), F.col("cnt").alias("c")))
+    )
+    zero = F.struct(
+        F.expr(
+            "CAST(array() AS array<struct<b:bigint,c:bigint,l:double,t:double>>)"
+        ).alias("arr"),
+        F.lit(None).cast("double").alias("lvl"),
+        F.lit(None).cast("double").alias("trd"),
+    )
+
+    def _step(acc, x):
+        first = acc["lvl"].isNull()
+        new_l = F.when(first, x["c"].cast("double")).otherwise(
+            F.lit(alpha) * x["c"]
+            + F.lit(1.0 - alpha) * (acc["lvl"] + acc["trd"])
+        )
+        new_t = F.when(first, F.lit(0.0)).otherwise(
+            F.lit(beta) * (new_l - acc["lvl"]) + F.lit(1.0 - beta) * acc["trd"]
+        )
+        return F.struct(
+            F.concat(
+                acc["arr"],
+                F.array(
+                    F.struct(
+                        x["b"].alias("b"),
+                        x["c"].alias("c"),
+                        new_l.alias("l"),
+                        new_t.alias("t"),
+                    )
+                ),
+            ).alias("arr"),
+            new_l.alias("lvl"),
+            new_t.alias("trd"),
+        )
+
+    folded = bucketed.groupBy(*keys).agg(F.aggregate(lst, zero, _step).alias("_r"))
+    return folded.select(*keys, F.explode(F.col("_r.arr")).alias("_x")).select(
+        *keys,
+        F.timestamp_micros(F.col("_x.b") * F.lit(bucket_us)).alias("bucket_start"),
+        F.col("_x.c").alias("cnt"),
+        F.round(F.col("_x.l"), 6).alias("level"),
+        F.round(F.col("_x.t"), 6).alias("trend"),
+        F.round(F.col("_x.l") + F.col("_x.t"), 6).alias("forecast_next"),
+    )

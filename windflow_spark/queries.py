@@ -7273,3 +7273,200 @@ def recsys_hitrate_at3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct_recommended",
         )
     )
+
+
+@register(
+    "ts_holt_linear",
+    f"""
+    WITH RECURSIVE c AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // {US_DAY} AS BIGINT) AS bidx,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, bidx, cnt,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                                         ORDER BY bidx) AS BIGINT) AS rn
+          FROM c),
+    h AS (
+      SELECT event_type, bidx, cnt, rn,
+             CAST(cnt AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS t
+      FROM r WHERE rn = 1
+      UNION ALL
+      SELECT r.event_type, r.bidx, r.cnt, r.rn,
+             CAST(0.5 AS DOUBLE) * r.cnt + CAST(0.5 AS DOUBLE) * (h.l + h.t),
+             CAST(0.25 AS DOUBLE)
+               * ((CAST(0.5 AS DOUBLE) * r.cnt
+                   + CAST(0.5 AS DOUBLE) * (h.l + h.t)) - h.l)
+               + CAST(0.75 AS DOUBLE) * h.t
+      FROM r JOIN h ON r.event_type = h.event_type AND r.rn = h.rn + 1)
+    SELECT event_type, make_timestamp(bidx * {US_DAY}) AS bucket_start, cnt,
+           round(l, 6) AS level, round(t, 6) AS trend,
+           round(l + t, 6) AS forecast_next
+    FROM h
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, alpha=0.5,
+    beta=0.25 — dyadic, exact doubles on both engines) of daily event
+    counts per type, with the one-step-ahead forecast column. The
+    recurrence folds JVM-side over each key's sorted bucket series
+    (operators/timeseries.holt_smooth); the oracle is the equivalent
+    recursive CTE running the identical left-to-right float sequence."""
+    from windflow_spark.operators.timeseries import holt_smooth
+
+    return holt_smooth(
+        _t(spark, sf_dir, "events"),
+        ["event_type"],
+        "ts",
+        alpha=0.5,
+        beta=0.25,
+        bucket_us=US_DAY,
+    )
+
+
+@register(
+    "cms_heavy_tokens",
+    """
+    WITH tc AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        FROM documents) GROUP BY tok),
+    hx AS (
+      SELECT tok, cnt, r,
+             CAST(('0x' || substr(md5(r::VARCHAR || '|' || tok), 1, 8))::UBIGINT
+                  % 1024 AS BIGINT) AS idx
+      FROM tc CROSS JOIN range(3) t(r)),
+    sk AS (SELECT r, idx, SUM(cnt) AS counter FROM hx GROUP BY r, idx),
+    cand AS (SELECT tok, cnt FROM tc ORDER BY cnt DESC, tok ASC LIMIT 20),
+    est AS (
+      SELECT c.tok, min(c.cnt) AS true_cnt,
+             CAST(min(s.counter) AS BIGINT) AS cms_est
+      FROM cand c
+      JOIN hx h ON h.tok = c.tok
+      JOIN sk s ON s.r = h.r AND s.idx = h.idx
+      GROUP BY c.tok)
+    SELECT tok, true_cnt, cms_est,
+           CAST(cms_est - true_cnt AS BIGINT) AS overestimate
+    FROM est
+    """,
+)
+def cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch (depth 3 x width 1024, md5 row hashes) over the
+    corpus token stream: CMS estimate vs true count for the top-20
+    tokens, with the one-sided overestimate as the audit column. The
+    sketch is built from the REDUCED token-count frame and is a
+    commutative integer sum — bit-identical under any partitioning and
+    engine, so the oracle recomputes the full sketch in SQL."""
+    from windflow_spark.functions.pipeline import cms_token_estimates
+
+    return cms_token_estimates(
+        _t_wide(spark, sf_dir, "documents"), depth=3, width=1024, top_n=20
+    )
+
+
+@register(
+    "split_group_holdout",
+    """
+    WITH cs AS (
+      SELECT c_custkey,
+             CASE WHEN ('0x' || substr(md5(c_custkey::VARCHAR), 1, 8))::UBIGINT
+                       % 5 < 4
+                  THEN 'train' ELSE 'holdout' END AS split
+      FROM customer),
+    cn AS (SELECT split, CAST(count(*) AS BIGINT) AS n_customers
+           FROM cs GROUP BY split),
+    os AS (SELECT cs.split, CAST(count(*) AS BIGINT) AS n_orders,
+                  round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE
+                    AS sum_price
+           FROM orders o JOIN cs ON o.o_custkey = cs.c_custkey
+           GROUP BY cs.split)
+    SELECT cn.split, n_customers, n_orders, sum_price
+    FROM cn JOIN os USING (split)
+    """,
+)
+def split_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-integrity (leakage-safe) train/holdout split: the md5 hash
+    bucket is taken on the CUSTOMER key, and every order inherits its
+    customer's split — no entity ever spans splits, the property that
+    per-row random splits violate and that leaks future behavior of a
+    training-set user into evaluation. 80/20 by exact integer bucket,
+    reproducible on any engine/partitioning. Output: per-split customer
+    count, order count, and exact decimal-summed revenue."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 5
+    )
+    cs = c.select(
+        "c_custkey",
+        F.when(bucket < 4, "train").otherwise("holdout").alias("split"),
+    )
+    cn = cs.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    os_ = (
+        o.join(cs, o.o_custkey == cs.c_custkey)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )
+    return cn.join(os_, "split").select(
+        "split", "n_customers", "n_orders", "sum_price"
+    )
+
+
+@register(
+    "split_temporal_embargo",
+    f"""
+    WITH b AS (
+      SELECT user_id, CAST(epoch_us(ts) // {US_DAY} AS BIGINT) AS bidx
+      FROM events),
+    mx AS (SELECT max(bidx) AS maxb FROM b),
+    s AS (SELECT user_id, bidx,
+                 CASE WHEN bidx <= maxb - 9 THEN 'train'
+                      WHEN bidx > maxb - 7 THEN 'test' END AS split
+          FROM b CROSS JOIN mx)
+    SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           make_timestamp(min(bidx) * {US_DAY}) AS first_bucket,
+           make_timestamp(max(bidx) * {US_DAY}) AS last_bucket
+    FROM s WHERE split IS NOT NULL GROUP BY split
+    """,
+)
+def split_temporal_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe temporal split with an embargo gap: train = all events
+    up to T-9 days (T = corpus max day), test = the final 7 days, and
+    the 2-day embargo window between them is DROPPED — the standard
+    guard against look-ahead leakage through windowed/rolling features
+    that straddle the boundary (a train row's 2-day feature window can
+    never touch a test row). The cutoff derives from the data's max
+    bucket (one-row broadcast scalar, no collect); per-split event/user
+    counts and bucket span are the auditable artifact."""
+    from windflow_spark.operators.timeutil import event_micros
+
+    e = _t(spark, sf_dir, "events")
+    b = e.select(
+        "user_id",
+        F.floor(event_micros(e, "ts") / F.lit(US_DAY)).cast("long").alias("bidx"),
+    )
+    mx = b.agg(F.max("bidx").alias("maxb"))
+    s = b.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        "bidx",
+        F.when(F.col("bidx") <= F.col("maxb") - 9, "train")
+        .when(F.col("bidx") > F.col("maxb") - 7, "test")
+        .alias("split"),
+    )
+    return (
+        s.where(F.col("split").isNotNull())
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+            F.timestamp_micros(F.min("bidx") * F.lit(US_DAY)).alias("first_bucket"),
+            F.timestamp_micros(F.max("bidx") * F.lit(US_DAY)).alias("last_bucket"),
+        )
+    )
