@@ -98,6 +98,9 @@ SAMPLE = [
     "cms_heavy_tokens",             # commutative sketch sums + top-20 (r6)
     "split_group_holdout",          # group-hash stamp inheritance (r6)
     "split_temporal_embargo",       # data-derived cutoff scalar (r6)
+    "sim_hard_negatives",           # label-filtered cosine ranking (r6)
+    "cluster_label_purity",         # majority-label tie-breaks (r6)
+    "negative_sampling_pairs",      # md5 candidate gen + anti-join (r6)
 ]
 
 

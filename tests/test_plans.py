@@ -142,6 +142,14 @@ _BNLJ_ALLOWED = {
     # one-row max-day cutoff broadcast onto the event scan — the
     # scalar-attach plan for the embargo boundary
     "split_temporal_embargo",
+    # bounded query side broadcast — the sim_topk_bruteforce contract
+    # with the label-mismatch predicate folded into the join
+    "sim_hard_negatives",
+    # k-row codebook broadcast (Lloyd assignment), as cluster_embeddings
+    "cluster_label_purity",
+    # one-row max-partkey scalar broadcast onto the customer frame +
+    # one-row count frames crossJoined into the single audit row
+    "negative_sampling_pairs",
 }
 
 
@@ -440,6 +448,16 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
         "split_temporal_embargo": 2,  # split agg + distinct-user agg;
                                       # the max-day cutoff is a one-row
                                       # broadcast scalar
+        "sim_hard_negatives": 1,      # one rank window after the bounded
+                                      # query-side broadcast (brute-force
+                                      # contract)
+        "cluster_label_purity": 6,    # Lloyd trainings (memoized at run
+                                      # time) + assignment rank + the two
+                                      # tiny label aggs
+        "negative_sampling_pairs": 6, # (ck,pk) distinct + ck distinct +
+                                      # candidate anti-join + the one-row
+                                      # count aggs; maxp is a broadcast
+                                      # scalar
     }
     over = {}
     for name, budget in budgets.items():

@@ -895,3 +895,71 @@ def pq_topk(
     return adc.withColumn(
         "rk", F.row_number().over(wq).cast("long")
     ).filter(F.col("rk") <= k)
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    max_query_rows: int | None = 10_000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the top-k
+    most-similar corpus vectors whose LABEL DIFFERS from the query's —
+    the negatives that sit closest to the decision boundary and carry the
+    most gradient signal (random negatives are trivially separable).
+
+    Same contract and plan as brute_force_topk (bounded query side
+    broadcast, O(corpus x queries) dot products, probe-enforced); at
+    corpus scale route candidate generation through the IVF/LSH paths and
+    apply the label-mismatch filter on the bucket-join output — the
+    filter composes with any candidate generator because it is a plain
+    predicate on the scored pairs.
+
+    Output: (query_id, query_label, vec_id, neg_label, cos_sim rounded
+    6dp, rk) — ties broken by vec_id for determinism.
+    """
+    if max_query_rows is not None:
+        probe = queries.limit(max_query_rows + 1).count()
+        if probe > max_query_rows:
+            raise ValueError(
+                f"hard_negative_topk: query side exceeds max_query_rows="
+                f"{max_query_rows}; use the IVF/LSH candidate paths with a "
+                "label-mismatch filter for corpus-scale query sets."
+            )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(label_col).cast("long").alias("_cl"),
+        as_double_array(vec_col).alias("_cv"),
+    ).withColumn("_cn", _norm(F.col("_cv")))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(label_col).cast("long").alias("_ql"),
+        as_double_array(vec_col).alias("_qv"),
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    scored = c.join(
+        F.broadcast(q),
+        (F.col(id_col) != F.col(query_id_col)) & (F.col("_cl") != F.col("_ql")),
+    ).withColumn(
+        "cos_sim",
+        F.round(
+            cosine_prenorm(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
+            6,
+        ),
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(
+            query_id_col,
+            F.col("_ql").alias("query_label"),
+            id_col,
+            F.col("_cl").alias("neg_label"),
+            "cos_sim",
+            "rk",
+        )
+    )

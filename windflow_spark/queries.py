@@ -7470,3 +7470,203 @@ def split_temporal_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.timestamp_micros(F.max("bidx") * F.lit(US_DAY)).alias("last_bucket"),
         )
     )
+
+
+@register(
+    "sim_hard_negatives",
+    """
+    WITH q AS (SELECT vec_id AS query_id, label AS ql,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, label AS cl, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    s AS (SELECT q.query_id, CAST(q.ql AS BIGINT) AS query_label,
+                 c.vec_id, CAST(c.cl AS BIGINT) AS neg_label,
+                 round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+          FROM c JOIN q ON c.vec_id <> q.query_id AND c.cl <> q.ql),
+    r AS (SELECT query_id, query_label, vec_id, neg_label, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, vec_id) AS rk
+          FROM s)
+    SELECT query_id, query_label, vec_id, neg_label, cos_sim,
+           CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 3
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: per query vector, the top-3 most-similar
+    corpus vectors with a DIFFERENT label — the contrastive-training
+    negatives that carry the most gradient signal. Brute-force contract
+    on the bounded query side (sim_topk_bruteforce's plan); the label
+    filter composes with the IVF/LSH candidate paths at corpus scale."""
+    from windflow_spark.functions.similarity import hard_negative_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return hard_negative_topk(emb, queries_df, k=3)
+
+
+@register(
+    "cluster_label_purity",
+    f"""
+    WITH {_KMEANS_TRAIN_CTES},
+    {_km_assign_cte("af", "c2")},
+    al AS (SELECT af.vec_id, af.bkt, emb.label
+           FROM af JOIN embeddings emb USING (vec_id)),
+    lc AS (SELECT bkt, label, CAST(count(*) AS BIGINT) AS n
+           FROM al GROUP BY bkt, label),
+    mj AS (SELECT bkt, CAST(label AS BIGINT) AS majority_label,
+                  n AS n_majority,
+                  row_number() OVER (PARTITION BY bkt
+                                     ORDER BY n DESC, label) AS mrk
+           FROM lc),
+    tot AS (SELECT bkt, CAST(sum(n) AS BIGINT) AS n_members,
+                   CAST(count(*) AS BIGINT) AS n_labels
+            FROM lc GROUP BY bkt)
+    SELECT t.bkt AS cluster_id, t.n_members, t.n_labels,
+           m.majority_label, m.n_majority,
+           round(CAST(m.n_majority AS DOUBLE) / t.n_members, 6) AS purity
+    FROM tot t JOIN mj m ON m.bkt = t.bkt AND m.mrk = 1
+    """,
+)
+def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-vs-label alignment audit over the trained k-means codebook:
+    per learned cluster, the member count, number of distinct labels, the
+    majority label (count-desc, label-asc tie-break), and purity =
+    majority share — the unsupervised-clustering quality readout when a
+    ground-truth label exists. Reuses the memoized train_codebook (no
+    retraining); one assignment pass + two tiny label aggs."""
+    from windflow_spark.functions.similarity import (
+        _assign_nearest_list,
+        train_codebook,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = train_codebook(emb, cache_key=sf_dir, n_lists=8, iters=2)
+    assigned = _assign_nearest_list(emb, cb, "vec_id").join(
+        emb.select("vec_id", F.col("label").cast("long").alias("label")),
+        "vec_id",
+    )
+    lc = assigned.groupBy(F.col("_bkt").alias("cluster_id"), "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wm = W.partitionBy("cluster_id").orderBy(F.desc("n"), F.asc("label"))
+    mj = (
+        lc.withColumn("mrk", F.row_number().over(wm))
+        .filter(F.col("mrk") == 1)
+        .select(
+            "cluster_id",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+        )
+    )
+    tot = lc.groupBy("cluster_id").agg(
+        F.sum("n").cast("long").alias("n_members"),
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+    )
+    return tot.join(mj, "cluster_id").select(
+        "cluster_id",
+        "n_members",
+        "n_labels",
+        "majority_label",
+        "n_majority",
+        F.round(F.col("n_majority").cast("double") / F.col("n_members"), 6).alias(
+            "purity"
+        ),
+    )
+
+
+@register(
+    "negative_sampling_pairs",
+    """
+    WITH pos AS (SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+                 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    cu AS (SELECT DISTINCT ck FROM pos),
+    mx AS (SELECT max(p_partkey) AS maxp FROM part),
+    cand AS (SELECT ck,
+                    CAST(('0x' || substr(md5(ck::VARCHAR || '|' || r::VARCHAR),
+                          1, 8))::UBIGINT::BIGINT % maxp AS BIGINT) + 1 AS cand_pk
+             FROM cu CROSS JOIN range(3) t(r) CROSS JOIN mx),
+    neg AS (SELECT c.ck, c.cand_pk FROM cand c
+            WHERE NOT EXISTS (SELECT 1 FROM pos p
+                              WHERE p.ck = c.ck AND p.pk = c.cand_pk))
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM pos) AS n_pos_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM cu) AS n_customers,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM neg) AS n_negatives,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand)
+             - (SELECT CAST(count(*) AS BIGINT) FROM neg) AS n_collisions
+    """,
+)
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training:
+    3 md5-derived candidate parts per purchasing customer, drawn from the
+    full part-id range (max p_partkey rides as a one-row broadcast
+    scalar), with true positives removed by an anti-join on the exact
+    (customer, part) pair — the standard recsys/contrastive negative
+    generator, reproducible on any engine/partitioning (no RAND()).
+    Output: one audit row (positives, customers, candidates, surviving
+    negatives, positive-collisions removed)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    pos = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    cu = pos.select("ck").distinct()
+    mx = p.agg(F.max("p_partkey").alias("maxp"))
+    cand = (
+        cu.crossJoin(F.broadcast(mx))
+        .select(
+            "ck",
+            F.explode(F.array(*[F.lit(str(r)) for r in range(3)])).alias("r"),
+            "maxp",
+        )
+        .select(
+            "ck",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("ck").cast("string"), F.lit("|"), F.col("r")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("maxp")
+                + 1
+            ).alias("cand_pk"),
+        )
+    )
+    neg = cand.join(
+        pos,
+        (cand.ck == pos.ck) & (cand.cand_pk == pos.pk),
+        "left_anti",
+    )
+    s_pos = pos.agg(F.count(F.lit(1)).cast("long").alias("n_pos_pairs"))
+    s_cu = cu.agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    s_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    s_neg = neg.agg(F.count(F.lit(1)).cast("long").alias("n_negatives"))
+    return (
+        s_pos.crossJoin(s_cu)
+        .crossJoin(s_cand)
+        .crossJoin(s_neg)
+        .select(
+            "n_pos_pairs",
+            "n_customers",
+            "n_candidates",
+            "n_negatives",
+            (F.col("n_candidates") - F.col("n_negatives"))
+            .cast("long")
+            .alias("n_collisions"),
+        )
+    )
