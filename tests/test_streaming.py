@@ -1491,3 +1491,71 @@ def test_streaming_weighted_sample_matches_batch(spark, tmp_path_factory):
         for r in spark.table(name).collect()
     }
     assert got == batch
+
+
+def test_streaming_holt_matches_batch(spark, tmp_path_factory):
+    """Per-key Holt level+trend across two time-ordered micro-batches +
+    an EOS flush file: emitted (bucket, cnt, level, trend, forecast) rows
+    must equal the batch holt_smooth frame bit-for-bit (identical IEEE
+    sequence, HALF_UP emission rounding on both forms)."""
+    import random
+    import time as _time
+
+    from windflow_spark.operators.timeseries import holt_smooth
+    from windflow_spark.streaming import (
+        file_stream as _fs,
+        streaming_holt,
+        to_memory_sink,
+    )
+
+    BUCKET = 50
+    rng = random.Random(17)
+    rows = []
+    for k in ("a", "b", "c"):
+        t = rng.randint(0, 60)
+        for _ in range(rng.randint(8, 30)):
+            rows.append((k, t, False))
+            t += rng.randint(1, 120)  # some buckets skipped -> gap semantics
+    schema = "k string, us long, eos boolean"
+    data = spark.createDataFrame(rows, schema)
+    batch = holt_smooth(
+        data.select("k", F.timestamp_micros("us").alias("ts")),
+        ["k"],
+        "ts",
+        alpha=0.5,
+        beta=0.25,
+        bucket_us=BUCKET,
+    )
+    expect = sorted(
+        (
+            r.k,
+            int(r.bucket_start.timestamp() * 1_000_000),
+            r.cnt,
+            r.level,
+            r.trend,
+            r.forecast_next,
+        )
+        for r in batch.collect()
+    )
+
+    path = str(tmp_path_factory.mktemp("holt_src"))
+    mid = 500
+    spark.createDataFrame([r for r in rows if r[1] <= mid], schema).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    spark.createDataFrame([r for r in rows if r[1] > mid], schema).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    eos = [(k, 10**9, True) for k in ("a", "b", "c")]
+    spark.createDataFrame(eos, schema).coalesce(1).write.mode("append").parquet(path)
+
+    stream = _fs(spark, path, data.schema, max_files_per_trigger=1)
+    out = streaming_holt(stream, "k", BUCKET, alpha=0.5, beta=0.25, eos_col="eos")
+    name, _ = to_memory_sink(out, output_mode="append")
+    got = sorted(
+        (r.k, r.bucket, r.cnt, r.level, r.trend, r.forecast_next)
+        for r in spark.table(name).collect()
+    )
+    assert got == expect and len(expect) > 10

@@ -23,6 +23,7 @@ from windflow_spark.streaming.ops import (
     streaming_kslack,
     streaming_cohort_retention,
     streaming_ewma,
+    streaming_holt,
     streaming_ohlc,
     streaming_transitions,
     streaming_forward_fill,
@@ -78,6 +79,7 @@ __all__ = [
     "streaming_kslack",
     "streaming_cohort_retention",
     "streaming_ewma",
+    "streaming_holt",
     "streaming_ohlc",
     "streaming_transitions",
     "streaming_forward_fill",

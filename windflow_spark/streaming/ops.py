@@ -1188,6 +1188,106 @@ def streaming_ewma(
     )
 
 
+def streaming_holt(
+    df: DataFrame,
+    key_col: str,
+    bucket_us: int,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    us_col: str = "us",
+    eos_col: str | None = None,
+) -> DataFrame:
+    """Holt level+trend smoothing over bucketed counts, STREAMING form —
+    the incremental sibling of operators.timeseries.holt_smooth (the
+    streaming_ewma pattern with a two-double recurrence). Per key,
+    GroupState holds the open bucket's (index, running count) and the
+    last (level, trend): a bucket emits (bucket, cnt, level, trend,
+    forecast_next) when a later bucket's first row arrives; EOS flushes
+    the final open bucket and removes the state. State per key is two
+    longs + two doubles — constant, independent of history.
+
+    Contract: per-key non-decreasing event time across micro-batches;
+    late rows for emitted buckets are dropped. First bucket: level = x,
+    trend = 0; then ``l = alpha*x + (1-alpha)*(l_prev + t_prev)`` and
+    ``t = beta*(l - l_prev) + (1-beta)*t_prev`` over OBSERVED buckets
+    (gaps skip, matching the batch fold). Python floats run the identical
+    IEEE sequence as the JVM fold; emission rounds HALF_UP like Spark.
+    """
+    out_schema = (
+        f"{key_col} string, bucket long, cnt long, level double, "
+        "trend double, forecast_next double"
+    )
+    state_schema = (
+        "cur_b long, cur_c long, prev_l double, prev_t double, "
+        "has_prev boolean"
+    )
+    a, a1 = float(alpha), 1.0 - float(alpha)
+    b, b1 = float(beta), 1.0 - float(beta)
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cur_b, cur_c, prev_l, prev_t, has_prev = state.get
+        else:
+            cur_b, cur_c, prev_l, prev_t, has_prev = -1, 0, 0.0, 0.0, False
+        out: list[tuple] = []
+
+        def close() -> None:
+            nonlocal cur_b, cur_c, prev_l, prev_t, has_prev
+            if cur_b < 0:
+                return
+            if has_prev:
+                new_l = a * cur_c + a1 * (prev_l + prev_t)
+                new_t = b * (new_l - prev_l) + b1 * prev_t
+            else:
+                new_l, new_t = float(cur_c), 0.0
+            out.append(
+                key
+                + (
+                    cur_b * bucket_us,
+                    cur_c,
+                    _round_half_up(new_l),
+                    _round_half_up(new_t),
+                    _round_half_up(new_l + new_t),
+                )
+            )
+            prev_l, prev_t, has_prev = new_l, new_t, True
+            cur_b, cur_c = -1, 0
+
+        chunks = list(pdfs)
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else (
+            chunks[0] if chunks else None
+        )
+        eos_seen = False
+        if pdf is not None and len(pdf):
+            if eos_col is not None:
+                flags = pdf[eos_col].fillna(False).to_numpy(dtype=bool)
+                eos_seen = bool(flags.any())
+                pdf = pdf.loc[~flags]
+            for bk, c in (
+                (pdf[us_col] // bucket_us).value_counts().sort_index().items()
+            ):
+                bk, c = int(bk), int(c)
+                if bk == cur_b:
+                    cur_c += c
+                elif bk > cur_b:
+                    close()
+                    cur_b, cur_c = bk, c
+                # bk < cur_b: late row for an emitted bucket — dropped
+        if eos_seen:
+            close()
+            state.remove()
+        else:
+            state.update((cur_b, cur_c, prev_l, prev_t, has_prev))
+        cols = [key_col, "bucket", "cnt", "level", "trend", "forecast_next"]
+        yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
+            {c: [] for c in cols}
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_ohlc(
     df: DataFrame,
     key_col: str,
