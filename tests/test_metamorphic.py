@@ -101,6 +101,8 @@ SAMPLE = [
     "sim_hard_negatives",           # label-filtered cosine ranking (r6)
     "cluster_label_purity",         # majority-label tie-breaks (r6)
     "negative_sampling_pairs",      # md5 candidate gen + anti-join (r6)
+    "session_bounce_daily",         # session-window float shares (r6)
+    "dedup_incremental_delta",      # hash semi/anti split counts (r6)
 ]
 
 

@@ -150,6 +150,9 @@ _BNLJ_ALLOWED = {
     # one-row max-partkey scalar broadcast onto the customer frame +
     # one-row count frames crossJoined into the single audit row
     "negative_sampling_pairs",
+    # one-row count frames crossJoined into the single audit row
+    "forget_cascade_audit",
+    "dedup_incremental_delta",
 }
 
 
@@ -458,6 +461,15 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
                                       # candidate anti-join + the one-row
                                       # count aggs; maxp is a broadcast
                                       # scalar
+        "session_bounce_daily": 2,    # ONE user ordering shared by both
+                                      # session windows + the day agg
+        "forget_cascade_audit": 4,    # cohort semi-joins broadcast at
+                                      # test sf (0 keyed); headroom for
+                                      # the shuffled-semi-join plan AQE
+                                      # picks at scale
+        "dedup_incremental_delta": 4, # base distinct + semi/anti hash
+                                      # joins + survivor agg; count rows
+                                      # combine via one-row crossJoins
     }
     over = {}
     for name, budget in budgets.items():

@@ -7670,3 +7670,207 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_collisions"),
         )
     )
+
+
+@register(
+    "session_bounce_daily",
+    f"""
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {US_30MIN}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    g AS (
+      SELECT user_id, us,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS sid
+      FROM s),
+    sess AS (
+      SELECT user_id, sid, min(us) AS min_us, max(us) AS max_us,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM g GROUP BY user_id, sid),
+    d AS (
+      SELECT CAST(min_us // {US_DAY} AS BIGINT) AS day_idx,
+             max_us - min_us AS dur_us,
+             CASE WHEN cnt = 1 THEN 1 ELSE 0 END AS bounce
+      FROM sess)
+    SELECT make_timestamp(day_idx * {US_DAY}) AS day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(bounce) AS BIGINT) AS n_bounces,
+           round(CAST(sum(bounce) AS DOUBLE) / count(*), 6) AS bounce_rate,
+           round(CAST(sum(dur_us) AS DOUBLE) / count(*) / 1000000.0, 6)
+             AS avg_duration_sec
+    FROM d GROUP BY day_idx
+    """,
+)
+def session_bounce_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate and mean session duration over 30-minute-gap
+    sessions — the engagement panel on every product dashboard (bounce =
+    single-event session, attributed to the session's START day). Builds
+    on the same two-window session assignment as win_session_30m; the
+    daily report is one more tiny agg over the session frame. Duration
+    math stays in exact integer micros until the final division."""
+    from windflow_spark.operators.timeutil import event_micros
+    from windflow_spark.operators.windows import session_window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    ev_us = ev.withColumn("_us", event_micros(ev, "ts"))
+    sess = session_window_agg(
+        ev_us,
+        key_cols=["user_id"],
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+        gap_us=US_30MIN,
+        aggs=[
+            F.min("_us").alias("min_us"),
+            F.max("_us").alias("max_us"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        ],
+    )
+    d = sess.select(
+        (F.col("min_us") / F.lit(US_DAY)).cast("long").alias("day_idx"),
+        (F.col("max_us") - F.col("min_us")).alias("dur_us"),
+        F.when(F.col("cnt") == 1, 1).otherwise(0).alias("bounce"),
+    )
+    return d.groupBy("day_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("bounce").cast("long").alias("n_bounces"),
+        F.round(
+            F.sum("bounce").cast("double") / F.count(F.lit(1)), 6
+        ).alias("bounce_rate"),
+        F.round(
+            F.sum("dur_us").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0),
+            6,
+        ).alias("avg_duration_sec"),
+    ).select(
+        F.timestamp_micros(F.col("day_idx") * F.lit(US_DAY)).alias("day"),
+        "n_sessions",
+        "n_bounces",
+        "bounce_rate",
+        "avg_duration_sec",
+    )
+
+
+@register(
+    "forget_cascade_audit",
+    """
+    WITH fc AS (
+      SELECT c_custkey FROM customer
+      WHERE ('0x' || substr(md5(c_custkey::VARCHAR), 1, 8))::UBIGINT % 32 = 0),
+    fo AS (SELECT o_orderkey FROM orders
+           WHERE o_custkey IN (SELECT c_custkey FROM fc)),
+    fl AS (SELECT 1 AS x FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM fo))
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM fc) AS n_customers,
+           (SELECT CAST(count(*) AS BIGINT) FROM fo) AS n_orders,
+           (SELECT CAST(count(*) AS BIGINT) FROM fl) AS n_lineitems,
+           round((SELECT CAST(count(*) AS DOUBLE) FROM fl)
+                 / (SELECT count(*) FROM lineitem), 6) AS pct_lineitems
+    """,
+)
+def forget_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: for a deterministic 1/32
+    customer cohort (md5 bucket — stands in for an erasure request list),
+    count every row that a GDPR delete would touch across the FK chain
+    customer -> orders -> lineitem, plus the fact-table blast radius as a
+    share. Two keyed semi-joins (custkey, then orderkey) — the exact
+    plan a delete-propagation job runs, as an auditable dry-run."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 32
+    )
+    fc = c.filter(bucket == 0).select("c_custkey")
+    fo = o.join(fc, o.o_custkey == fc.c_custkey, "left_semi").select("o_orderkey")
+    fl = li.join(fo, li.l_orderkey == fo.o_orderkey, "left_semi")
+    s_c = fc.agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    s_o = fo.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    s_l = fl.agg(F.count(F.lit(1)).cast("long").alias("n_lineitems"))
+    s_t = li.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        s_c.crossJoin(s_o)
+        .crossJoin(s_l)
+        .crossJoin(s_t)
+        .select(
+            "n_customers",
+            "n_orders",
+            "n_lineitems",
+            F.round(
+                F.col("n_lineitems").cast("double") / F.col("n_total"), 6
+            ).alias("pct_lineitems"),
+        )
+    )
+
+
+@register(
+    "dedup_incremental_delta",
+    """
+    WITH t AS (
+      SELECT doc_id, md5(text) AS h,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 10 < 8
+               AS in_base
+      FROM documents),
+    base AS (SELECT DISTINCT h FROM t WHERE in_base),
+    delta AS (SELECT doc_id, h FROM t WHERE NOT in_base),
+    vs_base AS (SELECT d.doc_id, d.h,
+                       EXISTS (SELECT 1 FROM base b WHERE b.h = d.h)
+                         AS dup_base
+                FROM delta d),
+    fresh AS (SELECT doc_id, h FROM vs_base WHERE NOT dup_base),
+    surv AS (SELECT h, min(doc_id) AS keeper FROM fresh GROUP BY h)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM delta) AS n_delta,
+           (SELECT CAST(count(*) AS BIGINT) FROM vs_base WHERE dup_base)
+             AS n_dup_vs_base,
+           (SELECT CAST(count(*) AS BIGINT) FROM fresh)
+             - (SELECT CAST(count(*) AS BIGINT) FROM surv)
+             AS n_dup_within_delta,
+           (SELECT CAST(count(*) AS BIGINT) FROM surv) AS n_new_unique
+    """,
+)
+def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-vs-corpus) exact dedup: a new document batch
+    (deterministic 20% md5 cohort standing in for today's crawl) is
+    checked against the EXISTING corpus hash set without re-deduping the
+    corpus — the shape every growing-corpus ingest runs daily. Dups
+    against base fall out of one hash semi-join; within-delta dups
+    resolve by min-id first-arrival (streaming_exact_dedup's batch
+    rule); the base side reduces to DISTINCT hashes before the join, so
+    the exchange carries one row per unique base document."""
+    d = _t_wide(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("h"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+            ).cast("long") % 10
+            < 8
+        ).alias("in_base"),
+    )
+    base = t.filter(F.col("in_base")).select("h").distinct()
+    delta = t.filter(~F.col("in_base")).select("doc_id", "h")
+    dup_base = delta.join(base, "h", "left_semi")
+    fresh = delta.join(base, "h", "left_anti")
+    surv = fresh.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    s_d = delta.agg(F.count(F.lit(1)).cast("long").alias("n_delta"))
+    s_b = dup_base.agg(F.count(F.lit(1)).cast("long").alias("n_dup_vs_base"))
+    s_f = fresh.agg(F.count(F.lit(1)).cast("long").alias("n_fresh"))
+    s_s = surv.agg(F.count(F.lit(1)).cast("long").alias("n_new_unique"))
+    return (
+        s_d.crossJoin(s_b)
+        .crossJoin(s_f)
+        .crossJoin(s_s)
+        .select(
+            "n_delta",
+            "n_dup_vs_base",
+            (F.col("n_fresh") - F.col("n_new_unique"))
+            .cast("long")
+            .alias("n_dup_within_delta"),
+            "n_new_unique",
+        )
+    )
