@@ -103,6 +103,8 @@ SAMPLE = [
     "negative_sampling_pairs",      # md5 candidate gen + anti-join (r6)
     "session_bounce_daily",         # session-window float shares (r6)
     "dedup_incremental_delta",      # hash semi/anti split counts (r6)
+    "feature_hash_vectors",         # signed-collision integer sums (r6)
+    "vocab_oov_rate",               # top-1000 boundary tie-break (r6)
 ]
 
 

@@ -470,6 +470,11 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
         "dedup_incremental_delta": 4, # base distinct + semi/anti hash
                                       # joins + survivor agg; count rows
                                       # combine via one-row crossJoins
+        "feature_hash_vectors": 2,    # (doc,idx) cell agg + per-doc agg;
+                                      # no vocab table, no broadcast
+        "vocab_oov_rate": 3,          # train token agg (top-1000 is
+                                      # TakeOrdered) + two source aggs;
+                                      # vocab rides a broadcast anti-join
     }
     over = {}
     for name, budget in budgets.items():

@@ -7874,3 +7874,135 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_new_unique",
         )
     )
+
+
+@register(
+    "feature_hash_vectors",
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents),
+    hx AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('i|' || tok), 1, 8))::UBIGINT % 64
+                  AS BIGINT) AS idx,
+             CASE WHEN ('0x' || substr(md5('s|' || tok), 1, 8))::UBIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tk),
+    cell AS (SELECT doc_id, idx, CAST(sum(sgn) AS BIGINT) AS val
+             FROM hx GROUP BY doc_id, idx)
+    SELECT doc_id,
+           CAST(count(*) FILTER (WHERE val <> 0) AS BIGINT) AS nnz,
+           CAST(sum(abs(val)) AS BIGINT) AS l1_norm,
+           round(sqrt(CAST(sum(val * val) AS DOUBLE)), 6) AS l2_norm
+    FROM cell GROUP BY doc_id
+    """,
+)
+def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick (Weinberger et al.) bag-of-words features: every
+    token maps to one of 64 signed buckets via two independent md5
+    hashes (index + sign), collisions cancel in expectation — the
+    fixed-width, vocabulary-free featurizer for training linear models
+    on unbounded text. Reported per doc: nonzeros, L1, L2 of the hashed
+    vector. Integer arithmetic end-to-end until the final sqrt; two
+    keyed exchanges, both on reduced frames — no vocabulary table, no
+    broadcast, the property that makes the trick work at 100 TB."""
+    d = _t_wide(spark, sf_dir, "documents")
+    from windflow_spark.functions.text import tokens as _toks
+
+    tk = d.select("doc_id", F.explode(_toks("text")).alias("tok"))
+
+    def _h(prefix: str) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), F.col("tok"))), 1, 8), 16, 10
+        ).cast("long")
+
+    hx = tk.select(
+        "doc_id",
+        (_h("i|") % 64).alias("idx"),
+        F.when(_h("s|") % 2 == 0, 1).otherwise(-1).alias("sgn"),
+    )
+    cell = hx.groupBy("doc_id", "idx").agg(F.sum("sgn").cast("long").alias("val"))
+    return cell.groupBy("doc_id").agg(
+        F.count(F.when(F.col("val") != 0, 1)).cast("long").alias("nnz"),
+        F.sum(F.abs("val")).cast("long").alias("l1_norm"),
+        F.round(F.sqrt(F.sum(F.col("val") * F.col("val")).cast("double")), 6).alias(
+            "l2_norm"
+        ),
+    )
+
+
+@register(
+    "vocab_oov_rate",
+    """
+    WITH s AS (
+      SELECT source, text,
+             CASE WHEN ('0x' || substr(md5(text), 1, 8))::UBIGINT % 100 < 90
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents),
+    trtok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM s WHERE split = 'train'),
+    voc AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS cnt FROM trtok GROUP BY tok)
+      ORDER BY cnt DESC, tok ASC LIMIT 1000),
+    evtok AS (
+      SELECT source,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM s WHERE split = 'eval')
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE tok NOT IN (SELECT tok FROM voc))
+                AS BIGINT) AS n_oov,
+           round(CAST(count(*) FILTER (WHERE tok NOT IN (SELECT tok FROM voc))
+                      AS DOUBLE) / count(*), 6) AS oov_rate
+    FROM evtok GROUP BY source
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: build the top-1000 token
+    vocabulary from the TRAIN side of the content-hash split
+    (functions/text.hash_split — no leakage from eval), then measure the
+    out-of-vocabulary token rate per source on the EVAL side — the
+    coverage readout that decides whether a tokenizer/vocab budget fits
+    a new data source. The 1000-row vocab broadcasts onto the eval
+    token stream (anti-join), so the corpus-sized side never
+    reshuffles on token."""
+    from windflow_spark.functions.text import hash_split, tokens as _toks
+
+    d = hash_split(_t_wide(spark, sf_dir, "documents"), "text", train_pct=90)
+    trtok = d.filter(F.col("split") == "train").select(
+        F.explode(_toks("text")).alias("tok")
+    )
+    voc = (
+        trtok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(1000)
+        .select("tok")
+    )
+    evtok = d.filter(F.col("split") == "eval").select(
+        "source", F.explode(_toks("text")).alias("tok")
+    )
+    oov = evtok.join(F.broadcast(voc), "tok", "left_anti")
+    n_all = evtok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    n_oov = oov.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_oov")
+    )
+    return (
+        n_all.join(n_oov, "source", "left")
+        .select(
+            "source",
+            "n_tokens",
+            F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+            F.round(
+                F.coalesce(F.col("n_oov"), F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
