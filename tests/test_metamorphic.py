@@ -105,6 +105,11 @@ SAMPLE = [
     "dedup_incremental_delta",      # hash semi/anti split counts (r6)
     "feature_hash_vectors",         # signed-collision integer sums (r6)
     "vocab_oov_rate",               # top-1000 boundary tie-break (r6)
+    # entity_resolution_suppliers is NOT here: the fuzzy edge set is empty
+    # at the tiny test sf (no supplier-name pairs within distance 2), so
+    # the invariance run would compare empty frames; its determinism is
+    # covered by the oracle gate at sf0.01/sf0.1 where pairs exist
+    "sample_k_per_group",           # md5-rank sample determinism (r6)
 ]
 
 

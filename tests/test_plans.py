@@ -475,6 +475,11 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
         "vocab_oov_rate": 3,          # train token agg (top-1000 is
                                       # TakeOrdered) + two source aggs;
                                       # vocab rides a broadcast anti-join
+        "entity_resolution_suppliers": 2,  # CC lineage is checkpoint-cut;
+                                      # what remains is the component agg
+                                      # + canonical join
+        "sample_k_per_group": 1,      # ONE stratum rank window, executed
+                                      # as map-side WindowGroupLimit
     }
     over = {}
     for name, budget in budgets.items():

@@ -8006,3 +8006,90 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+@register(
+    "entity_resolution_suppliers",
+    """
+    WITH RECURSIVE p AS (
+      SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b
+      FROM supplier a JOIN supplier b
+        ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+      WHERE levenshtein(a.s_name, b.s_name) <= 2),
+    und AS (SELECT id_a AS src, id_b AS dst FROM p
+            UNION SELECT id_b, id_a FROM p),
+    reach AS (
+      SELECT DISTINCT src, src AS dst FROM und
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+    comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src)
+    SELECT CAST(c.component AS BIGINT) AS entity_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           s.s_name AS canonical_name
+    FROM comp c JOIN supplier s ON s.s_suppkey = c.component
+    GROUP BY c.component, s.s_name
+    """,
+)
+def entity_resolution_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocked edit-distance matching
+    (fuzzy_pairs_blocked, nation block, levenshtein <= 2) feeds the same
+    Pregel min-label connected-components operator that clusters near-dup
+    documents — transitive closure turns pairwise matches into entities
+    (A~B, B~C => one entity even when A,C differ by 4 edits). Reported
+    per entity: member count + the canonical (min-id) record's name.
+    Scale shape inherits from both parts: block-key equi-join for edges,
+    distributed label propagation with one scalar per round."""
+    from windflow_spark.functions.dedup import (
+        connected_components,
+        fuzzy_pairs_blocked,
+    )
+
+    s = _t(spark, sf_dir, "supplier")
+    edges = fuzzy_pairs_blocked(s, "s_suppkey", "s_name", ["s_nationkey"], max_dist=2)
+    comp = connected_components(edges)
+    canon = s.select(
+        F.col("s_suppkey").alias("component"), F.col("s_name").alias("canonical_name")
+    )
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .join(canon, "component")
+        .select(
+            F.col("component").cast("long").alias("entity_id"),
+            "n_members",
+            "canonical_name",
+        )
+    )
+
+
+@register(
+    "sample_k_per_group",
+    """
+    WITH r AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR || '|samp'), doc_id) AS rk
+      FROM documents)
+    SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 5
+    """,
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample per stratum: exactly 5 documents per
+    source, chosen by md5 rank — the deterministic, engine-portable
+    counterpart of rate-based stratified_sample_hash (which cannot
+    guarantee a per-stratum count) and of weighted A-ES (which needs
+    weights). One rank window per stratum; at scale Spark runs it as a
+    map-side WindowGroupLimit (top-5 per partition before the exchange),
+    so the shuffle carries at most 5 rows per (partition, source)."""
+    d = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|samp"))),
+        F.col("doc_id"),
+    )
+    return (
+        d.select("source", "doc_id")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+    )
