@@ -110,6 +110,9 @@ SAMPLE = [
     # the invariance run would compare empty frames; its determinism is
     # covered by the oracle gate at sf0.01/sf0.1 where pairs exist
     "sample_k_per_group",           # md5-rank sample determinism (r6)
+    "order_backlog_daily",          # delta-pair cumulative sum (r6)
+    "conversion_within_24h",        # deadline semi-join counts (r6)
+    "ts_seasonal_adjusted_anomaly", # residual median/MAD flags (r6)
 ]
 
 

@@ -153,6 +153,7 @@ _BNLJ_ALLOWED = {
     # one-row count frames crossJoined into the single audit row
     "forget_cascade_audit",
     "dedup_incremental_delta",
+    "conversion_within_24h",
 }
 
 
@@ -480,6 +481,15 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
                                       # + canonical join
         "sample_k_per_group": 1,      # ONE stratum rank window, executed
                                       # as map-side WindowGroupLimit
+        "order_backlog_daily": 2,     # per-order close agg + day-delta
+                                      # agg; the cumsum is SinglePartition
+                                      # over the day grid (not keyed)
+        "conversion_within_24h": 2,   # first-signup agg + user semi-join
+                                      # (time window in the condition);
+                                      # one-row counts crossJoin
+        "ts_seasonal_adjusted_anomaly": 3,  # daily agg + (type,dow)
+                                      # window + one type repartition
+                                      # shared by BOTH percentile windows
     }
     over = {}
     for name, budget in budgets.items():

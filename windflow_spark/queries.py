@@ -8093,3 +8093,193 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 5)
     )
+
+
+@register(
+    "order_backlog_daily",
+    f"""
+    WITH oc AS (
+      SELECT o.o_orderkey,
+             CAST(epoch_us(o.o_orderdate) // {US_DAY} AS BIGINT) AS od,
+             CAST(epoch_us(max(l.l_shipdate)) // {US_DAY} AS BIGINT) AS cd
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate),
+    delta AS (
+      SELECT od AS day_idx, 1 AS d FROM oc
+      UNION ALL
+      SELECT cd + 1, -1 FROM oc),
+    g AS (SELECT day_idx, CAST(sum(d) AS BIGINT) AS dd
+          FROM delta GROUP BY day_idx)
+    SELECT make_timestamp(day_idx * {US_DAY}) AS day,
+           CAST(sum(dd) OVER (ORDER BY day_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_open
+    FROM g
+    """,
+)
+def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval (backlog) curve: how many orders are OPEN on
+    each day, where an order spans order date through its last lineitem
+    ship date. The classic interval-stabbing rewrite that avoids joining
+    every order against every day: each order contributes a +1/-1 delta
+    pair, one keyed agg reduces deltas per day, and the running sum over
+    the tiny day-grid frame (a SinglePartition window over ~thousands of
+    rows, NOT the fact table) yields the concurrency curve."""
+    from windflow_spark.operators.timeutil import event_micros
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    oc = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .withColumn("_rd", event_micros(li, "l_shipdate"))
+        .withColumn("_od", event_micros(o, "o_orderdate"))
+        .groupBy("o_orderkey", "_od")
+        .agg(F.max("_rd").alias("_mrd"))
+        .select(
+            (F.col("_od") / F.lit(US_DAY)).cast("long").alias("od"),
+            (F.col("_mrd") / F.lit(US_DAY)).cast("long").alias("cd"),
+        )
+    )
+    delta = oc.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("od").alias("day_idx"), F.lit(1).alias("d")),
+                F.struct((F.col("cd") + 1).alias("day_idx"), F.lit(-1).alias("d")),
+            )
+        ).alias("_x")
+    ).select("_x.day_idx", "_x.d")
+    g = delta.groupBy("day_idx").agg(F.sum("d").cast("long").alias("dd"))
+    wc = W.orderBy("day_idx").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return g.select(
+        F.timestamp_micros(F.col("day_idx") * F.lit(US_DAY)).alias("day"),
+        F.sum("dd").over(wc).cast("long").alias("n_open"),
+    )
+
+
+@register(
+    "conversion_within_24h",
+    f"""
+    WITH su AS (
+      SELECT user_id, min(epoch_us(ts)) AS t0
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    conv AS (
+      SELECT su.user_id
+      FROM su
+      WHERE EXISTS (
+        SELECT 1 FROM events e
+        WHERE e.user_id = su.user_id AND e.event_type = 'purchase'
+          AND epoch_us(e.ts) >= su.t0
+          AND epoch_us(e.ts) < su.t0 + {US_DAY}))
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM su) AS n_signup_users,
+           (SELECT CAST(count(*) AS BIGINT) FROM conv) AS n_converted_24h,
+           round((SELECT CAST(count(*) AS DOUBLE) FROM conv)
+                 / (SELECT count(*) FROM su), 6) AS conversion_rate
+    """,
+)
+def conversion_within_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deadline-bounded conversion: share of signup users with a purchase
+    within 24 hours of their FIRST signup — the time-boxed sibling of the
+    unbounded funnel (funnel_signup_purchase), which is what growth teams
+    actually report. One keyed agg for first-signups, then a semi-join
+    with the time window folded into the join condition (co-partitioned
+    on user, K filtered scans — the funnel stage-frame shape)."""
+    from windflow_spark.operators.timeutil import event_micros
+
+    e = _t(spark, sf_dir, "events")
+    ev = e.withColumn("_us", event_micros(e, "ts"))
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("_us").alias("t0"))
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("_us").alias("pt")
+    )
+    conv = su.join(
+        pur,
+        (su.user_id == pur.pu)
+        & (pur.pt >= su.t0)
+        & (pur.pt < su.t0 + F.lit(US_DAY)),
+        "left_semi",
+    )
+    s_su = su.agg(F.count(F.lit(1)).cast("long").alias("n_signup_users"))
+    s_cv = conv.agg(F.count(F.lit(1)).cast("long").alias("n_converted_24h"))
+    return s_su.crossJoin(s_cv).select(
+        "n_signup_users",
+        "n_converted_24h",
+        F.round(
+            F.col("n_converted_24h").cast("double") / F.col("n_signup_users"), 6
+        ).alias("conversion_rate"),
+    )
+
+
+@register(
+    "ts_seasonal_adjusted_anomaly",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(sum(value), 6) AS daily
+      FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type, day, daily,
+                 round(daily - round(avg(daily) OVER (PARTITION BY event_type,
+                                     dayofweek(day)), 6), 6) AS residual
+          FROM d),
+    m AS (SELECT event_type, quantile_cont(residual, 0.5) AS med
+          FROM s GROUP BY event_type),
+    sm AS (SELECT s.*, m.med FROM s JOIN m USING (event_type)),
+    md AS (SELECT event_type, quantile_cont(abs(residual - med), 0.5) AS mad
+           FROM sm GROUP BY event_type),
+    z AS (SELECT sm.*, md.mad,
+                 CASE WHEN md.mad > 0 THEN
+                   round(CAST(0.6745 AS DOUBLE) * (sm.residual - sm.med)
+                         / md.mad, 6)
+                 END AS mod_z
+          FROM sm JOIN md USING (event_type))
+    SELECT event_type, day, daily, residual, mod_z,
+           COALESCE(abs(mod_z) > CAST(3.5 AS DOUBLE), FALSE) AS is_anomaly
+    FROM z
+    """,
+)
+def ts_seasonal_adjusted_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-ADJUSTED robust anomaly detection: the day-of-week
+    seasonal component is removed first (ts_seasonal_dow's residual),
+    then the median/MAD modified z-score flags outliers in the
+    deseasonalized signal — the composition that stops weekend troughs
+    from drowning real anomalies (raw-series detectors flag every
+    Saturday). Exact percentiles value-match DuckDB quantile_cont; the
+    6dp pre-rounding of daily sums and residuals keeps both engines
+    folding identical doubles."""
+    e = _t(spark, sf_dir, "events")
+    d = (
+        e.groupBy(
+            "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+        )
+        .agg(F.round(F.sum("value"), 6).alias("daily"))
+    )
+    wdow = W.partitionBy("event_type", F.dayofweek("day"))
+    s = d.withColumn(
+        "residual",
+        F.round(
+            F.col("daily") - F.round(F.avg("daily").over(wdow), 6), 6
+        ),
+    )
+    wk = W.partitionBy("event_type")
+    sm = s.withColumn("med", F.percentile(F.col("residual"), F.lit(0.5)).over(wk))
+    z = sm.withColumn(
+        "mad",
+        F.percentile(F.abs(F.col("residual") - F.col("med")), F.lit(0.5)).over(wk),
+    )
+    mz = F.when(
+        F.col("mad") > 0,
+        F.round(
+            F.lit(0.6745) * (F.col("residual") - F.col("med")) / F.col("mad"), 6
+        ),
+    )
+    return z.select(
+        "event_type",
+        "day",
+        "daily",
+        "residual",
+        mz.alias("mod_z"),
+        F.coalesce(F.abs(mz) > F.lit(3.5), F.lit(False)).alias("is_anomaly"),
+    )
