@@ -1,0 +1,108 @@
+"""Python DataSource V2 surface (windflow_spark/sources_py.py): the
+user-extensible source path the reference exposes through wf/source.hpp
+functors, driven here through Spark's planner — partitioned generation,
+predicate pushdown into the source, determinism, and the micro-batch
+streaming form replaying the exact batch frame."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from windflow_spark.sources_py import SyntheticEventsDataSource
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(SyntheticEventsDataSource)
+    # pushFilters is gated behind a session flag (off by default in 4.1)
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    yield
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+
+
+def _read(spark, **opts):
+    r = spark.read.format("synthetic_events")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_deterministic_and_partitioned(spark):
+    df = _read(spark, numRows=500, numPartitions=5)
+    assert df.count() == 500
+    # each task generates only its slice
+    n_parts = df.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert n_parts == 5
+    # identical output on re-read (md5-derived rows, no RAND())
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, _read(spark, numRows=500, numPartitions=5).collect()))
+    assert a == b
+    # schema is the declared one
+    assert [f.name for f in df.schema.fields] == [
+        "event_id",
+        "us",
+        "user_id",
+        "event_type",
+        "value",
+    ]
+
+
+def test_filter_pushdown_prunes_generated_range(spark):
+    full = _read(spark, numRows=1000, numPartitions=4)
+    pruned = full.filter((F.col("event_id") >= 100) & (F.col("event_id") < 110))
+    rows = pruned.collect()
+    assert sorted(r.event_id for r in rows) == list(range(100, 110))
+    # the pushed range also shrinks the partition count: 10 ids over
+    # 4 requested partitions -> ceil-split ranges, none empty
+    n_parts = pruned.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert 1 <= n_parts <= 4
+    # residual (non-range) predicates still evaluate correctly on top
+    res = full.filter(
+        (F.col("event_id") < 50) & (F.col("event_type") == "click")
+    ).collect()
+    assert all(r.event_type == "click" and r.event_id < 50 for r in res)
+
+
+def test_values_match_reference_hash(spark):
+    # spot-check the md5 derivation against an independent computation
+    import hashlib
+
+    r = {row.event_id: row for row in _read(spark, numRows=5).collect()}
+    for i in range(5):
+        h = int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big")
+        assert r[i].user_id == h % 100
+        assert r[i].value == ((h >> 16) % 1_000_000) / 1e4
+
+
+def test_streaming_replays_exact_batch_frame(spark, tmp_path):
+    # availableNow drains numRows in rowsPerBatch micro-batches; the union
+    # of all batches must equal the batch read bit-for-bit
+    batch = sorted(map(tuple, _read(spark, numRows=300).collect()))
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("numRows", 300)
+        .option("rowsPerBatch", 100)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    # the simple-reader protocol prefetches ONE batch per trigger, so the
+    # bounded range drains over several micro-batches; poll until the
+    # offset stops advancing at numRows
+    import time as _time
+
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if spark.table("synth_stream_out").count() >= 300:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    got = sorted(map(tuple, spark.table("synth_stream_out").collect()))
+    assert got == batch and len(got) == 300
