@@ -113,6 +113,10 @@ SAMPLE = [
     "order_backlog_daily",          # delta-pair cumulative sum (r6)
     "conversion_within_24h",        # deadline semi-join counts (r6)
     "ts_seasonal_adjusted_anomaly", # residual median/MAD flags (r6)
+    "lexical_diversity_sources",    # TTR float shares over shuffles (r6)
+    "dup_cluster_size_dist",        # histogram window total (r6)
+    "dedup_containment",            # min-denominator verify scores (r6)
+    "abc_pareto_customers",         # exact-cents boundary counts (r6)
 ]
 
 

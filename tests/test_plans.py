@@ -490,6 +490,16 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
         "ts_seasonal_adjusted_anomaly": 3,  # daily agg + (type,dow)
                                       # window + one type repartition
                                       # shared by BOTH percentile windows
+        "lexical_diversity_sources": 3,  # per-doc stats agg + (source,tok)
+                                      # distinct reduce + source join
+        "dup_cluster_size_dist": 2,   # hash-cluster agg + size histogram;
+                                      # the total is a window over it
+        "dedup_containment": 2,       # prefix-bucket candidate join (the
+                                      # ngram_jaccard shape, containment
+                                      # verify metric)
+        "abc_pareto_customers": 1,    # custkey agg; ranking windows are
+                                      # SinglePartition over the
+                                      # dimension-sized frame
     }
     over = {}
     for name, budget in budgets.items():

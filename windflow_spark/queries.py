@@ -8283,3 +8283,252 @@ def ts_seasonal_adjusted_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         mz.alias("mod_z"),
         F.coalesce(F.abs(mz) > F.lit(3.5), F.lit(False)).alias("is_anomaly"),
     )
+
+
+@register(
+    "lexical_diversity_sources",
+    """
+    WITH d AS (
+      SELECT source,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+             len(list_distinct(list_filter(string_split(text, ' '),
+                                           x -> x <> ''))) AS n_dist
+      FROM documents),
+    per AS (SELECT source, n_tok, n_dist,
+                   round(CAST(n_dist AS DOUBLE) / n_tok, 6) AS ttr
+            FROM d WHERE n_tok > 0),
+    cs AS (
+      SELECT source, tok FROM (
+        SELECT source,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        FROM documents) GROUP BY source, tok)
+    SELECT p.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p.n_tok) AS BIGINT) AS n_tokens,
+           round(avg(p.ttr), 6) AS mean_doc_ttr,
+           round(CAST(max(cd.n_corpus_dist) AS DOUBLE) / sum(p.n_tok), 6)
+             AS corpus_ttr
+    FROM per p
+    JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n_corpus_dist
+          FROM cs GROUP BY source) cd USING (source)
+    GROUP BY p.source
+    """,
+)
+def lexical_diversity_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token-ratio panel per source: mean per-document TTR (distinct
+    tokens / tokens, the boilerplate/spam-poor-vocabulary signal) and the
+    corpus-level TTR (source-wide distinct types over source token mass,
+    which falls with corpus size per Heaps' law — the two numbers answer
+    different questions and diverge sharply on templated sources). One
+    token pass feeds both: per-doc distinct counts stay in-row
+    (array_distinct), the corpus distinct is one (source, tok) reduce."""
+    from windflow_spark.functions.text import tokens as _toks
+
+    d = _t_wide(spark, sf_dir, "documents")
+    per = d.select(
+        "source",
+        F.size(_toks("text")).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(_toks("text"))).cast("long").alias("n_dist"),
+    ).filter(F.col("n_tok") > 0).withColumn(
+        "ttr", F.round(F.col("n_dist").cast("double") / F.col("n_tok"), 6)
+    )
+    cd = (
+        d.select("source", F.explode(_toks("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_corpus_dist"))
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.round(F.avg("ttr"), 6).alias("mean_doc_ttr"),
+        )
+        .join(cd, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "mean_doc_ttr",
+            F.round(
+                F.col("n_corpus_dist").cast("double") / F.col("n_tokens"), 6
+            ).alias("corpus_ttr"),
+        )
+    )
+
+
+@register(
+    "dup_cluster_size_dist",
+    """
+    WITH c AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS sz
+               FROM documents GROUP BY md5(text)),
+    d AS (SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters FROM c
+          GROUP BY sz),
+    w AS (SELECT sz, n_clusters, sz * n_clusters AS n_docs,
+                 SUM(sz * n_clusters) OVER () AS total
+          FROM d)
+    SELECT sz AS cluster_size, n_clusters,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           round(CAST(n_docs AS DOUBLE) / total, 6) AS pct_docs
+    FROM w
+    """,
+)
+def dup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication profile of the corpus: the distribution of exact-dup
+    cluster sizes (1 = unique) with each size's share of documents — the
+    before/after panel for any dedup run and the first diagnostic when a
+    crawl goes wrong (a fat tail here means a template or a replay). Two
+    keyed reduces over shrinking frames + a window total over the tiny
+    size histogram."""
+    d = _t_wide(spark, sf_dir, "documents")
+    c = d.groupBy(F.md5(F.col("text")).alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    dist = c.groupBy("sz").agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+    w = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return dist.select(
+        F.col("sz").alias("cluster_size"),
+        "n_clusters",
+        (F.col("sz") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        F.round(
+            (F.col("sz") * F.col("n_clusters")).cast("double")
+            / F.sum(F.col("sz") * F.col("n_clusters")).over(
+                W.partitionBy().rowsBetween(
+                    W.unboundedPreceding, W.unboundedFollowing
+                )
+            ),
+            6,
+        ).alias("pct_docs"),
+    )
+
+
+@register(
+    "dedup_containment",
+    """
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    b AS (
+      SELECT doc_id, toks,
+             concat_ws(' ', toks[1], toks[2], toks[3], toks[4], toks[5]) AS bucket
+      FROM d WHERE len(toks) >= 5),
+    sh AS (
+      SELECT doc_id, bucket,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+      FROM b),
+    p AS (
+      SELECT a.doc_id AS id_a, b2.doc_id AS id_b, a.s AS sa, b2.s AS sb
+      FROM sh a JOIN sh b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id)
+    SELECT id_a, id_b,
+           round(len(list_intersect(sa, sb))::DOUBLE
+                 / least(len(sa), len(sb)), 4) AS containment
+    FROM p
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup scoring: containment = |A∩B| / min(|A|,|B|) —
+    catches subset duplication (a doc embedded verbatim inside a longer
+    one) that Jaccard structurally misses (the union denominator dilutes
+    a perfect subset to a low score). Same prefix-bucket candidate join
+    as dedup_ngram_jaccard — only the verify metric changes, which is the
+    point: candidate generation and scoring compose independently."""
+    from windflow_spark.functions.dedup import shingle_sets
+    from windflow_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    buckets = (
+        docs.select("doc_id", tokens("text").alias("_toks"))
+        .filter(F.size("_toks") >= 5)
+        .select("doc_id", F.concat_ws(" ", F.slice("_toks", 1, 5)).alias("bucket"))
+    )
+    d = buckets.join(shingle_sets(docs), "doc_id").select(
+        "doc_id", "bucket", F.col("_sh").alias("s")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    denom = F.least(F.size(F.col("a.s")), F.size(F.col("b.s")))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(inter.cast("double") / denom, 4).alias("containment"),
+        )
+    )
+
+
+@register(
+    "abc_pareto_customers",
+    """
+    WITH r AS (
+      SELECT o_custkey,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey),
+    s AS (SELECT o_custkey, cents,
+                 SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk,
+                 SUM(cents) OVER () AS total,
+                 COUNT(*) OVER () AS n
+          FROM r)
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(count(*) FILTER (WHERE (cum - cents) * 5 < total * 4)
+                AS BIGINT) AS n_top80,
+           round(CAST(sum(cents) FILTER (WHERE rk * 10 <= n + 9)
+                      AS DOUBLE) / max(total), 6) AS share_top10pct
+    FROM s
+    """,
+)
+def abc_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC concentration analysis: how many customers cover 80 %
+    of revenue, and what share the top decile of customers holds — the
+    account-concentration readout next to revenue_gini_segments'
+    inequality coefficient. Exact-cents BIGINT arithmetic end to end
+    (decimal-summed revenue, integer cross-multiplication instead of
+    float thresholds), so the 80 % boundary cannot flip on a rounding
+    difference. The ranking sorts the CUSTOMER-sized frame (dimension
+    scale — the rfm/ntile SinglePartition shape), never the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(
+        (
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2) * 100
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    ws = W.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    wall = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    s = (
+        r.withColumn(
+            "cum",
+            F.sum("cents").over(
+                ws.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .withColumn("rk", F.row_number().over(ws))
+        .withColumn("total", F.sum("cents").over(wall))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+    )
+    return s.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.count(
+            F.when((F.col("cum") - F.col("cents")) * 5 < F.col("total") * 4, 1)
+        )
+        .cast("long")
+        .alias("n_top80"),
+        F.round(
+            F.sum(F.when(F.col("rk") * 10 <= F.col("n") + 9, F.col("cents")))
+            .cast("double")
+            / F.max("total"),
+            6,
+        ).alias("share_top10pct"),
+    )
