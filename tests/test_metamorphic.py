@@ -117,6 +117,7 @@ SAMPLE = [
     "dup_cluster_size_dist",        # histogram window total (r6)
     "dedup_containment",            # min-denominator verify scores (r6)
     "abc_pareto_customers",         # exact-cents boundary counts (r6)
+    "curate_quality_budget",        # IEEE quality-rank greedy cut (r6)
 ]
 
 

@@ -500,6 +500,9 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
         "abc_pareto_customers": 1,    # custkey agg; ranking windows are
                                       # SinglePartition over the
                                       # dimension-sized frame
+        "curate_quality_budget": 1,   # ONE source partitioning shared by
+                                      # the quality-rank cumsum and the
+                                      # kept-set agg
     }
     over = {}
     for name, budget in budgets.items():

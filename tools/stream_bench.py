@@ -12,6 +12,7 @@ reference's finite-stream test harness shape):
   reduce      per-key running fold via applyInPandasWithState (custom state)
   sketch      Misra-Gries heavy hitters, 16 buckets x 32 counters (constant state)
   ohlc        per-key 1s OHLC bar building (one open bar per key, constant state)
+  holt        per-key 1s Holt level+trend smoothing (2 longs + 2 doubles per key)
 
 Prints one JSON line: rows/sec per pipeline.
 
@@ -119,6 +120,20 @@ def main() -> None:
             ),
             "key",
             "v",
+            1_000_000,
+        ),
+    )
+
+    from windflow_spark.streaming import streaming_holt
+
+    results["holt_rows_per_sec"] = run(
+        "holt",
+        lambda s: streaming_holt(
+            s.select(
+                F.concat(F.lit("k"), F.col("key")).alias("key"),
+                F.unix_micros("ts").alias("us"),
+            ),
+            "key",
             1_000_000,
         ),
     )

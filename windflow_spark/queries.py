@@ -8532,3 +8532,57 @@ def abc_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_top10pct"),
     )
+
+
+@register(
+    "curate_quality_budget",
+    """
+    WITH q AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_tok,
+             least(1.0, len(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) / 100.0)
+               * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  / greatest(length(text), 1)) AS q
+      FROM documents),
+    r AS (
+      SELECT *, sum(n_tok) OVER (PARTITION BY source
+                 ORDER BY q DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM q),
+    k AS (SELECT * FROM r WHERE cum - n_tok < 2000)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens_kept,
+           round(min(q), 6) AS min_quality_kept
+    FROM k GROUP BY source
+    """,
+)
+def curate_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked token-budget curation: per source, keep the
+    highest-quality documents greedily until the token budget (2000) is
+    exhausted — the standard data-curation selection (quality filter +
+    budget cap composed), versus sample_token_budget's unbiased
+    hash-order cap. A doc is kept if it STARTS before the budget runs
+    out, so every source spends its budget fully. One window cumsum per
+    source over unrounded IEEE quality scores (identical ordering on
+    both engines; ties broken by doc_id)."""
+    from windflow_spark.functions.text import quality_score, tokens as _toks
+
+    d = quality_score(_t_wide(spark, sf_dir, "documents"))
+    q = d.select(
+        "doc_id",
+        "source",
+        F.size(_toks("text")).cast("long").alias("n_tok"),
+        F.col("q_score").alias("q"),
+    )
+    wq = W.partitionBy("source").orderBy(F.desc("q"), F.asc("doc_id")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    r = q.withColumn("cum", F.sum("n_tok").over(wq))
+    k = r.filter(F.col("cum") - F.col("n_tok") < 2000)
+    return k.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.sum("n_tok").cast("long").alias("n_tokens_kept"),
+        F.round(F.min("q"), 6).alias("min_quality_kept"),
+    )
