@@ -1559,3 +1559,56 @@ def test_streaming_holt_matches_batch(spark, tmp_path_factory):
         for r in spark.table(name).collect()
     )
     assert got == expect and len(expect) > 10
+
+
+def test_streaming_cms_matches_batch_sketch(spark, tmp_path_factory):
+    """Per-row CMS counter arrays across two micro-batches + EOS flush:
+    the flushed (r, idx, counter) cells must equal the batch-built sketch
+    EXACTLY (commutative integer adds, identical md5 indexing) — not
+    just within the CMS error bound."""
+    import hashlib
+    import random
+    import time as _time
+
+    from windflow_spark.streaming import (
+        file_stream as _fs,
+        streaming_cms,
+        to_memory_sink,
+    )
+
+    DEPTH, WIDTH = 3, 64
+    rng = random.Random(23)
+    vocab = [f"tok{j}" for j in range(40)]
+    rows = [(rng.choice(vocab), i, False) for i in range(600)]
+    schema = "token string, seq long, eos boolean"
+
+    # independent python reference sketch (same md5 derivation)
+    expect_cnt: dict[tuple[int, int], int] = {}
+    for tok, _, _ in rows:
+        for r in range(DEPTH):
+            idx = int(hashlib.md5(f"{r}|{tok}".encode()).hexdigest()[:8], 16) % WIDTH
+            expect_cnt[(r, idx)] = expect_cnt.get((r, idx), 0) + 1
+    expect = sorted((r, i, c) for (r, i), c in expect_cnt.items())
+
+    path = str(tmp_path_factory.mktemp("cms_src"))
+    mid = 300
+    data_schema = spark.createDataFrame(rows, schema).schema
+    spark.createDataFrame([r for r in rows if r[1] < mid], schema).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    spark.createDataFrame([r for r in rows if r[1] >= mid], schema).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    spark.createDataFrame([("x", 10**9, True)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+    stream = _fs(spark, path, data_schema, max_files_per_trigger=1)
+    out = streaming_cms(stream, "token", depth=DEPTH, width=WIDTH, eos_col="eos")
+    name, _ = to_memory_sink(out, output_mode="append")
+    got = sorted(
+        (r.r, r.idx, r.counter) for r in spark.table(name).collect()
+    )
+    assert got == expect and len(expect) > 50

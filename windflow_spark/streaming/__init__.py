@@ -31,6 +31,7 @@ from windflow_spark.streaming.ops import (
     streaming_trending_counts,
     streaming_funnel,
     streaming_heavy_hitters,
+    streaming_cms,
     streaming_rolling_zscore,
     streaming_segment_dedup,
     streaming_weighted_sample,
@@ -87,6 +88,7 @@ __all__ = [
     "streaming_trending_counts",
     "streaming_funnel",
     "streaming_heavy_hitters",
+    "streaming_cms",
     "streaming_weighted_sample",
     "streaming_rolling_zscore",
     "streaming_segment_dedup",

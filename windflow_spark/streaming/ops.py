@@ -923,6 +923,76 @@ def streaming_heavy_hitters(
     )
 
 
+def streaming_cms(
+    df: DataFrame,
+    col: str = "token",
+    depth: int = 3,
+    width: int = 256,
+    eos_col: str | None = None,
+) -> DataFrame:
+    """Streaming Count-Min Sketch — the incremental sibling of
+    functions.pipeline.cms_token_estimates. Every item is replicated to
+    the ``depth`` hash rows (that IS the CMS update rule: each row counts
+    every item at its row-specific md5 index); each row's GroupState
+    holds one width-sized integer counter array updated per micro-batch.
+    The EOS punctuation emits each row's nonzero (r, idx, counter) cells
+    and removes the state.
+
+    State is depth x width longs TOTAL, independent of stream length —
+    and because counter updates are commutative integer adds, the flushed
+    sketch equals the batch-built sketch EXACTLY (same md5 indexing), not
+    just within an error bound; the parity test pins that equality.
+    """
+    is_eos = (
+        F.coalesce(F.col(eos_col), F.lit(False)) if eos_col else F.lit(False)
+    )
+
+    def _idx(r: int) -> F.Column:
+        h = F.md5(F.concat(F.lit(str(r)), F.lit("|"), F.col(col)))
+        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width).cast(
+            "long"
+        )
+
+    rows = F.array(
+        *[
+            F.struct(F.lit(r).cast("int").alias("r"), _idx(r).alias("idx"))
+            for r in range(depth)
+        ]
+    )
+    d = df.select(is_eos.alias("_eos"), F.explode(rows).alias("_h")).select(
+        "_eos", F.col("_h.r").alias("r"), F.col("_h.idx").alias("idx")
+    )
+
+    out_schema = "r int, idx long, counter long"
+    state_schema = "cnts array<long>"
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (cnts,) = state.get
+            cnts = list(cnts)
+        else:
+            cnts = [0] * width
+        eos = False
+        for pdf in pdfs:
+            live = pdf.loc[~pdf["_eos"], "idx"]
+            for i, c in live.value_counts().items():
+                cnts[int(i)] += int(c)
+            eos = eos or bool(pdf["_eos"].any())
+        if eos:
+            state.remove()  # constant-state op: no empty entry after EOS
+            nz = [(key[0], i, c) for i, c in enumerate(cnts) if c > 0]
+            yield pd.DataFrame(nz, columns=["r", "idx", "counter"]) if nz else (
+                pd.DataFrame({"r": [], "idx": [], "counter": []})
+            )
+        else:
+            state.update((cnts,))
+            yield pd.DataFrame({"r": [], "idx": [], "counter": []})
+
+    return d.groupBy("r").applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_funnel(
     df: DataFrame,
     stages: Sequence[str],
