@@ -106,3 +106,73 @@ def test_streaming_replays_exact_batch_frame(spark, tmp_path):
     q.stop()
     got = sorted(map(tuple, spark.table("synth_stream_out").collect()))
     assert got == batch and len(got) == 300
+
+
+def test_batch_writer_manifest_commit(spark, tmp_path):
+    import json
+    import os
+
+    from windflow_spark.sources_py import JsonlManifestDataSource
+
+    spark.dataSource.register(JsonlManifestDataSource)
+    out = str(tmp_path / "sink")
+    df = _read(spark, numRows=200, numPartitions=3)
+    df.write.format("jsonl_manifest").option("path", out).mode("append").save()
+    man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert man["n_rows"] == 200
+    # manifest lists exactly the committed files; no temp files remain
+    files = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+    assert files == sorted(man["files"]) and len(files) == 3
+    assert not [f for f in os.listdir(out) if f.startswith("_tmp-")]
+    # round-trip: manifest-listed rows equal the source frame
+    rows = []
+    for fn in man["files"]:
+        with open(os.path.join(out, fn)) as f:
+            rows += [json.loads(line) for line in f]
+    got = sorted((r["event_id"], r["user_id"], r["event_type"]) for r in rows)
+    want = sorted((r.event_id, r.user_id, r.event_type) for r in df.collect())
+    assert got == want
+
+
+def test_stream_writer_one_manifest_per_batch(spark, tmp_path):
+    import json
+    import os
+
+    from windflow_spark.sources_py import JsonlManifestDataSource
+
+    spark.dataSource.register(JsonlManifestDataSource)
+    out = str(tmp_path / "stream_sink")
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("numRows", 200)
+        .option("rowsPerBatch", 100)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("jsonl_manifest")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    import time as _time
+
+    deadline = _time.time() + 120
+    total = 0
+    while _time.time() < deadline:
+        mans = [f for f in os.listdir(out) if f.startswith("_MANIFEST-")] if (
+            os.path.exists(out)
+        ) else []
+        total = sum(
+            json.load(open(os.path.join(out, m)))["n_rows"] for m in mans
+        )
+        if total >= 200:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    assert total == 200
+    # every manifest's files exist; no temps left behind
+    for m in [f for f in os.listdir(out) if f.startswith("_MANIFEST-")]:
+        for fn in json.load(open(os.path.join(out, m)))["files"]:
+            assert os.path.exists(os.path.join(out, fn))
+    assert not [f for f in os.listdir(out) if f.startswith("_tmp-")]

@@ -185,3 +185,119 @@ class SyntheticEventsDataSource(DataSource):
         self, schema: StructType
     ) -> SimpleDataSourceStreamReader:
         return _SyntheticStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource writer: manifest-committed JSONL sink
+# ---------------------------------------------------------------------------
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _PartCommit(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+class _JsonlWriter(DataSourceWriter):
+    """Task side: each task writes its partition to a uniquely-named temp
+    part file and returns (path, row count). Driver side: commit renames
+    the parts into place and writes a `_MANIFEST.json` listing every
+    committed file + total rows — readers that trust only manifest-listed
+    files get all-or-nothing visibility (the Kafka_Sink EOS/flush
+    contract, wf/kafka/kafka_sink.hpp:179-203, expressed as files).
+    abort() deletes the orphaned temps so a failed job leaves no partial
+    output visible."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _PartCommit:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PartCommit(path=tmp, n_rows=n)
+
+    def commit(self, messages) -> None:
+        final, total = [], 0
+        for i, m in enumerate(m for m in messages if m is not None):
+            dst = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.path, dst)
+            final.append(os.path.basename(dst))
+            total += m.n_rows
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump({"files": final, "n_rows": total}, f)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class _JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming form: one manifest per micro-batch (`_MANIFEST-<batch>`),
+    written only in commit — a replayed batch after failure overwrites
+    the same manifest name, keeping visibility idempotent per batch id."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator) -> _PartCommit:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PartCommit(path=tmp, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        final, total = [], 0
+        for i, m in enumerate(m for m in messages if m is not None):
+            dst = os.path.join(self.path, f"batch-{batchId:05d}-part-{i:05d}.jsonl")
+            os.replace(m.path, dst)
+            final.append(os.path.basename(dst))
+            total += m.n_rows
+        with open(
+            os.path.join(self.path, f"_MANIFEST-{batchId:05d}.json"), "w"
+        ) as f:
+            json.dump({"batch": batchId, "files": final, "n_rows": total}, f)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonlManifestDataSource(DataSource):
+    """`spark.dataSource.register(JsonlManifestDataSource)` then
+    `df.write.format("jsonl_manifest").option("path", dir).save()` /
+    `df.writeStream.format("jsonl_manifest")...`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_manifest"
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _JsonlWriter(self.options, overwrite)
+
+    def streamWriter(  # noqa: N802
+        self, schema, overwrite: bool
+    ) -> DataSourceStreamWriter:
+        return _JsonlStreamWriter(self.options)
