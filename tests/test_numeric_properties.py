@@ -156,3 +156,45 @@ def test_pagerank_matches_python_model_random_graphs(spark, edges):
     for n in nodes:
         assert math.isclose(got[n], _r6(r[n]), abs_tol=2e-6), n
         assert got[n] >= round(1.0 - 0.85, 6) - 1e-9  # base mass floor
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=series_strategy)
+def test_holt_fold_matches_python_exactly(spark, rows):
+    """Random per-key series: the JVM Holt fold must equal the direct
+    Python recurrence bit-for-bit (same IEEE sequence, HALF_UP emission
+    rounding) — the EWMA property test's shape, which caught the real
+    half-even rounding drift in r6, applied to the two-state fold."""
+    df = spark.createDataFrame(
+        [(k, d * US_DAY + 7) for k, d in rows], "k string, us long"
+    ).select("k", F.timestamp_micros("us").alias("ts"))
+    from windflow_spark.operators.timeseries import holt_smooth
+
+    got = {
+        (r.k, int(r.bucket_start.timestamp() * 1_000_000) // US_DAY): (
+            r.cnt,
+            r.level,
+            r.trend,
+            r.forecast_next,
+        )
+        for r in holt_smooth(df, ["k"], "ts", alpha=0.5, beta=0.25).collect()
+    }
+    counts = defaultdict(int)
+    for k, d in rows:
+        counts[(k, d)] += 1
+    series = defaultdict(list)
+    for (k, d), c in sorted(counts.items()):
+        series[k].append((d, c))
+    expect = {}
+    for k, pts in series.items():
+        lvl = trd = None
+        for d, c in pts:
+            if lvl is None:
+                lvl, trd = float(c), 0.0
+            else:
+                new_l = 0.5 * c + 0.5 * (lvl + trd)
+                trd = 0.25 * (new_l - lvl) + 0.75 * trd
+                lvl = new_l
+            expect[(k, d)] = (c, _r6(lvl), _r6(trd), _r6(lvl + trd))
+    assert got == expect
