@@ -105,6 +105,8 @@ SAMPLE = [
     "dedup_incremental_delta",      # hash semi/anti split counts (r6)
     "feature_hash_vectors",         # signed-collision integer sums (r6)
     "vocab_oov_rate",               # top-1000 boundary tie-break (r6)
+    "ts_acf_daily",                 # lag-frame corr partial merges (r6w5)
+    "ts_theilsen_trend",            # pairwise-slope percentile (r6w5)
     # entity_resolution_suppliers is NOT here: the fuzzy edge set is empty
     # at the tiny test sf (no supplier-name pairs within distance 2), so
     # the invariance run would compare empty frames; its determinism is

@@ -503,6 +503,14 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
         "curate_quality_budget": 1,   # ONE source partitioning shared by
                                       # the quality-rank cumsum and the
                                       # kept-set agg
+        "ts_acf_daily": 2,            # daily agg + ONE type ordering
+                                      # shared by all 3 lag frames; the
+                                      # unpivoted corr agg reuses it
+        "ts_mase_seasonal_naive": 2,  # same shape: daily agg + one type
+                                      # window feeding the final agg
+        "ts_theilsen_trend": 3,       # daily agg + pairwise self-join of
+                                      # the calendar-bounded summary +
+                                      # percentile agg
     }
     over = {}
     for name, budget in budgets.items():

@@ -8586,3 +8586,195 @@ def curate_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("long").alias("n_tokens_kept"),
         F.round(F.min("q"), 6).alias("min_quality_kept"),
     )
+
+
+@register(
+    "ts_acf_daily",
+    f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // {US_DAY} AS BIGINT) AS bidx,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    l AS (SELECT event_type, bidx, cnt,
+                 lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY bidx)
+                   AS l1,
+                 lag(cnt, 2) OVER (PARTITION BY event_type ORDER BY bidx)
+                   AS l2,
+                 lag(cnt, 3) OVER (PARTITION BY event_type ORDER BY bidx)
+                   AS l3
+          FROM c),
+    s AS (SELECT event_type, CAST(1 AS INT) AS lag_k, cnt, l1 AS prev
+          FROM l WHERE l1 IS NOT NULL
+          UNION ALL
+          SELECT event_type, CAST(2 AS INT), cnt, l2 FROM l
+          WHERE l2 IS NOT NULL
+          UNION ALL
+          SELECT event_type, CAST(3 AS INT), cnt, l3 FROM l
+          WHERE l3 IS NOT NULL)
+    SELECT event_type, lag_k, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(cnt, prev), 6) AS acf
+    FROM s GROUP BY event_type, lag_k
+    """,
+)
+def ts_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1-3) of the daily event-count
+    series per type — the seasonality / persistence diagnostic that sits
+    upstream of the EWMA/Holt smoothers (is there structure worth
+    modelling?). One keyed exchange builds the daily series; the three
+    lag columns come from the SAME sorted window pass (one sort, three
+    frames); the lagged pairs are unpivoted and correlated per (type,
+    lag). Day-count is bounded by the calendar span, so the per-type
+    series — and all window state — stays dimension-scale no matter how
+    many raw events the scan reads. Spark corr ≡ DuckDB corr (both
+    sample Pearson; 6dp collapses summation-order ulps)."""
+    from windflow_spark.operators.timeutil import event_micros
+
+    e = _t(spark, sf_dir, "events")
+    day = F.floor(event_micros(e, "ts") / F.lit(US_DAY)).cast("long")
+    c = (
+        e.withColumn("_day", day)
+        .groupBy("event_type", "_day")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = W.partitionBy("event_type").orderBy("_day")
+    l = c.select(
+        "event_type",
+        "cnt",
+        F.lag("cnt", 1).over(w).alias("l1"),
+        F.lag("cnt", 2).over(w).alias("l2"),
+        F.lag("cnt", 3).over(w).alias("l3"),
+    )
+    s = l.select(
+        "event_type",
+        "cnt",
+        F.expr(
+            "stack(3, 1, l1, 2, l2, 3, l3) AS (lag_k, prev)"
+        ),
+    ).filter(F.col("prev").isNotNull())
+    return s.groupBy("event_type", "lag_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.corr("cnt", "prev"), 6).alias("acf"),
+    )
+
+
+@register(
+    "ts_mase_seasonal_naive",
+    f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // {US_DAY} AS BIGINT) AS bidx,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    l AS (SELECT event_type, bidx, cnt,
+                 lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY bidx)
+                   AS l1,
+                 lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY bidx)
+                   AS l7
+          FROM c)
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE l7 IS NOT NULL) AS BIGINT)
+             AS n_forecasts,
+           round(avg(CAST(abs(cnt - l7) AS DOUBLE))
+                   FILTER (WHERE l7 IS NOT NULL), 6) AS mae_seasonal,
+           round(avg(CAST(abs(cnt - l1) AS DOUBLE))
+                   FILTER (WHERE l1 IS NOT NULL), 6) AS mae_naive,
+           round(avg(CAST(abs(cnt - l7) AS DOUBLE))
+                   FILTER (WHERE l7 IS NOT NULL)
+                 / avg(CAST(abs(cnt - l1) AS DOUBLE))
+                   FILTER (WHERE l1 IS NOT NULL), 6) AS mase
+    FROM l GROUP BY event_type
+    """,
+)
+def ts_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-quality readout: MASE of the seasonal-naive (lag-7)
+    forecast against the one-step-naive (lag-1) denominator on the daily
+    count series per type — the standard scale-free error metric that
+    tells you whether weekly seasonality beats pure persistence before
+    you bother fitting Holt/Holt-Winters. Same single sorted window pass
+    as ts_acf_daily (two lag frames, one exchange); integer |errors|
+    averaged as doubles and rounded (integer sums would be exact, but the
+    ratio is a double either way)."""
+    from windflow_spark.operators.timeutil import event_micros
+
+    e = _t(spark, sf_dir, "events")
+    day = F.floor(event_micros(e, "ts") / F.lit(US_DAY)).cast("long")
+    c = (
+        e.withColumn("_day", day)
+        .groupBy("event_type", "_day")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = W.partitionBy("event_type").orderBy("_day")
+    l = c.select(
+        "event_type",
+        "cnt",
+        F.lag("cnt", 1).over(w).alias("l1"),
+        F.lag("cnt", 7).over(w).alias("l7"),
+    )
+    e7 = F.abs(F.col("cnt") - F.col("l7")).cast("double")
+    e1 = F.abs(F.col("cnt") - F.col("l1")).cast("double")
+    m7 = F.avg(F.when(F.col("l7").isNotNull(), e7))
+    m1 = F.avg(F.when(F.col("l1").isNotNull(), e1))
+    return l.groupBy("event_type").agg(
+        F.count(F.when(F.col("l7").isNotNull(), 1)).cast("long").alias(
+            "n_forecasts"
+        ),
+        F.round(m7, 6).alias("mae_seasonal"),
+        F.round(m1, 6).alias("mae_naive"),
+        F.round(m7 / m1, 6).alias("mase"),
+    )
+
+
+@register(
+    "ts_theilsen_trend",
+    f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // {US_DAY} AS BIGINT) AS bidx,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    p AS (SELECT a.event_type,
+                 CAST(b.cnt - a.cnt AS DOUBLE) / (b.bidx - a.bidx) AS slope
+          FROM c a JOIN c b
+            ON a.event_type = b.event_type AND a.bidx < b.bidx)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 6) AS theilsen_slope
+    FROM p GROUP BY event_type
+    """,
+)
+def ts_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend: the median of all pairwise slopes of the
+    daily count series per type — the outlier-immune alternative to the
+    OLS slope in the corr/OLS battery (a single anomalous day cannot drag
+    it). The pairwise self-join runs on the DAILY AGGREGATE (calendar-
+    bounded, dimension-scale), never the raw events, so the O(d²) pair
+    count is a constant ~d²/2 per type regardless of data volume; the
+    raw table contributes exactly one keyed exchange. Each slope is one
+    integer subtraction and one division — bit-identical across engines —
+    and Spark percentile ≡ DuckDB quantile_cont bit-exact (established
+    parity)."""
+    from windflow_spark.operators.timeutil import event_micros
+
+    e = _t(spark, sf_dir, "events")
+    day = F.floor(event_micros(e, "ts") / F.lit(US_DAY)).cast("long")
+    c = (
+        e.withColumn("_day", day)
+        .groupBy("event_type", "_day")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    slope = (
+        (F.col("b.cnt") - F.col("a.cnt")).cast("double")
+        / (F.col("b._day") - F.col("a._day"))
+    ).alias("slope")
+    p = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a._day") < F.col("b._day")),
+    ).select(F.col("a.event_type").alias("event_type"), slope)
+    return p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias("theilsen_slope"),
+    )
