@@ -107,6 +107,8 @@ SAMPLE = [
     "vocab_oov_rate",               # top-1000 boundary tie-break (r6)
     "ts_acf_daily",                 # lag-frame corr partial merges (r6w5)
     "ts_theilsen_trend",            # pairwise-slope percentile (r6w5)
+    "gopher_quality_rules",         # per-row rule booleans (r6w5)
+    "bootstrap_revenue_ci",         # md5-seeded weights, BIGINT sums (r6w5)
     # entity_resolution_suppliers is NOT here: the fuzzy edge set is empty
     # at the tiny test sf (no supplier-name pairs within distance 2), so
     # the invariance run would compare empty frames; its determinism is

@@ -511,6 +511,12 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
         "ts_theilsen_trend": 3,       # daily agg + pairwise self-join of
                                       # the calendar-bounded summary +
                                       # percentile agg
+        "gopher_quality_rules": 1,    # all rules are per-row column
+                                      # expressions; one source agg
+        "benford_order_prices": 1,    # 9-row digit agg; total is a
+                                      # window over it
+        "bootstrap_revenue_ci": 1,    # 8x explode rides the scan; one
+                                      # 8-group weighted agg
     }
     over = {}
     for name, budget in budgets.items():

@@ -8778,3 +8778,282 @@ def ts_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.round(F.expr("percentile(slope, 0.5)"), 6).alias("theilsen_slope"),
     )
+
+
+@register(
+    "gopher_quality_rules",
+    """
+    WITH d AS (
+      SELECT source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents),
+    s AS (
+      SELECT source,
+             len(words) AS n_tok,
+             CAST(list_sum(list_transform(words, w -> length(w)))
+                  AS DOUBLE) / len(words) AS mean_wl,
+             len(list_intersect(words,
+                 ['the','a','of','and','to','in','is','that'])) AS n_stop,
+             CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+               AS distinct_ratio
+      FROM d),
+    r AS (
+      SELECT source,
+             CASE WHEN n_tok >= 30 AND n_tok <= 100000 THEN 1 ELSE 0 END
+               AS p_len,
+             CASE WHEN mean_wl >= CAST(3 AS DOUBLE)
+                   AND mean_wl <= CAST(10 AS DOUBLE) THEN 1 ELSE 0 END
+               AS p_wl,
+             CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS p_stop,
+             CASE WHEN distinct_ratio >= CAST(0.4 AS DOUBLE)
+               THEN 1 ELSE 0 END AS p_div
+      FROM s)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p_len) AS BIGINT) AS n_pass_len,
+           CAST(sum(p_wl) AS BIGINT) AS n_pass_wordlen,
+           CAST(sum(p_stop) AS BIGINT) AS n_pass_stopword,
+           CAST(sum(p_div) AS BIGINT) AS n_pass_diversity,
+           CAST(sum(p_len * p_wl * p_stop * p_div) AS BIGINT) AS n_pass_all,
+           round(CAST(sum(p_len * p_wl * p_stop * p_div) AS DOUBLE)
+                 / count(*), 6) AS pass_rate
+    FROM r GROUP BY source
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style (Rae et al. 2021, arXiv:2112.11446 §A1.1) repetition/
+    quality rule battery per source: word-count bounds, mean-word-length
+    band [3,10], ≥2 distinct stopwords, and a distinct-token diversity
+    floor — the published heuristic filter suite next to the repo's
+    continuous q_score. Every rule is a pure JVM column expression over
+    ONE pass of the corpus (no explode, no shuffle besides the final
+    source agg); per-row ratios stay raw IEEE doubles (bit-identical
+    across engines) and only the final pass_rate is rounded."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    stop = F.array(*[F.lit(w) for w in
+                     ["the", "a", "of", "and", "to", "in", "is", "that"]])
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.size(toks).alias("n_tok"),
+        (
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.size(toks)
+        ).alias("mean_wl"),
+        F.size(F.array_intersect(toks, stop)).alias("n_stop"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("distinct_ratio"),
+    )
+    p = d.select(
+        "source",
+        F.when((F.col("n_tok") >= 30) & (F.col("n_tok") <= 100000), 1)
+        .otherwise(0)
+        .alias("p_len"),
+        F.when(
+            (F.col("mean_wl") >= F.lit(3.0)) & (F.col("mean_wl") <= F.lit(10.0)),
+            1,
+        )
+        .otherwise(0)
+        .alias("p_wl"),
+        F.when(F.col("n_stop") >= 2, 1).otherwise(0).alias("p_stop"),
+        F.when(F.col("distinct_ratio") >= F.lit(0.4), 1)
+        .otherwise(0)
+        .alias("p_div"),
+    )
+    allp = F.col("p_len") * F.col("p_wl") * F.col("p_stop") * F.col("p_div")
+    return p.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("p_len").cast("long").alias("n_pass_len"),
+        F.sum("p_wl").cast("long").alias("n_pass_wordlen"),
+        F.sum("p_stop").cast("long").alias("n_pass_stopword"),
+        F.sum("p_div").cast("long").alias("n_pass_diversity"),
+        F.sum(allp).cast("long").alias("n_pass_all"),
+        F.round(
+            F.sum(allp).cast("double") / F.count(F.lit(1)), 6
+        ).alias("pass_rate"),
+    )
+
+
+@register(
+    "benford_order_prices",
+    """
+    WITH c AS (
+      SELECT CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100, 0)
+                  AS BIGINT) AS cents
+      FROM orders),
+    d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+          FROM c WHERE cents > 0),
+    g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    t AS (SELECT g.*, SUM(n) OVER () AS total FROM g)
+    SELECT digit, n AS n_orders,
+           round(CAST(n AS DOUBLE) / total, 6) AS obs_freq,
+           round(log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit), 6)
+             AS benford_freq,
+           round(abs(round(CAST(n AS DOUBLE) / total, 6)
+                     - round(log10(CAST(1 AS DOUBLE)
+                                   + CAST(1 AS DOUBLE) / digit), 6)), 6)
+             AS abs_dev
+    FROM t
+    """,
+)
+def benford_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fraud / synthetic-data fingerprint check (natural multiplicative
+    amounts follow P(d)=log10(1+1/d); fabricated ones usually don't).
+    The leading digit comes from the STRING of the exact BIGINT cents
+    (decimal arithmetic end to end) — never from floor(log10(price)),
+    whose float edge at exact powers of ten can misclassify. One 9-row
+    aggregate; the total rides a window over it. Deviation is computed
+    from the two 6dp-rounded frequencies, so the comparison is
+    engine-exact."""
+    o = _t(spark, sf_dir, "orders")
+    cents = (
+        F.round(F.col("o_totalprice").cast("decimal(18,6)") * 100, 0)
+        .cast("long")
+        .alias("cents")
+    )
+    d = (
+        o.select(cents)
+        .filter(F.col("cents") > 0)
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    g = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    t = g.withColumn(
+        "total",
+        F.sum("n_orders").over(
+            W.partitionBy().rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ),
+    )
+    obs = F.round(F.col("n_orders").cast("double") / F.col("total"), 6)
+    ben = F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6)
+    return t.select(
+        "digit",
+        "n_orders",
+        obs.alias("obs_freq"),
+        ben.alias("benford_freq"),
+        F.round(F.abs(obs - ben), 6).alias("abs_dev"),
+    )
+
+
+@register(
+    "bootstrap_revenue_ci",
+    """
+    WITH c AS (
+      SELECT o_orderkey,
+             CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100, 0)
+                  AS BIGINT) AS cents
+      FROM orders),
+    rep AS (SELECT unnest(generate_series(0, 7)) AS r),
+    u AS (
+      SELECT rep.r, c.cents,
+             CAST(('0x' || substr(md5(c.o_orderkey::VARCHAR || ':' ||
+                                      rep.r::VARCHAR), 1, 8))::UBIGINT
+                  AS DOUBLE) / 4294967296.0 AS uni
+      FROM c CROSS JOIN rep),
+    w AS (
+      SELECT r, cents,
+             CASE
+               WHEN uni < CAST(0.36787944117144233 AS DOUBLE) THEN 0
+               WHEN uni < CAST(0.7357588823428847 AS DOUBLE) THEN 1
+               WHEN uni < CAST(0.9196986029286058 AS DOUBLE) THEN 2
+               WHEN uni < CAST(0.9810118431238463 AS DOUBLE) THEN 3
+               WHEN uni < CAST(0.9963401531726563 AS DOUBLE) THEN 4
+               WHEN uni < CAST(0.9994058151824183 AS DOUBLE) THEN 5
+               WHEN uni < CAST(0.999916758850712 AS DOUBLE) THEN 6
+               WHEN uni < CAST(0.9999897508033253 AS DOUBLE) THEN 7
+               ELSE 8
+             END AS k
+      FROM u),
+    est AS (
+      SELECT r,
+             CAST(sum(k * cents) AS DOUBLE)
+               / CAST(sum(k) AS DOUBLE) / CAST(100 AS DOUBLE) AS est,
+             CAST(sum(k) AS BIGINT) AS n_eff
+      FROM w GROUP BY r)
+    SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+           round(avg(est), 6) AS est_mean,
+           round(stddev_samp(est), 6) AS boot_se,
+           round(min(est), 6) AS est_min,
+           round(max(est), 6) AS est_max,
+           CAST(min(n_eff) AS BIGINT) AS min_n_eff
+    FROM est
+    """,
+)
+def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (the at-scale resampling method — per-row
+    independent Poisson(1) weights instead of a global n-out-of-n draw,
+    so each replicate is a single weighted aggregate with NO resample
+    shuffle): 8 deterministic replicates of mean order revenue, with the
+    across-replicate stddev as the bootstrap standard error. The weight
+    is the Poisson(1) inverse CDF of an md5-derived uniform (seeded by
+    (orderkey, replicate) — reproducible on any engine / partitioning);
+    weighted sums stay exact BIGINT cents, so each replicate estimate is
+    bit-deterministic; only the 8-row summary is rounded. Scales as one
+    8x row-replication + one 8-group aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    cents = (
+        F.round(F.col("o_totalprice").cast("decimal(18,6)") * 100, 0)
+        .cast("long")
+        .alias("cents")
+    )
+    c = o.select("o_orderkey", cents)
+    rep = c.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(7))))
+    uni = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("r").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    thresholds = [
+        0.36787944117144233,
+        0.7357588823428847,
+        0.9196986029286058,
+        0.9810118431238463,
+        0.9963401531726563,
+        0.9994058151824183,
+        0.999916758850712,
+        0.9999897508033253,
+    ]
+    k = F.lit(8)
+    for i in range(len(thresholds) - 1, -1, -1):
+        k = F.when(uni < F.lit(thresholds[i]), i).otherwise(k)
+    w = rep.select("r", "cents", k.alias("k"))
+    est = w.groupBy("r").agg(
+        (
+            F.sum(F.col("k") * F.col("cents")).cast("double")
+            / F.sum("k").cast("double")
+            / F.lit(100.0)
+        ).alias("est"),
+        F.sum("k").cast("long").alias("n_eff"),
+    )
+    return est.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        F.round(F.avg("est"), 6).alias("est_mean"),
+        F.round(F.stddev_samp("est"), 6).alias("boot_se"),
+        F.round(F.min("est"), 6).alias("est_min"),
+        F.round(F.max("est"), 6).alias("est_max"),
+        F.min("n_eff").cast("long").alias("min_n_eff"),
+    )
