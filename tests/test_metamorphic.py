@@ -109,6 +109,9 @@ SAMPLE = [
     "ts_theilsen_trend",            # pairwise-slope percentile (r6w5)
     "gopher_quality_rules",         # per-row rule booleans (r6w5)
     "bootstrap_revenue_ci",         # md5-seeded weights, BIGINT sums (r6w5)
+    "ks_drift_order_prices",        # scalar min/max + bounded ECDF (r6w5)
+    "mi_segment_priority",          # 25-cell entropy sum order (r6w5)
+    "target_encode_loo_segment",    # broadcast (S,n) + float mean (r6w5)
     # entity_resolution_suppliers is NOT here: the fuzzy edge set is empty
     # at the tiny test sf (no supplier-name pairs within distance 2), so
     # the invariance run would compare empty frames; its determinism is

@@ -87,6 +87,9 @@ def test_q1_single_shuffle_and_fused(spark, sf_dir):
 # - the scalar-subquery queries join a ONE-ROW broadcast aggregate
 #   (avg/total) — a 1×N nested loop is O(N), the right plan for a scalar.
 _BNLJ_ALLOWED = {
+    # one-row global min/max scalar broadcast onto the fact rows before
+    # the 256-bin histogram — the documented scalar crossJoin shape
+    "ks_drift_order_prices",
     "sim_topk_bruteforce",
     "sim_lsh_recall",
     "sim_ivf_recall",
@@ -517,6 +520,13 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
                                       # window over it
         "bootstrap_revenue_ci": 1,    # 8x explode rides the scan; one
                                       # 8-group weighted agg
+        "ks_drift_order_prices": 1,   # one bin agg; min/max is a one-row
+                                      # broadcast, ECDF is a 256-row pass
+        "mi_segment_priority": 2,     # cell agg (+ headroom for the
+                                      # 25-cell marginal windows)
+        "target_encode_loo_segment": 3,  # seg (S,n) agg broadcast back
+                                      # + final seg agg; headroom for a
+                                      # shuffled fact⋈dim join at scale
     }
     over = {}
     for name, budget in budgets.items():

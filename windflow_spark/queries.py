@@ -9057,3 +9057,262 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("est"), 6).alias("est_max"),
         F.min("n_eff").cast("long").alias("min_n_eff"),
     )
+
+
+@register(
+    "ks_drift_order_prices",
+    """
+    WITH c AS (
+      SELECT CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100, 0)
+                  AS BIGINT) AS cents,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+               THEN 0 ELSE 1 END AS pop
+      FROM orders),
+    mm AS (SELECT min(cents) AS mn, max(cents) AS mx FROM c),
+    b AS (
+      SELECT CAST(((c.cents - mm.mn) * 256) // (mm.mx - mm.mn + 1)
+                  AS BIGINT) AS bin,
+             c.pop
+      FROM c CROSS JOIN mm),
+    g AS (
+      SELECT bin,
+             CAST(count(*) FILTER (WHERE pop = 0) AS BIGINT) AS na,
+             CAST(count(*) FILTER (WHERE pop = 1) AS BIGINT) AS nb
+      FROM b GROUP BY bin),
+    cu AS (
+      SELECT bin, na, nb,
+             SUM(na) OVER (ORDER BY bin) AS ca,
+             SUM(nb) OVER (ORDER BY bin) AS cb,
+             SUM(na) OVER () AS ta,
+             SUM(nb) OVER () AS tb
+      FROM g)
+    SELECT CAST(max(ta) AS BIGINT) AS n_before,
+           CAST(max(tb) AS BIGINT) AS n_after,
+           CAST(count(*) AS BIGINT) AS n_bins_used,
+           round(max(abs(CAST(ca AS DOUBLE) / ta
+                         - CAST(cb AS DOUBLE) / tb)), 6) AS ks_d,
+           round(CAST(1.36 AS DOUBLE)
+                 * sqrt(CAST(max(ta) + max(tb) AS DOUBLE)
+                        / (CAST(max(ta) AS DOUBLE) * max(tb))), 6)
+             AS crit_05
+    FROM cu
+    """,
+)
+def ks_drift_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the order-
+    price distributions before/after a cutover date, on a 256-bin ECDF
+    grid — the distribution-shift monitor beside psi_price_drift (PSI
+    weights the body, KS reads the worst ECDF gap). Binned ON PURPOSE:
+    the exact KS needs a global sort of every distinct value, which is
+    the one plan shape that cannot scale; the fixed integer grid caps the
+    error at the largest bin mass while keeping the job one conditional
+    aggregate over the scan plus a 256-row cumulative pass (bounded, not
+    data-scale). Min/max ride a one-row broadcast scalar; all bin math is
+    exact BIGINT; the ECDF fractions are single correctly-rounded double
+    divisions, identical on both engines. Alongside, the alpha=.05
+    critical value 1.36*sqrt((na+nb)/(na*nb))."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.select(
+        F.round(F.col("o_totalprice").cast("decimal(18,6)") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-07-01 00:00:00").cast("timestamp"),
+            0,
+        )
+        .otherwise(1)
+        .alias("pop"),
+    )
+    mm = c.agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"))
+    b = c.crossJoin(F.broadcast(mm)).select(
+        F.floor(
+            (F.col("cents") - F.col("mn")) * 256 / (F.col("mx") - F.col("mn") + 1)
+        )
+        .cast("long")
+        .alias("bin"),
+        "pop",
+    )
+    g = b.groupBy("bin").agg(
+        F.count(F.when(F.col("pop") == 0, 1)).cast("long").alias("na"),
+        F.count(F.when(F.col("pop") == 1, 1)).cast("long").alias("nb"),
+    )
+    wc = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cu = g.select(
+        "bin",
+        "na",
+        "nb",
+        F.sum("na").over(wc).alias("ca"),
+        F.sum("nb").over(wc).alias("cb"),
+        F.sum("na").over(wall).alias("ta"),
+        F.sum("nb").over(wall).alias("tb"),
+    )
+    return cu.agg(
+        F.max("ta").cast("long").alias("n_before"),
+        F.max("tb").cast("long").alias("n_after"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("ca").cast("double") / F.col("ta")
+                    - F.col("cb").cast("double") / F.col("tb")
+                )
+            ),
+            6,
+        ).alias("ks_d"),
+        F.round(
+            F.lit(1.36)
+            * F.sqrt(
+                (F.max("ta") + F.max("tb")).cast("double")
+                / (F.max("ta").cast("double") * F.max("tb"))
+            ),
+            6,
+        ).alias("crit_05"),
+    )
+
+
+@register(
+    "mi_segment_priority",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    cell AS (SELECT seg, pri, CAST(count(*) AS BIGINT) AS n
+             FROM j GROUP BY seg, pri),
+    m AS (
+      SELECT seg, pri, n,
+             SUM(n) OVER (PARTITION BY seg) AS nx,
+             SUM(n) OVER (PARTITION BY pri) AS ny,
+             SUM(n) OVER () AS nt
+      FROM cell)
+    SELECT CAST(max(nt) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum((CAST(n AS DOUBLE) / nt)
+                     * ln((CAST(n AS DOUBLE) * nt)
+                          / (CAST(nx AS DOUBLE) * ny))), 6) AS mi_nats,
+           round(-sum((CAST(n AS DOUBLE) / nt)
+                      * ln(CAST(nx AS DOUBLE) / nt)), 6) AS h_segment,
+           round(-sum((CAST(n AS DOUBLE) / nt)
+                      * ln(CAST(ny AS DOUBLE) / nt)), 6) AS h_priority,
+           round(sum((CAST(n AS DOUBLE) / nt)
+                     * ln((CAST(n AS DOUBLE) * nt)
+                          / (CAST(nx AS DOUBLE) * ny)))
+                 / sqrt(sum(-(CAST(n AS DOUBLE) / nt)
+                            * ln(CAST(nx AS DOUBLE) / nt))
+                        * sum(-(CAST(n AS DOUBLE) / nt)
+                              * ln(CAST(ny AS DOUBLE) / nt))), 6) AS nmi
+    FROM m
+    """,
+)
+def mi_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between customer market segment and
+    order priority, with marginal entropies and the sqrt-normalized NMI —
+    the information-theoretic dependence readout beside
+    chi2_segment_priority's frequentist test (chi2 says 'is there any
+    association', MI says 'how many bits does one tell you about the
+    other'). Same scale shape as chi2: ONE (seg,pri) cell aggregate from
+    the fact join; marginals are window sums over the 25-cell frame; the
+    entropy sums run over 25 rows and are rounded at 6dp (summation-
+    order ulps collapse, the key_skew_events precedent). H(X) falls out
+    of the joint frame as -Σ p(x,y)·ln p(x) — no second scan."""
+    o = _t(spark, sf_dir, "orders")
+    cst = _t(spark, sf_dir, "customer")
+    j = o.join(cst, o.o_custkey == cst.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri")
+    )
+    cell = j.groupBy("seg", "pri").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    frame = (W.unboundedPreceding, W.unboundedFollowing)
+    m = cell.select(
+        "seg",
+        "pri",
+        "n",
+        F.sum("n").over(W.partitionBy("seg").rowsBetween(*frame)).alias("nx"),
+        F.sum("n").over(W.partitionBy("pri").rowsBetween(*frame)).alias("ny"),
+        F.sum("n").over(W.partitionBy().rowsBetween(*frame)).alias("nt"),
+    )
+    p = F.col("n").cast("double") / F.col("nt")
+    mi_term = p * F.log(
+        (F.col("n").cast("double") * F.col("nt"))
+        / (F.col("nx").cast("double") * F.col("ny"))
+    )
+    hx_term = -p * F.log(F.col("nx").cast("double") / F.col("nt"))
+    hy_term = -p * F.log(F.col("ny").cast("double") / F.col("nt"))
+    return m.agg(
+        F.max("nt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(F.sum(mi_term), 6).alias("mi_nats"),
+        F.round(F.sum(hx_term), 6).alias("h_segment"),
+        F.round(F.sum(hy_term), 6).alias("h_priority"),
+        F.round(
+            F.sum(mi_term) / F.sqrt(F.sum(hx_term) * F.sum(hy_term)), 6
+        ).alias("nmi"),
+    )
+
+
+@register(
+    "target_encode_loo_segment",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(round(CAST(o.o_totalprice AS DECIMAL(18,6)) * 100, 0)
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    s AS (SELECT seg, CAST(sum(cents) AS BIGINT) AS sc,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM j GROUP BY seg),
+    e AS (
+      SELECT j.seg,
+             CAST(s.sc - j.cents AS DOUBLE)
+               / (s.n - 1) / CAST(100 AS DOUBLE) AS loo
+      FROM j JOIN s USING (seg) WHERE s.n > 1)
+    SELECT seg,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(loo), 2) AS enc_mean,
+           round(min(loo), 6) AS enc_min,
+           round(max(loo), 6) AS enc_max
+    FROM e GROUP BY seg
+    """,
+)
+def target_encode_loo_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe leave-one-out target encoding of customer segment
+    against order revenue: each row's encoded value is the segment mean
+    WITHOUT that row ((S-y_i)/(n-1)) — the standard high-cardinality
+    categorical encoder, in the form that cannot leak the row's own
+    label (sits with split_group_holdout / split_temporal_embargo in the
+    leakage-prevention family). Deliberately NOT a window by segment —
+    5 segment partitions would serialize the sort at scale; instead ONE
+    parallel groupBy builds the 5-row (S,n) table, which broadcasts back
+    onto the fact rows, so every stage stays at full cluster
+    parallelism. Sums are exact BIGINT cents; each LOO value is two
+    correctly-rounded double ops (engine-identical); min/max are exact
+    and only the float mean is 2dp-rounded."""
+    o = _t(spark, sf_dir, "orders")
+    cst = _t(spark, sf_dir, "customer")
+    j = o.join(cst, o.o_custkey == cst.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice").cast("decimal(18,6)") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    s = j.groupBy("seg").agg(
+        F.sum("cents").cast("long").alias("sc"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    e = (
+        j.join(F.broadcast(s), "seg")
+        .filter(F.col("n") > 1)
+        .select(
+            "seg",
+            (
+                (F.col("sc") - F.col("cents")).cast("double")
+                / (F.col("n") - 1)
+                / F.lit(100.0)
+            ).alias("loo"),
+        )
+    )
+    return e.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.avg("loo"), 2).alias("enc_mean"),
+        F.round(F.min("loo"), 6).alias("enc_min"),
+        F.round(F.max("loo"), 6).alias("enc_max"),
+    )
