@@ -112,6 +112,9 @@ SAMPLE = [
     "ks_drift_order_prices",        # scalar min/max + bounded ECDF (r6w5)
     "mi_segment_priority",          # 25-cell entropy sum order (r6w5)
     "target_encode_loo_segment",    # broadcast (S,n) + float mean (r6w5)
+    "graph_degree_powerlaw",        # log-sum MLE partial merges (r6w5)
+    "recursive_trade_reachability", # recursive CTE multi-path min (r6w5)
+    "impute_median_missing",        # md5 mask + percentile parity (r6w5)
     # entity_resolution_suppliers is NOT here: the fuzzy edge set is empty
     # at the tiny test sf (no supplier-name pairs within distance 2), so
     # the invariance run would compare empty frames; its determinism is

@@ -90,6 +90,8 @@ _BNLJ_ALLOWED = {
     # one-row global min/max scalar broadcast onto the fact rows before
     # the 256-bin histogram — the documented scalar crossJoin shape
     "ks_drift_order_prices",
+    # one-row node-count scalar crossJoined with the one-row MLE agg
+    "graph_degree_powerlaw",
     "sim_topk_bruteforce",
     "sim_lsh_recall",
     "sim_ivf_recall",
@@ -527,6 +529,15 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
         "target_encode_loo_segment": 3,  # seg (S,n) agg broadcast back
                                       # + final seg agg; headroom for a
                                       # shuffled fact⋈dim join at scale
+        "graph_degree_powerlaw": 2,   # degree agg shared by both branch
+                                      # aggs (ReuseExchange); one-row
+                                      # scalar crossJoin
+        "recursive_trade_reachability": 4,  # corridor agg + src rank
+                                      # window; headroom for shuffled
+                                      # fact joins at scale (dims
+                                      # broadcast at test sf)
+        "impute_median_missing": 2,   # per-type median agg broadcast
+                                      # back + final type agg
     }
     over = {}
     for name, budget in budgets.items():

@@ -9316,3 +9316,200 @@ def target_encode_loo_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("loo"), 6).alias("enc_min"),
         F.round(F.max("loo"), 6).alias("enc_max"),
     )
+
+
+@register(
+    "graph_degree_powerlaw",
+    """
+    WITH d AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS deg
+      FROM orders GROUP BY o_custkey),
+    t AS (SELECT deg FROM d WHERE deg >= 2)
+    SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_nodes,
+           CAST(count(*) AS BIGINT) AS n_tail,
+           CAST(2 AS BIGINT) AS d_min,
+           CAST(max(deg) AS BIGINT) AS max_degree,
+           round(avg(CAST(deg AS DOUBLE)), 6) AS mean_degree,
+           round(CAST(1 AS DOUBLE)
+                 + count(*) / sum(ln(CAST(deg AS DOUBLE)
+                                     / CAST(1.5 AS DOUBLE))), 6)
+             AS alpha_mle
+    FROM t
+    """,
+)
+def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution tail diagnosis of the customer-order graph:
+    the continuous power-law MLE alpha = 1 + n/Σ ln(d/(dmin-1/2)) (Clauset-
+    Shalizi-Newman 2009 form, dmin=2) over the per-customer order counts —
+    the skew fingerprint that predicts whether degree-keyed operations
+    (joins, triangle counting) will need salting. One keyed degree
+    aggregate; the MLE is a second global agg over the degree frame; the
+    full-node count rides the same lineage (ReuseExchange). The log-sum
+    is rounded at 6dp (summation-order ulps collapse)."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy("o_custkey").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    t = d.filter(F.col("deg") >= 2)
+    n_nodes = d.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    agg = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.lit(2).cast("long").alias("d_min"),
+        F.max("deg").cast("long").alias("max_degree"),
+        F.round(F.avg(F.col("deg").cast("double")), 6).alias("mean_degree"),
+        F.round(
+            F.lit(1.0)
+            + F.count(F.lit(1))
+            / F.sum(F.log(F.col("deg").cast("double") / F.lit(1.5))),
+            6,
+        ).alias("alpha_mle"),
+    )
+    return n_nodes.crossJoin(F.broadcast(agg)).select(
+        "n_nodes", "n_tail", "d_min", "max_degree", "mean_degree", "alpha_mle"
+    )
+
+
+@register(
+    "recursive_trade_reachability",
+    """
+    WITH RECURSIVE ec AS (
+      SELECT ns.n_name AS src, nc.n_name AS dst,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      WHERE ns.n_name <> nc.n_name
+      GROUP BY 1, 2),
+    rk AS (SELECT src, dst,
+                  CAST(row_number() OVER (PARTITION BY src
+                       ORDER BY cnt DESC, dst) AS BIGINT) AS rk
+           FROM ec),
+    e AS (SELECT src, dst FROM rk WHERE rk <= 3),
+    r AS (
+      SELECT CAST('NATION_0' AS VARCHAR) AS node, 0 AS hop
+      UNION ALL
+      SELECT e.dst, r.hop + 1
+      FROM r JOIN e ON e.src = r.node
+      WHERE r.hop < 4
+    )
+    SELECT node, CAST(min(hop) AS BIGINT) AS hops
+    FROM r GROUP BY node
+    """,
+)
+def recursive_trade_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance over the top-3-corridor trade graph via a
+    RECURSIVE CTE — Spark 4's WITH RECURSIVE executed natively by
+    Catalyst (the dedup_clusters / entity_resolution family expressed in
+    pure SQL instead of a driver-driven Pregel loop; DuckDB runs the
+    IDENTICAL statement). The heavy part — deriving nation-to-nation
+    shipment volumes from the fact join — is fully distributed and
+    aggregates to a ≤25-node graph; per-src top-3 pruning (rank ties
+    broken by dst) bounds out-degree so the path expansion is ≤3^k rows
+    per level with a hop<4 depth cap; min(hop) collapses multi-path
+    visits. The recursion therefore iterates over a dimension-sized
+    frame no matter the fact-table scale."""
+    n = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    ns = n.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("src")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("dst")
+    )
+    ec = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(ns), s.s_nationkey == F.col("snk"))
+        .join(F.broadcast(nc), c.c_nationkey == F.col("cnk"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wk = W.partitionBy("src").orderBy(F.desc("cnt"), F.asc("dst"))
+    e = (
+        ec.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 3)
+        .select("src", "dst")
+    )
+    e.createOrReplaceTempView("_reach_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE r AS (
+          SELECT CAST('NATION_0' AS STRING) AS node, 0 AS hop
+          UNION ALL
+          SELECT e.dst, r.hop + 1
+          FROM r JOIN _reach_edges e ON e.src = r.node
+          WHERE r.hop < 4
+        )
+        SELECT node, CAST(min(hop) AS BIGINT) AS hops
+        FROM r GROUP BY node
+        """
+    )
+
+
+@register(
+    "impute_median_missing",
+    """
+    WITH m AS (
+      SELECT event_type, value,
+             CASE WHEN substr(md5(event_id::VARCHAR), 1, 1) IN ('0', '1')
+               THEN NULL ELSE value END AS v_obs
+      FROM events),
+    med AS (SELECT event_type, quantile_cont(v_obs, 0.5) AS med
+            FROM m GROUP BY event_type)
+    SELECT m.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE m.v_obs IS NULL) AS BIGINT)
+             AS n_missing,
+           round(max(med.med), 6) AS impute_value,
+           round(avg(m.v_obs), 2) AS mean_observed,
+           round(avg(COALESCE(m.v_obs, med.med)), 2) AS mean_imputed,
+           round(avg(m.value), 2) AS mean_true
+    FROM m JOIN med USING (event_type)
+    GROUP BY m.event_type
+    """,
+)
+def impute_median_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median imputation of missing metric values per event type, with
+    the before/after/ground-truth mean readout that shows the bias the
+    imputation introduces. Missingness is SIMULATED deterministically
+    (rows whose event-id md5 starts with 0/1 — exactly the engine-
+    portable hash-mask used by the split_* family) because the synthetic
+    feed has no real nulls; swap the mask for `value IS NULL` on a real
+    feed. Per-type medians come from one groupBy (exact percentile ≡
+    quantile_cont) and broadcast back onto the rows — the 5-row join
+    never re-shuffles the fact table — and a second type agg reads the
+    filled column. Float means are 2dp-rounded (house float-agg rule)."""
+    e = _t(spark, sf_dir, "events")
+    m = e.select(
+        "event_type",
+        "value",
+        F.when(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).isin(
+                "0", "1"
+            ),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.col("value"))
+        .alias("v_obs"),
+    )
+    med = m.groupBy("event_type").agg(
+        F.expr("percentile(v_obs, 0.5)").alias("med")
+    )
+    j = m.join(F.broadcast(med), "event_type")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count(F.when(F.col("v_obs").isNull(), 1)).cast("long").alias(
+            "n_missing"
+        ),
+        F.round(F.max("med"), 6).alias("impute_value"),
+        F.round(F.avg("v_obs"), 2).alias("mean_observed"),
+        F.round(F.avg(F.coalesce(F.col("v_obs"), F.col("med"))), 2).alias(
+            "mean_imputed"
+        ),
+        F.round(F.avg("value"), 2).alias("mean_true"),
+    )
