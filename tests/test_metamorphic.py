@@ -115,6 +115,9 @@ SAMPLE = [
     "graph_degree_powerlaw",        # log-sum MLE partial merges (r6w5)
     "recursive_trade_reachability", # recursive CTE multi-path min (r6w5)
     "impute_median_missing",        # md5 mask + percentile parity (r6w5)
+    "zipf_token_rank_slope",        # TakeOrdered top-500 + OLS agg (r6w6)
+    "new_vs_returning_daily",       # first-touch min + prefix sum (r6w6)
+    "churn_rate_monthly",           # distinct + m→m+1 self-join (r6w6)
     # entity_resolution_suppliers is NOT here: the fuzzy edge set is empty
     # at the tiny test sf (no supplier-name pairs within distance 2), so
     # the invariance run would compare empty frames; its determinism is

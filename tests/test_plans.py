@@ -538,6 +538,19 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
                                       # broadcast at test sf)
         "impute_median_missing": 2,   # per-type median agg broadcast
                                       # back + final type agg
+        "zipf_token_rank_slope": 1,   # one (token) count shuffle; top-500
+                                      # is TakeOrdered, rank/OLS touch 500
+                                      # rows (single-partition, unkeyed)
+        "did_revenue_estimator": 2,   # one conditional-agg pass; headroom
+                                      # for a shuffled fact⋈dim join at
+                                      # scale (broadcast at test sf)
+        "new_vs_returning_daily": 5,  # (user,day) distinct + user min +
+                                      # two day aggs + day join; cum
+                                      # window is single-partition over
+                                      # the days summary
+        "churn_rate_monthly": 4,      # (cust,mi) distinct + equi-self-
+                                      # join re-key + month agg; gmax is
+                                      # a window over the months summary
     }
     over = {}
     for name, budget in budgets.items():

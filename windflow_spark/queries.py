@@ -9513,3 +9513,251 @@ def impute_median_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.avg("value"), 2).alias("mean_true"),
     )
+
+
+@register(
+    "zipf_token_rank_slope",
+    """
+    WITH c AS (
+      SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS u(tok)
+      GROUP BY tok),
+    r AS (SELECT token, cnt,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+                   AS rk
+          FROM c),
+    t AS (SELECT ln(CAST(cnt AS DOUBLE)) AS y, ln(CAST(rk AS DOUBLE)) AS x
+          FROM r WHERE rk <= 500)
+    SELECT CAST(count(*) AS BIGINT) AS n_top,
+           round(regr_slope(y, x), 6) AS slope,
+           round(regr_intercept(y, x), 6) AS intercept,
+           round(regr_r2(y, x), 6) AS r2
+    FROM t
+    """,
+)
+def zipf_token_rank_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token frequencies: OLS of ln(count) on
+    ln(rank) over the top-500 tokens (slope ≈ -1 for natural language —
+    the companion diagnostic to `graph_degree_powerlaw`, on text instead of
+    graph degrees; a corpus whose slope is far from -1 is boilerplate- or
+    spam-dominated). One (token) shuffle for the counts; the top-500 is a
+    distributed TakeOrdered (never a full-vocab single-partition sort);
+    ranking + the regr_* aggregate then touch 500 rows. 6dp rounding
+    collapses ln/summation-order ulps between engines."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    top = cnt.orderBy(F.desc("cnt"), F.asc("token")).limit(500)
+    rk = top.withColumn(
+        "rk",
+        F.row_number().over(W.orderBy(F.desc("cnt"), F.asc("token"))),
+    )
+    t = rk.select(
+        F.log(F.col("cnt").cast("double")).alias("y"),
+        F.log(F.col("rk").cast("double")).alias("x"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_top"),
+        F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+        F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+    )
+
+
+@register(
+    "did_revenue_estimator",
+    """
+    WITH j AS (
+      SELECT (c.c_mktsegment = 'BUILDING') AS treat,
+             (o.o_orderdate >= TIMESTAMP '1998-01-01') AS post,
+             o.o_totalprice AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+    SELECT CAST(count(*) FILTER (WHERE NOT treat AND NOT post) AS BIGINT)
+             AS n_ctrl_pre,
+           CAST(count(*) FILTER (WHERE NOT treat AND post) AS BIGINT)
+             AS n_ctrl_post,
+           CAST(count(*) FILTER (WHERE treat AND NOT post) AS BIGINT)
+             AS n_treat_pre,
+           CAST(count(*) FILTER (WHERE treat AND post) AS BIGINT)
+             AS n_treat_post,
+           round(avg(v) FILTER (WHERE NOT treat AND NOT post), 2)
+             AS mean_ctrl_pre,
+           round(avg(v) FILTER (WHERE NOT treat AND post), 2)
+             AS mean_ctrl_post,
+           round(avg(v) FILTER (WHERE treat AND NOT post), 2)
+             AS mean_treat_pre,
+           round(avg(v) FILTER (WHERE treat AND post), 2)
+             AS mean_treat_post,
+           round((avg(v) FILTER (WHERE treat AND post)
+                  - avg(v) FILTER (WHERE treat AND NOT post))
+                 - (avg(v) FILTER (WHERE NOT treat AND post)
+                    - avg(v) FILTER (WHERE NOT treat AND NOT post)), 2)
+             AS did_estimate
+    FROM j
+    """,
+)
+def did_revenue_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator: treatment = BUILDING-segment
+    customers, intervention = the 1998-01-01 cutover; DiD = (post−pre
+    mean order value for treated) − (post−pre for control). The whole 2×2
+    table plus the estimator is ONE conditional-aggregation pass over the
+    fact⋈dim join (no per-cell frames — the one-pass-funnel lesson,
+    CHANGES_r6 §2); the DiD is computed from the UNROUNDED cell means and
+    rounded once at the end (house float-agg rule)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        (F.col("c_mktsegment") == "BUILDING").alias("treat"),
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz")).alias(
+            "post"
+        ),
+        F.col("o_totalprice").alias("v"),
+    )
+    def _m(tr, po):
+        return F.avg(F.when((F.col("treat") == tr) & (F.col("post") == po), F.col("v")))
+    def _n(tr, po):
+        return F.count(
+            F.when((F.col("treat") == tr) & (F.col("post") == po), 1)
+        ).cast("long")
+    return j.agg(
+        _n(False, False).alias("n_ctrl_pre"),
+        _n(False, True).alias("n_ctrl_post"),
+        _n(True, False).alias("n_treat_pre"),
+        _n(True, True).alias("n_treat_post"),
+        F.round(_m(False, False), 2).alias("mean_ctrl_pre"),
+        F.round(_m(False, True), 2).alias("mean_ctrl_post"),
+        F.round(_m(True, False), 2).alias("mean_treat_pre"),
+        F.round(_m(True, True), 2).alias("mean_treat_post"),
+        F.round(
+            (_m(True, True) - _m(True, False))
+            - (_m(False, True) - _m(False, False)),
+            2,
+        ).alias("did_estimate"),
+    )
+
+
+@register(
+    "new_vs_returning_daily",
+    """
+    WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    f AS (SELECT user_id, min(day) AS day FROM e GROUP BY user_id),
+    n AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM f
+          GROUP BY day),
+    a AS (SELECT day, CAST(count(*) AS BIGINT) AS active_users FROM e
+          GROUP BY day)
+    SELECT a.day, a.active_users,
+           CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+           CAST(a.active_users - COALESCE(n.new_users, 0) AS BIGINT)
+             AS returning_users,
+           CAST(sum(COALESCE(n.new_users, 0))
+                OVER (ORDER BY a.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_users
+    FROM a LEFT JOIN n USING (day)
+    """,
+)
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user decomposition plus the cumulative
+    distinct-user curve — running COUNT(DISTINCT) reduced to a prefix sum:
+    a user is 'new' only on min(day), so cumulative distinct users ≡
+    running sum of daily new users (no re-scan per day, no quadratic
+    distinct). Shapes: one (user, day) distinct shuffle, a per-user min,
+    two day-keyed reductions, then a window over the ~days-sized summary
+    (bounded regardless of fact scale)."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    f = e.groupBy("user_id").agg(F.min("day").alias("day"))
+    n = f.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("new_users"))
+    a = e.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("active_users")
+    )
+    j = a.join(n, "day", "left").select(
+        "day",
+        "active_users",
+        F.coalesce(F.col("new_users"), F.lit(0).cast("long")).alias(
+            "new_users"
+        ),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return j.select(
+        "day",
+        "active_users",
+        "new_users",
+        (F.col("active_users") - F.col("new_users")).alias("returning_users"),
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+@register(
+    "churn_rate_monthly",
+    """
+    WITH m AS (
+      SELECT DISTINCT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+               AS mi
+      FROM orders),
+    g AS (SELECT m.mi,
+                 CAST(count(*) AS BIGINT) AS active_customers,
+                 CAST(count(nx.o_custkey) AS BIGINT) AS retained_customers
+          FROM m LEFT JOIN m nx
+            ON nx.o_custkey = m.o_custkey AND nx.mi = m.mi + 1
+          GROUP BY m.mi),
+    x AS (SELECT *, max(mi) OVER () AS gmax FROM g)
+    SELECT make_date(CAST(mi // 12 AS INT), CAST(mi % 12 + 1 AS INT), 1)
+             AS month_start,
+           active_customers, retained_customers,
+           active_customers - retained_customers AS churned_customers,
+           round((active_customers - retained_customers)
+                 / CAST(active_customers AS DOUBLE), 4) AS churn_rate
+    FROM x WHERE mi < gmax
+    """,
+)
+def churn_rate_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period customer churn: of the customers active in month
+    m, the share with NO order in month m+1 (complement of the retention
+    cohort view — `cohort_retention_weekly` tracks cohorts forward, this
+    tracks consecutive-period survival). The fact table reduces to a
+    distinct (customer, month-index) frame once; the m→m+1 check is an
+    equi-self-join on (custkey, mi+1) — never an inequality scan; the
+    final month (right-censored: no m+1 data exists) is excluded via a
+    window max over the ~months-sized summary, not a driver collect."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("mi"),
+    ).distinct()
+    nx = m.select(
+        F.col("o_custkey").alias("nx_custkey"), F.col("mi").alias("nx_mi")
+    )
+    j = m.join(
+        nx,
+        (F.col("nx_custkey") == F.col("o_custkey"))
+        & (F.col("nx_mi") == F.col("mi") + F.lit(1)),
+        "left",
+    )
+    g = j.groupBy("mi").agg(
+        F.count(F.lit(1)).cast("long").alias("active_customers"),
+        F.count("nx_custkey").cast("long").alias("retained_customers"),
+    )
+    x = g.withColumn("gmax", F.max("mi").over(W.partitionBy()))
+    return x.filter(F.col("mi") < F.col("gmax")).select(
+        F.make_date(
+            F.floor(F.col("mi") / 12).cast("int"),
+            (F.col("mi") % 12 + 1).cast("int"),
+            F.lit(1),
+        ).alias("month_start"),
+        "active_customers",
+        "retained_customers",
+        (F.col("active_customers") - F.col("retained_customers")).alias(
+            "churned_customers"
+        ),
+        F.round(
+            (F.col("active_customers") - F.col("retained_customers"))
+            / F.col("active_customers").cast("double"),
+            4,
+        ).alias("churn_rate"),
+    )
