@@ -118,6 +118,9 @@ SAMPLE = [
     "zipf_token_rank_slope",        # TakeOrdered top-500 + OLS agg (r6w6)
     "new_vs_returning_daily",       # first-touch min + prefix sum (r6w6)
     "churn_rate_monthly",           # distinct + m→m+1 self-join (r6w6)
+    "audience_jaccard_event_types", # distinct + user self-join (r6w6)
+    "weighted_median_price",        # integer prefix-sum boundary (r6w6)
+    "ccf_clicks_purchases_daily",   # day agg + shifted self-join (r6w6)
     # entity_resolution_suppliers is NOT here: the fuzzy edge set is empty
     # at the tiny test sf (no supplier-name pairs within distance 2), so
     # the invariance run would compare empty frames; its determinism is

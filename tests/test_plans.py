@@ -92,6 +92,8 @@ _BNLJ_ALLOWED = {
     "ks_drift_order_prices",
     # one-row node-count scalar crossJoined with the one-row MLE agg
     "graph_degree_powerlaw",
+    # 8-row lag frame broadcast-replicating the days-sized summary
+    "ccf_clicks_purchases_daily",
     "sim_topk_bruteforce",
     "sim_lsh_recall",
     "sim_ivf_recall",
@@ -551,6 +553,17 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
         "churn_rate_monthly": 4,      # (cust,mi) distinct + equi-self-
                                       # join re-key + month agg; gmax is
                                       # a window over the months summary
+        "audience_jaccard_event_types": 7,  # one fact distinct; the rest
+                                      # re-key the REDUCED (type,user)
+                                      # frame (user self-join + pair/size
+                                      # aggs; size joins broadcast)
+        "revenue_bridge_yoy": 2,      # one conditional-agg pass; headroom
+                                      # for a shuffled fact⋈dim join
+        "weighted_median_price": 1,   # both windows + final agg share ONE
+                                      # (returnflag) partitioning
+        "ccf_clicks_purchases_daily": 3,  # one fact day-agg; lag replicate
+                                      # + shifted self-join touch the
+                                      # days-sized summary only
     }
     over = {}
     for name, budget in budgets.items():

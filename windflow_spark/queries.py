@@ -9761,3 +9761,228 @@ def churn_rate_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("churn_rate"),
     )
+
+
+@register(
+    "audience_jaccard_event_types",
+    """
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM d
+          GROUP BY event_type),
+    p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 CAST(count(*) AS BIGINT) AS n_both
+          FROM d a JOIN d b ON a.user_id = b.user_id
+                           AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b, sa.n AS n_a, sb.n AS n_b, p.n_both,
+           round(p.n_both / CAST(sa.n + sb.n - p.n_both AS DOUBLE), 6)
+             AS jaccard
+    FROM p JOIN s sa ON sa.event_type = p.type_a
+           JOIN s sb ON sb.event_type = p.type_b
+    """,
+)
+def audience_jaccard_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise audience-overlap Jaccard between event types — the
+    exact companion to `approx_overlap_event_users` (which trades this
+    for HLL sketches). The fact table reduces ONCE to a distinct (type,
+    user) frame; pair counts come from a user-keyed equi-self-join of
+    that reduced frame (intersections only — unions are derived as
+    |A|+|B|−|A∩B|, never materialized); the T-row size table joins back
+    broadcast. Scales with Σ per-user type-pair fan-out (≤ T² per user,
+    T = #types), never with |users|²."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("event_type", "user_id").distinct()
+    s = d.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = d.select(F.col("event_type").alias("type_a"), "user_id")
+    b = d.select(F.col("event_type").alias("type_b"), "user_id")
+    p = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    sa = s.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = s.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        p.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "revenue_bridge_yoy",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment, o.o_totalprice AS v,
+             year(o.o_orderdate) AS yr
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE year(o.o_orderdate) IN (1997, 1998))
+    SELECT segment,
+           CAST(count(*) FILTER (WHERE yr = 1997) AS BIGINT) AS n_1997,
+           CAST(count(*) FILTER (WHERE yr = 1998) AS BIGINT) AS n_1998,
+           round(sum(v) FILTER (WHERE yr = 1997), 2) AS rev_1997,
+           round(sum(v) FILTER (WHERE yr = 1998), 2) AS rev_1998,
+           round(sum(v) FILTER (WHERE yr = 1998)
+                 - sum(v) FILTER (WHERE yr = 1997), 2) AS rev_delta,
+           round((count(*) FILTER (WHERE yr = 1998)
+                  - count(*) FILTER (WHERE yr = 1997))
+                 * avg(v) FILTER (WHERE yr = 1997), 2) AS volume_effect,
+           round(count(*) FILTER (WHERE yr = 1998)
+                 * (avg(v) FILTER (WHERE yr = 1998)
+                    - avg(v) FILTER (WHERE yr = 1997)), 2) AS price_effect
+    FROM j GROUP BY segment
+    """,
+)
+def revenue_bridge_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-bridge (waterfall) decomposition of the 1997→1998 change
+    per market segment: Δrev = volume effect (Δn at old avg price) +
+    price effect (new n at Δavg price) — the two terms sum to Δrev
+    algebraically, so the decomposition is exact, not a model. ONE
+    conditional-aggregation pass over the year-pruned fact⋈dim join (the
+    year filter reaches the scan as a date range); effects are computed
+    from UNROUNDED means and rounded once."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = (
+        o.filter(F.year("o_orderdate").isin(1997, 1998))
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_totalprice").alias("v"),
+            F.year("o_orderdate").alias("yr"),
+        )
+    )
+    def _n(y):
+        return F.count(F.when(F.col("yr") == y, 1))
+    def _s(y):
+        return F.sum(F.when(F.col("yr") == y, F.col("v")))
+    def _m(y):
+        return F.avg(F.when(F.col("yr") == y, F.col("v")))
+    return j.groupBy("segment").agg(
+        _n(1997).cast("long").alias("n_1997"),
+        _n(1998).cast("long").alias("n_1998"),
+        F.round(_s(1997), 2).alias("rev_1997"),
+        F.round(_s(1998), 2).alias("rev_1998"),
+        F.round(_s(1998) - _s(1997), 2).alias("rev_delta"),
+        F.round((_n(1998) - _n(1997)) * _m(1997), 2).alias("volume_effect"),
+        F.round(_n(1998) * (_m(1998) - _m(1997)), 2).alias("price_effect"),
+    )
+
+
+@register(
+    "weighted_median_price",
+    """
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice,
+             CAST(l_quantity AS BIGINT) AS w,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cumw,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS totw
+      FROM lineitem)
+    SELECT l_returnflag,
+           CAST(max(totw) AS BIGINT) AS total_weight,
+           min(l_extendedprice) FILTER (WHERE 2 * cumw >= totw)
+             AS weighted_median
+    FROM r GROUP BY l_returnflag
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median line price per return flag: the price at
+    which half the shipped QUANTITY (not half the rows) lies below — the
+    inventory-weighted centre plain `percentile` can't express. Weights
+    are cast to BIGINT (TPC-H quantities are integral), so the prefix-sum
+    boundary test `2·cumw ≥ totw` is exact integer arithmetic —
+    bit-identical across engines, immune to float prefix-sum ulps. Both
+    window passes share ONE (returnflag) partitioning; the qualifying set
+    is a suffix of the price order, so min(price) over it is the boundary
+    row. The median value is an untouched parquet double (no rounding
+    needed)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wq = F.col("l_quantity").cast("long")
+    order = [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")]
+    wcum = (
+        W.partitionBy("l_returnflag")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wtot = W.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(wq).over(wcum).alias("cumw"),
+        F.sum(wq).over(wtot).alias("totw"),
+    )
+    return r.groupBy("l_returnflag").agg(
+        F.max("totw").cast("long").alias("total_weight"),
+        F.min(
+            F.when(2 * F.col("cumw") >= F.col("totw"), F.col("l_extendedprice"))
+        ).alias("weighted_median"),
+    )
+
+
+@register(
+    "ccf_clicks_purchases_daily",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+               AS clicks,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS purchases
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY day),
+    l AS (SELECT CAST(range AS INT) AS lag_days FROM range(0, 8)),
+    j AS (SELECT l.lag_days, b.clicks AS x, a.purchases AS y
+          FROM d a CROSS JOIN l
+          JOIN d b ON b.day = a.day - l.lag_days)
+    SELECT lag_days, CAST(count(*) AS BIGINT) AS n_days,
+           round(corr(y, x), 6) AS ccf
+    FROM j GROUP BY lag_days
+    """,
+)
+def ccf_clicks_purchases_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the daily click and purchase
+    series at lags 0–7: ccf(k) = corr(purchases_t, clicks_{t−k}) — the
+    lead-lag discovery diagnostic (which k maximises ccf ⇒ clicks lead
+    purchases by k days). The fact table reduces to ONE days-sized frame;
+    the 8 lags broadcast-replicate that summary (8-row BNLJ, allowlisted)
+    and each lag self-aligns via an equi-join on the shifted day. Fact
+    scale only ever affects the first aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1))
+            .cast("long")
+            .alias("clicks"),
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("long")
+            .alias("purchases"),
+        )
+    )
+    lags = spark.range(0, 8).select(F.col("id").cast("int").alias("lag_days"))
+    a = d.select("day", "purchases").crossJoin(F.broadcast(lags))
+    b = d.select(F.col("day").alias("bday"), "clicks")
+    j = a.join(b, F.col("bday") == F.date_sub(F.col("day"), F.col("lag_days")))
+    return j.groupBy("lag_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.corr(F.col("purchases"), F.col("clicks")), 6).alias("ccf"),
+    )
