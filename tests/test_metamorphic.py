@@ -121,6 +121,10 @@ SAMPLE = [
     "audience_jaccard_event_types", # distinct + user self-join (r6w6)
     "weighted_median_price",        # integer prefix-sum boundary (r6w6)
     "ccf_clicks_purchases_daily",   # day agg + shifted self-join (r6w6)
+    "alert_hysteresis_daily",       # LOCF latch state machine (r6w6)
+    "dedup_keep_best_quality",      # md5 rank, IEEE-exact ties (r6w6)
+    "breusch_pagan_price_quantity", # co-moment sums, 6dp/2dp (r6w6)
+    "user_predictability_entropy",  # prefix-clustered windows (r6w6)
     # entity_resolution_suppliers is NOT here: the fuzzy edge set is empty
     # at the tiny test sf (no supplier-name pairs within distance 2), so
     # the invariance run would compare empty frames; its determinism is

@@ -94,6 +94,8 @@ _BNLJ_ALLOWED = {
     "graph_degree_powerlaw",
     # 8-row lag frame broadcast-replicating the days-sized summary
     "ccf_clicks_purchases_daily",
+    # one-row OLS coefficient frame broadcast back onto the facts
+    "breusch_pagan_price_quantity",
     "sim_topk_bruteforce",
     "sim_lsh_recall",
     "sim_ivf_recall",
@@ -564,6 +566,17 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
         "ccf_clicks_purchases_daily": 3,  # one fact day-agg; lag replicate
                                       # + shifted self-join touch the
                                       # days-sized summary only
+        "alert_hysteresis_daily": 2,  # (type,day) fact agg; all four
+                                      # windows + final agg share ONE
+                                      # (event_type) re-key of the summary
+        "dedup_keep_best_quality": 1, # one md5-keyed shuffle serves rank
+                                      # + group-size windows
+        "breusch_pagan_price_quantity": 0,  # two global agg passes; coefs
+                                      # ride back via one-row broadcast
+        "user_predictability_entropy": 2,   # ONE (user) exchange satisfies
+                                      # the lead window, the (u,c,n) agg
+                                      # and both window sums (prefix
+                                      # clustering); headroom of 1
     }
     over = {}
     for name, budget in budgets.items():

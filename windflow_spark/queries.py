@@ -9986,3 +9986,251 @@ def ccf_clicks_purchases_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_days"),
         F.round(F.corr(F.col("purchases"), F.col("clicks")), 6).alias("ccf"),
     )
+
+
+@register(
+    "alert_hysteresis_daily",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT *, avg(cnt) OVER (PARTITION BY event_type) AS mu FROM d),
+    f AS (SELECT *,
+                 CASE WHEN cnt > CAST(1.2 AS DOUBLE) * mu THEN TRUE
+                      WHEN cnt < CAST(0.9 AS DOUBLE) * mu THEN FALSE
+                 END AS forced
+          FROM m),
+    s AS (SELECT *,
+                 COALESCE(last_value(forced IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   FALSE) AS alert
+          FROM f),
+    t AS (SELECT *,
+                 COALESCE(lag(alert) OVER (
+                   PARTITION BY event_type ORDER BY day), FALSE) AS prev
+          FROM s)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(max(mu), 2) AS mean_daily,
+           CAST(count(*) FILTER (WHERE alert) AS BIGINT) AS alert_days,
+           CAST(count(*) FILTER (WHERE alert AND NOT prev) AS BIGINT)
+             AS n_episodes,
+           min(day) FILTER (WHERE alert AND NOT prev) AS first_alert_day
+    FROM t GROUP BY event_type
+    """,
+)
+def alert_hysteresis_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold alerting WITH HYSTERESIS over the daily per-type event
+    counts: the alert latches ON above 1.2× the type's mean daily volume
+    and releases only below 0.9× — the two-threshold state machine that
+    kills flapping (a plain single-threshold rule re-fires every
+    boundary-straddling day). The sequential recurrence state_t =
+    f(state_{t−1}) is reshaped into a CLOSED FORM: forced = on/off/null
+    per day, then last_value(IGNORE NULLS) forward-fill — so it runs as
+    ordinary windows (no driver loop, no UDF); episodes are off→on edges
+    via lag. The metric is an integer count and the thresholds derive
+    from exact integer sums, so threshold comparisons are bit-identical
+    across engines. All four windows + the final agg share ONE
+    (event_type) partitioning over the days-sized summary."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    pt = W.partitionBy("event_type")
+    po = pt.orderBy("day")
+    m = d.withColumn("mu", F.avg("cnt").over(pt))
+    f = m.withColumn(
+        "forced",
+        F.when(F.col("cnt") > F.lit(1.2) * F.col("mu"), F.lit(True)).when(
+            F.col("cnt") < F.lit(0.9) * F.col("mu"), F.lit(False)
+        ),
+    )
+    s = f.withColumn(
+        "alert",
+        F.coalesce(
+            F.last("forced", ignorenulls=True).over(
+                po.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+            F.lit(False),
+        ),
+    )
+    t = s.withColumn(
+        "prev", F.coalesce(F.lag("alert").over(po), F.lit(False))
+    )
+    start = F.col("alert") & ~F.col("prev")
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.max("mu"), 2).alias("mean_daily"),
+        F.count(F.when(F.col("alert"), 1)).cast("long").alias("alert_days"),
+        F.count(F.when(start, 1)).cast("long").alias("n_episodes"),
+        F.min(F.when(start, F.col("day"))).alias("first_alert_day"),
+    )
+
+
+@register(
+    "dedup_keep_best_quality",
+    """
+    WITH q AS (
+      SELECT doc_id, source, md5(text) AS h,
+             least(1.0, len(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) / 100.0)
+               * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  / greatest(length(text), 1)) AS q_score
+      FROM documents),
+    r AS (SELECT *,
+                 CAST(row_number() OVER (
+                   PARTITION BY h ORDER BY q_score DESC, doc_id) AS BIGINT)
+                   AS rn,
+                 CAST(count(*) OVER (PARTITION BY h) AS BIGINT) AS group_size
+          FROM q)
+    SELECT doc_id, source, group_size, q_score
+    FROM r WHERE rn = 1
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup that keeps the HIGHEST-QUALITY copy per content hash
+    (ties → lowest doc_id) instead of `dedup_exact_documents`' min-id
+    survivor — the curation-grade policy: when a document recurs across
+    sources, keep the cleanest capture. Quality is the house heuristic
+    (`functions/text.quality_score`, JVM column exprs); one md5-keyed
+    shuffle serves both the rank and the group-size window; the rn=1
+    filter prunes map-side via WindowGroupLimit exactly like
+    dedup_segments_exact."""
+    from windflow_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(docs).select(
+        "doc_id", "source", F.md5("text").alias("h"), "q_score"
+    )
+    wh = W.partitionBy("h")
+    r = q.withColumn(
+        "rn",
+        F.row_number()
+        .over(wh.orderBy(F.desc("q_score"), F.asc("doc_id")))
+        .cast("long"),
+    ).withColumn("group_size", F.count(F.lit(1)).over(wh).cast("long"))
+    return r.filter(F.col("rn") == 1).select(
+        # q_score stays UNROUNDED: per-row IEEE arithmetic is bit-identical
+        # across engines; rounding a .xxx5-adjacent ratio is not (HALF_UP
+        # vs float-round — the house per-row rule)
+        "doc_id", "source", "group_size", "q_score"
+    )
+
+
+@register(
+    "breusch_pagan_price_quantity",
+    """
+    WITH c AS (
+      SELECT regr_slope(l_extendedprice, l_quantity) AS b,
+             regr_intercept(l_extendedprice, l_quantity) AS a
+      FROM lineitem),
+    e AS (SELECT l.l_quantity AS x,
+                 l.l_extendedprice - (c.a + c.b * l.l_quantity) AS resid
+          FROM lineitem l CROSS JOIN c)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(max((SELECT b FROM c)), 6) AS slope,
+           round(max((SELECT a FROM c)), 2) AS intercept,
+           round(regr_r2(resid * resid, x), 6) AS r2_aux,
+           round(count(*) * regr_r2(resid * resid, x), 2) AS lm_stat
+    FROM e
+    """,
+)
+def breusch_pagan_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch–Pagan heteroscedasticity test on the price~quantity
+    regression: LM = n·R² of the squared-residuals-on-x auxiliary
+    regression (χ²₁ under homoscedasticity — TPC-H prices are
+    quantity×unit-price, so variance GROWS with quantity and the test
+    should fire). Two aggregation passes: the closed-form OLS coefficients
+    (one row, broadcast back onto the facts — allowlisted one-row BNLJ,
+    the `scalar_battery` shape) and the auxiliary regr_r2. LM is rounded
+    at 2dp: the n× amplification of co-moment summation-order ulps
+    (~n·1e-10) stays far below that."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.agg(
+        F.regr_slope("l_extendedprice", "l_quantity").alias("b"),
+        F.regr_intercept("l_extendedprice", "l_quantity").alias("a"),
+    )
+    e = li.crossJoin(F.broadcast(c)).select(
+        F.col("l_quantity").alias("x"),
+        (F.col("l_extendedprice") - (F.col("a") + F.col("b") * F.col("l_quantity"))).alias(
+            "resid"
+        ),
+        "a",
+        "b",
+    )
+    r2 = F.regr_r2(F.col("resid") * F.col("resid"), F.col("x"))
+    return e.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.max("b"), 6).alias("slope"),
+        F.round(F.max("a"), 2).alias("intercept"),
+        F.round(r2, 6).alias("r2_aux"),
+        F.round(F.count(F.lit(1)) * r2, 2).alias("lm_stat"),
+    )
+
+
+@register(
+    "user_predictability_entropy",
+    """
+    WITH p AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    c AS (SELECT user_id, cur, nxt, CAST(count(*) AS BIGINT) AS cnt
+          FROM p WHERE nxt IS NOT NULL GROUP BY 1, 2, 3),
+    w AS (SELECT *,
+                 sum(cnt) OVER (PARTITION BY user_id, cur) AS n_cur,
+                 sum(cnt) OVER (PARTITION BY user_id) AS n_tot
+          FROM c),
+    u AS (SELECT user_id,
+                 -sum((cnt / CAST(n_tot AS DOUBLE))
+                      * log2(cnt / CAST(n_cur AS DOUBLE))) AS h
+          FROM w GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(h), 6) AS mean_entropy,
+           round(quantile_cont(h, CAST(0.5 AS DOUBLE)), 6) AS median_entropy,
+           round(max(h), 6) AS max_entropy
+    FROM u
+    """,
+)
+def user_predictability_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral predictability: each user's first-order conditional
+    entropy rate H(next|current) = -Σ (n_ct/N) log2(n_ct/n_c) over their
+    event-type transitions — 0 bits = fully scripted sessions (bots),
+    log2(T) = uniform randomness; the per-user companion to the corpus
+    `markov_event_transitions` matrix. One (user) ordering window makes
+    the transition pairs, one reduced (user,cur,nxt) count, two window
+    sums over that reduced frame, then per-user and global aggregation —
+    fact scale touches only the first two shapes. Spark `percentile` ≡
+    DuckDB `quantile_cont` bit-exact (house rule); entropies are short
+    exact-ratio log2 sums, 6dp-rounded."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c = p.groupBy("user_id", "cur", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = c.withColumn(
+        "n_cur", F.sum("cnt").over(W.partitionBy("user_id", "cur"))
+    ).withColumn("n_tot", F.sum("cnt").over(W.partitionBy("user_id")))
+    u = w.groupBy("user_id").agg(
+        (
+            -F.sum(
+                (F.col("cnt") / F.col("n_tot").cast("double"))
+                * F.log2(F.col("cnt") / F.col("n_cur").cast("double"))
+            )
+        ).alias("h")
+    )
+    return u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.avg("h"), 6).alias("mean_entropy"),
+        F.round(F.expr("percentile(h, 0.5)"), 6).alias("median_entropy"),
+        F.round(F.max("h"), 6).alias("max_entropy"),
+    )
