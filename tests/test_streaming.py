@@ -1612,3 +1612,84 @@ def test_streaming_cms_matches_batch_sketch(spark, tmp_path_factory):
         (r.r, r.idx, r.counter) for r in spark.table(name).collect()
     )
     assert got == expect and len(expect) > 50
+
+
+def test_streaming_alert_hysteresis_matches_batch(spark, tmp_path_factory):
+    """Two-threshold alert latch across two time-ordered micro-batches +
+    an EOS flush file: emitted (bucket, cnt, alert, is_start) rows must
+    equal the batch closed-form (forced / LOCF / lag) hysteresis frame,
+    with thresholds derived batch-side and fed into the streaming config."""
+    import random
+    import time as _time
+
+    from pyspark.sql import Window as W
+
+    from windflow_spark.streaming import (
+        file_stream as _fs,
+        streaming_alert_hysteresis,
+        to_memory_sink,
+    )
+
+    BUCKET = 50
+    HI, LO = 4.0, 2.0  # latch above 4 events/bucket, release below 2
+    rng = random.Random(7)
+    rows = []
+    for k in ("a", "b", "c"):
+        t = rng.randint(0, 60)
+        for _ in range(rng.randint(40, 80)):
+            rows.append((k, t, False))
+            # bursty arrivals: some buckets dense (alert), some sparse
+            t += rng.choice([1, 2, 3, 40, 90])
+    schema = "k string, us long, eos boolean"
+    data = spark.createDataFrame(rows, schema)
+
+    d = data.groupBy(
+        "k", (F.col("us") - F.col("us") % BUCKET).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    po = W.partitionBy("k").orderBy("bucket")
+    s = d.withColumn(
+        "forced",
+        F.when(F.col("cnt") > HI, F.lit(True)).when(
+            F.col("cnt") < LO, F.lit(False)
+        ),
+    ).withColumn(
+        "alert",
+        F.coalesce(
+            F.last("forced", ignorenulls=True).over(
+                po.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+            F.lit(False),
+        ),
+    )
+    batch = s.withColumn(
+        "is_start",
+        F.col("alert") & ~F.coalesce(F.lag("alert").over(po), F.lit(False)),
+    )
+    expect = sorted(
+        (r.k, r.bucket, r.cnt, r.alert, r.is_start) for r in batch.collect()
+    )
+    assert any(r[3] for r in expect) and any(not r[3] for r in expect)
+
+    path = str(tmp_path_factory.mktemp("alert_src"))
+    mid = 800
+    spark.createDataFrame([r for r in rows if r[1] <= mid], schema).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    spark.createDataFrame([r for r in rows if r[1] > mid], schema).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    eos = [(k, 10**9, True) for k in ("a", "b", "c")]
+    spark.createDataFrame(eos, schema).coalesce(1).write.mode("append").parquet(path)
+
+    stream = _fs(spark, path, data.schema, max_files_per_trigger=1)
+    out = streaming_alert_hysteresis(
+        stream, "k", BUCKET, hi=HI, lo=LO, eos_col="eos"
+    )
+    name, _ = to_memory_sink(out, output_mode="append")
+    got = sorted(
+        (r.k, r.bucket, r.cnt, r.alert, r.is_start)
+        for r in spark.table(name).collect()
+    )
+    assert got == expect and len(expect) > 10

@@ -29,6 +29,7 @@ from windflow_spark.streaming.ops import (
     streaming_forward_fill,
     streaming_scd2,
     streaming_trending_counts,
+    streaming_alert_hysteresis,
     streaming_funnel,
     streaming_heavy_hitters,
     streaming_cms,
@@ -86,6 +87,7 @@ __all__ = [
     "streaming_forward_fill",
     "streaming_scd2",
     "streaming_trending_counts",
+    "streaming_alert_hysteresis",
     "streaming_funnel",
     "streaming_heavy_hitters",
     "streaming_cms",

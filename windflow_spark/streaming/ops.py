@@ -1724,3 +1724,102 @@ def streaming_weighted_sample(
     return df.groupBy(key_col).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_alert_hysteresis(
+    df: DataFrame,
+    key_col: str,
+    bucket_us: int,
+    hi: float,
+    lo: float,
+    us_col: str = "us",
+    eos_col: str | None = None,
+) -> DataFrame:
+    """Two-threshold alert latch, STREAMING form — the incremental sibling
+    of the `alert_hysteresis_daily` registry query's closed-form LOCF
+    rewrite. Per key, GroupState holds the open bucket's running count and
+    the latched alert state (three longs — constant, independent of
+    history). A bucket closes when a later bucket's first row arrives (or
+    at EOS): its count is compared against the FIXED thresholds — latch ON
+    above `hi`, release below `lo`, otherwise carry the previous state —
+    and the row (bucket, cnt, alert, is_start) is emitted immediately, so
+    an alert fires with one-bucket latency instead of at job end. The
+    batch form derives hi/lo from the corpus mean (unknowable mid-stream);
+    here they are explicit config, and the parity test feeds the
+    batch-derived values back in.
+
+    Contract: per-key non-decreasing event time across micro-batches (the
+    streaming_trending_counts in-order model); late rows for closed
+    buckets are dropped. Only ACTIVE buckets exist — empty buckets emit
+    nothing and do not advance the latch, exactly the batch semantics
+    (the daily summary has no rows for empty days)."""
+    out_schema = (
+        f"{key_col} string, bucket long, cnt long, alert boolean, "
+        "is_start boolean"
+    )
+    state_schema = "cur_b long, cur_c long, prev long"
+
+    def fold(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cur_b, cur_c, prev = state.get
+        else:
+            cur_b, cur_c, prev = -1, 0, -1  # prev -1 = no emitted bucket yet
+        out: list[tuple] = []
+
+        def close() -> None:
+            nonlocal cur_b, cur_c, prev
+            if cur_b < 0:
+                return
+            if cur_c > hi:
+                alert = True
+            elif cur_c < lo:
+                alert = False
+            else:
+                alert = prev == 1
+            out.append(
+                key
+                + (
+                    cur_b * bucket_us,
+                    cur_c,
+                    alert,
+                    alert and prev != 1,
+                )
+            )
+            prev = 1 if alert else 0
+            cur_b, cur_c = -1, 0
+
+        chunks = list(pdfs)
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else (
+            chunks[0] if chunks else None
+        )
+        eos_seen = False
+        if pdf is not None and len(pdf):
+            if eos_col is not None:
+                flags = pdf[eos_col].fillna(False).to_numpy(dtype=bool)
+                eos_seen = bool(flags.any())
+                pdf = pdf.loc[~flags]
+            for b, c in (
+                (pdf[us_col] // bucket_us).value_counts().sort_index().items()
+            ):
+                b, c = int(b), int(c)
+                if b == cur_b:
+                    cur_c += c
+                elif b > cur_b:
+                    close()
+                    cur_b, cur_c = b, c
+                # b < cur_b: late row for an emitted bucket — dropped
+        if eos_seen:
+            close()
+            state.remove()  # constant-state op: no entry after EOS
+        else:
+            state.update((cur_b, cur_c, prev))
+        cols = [key_col, "bucket", "cnt", "alert", "is_start"]
+        yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
+            {c: [] for c in cols}
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
