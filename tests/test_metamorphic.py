@@ -125,6 +125,9 @@ SAMPLE = [
     "dedup_keep_best_quality",      # md5 rank, IEEE-exact ties (r6w6)
     "breusch_pagan_price_quantity", # co-moment sums, 6dp/2dp (r6w6)
     "user_predictability_entropy",  # prefix-clustered windows (r6w6)
+    "bpe_pair_stats",               # vocab reduce + TakeOrdered (r6w6)
+    "mix_sources_temperature",      # integer-exact hash gate (r6w6)
+    "cross_source_duplication",     # segment distinct + self-join (r6w6)
     # entity_resolution_suppliers is NOT here: the fuzzy edge set is empty
     # at the tiny test sf (no supplier-name pairs within distance 2), so
     # the invariance run would compare empty frames; its determinism is

@@ -577,6 +577,16 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
                                       # the lead window, the (u,c,n) agg
                                       # and both window sums (prefix
                                       # clustering); headroom of 1
+        "bpe_pair_stats": 2,          # corpus (word) agg + vocab-sized
+                                      # (pair) agg; top-30 is TakeOrdered
+        "pii_density_by_source": 1,   # JVM regexp_count cols + one
+                                      # source-keyed agg
+        "mix_sources_temperature": 2, # source counts agg + fact⋈weights
+                                      # groupBy (weights broadcast; Σw is
+                                      # a window over the S-row summary)
+        "cross_source_duplication": 3,  # segment explode→distinct + h
+                                      # self-join + pair agg (reduced
+                                      # frames after the first)
     }
     over = {}
     for name, budget in budgets.items():

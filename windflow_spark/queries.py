@@ -10234,3 +10234,237 @@ def user_predictability_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(h, 0.5)"), 6).alias("median_entropy"),
         F.round(F.max("h"), 6).alias("max_entropy"),
     )
+
+
+@register(
+    "bpe_pair_stats",
+    """
+    WITH w AS (
+      SELECT tok AS word, CAST(count(*) AS BIGINT) AS wcnt
+      FROM documents,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS u(tok)
+      GROUP BY tok),
+    p AS (
+      SELECT pr AS pair, CAST(sum(wcnt) AS BIGINT) AS cnt
+      FROM w, unnest([substr(word, i, 2)
+                      for i in range(1, length(word))]) AS v(pr)
+      WHERE length(word) >= 2
+      GROUP BY pr),
+    r AS (SELECT pair, cnt,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT)
+                   AS rk
+          FROM p)
+    SELECT pair, cnt, rk FROM r WHERE rk <= 30
+    """,
+)
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge iteration of tokenizer training: corpus-weighted
+    adjacent character-pair counts, top 30 — the candidate merge table a
+    byte-pair-encoding trainer consumes. The corpus collapses ONCE to the
+    (word, count) vocabulary; pair extraction then explodes only the
+    vocab-sized frame (each word contributes len−1 bigrams × its corpus
+    count via sum(wcnt), so corpus scale never re-enters); the top-30 is a
+    distributed TakeOrdered. Counts are exact integers — no float
+    tolerance anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wcnt"))
+    )
+    pairs = (
+        w.filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.col("word").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "wcnt",
+        )
+        .groupBy("pair")
+        .agg(F.sum("wcnt").cast("long").alias("cnt"))
+    )
+    top = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(30)
+    return top.withColumn(
+        "rk",
+        F.row_number()
+        .over(W.orderBy(F.desc("cnt"), F.asc("pair")))
+        .cast("long"),
+    )
+
+
+@register(
+    "pii_density_by_source",
+    """
+    WITH d AS (
+      SELECT source,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS emails,
+             len(regexp_extract_all(text,
+                 '\\+?[0-9][0-9() -]{7,}[0-9]')) AS phones,
+             len(regexp_extract_all(text,
+                 '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS ips
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(emails) AS BIGINT) AS n_emails,
+           CAST(sum(phones) AS BIGINT) AS n_phones,
+           CAST(sum(ips) AS BIGINT) AS n_ips,
+           CAST(count(*) FILTER (WHERE emails + phones + ips > 0) AS BIGINT)
+             AS docs_with_pii,
+           round((sum(emails) + sum(phones) + sum(ips))
+                 / CAST(count(*) AS DOUBLE), 4) AS pii_per_doc
+    FROM d GROUP BY source
+    """,
+)
+def pii_density_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-density audit per source — the governance readout that decides
+    which sources need scrubbing before training (the counting companion
+    to `text_redact_pii`, which masks): per-type match counts using the
+    SAME shared patterns (`functions/text.PII_PATTERNS` — plain character
+    classes, identical in Java regex and RE2), docs-affected, and
+    PII-per-doc rate. Pure JVM regexp_count columns + one source-keyed
+    aggregation; no Python in the hot path."""
+    from windflow_spark.functions.text import PII_PATTERNS
+
+    docs = _t(spark, sf_dir, "documents")
+    (em, _), (ph, _), (ip, _) = PII_PATTERNS
+    d = docs.select(
+        "source",
+        F.regexp_count("text", F.lit(em)).alias("emails"),
+        F.regexp_count("text", F.lit(ph)).alias("phones"),
+        F.regexp_count("text", F.lit(ip)).alias("ips"),
+    )
+    tot = F.sum("emails") + F.sum("phones") + F.sum("ips")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("emails").cast("long").alias("n_emails"),
+        F.sum("phones").cast("long").alias("n_phones"),
+        F.sum("ips").cast("long").alias("n_ips"),
+        F.count(
+            F.when(F.col("emails") + F.col("phones") + F.col("ips") > 0, 1)
+        )
+        .cast("long")
+        .alias("docs_with_pii"),
+        F.round(tot / F.count(F.lit(1)).cast("double"), 4).alias(
+            "pii_per_doc"
+        ),
+    )
+
+
+@register(
+    "mix_sources_temperature",
+    """
+    WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_total
+               FROM documents GROUP BY source),
+    m AS (SELECT source, n_total,
+                 CAST(floor(sqrt(CAST(n_total AS DOUBLE))) AS BIGINT) AS w
+          FROM c),
+    s AS (SELECT *, sum(w) OVER () AS sw FROM m)
+    SELECT d.source, s.n_total, s.w AS weight,
+           CAST(sum(CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))
+                              ::UBIGINT % 1000000 * s.sw * s.n_total
+                         < 20000 * s.w * 1000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM documents d JOIN s USING (source)
+    GROUP BY d.source, s.n_total, s.w
+    """,
+)
+def mix_sources_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (α = 0.5, budget 20k docs): each
+    source is sampled at rate budget·w_s/(Σw·n_s) with w_s = ⌊√n_s⌋ — the
+    up-weight-the-tail mix used for multilingual/multi-domain training
+    (T5's α-smoothed sampling), sitting between proportional (α=1) and
+    `mix_sources_balanced` (α=0). ⌊√n⌋ makes the weight an exact INTEGER
+    on both engines (IEEE sqrt is correctly rounded, so floor∘sqrt of a
+    BIGINT is engine-portable), and the membership test cross-multiplies
+    to pure BIGINT arithmetic — hash·Σw·n_s < budget·w_s·10⁶ — so no
+    float rate ever decides a row. Selection is content-hash ordered
+    (md5), reproducible under any partitioning."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    m = c.withColumn(
+        "w",
+        F.floor(F.sqrt(F.col("n_total").cast("double"))).cast("long"),
+    )
+    s = m.withColumn("sw", F.sum("w").over(W.partitionBy()))
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    )
+    j = docs.join(F.broadcast(s), "source")
+    return j.groupBy("source", "n_total", F.col("w").alias("weight")).agg(
+        F.sum(
+            F.when(
+                h * F.col("sw") * F.col("n_total")
+                < F.lit(20000) * F.col("w") * F.lit(1000000),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_sampled")
+    )
+
+
+@register(
+    "cross_source_duplication",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    s AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(toks[i + 1 : i + 8], ' ')) AS h
+      FROM d, unnest(generate_series(0, len(toks) - 1, 8)) AS u(i)
+      WHERE len(toks) >= 1),
+    p AS (SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(count(*) AS BIGINT) AS n_shared_segments
+          FROM s a JOIN s b ON a.h = b.h AND a.source < b.source
+          GROUP BY 1, 2)
+    SELECT source_a, source_b, n_shared_segments FROM p
+    """,
+)
+def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix at SEGMENT granularity: for each
+    source pair, how many distinct 8-token blocks (the exact
+    `dedup_segments_exact` stride-8 convention) appear in BOTH — the
+    audit that tells you which crawls mirror each other's boilerplate
+    before you pick dedup survivors. Whole-document md5 sharing is
+    near-zero on real multi-source corpora (and empty on this one);
+    segment sharing is where contamination actually shows. The corpus
+    reduces ONCE to a distinct (segment-md5, source) frame; the pair
+    count is a hash-keyed equi-self-join of that reduced frame (per-hash
+    fan-out ≤ S², S = #sources — never |docs|²)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    d = docs.select("source", toks.alias("toks")).filter(
+        F.size("toks") >= 1
+    )
+    segs = d.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.size("toks") - 1, F.lit(8)
+                ),
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("toks"), i + 1, 8), " ")
+                ),
+            )
+        ).alias("h"),
+    ).distinct()
+    a = segs.select("h", F.col("source").alias("source_a"))
+    b = segs.select("h", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_segments"))
+    )
