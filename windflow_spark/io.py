@@ -273,3 +273,29 @@ def overwrite_partitions_dynamic(
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Persist ``df`` as a catalog table hash-bucketed on ``bucket_cols``
+    — the storage-side half of shuffle-free joins: two tables bucketed on
+    the same key with the same bucket count join WITHOUT any Exchange
+    (each task zips bucket i of both sides), and a groupBy on the bucket
+    key skips its shuffle too. This is the 100-TB answer for a fact table
+    that is re-joined on the same key every day: pay the shuffle ONCE at
+    write time, never at read time. ``sort_cols`` additionally sorts
+    within each bucket file so sort-merge joins can skip their sorts.
+    The table lands under ``spark.sql.warehouse.dir``
+    (``SPARK_GRAFT_WAREHOUSE``, /tmp by default — never the repo)."""
+    w = df.write.mode("overwrite").format(fmt).bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
