@@ -128,6 +128,10 @@ SAMPLE = [
     "bpe_pair_stats",               # vocab reduce + TakeOrdered (r6w6)
     "mix_sources_temperature",      # integer-exact hash gate (r6w6)
     "cross_source_duplication",     # segment distinct + self-join (r6w6)
+    "debounce_events_5s",           # integer-µs gap islands (r6w6)
+    "ab_test_cuped",                # moment-algebra CUPED (r6w6)
+    "ship_latency_percentiles",     # integer-day percentiles (r6w6)
+    "discount_elasticity_brand",    # per-brand co-moments (r6w6)
     # entity_resolution_suppliers is NOT here: the fuzzy edge set is empty
     # at the tiny test sf (no supplier-name pairs within distance 2), so
     # the invariance run would compare empty frames; its determinism is

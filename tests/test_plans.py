@@ -587,6 +587,14 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
         "cross_source_duplication": 3,  # segment explode→distinct + h
                                       # self-join + pair agg (reduced
                                       # frames after the first)
+        "debounce_events_5s": 2,      # (user,type) lag window + type agg
+        "ab_test_cuped": 2,           # user moment reduce + one global
+                                      # agg (no scalar broadcast-back —
+                                      # variance algebra); headroom 1
+        "ship_latency_percentiles": 2,  # fact⋈fact orderkey join +
+                                      # priority percentile agg (join may
+                                      # reuse one side's partitioning)
+        "discount_elasticity_brand": 2,  # fact⋈dim + brand co-moment agg
     }
     over = {}
     for name, budget in budgets.items():

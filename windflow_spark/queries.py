@@ -10468,3 +10468,219 @@ def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_segments"))
     )
+
+
+@register(
+    "debounce_events_5s",
+    """
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS gap
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(count(*) FILTER (WHERE gap IS NULL OR gap > 5000000)
+                AS BIGINT) AS n_kept,
+           round(1.0 - count(*) FILTER (WHERE gap IS NULL OR gap > 5000000)
+                 / CAST(count(*) AS DOUBLE), 4) AS drop_rate
+    FROM g GROUP BY event_type
+    """,
+)
+def debounce_events_5s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce: within each (user, event-type) stream, keep only
+    the event that OPENS a burst — an event survives iff it is ≥5 s after
+    the previous raw event of that key (gaps-and-islands with a 5 s gap;
+    the survivor count is just Σ island-opening flags, so no island ids
+    are ever materialized). The double-fire / retry-storm suppressor that
+    runs before sessionization in real telemetry pipelines. ONE
+    (user, type) ordering window over the facts + a per-type rollup;
+    the gap test is exact integer µs."""
+    from windflow_spark.operators.timeutil import event_micros
+
+    ev = _t(spark, sf_dir, "events")
+    us = event_micros(ev, "ts")
+    gap = us - F.lag(us).over(
+        W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    )
+    g = ev.select("event_type", gap.alias("gap"))
+    keep = F.col("gap").isNull() | (F.col("gap") > 5_000_000)
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.count(F.when(keep, 1)).cast("long").alias("n_kept"),
+        F.round(
+            F.lit(1.0)
+            - F.count(F.when(keep, 1)) / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("drop_rate"),
+    )
+
+
+@register(
+    "ab_test_cuped",
+    """
+    WITH u AS (
+      SELECT user_id,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::UBIGINT % 2 AS g,
+             avg(value) FILTER (WHERE ts < TIMESTAMP '2024-01-16') AS pre,
+             avg(value) FILTER (WHERE ts >= TIMESTAMP '2024-01-16') AS post
+      FROM events GROUP BY user_id),
+    b AS (SELECT * FROM u WHERE pre IS NOT NULL AND post IS NOT NULL),
+    s AS (SELECT
+            covar_samp(pre, post) / var_samp(pre) AS theta,
+            CAST(count(*) FILTER (WHERE g = 0) AS BIGINT) AS n_a,
+            CAST(count(*) FILTER (WHERE g = 1) AS BIGINT) AS n_b,
+            avg(post) FILTER (WHERE g = 0) AS post_a,
+            avg(post) FILTER (WHERE g = 1) AS post_b,
+            avg(pre) FILTER (WHERE g = 0) AS pre_a,
+            avg(pre) FILTER (WHERE g = 1) AS pre_b,
+            var_samp(post) AS var_post,
+            var_samp(pre) AS var_pre,
+            covar_samp(pre, post) AS cov_pp
+          FROM b)
+    SELECT n_a, n_b, round(theta, 6) AS theta,
+           round(post_b - post_a, 6) AS diff_raw,
+           round((post_b - post_a) - theta * (pre_b - pre_a), 6)
+             AS diff_cuped,
+           round(1.0 - (var_post + theta * theta * var_pre
+                        - 2 * theta * cov_pp) / var_post, 4)
+             AS var_reduction_pct
+    FROM s
+    """,
+)
+def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al. 2013): each user's
+    post-period metric is adjusted by θ·(pre-period metric), θ =
+    cov(pre,post)/var(pre), shrinking variance by exactly the squared
+    pre/post correlation — the standard trick that makes small lifts
+    detectable without more traffic. Assignment is the house md5 hash
+    (deterministic, matching `ab_test_welch`); the experiment cut is
+    mid-month. Both the adjusted diff and the variance reduction are
+    derived ALGEBRAICALLY from one moment pass (var_adj = var_post +
+    θ²var_pre − 2θcov), so no row-level adjusted column — and therefore
+    no scalar broadcast-back — is ever materialized: one user-keyed
+    reduction plus one global aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 2
+        ).alias("g"),
+        F.avg(F.when(F.col("ts") < cut, F.col("value"))).alias("pre"),
+        F.avg(F.when(F.col("ts") >= cut, F.col("value"))).alias("post"),
+    )
+    b = u.filter(F.col("pre").isNotNull() & F.col("post").isNotNull())
+    def _ga(g, c):
+        return F.avg(F.when(F.col("g") == g, F.col(c)))
+    s = b.agg(
+        (F.covar_samp("pre", "post") / F.var_samp("pre")).alias("theta"),
+        F.count(F.when(F.col("g") == 0, 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("g") == 1, 1)).cast("long").alias("n_b"),
+        _ga(0, "post").alias("post_a"),
+        _ga(1, "post").alias("post_b"),
+        _ga(0, "pre").alias("pre_a"),
+        _ga(1, "pre").alias("pre_b"),
+        F.var_samp("post").alias("var_post"),
+        F.var_samp("pre").alias("var_pre"),
+        F.covar_samp("pre", "post").alias("cov_pp"),
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round("theta", 6).alias("theta"),
+        F.round(F.col("post_b") - F.col("post_a"), 6).alias("diff_raw"),
+        F.round(
+            (F.col("post_b") - F.col("post_a"))
+            - F.col("theta") * (F.col("pre_b") - F.col("pre_a")),
+            6,
+        ).alias("diff_cuped"),
+        F.round(
+            F.lit(1.0)
+            - (
+                F.col("var_post")
+                + F.col("theta") * F.col("theta") * F.col("var_pre")
+                - F.lit(2.0) * F.col("theta") * F.col("cov_pp")
+            )
+            / F.col("var_post"),
+            4,
+        ).alias("var_reduction_pct"),
+    )
+
+
+@register(
+    "ship_latency_percentiles",
+    """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           quantile_cont(date_diff('day', o.o_orderdate, l.l_shipdate),
+                         CAST(0.5 AS DOUBLE)) AS p50_days,
+           quantile_cont(date_diff('day', o.o_orderdate, l.l_shipdate),
+                         CAST(0.9 AS DOUBLE)) AS p90_days,
+           quantile_cont(date_diff('day', o.o_orderdate, l.l_shipdate),
+                         CAST(0.99 AS DOUBLE)) AS p99_days,
+           CAST(max(date_diff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT)
+             AS max_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency SLA per order priority: the p50/p90/p99 tail of
+    days-to-ship — the operational percentile readout (does URGENT
+    actually ship faster, and how bad is the p99?). One fact⋈fact
+    equi-join on orderkey + one priority-keyed exact-percentile pass;
+    latency is an exact integer day difference, and Spark `percentile` ≡
+    DuckDB `quantile_cont` bit-exact (house rule)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority", lat.alias("lat")
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.expr("percentile(lat, 0.5)").alias("p50_days"),
+        F.expr("percentile(lat, 0.9)").alias("p90_days"),
+        F.expr("percentile(lat, 0.99)").alias("p99_days"),
+        F.max("lat").cast("long").alias("max_days"),
+    )
+
+
+@register(
+    "discount_elasticity_brand",
+    """
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(regr_slope(ln(CAST(l.l_quantity AS DOUBLE)),
+                            ln(1.0 - l.l_discount)), 6) AS elasticity,
+           round(regr_r2(ln(CAST(l.l_quantity AS DOUBLE)),
+                         ln(1.0 - l.l_discount)), 6) AS r2
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_discount < 1.0
+    GROUP BY p.p_brand
+    """,
+)
+def discount_elasticity_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand discount elasticity of demand: the log-log OLS slope of
+    quantity on effective price multiplier (1 − discount) — elasticity < 0
+    means discounts move volume for that brand; r² says whether the
+    relationship is real or noise (on this synthetic feed it should be
+    ≈0 — a correct null result the oracle verifies exactly). One
+    fact⋈dim equi-join + one brand-keyed co-moment pass; `1.0 − discount`
+    is computed identically on both engines (never a pre-rounded
+    literal, the house damping rule)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") < 1.0)
+    p = _t(spark, sf_dir, "part")
+    y = F.log(F.col("l_quantity").cast("double"))
+    x = F.log(F.lit(1.0) - F.col("l_discount"))
+    j = li.join(p, li.l_partkey == p.p_partkey).select(
+        "p_brand", y.alias("y"), x.alias("x")
+    )
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.round(F.regr_slope("y", "x"), 6).alias("elasticity"),
+        F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+    )
