@@ -595,6 +595,8 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
                                       # priority percentile agg (join may
                                       # reuse one side's partitioning)
         "discount_elasticity_brand": 2,  # fact⋈dim + brand co-moment agg
+        "time_decay_attribution": 4,  # user-keyed conv⋈touch join + per-
+                                      # conversion share window + type agg
     }
     over = {}
     for name, budget in budgets.items():

@@ -1693,3 +1693,57 @@ def test_streaming_alert_hysteresis_matches_batch(spark, tmp_path_factory):
         for r in spark.table(name).collect()
     )
     assert got == expect and len(expect) > 10
+
+
+def test_streaming_debounce_matches_batch(spark, tmp_path_factory):
+    """Debounce across two time-ordered micro-batches + EOS: the emitted
+    (key, us) rows must equal the batch island-opening events, INCLUDING
+    bursts that straddle the micro-batch boundary (the state must remember
+    the last raw event, not the last kept one)."""
+    import random
+    import time as _time
+
+    from pyspark.sql import Window as W
+
+    from windflow_spark.streaming import (
+        file_stream as _fs,
+        streaming_debounce,
+        to_memory_sink,
+    )
+
+    GAP = 100
+    rng = random.Random(13)
+    rows = []
+    for k in ("a", "b", "c"):
+        t = rng.randint(0, 50)
+        for _ in range(rng.randint(30, 60)):
+            rows.append((k, t, False))
+            t += rng.choice([5, 20, 150, 400])  # bursts + island breaks
+    schema = "k string, us long, eos boolean"
+    data = spark.createDataFrame(rows, schema)
+
+    gap = F.col("us") - F.lag("us").over(W.partitionBy("k").orderBy("us"))
+    batch = data.withColumn("gap", gap).filter(
+        F.col("gap").isNull() | (F.col("gap") > GAP)
+    )
+    expect = sorted((r.k, r.us) for r in batch.collect())
+    assert 5 < len(expect) < len(rows)
+
+    path = str(tmp_path_factory.mktemp("deb_src"))
+    mid = 2000  # split INSIDE many bursts
+    spark.createDataFrame([r for r in rows if r[1] <= mid], schema).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    spark.createDataFrame([r for r in rows if r[1] > mid], schema).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    eos = [(k, 10**9, True) for k in ("a", "b", "c")]
+    spark.createDataFrame(eos, schema).coalesce(1).write.mode("append").parquet(path)
+
+    stream = _fs(spark, path, data.schema, max_files_per_trigger=1)
+    out = streaming_debounce(stream, ["k"], GAP, eos_col="eos")
+    name, _ = to_memory_sink(out, output_mode="append")
+    got = sorted((r.k, r.us) for r in spark.table(name).collect())
+    assert got == expect

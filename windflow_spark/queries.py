@@ -10684,3 +10684,69 @@ def discount_elasticity_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope("y", "x"), 6).alias("elasticity"),
         F.round(F.regr_r2("y", "x"), 6).alias("r2"),
     )
+
+
+@register(
+    "time_decay_attribution",
+    """
+    WITH conv AS (
+      SELECT user_id, event_id AS conv_id, epoch_us(ts) AS cus
+      FROM events WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tus
+      FROM events WHERE event_type IN ('view', 'click')),
+    pair AS (
+      SELECT c.conv_id, t.event_type,
+             pow(CAST(0.5 AS DOUBLE),
+                 (c.cus - t.tus) / CAST(86400000000 AS DOUBLE)) AS w
+      FROM conv c JOIN touch t
+        ON t.user_id = c.user_id
+       AND t.tus <= c.cus AND c.cus - t.tus <= 604800000000),
+    sh AS (SELECT event_type,
+                  w / sum(w) OVER (PARTITION BY conv_id) AS share
+           FROM pair)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touch_pairs,
+           round(sum(share), 6) AS credit,
+           round(avg(share), 6) AS avg_share
+    FROM sh GROUP BY event_type
+    """,
+)
+def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: every view/click in the 7 days
+    before a purchase earns credit 0.5^(Δt/1 day), normalized per
+    conversion so each purchase distributes exactly 1.0 — the
+    exponential-decay middle ground between `attribution_last_touch`
+    (all-or-nothing) and linear touch models. The touch⋈conversion match
+    is a USER-keyed equi-join with a residual time-range predicate (the
+    interval-join KP shape — per-user fan-out is bounded by activity²,
+    and the key carries the parallelism; the bucketed interval join is
+    the designated escape hatch for pathological single users);
+    normalization is one window over the pair frame keyed by conversion.
+    Credits are 6dp-rounded sums (pow is ≤1-ulp on both engines)."""
+    from windflow_spark.operators.timeutil import event_micros
+
+    ev = _t(spark, sf_dir, "events")
+    us = event_micros(ev, "ts")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("conv_id"), us.alias("cus")
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "event_type", us.alias("tus")
+    )
+    pair = conv.join(touch, "user_id").filter(
+        (F.col("tus") <= F.col("cus"))
+        & (F.col("cus") - F.col("tus") <= F.lit(604_800_000_000))
+    )
+    w = F.pow(
+        F.lit(0.5), (F.col("cus") - F.col("tus")) / F.lit(86_400_000_000.0)
+    )
+    sh = pair.select(
+        "event_type",
+        (w / F.sum(w).over(W.partitionBy("conv_id"))).alias("share"),
+    )
+    return sh.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touch_pairs"),
+        F.round(F.sum("share"), 6).alias("credit"),
+        F.round(F.avg("share"), 6).alias("avg_share"),
+    )

@@ -30,6 +30,7 @@ from windflow_spark.streaming.ops import (
     streaming_scd2,
     streaming_trending_counts,
     streaming_alert_hysteresis,
+    streaming_debounce,
     streaming_funnel,
     streaming_heavy_hitters,
     streaming_cms,
@@ -88,6 +89,7 @@ __all__ = [
     "streaming_scd2",
     "streaming_trending_counts",
     "streaming_alert_hysteresis",
+    "streaming_debounce",
     "streaming_funnel",
     "streaming_heavy_hitters",
     "streaming_cms",

@@ -1823,3 +1823,60 @@ def streaming_alert_hysteresis(
     return df.groupBy(key_col).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_debounce(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    gap_us: int,
+    us_col: str = "us",
+    eos_col: str | None = None,
+) -> DataFrame:
+    """Telemetry debounce, STREAMING form — the incremental sibling of the
+    `debounce_events_5s` registry query: per key, an event is emitted iff
+    it arrives ≥ gap_us after the previous RAW event of that key (burst
+    openers survive, the rest of the burst is suppressed at the source —
+    the cheapest place to kill a retry storm). GroupState is ONE long
+    (the last raw event time); EOS removes it. Emitted rows are
+    (key..., us); batch parity = the island-opening flags of the batch
+    lag() form.
+
+    Contract: per-key non-decreasing event time across micro-batches (the
+    streaming_trending_counts in-order model)."""
+    key_schema = ", ".join(f"{k} string" for k in key_cols)
+    out_schema = f"{key_schema}, us long"
+    state_schema = "last_us long"
+
+    def fold(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        if last is not None and last < 0:
+            last = None  # -1 sentinel = no raw event seen yet
+        out: list[tuple] = []
+        chunks = list(pdfs)
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else (
+            chunks[0] if chunks else None
+        )
+        eos_seen = False
+        if pdf is not None and len(pdf):
+            if eos_col is not None:
+                flags = pdf[eos_col].fillna(False).to_numpy(dtype=bool)
+                eos_seen = bool(flags.any())
+                pdf = pdf.loc[~flags]
+            for u in sorted(int(x) for x in pdf[us_col].tolist()):
+                if last is None or u - last > gap_us:
+                    out.append(key + (u,))
+                last = u
+        if eos_seen:
+            state.remove()  # constant-state op: no entry after EOS
+        else:
+            state.update((last if last is not None else -1,))
+        cols = [*key_cols, "us"]
+        yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
+            {c: [] for c in cols}
+        )
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
