@@ -13,6 +13,8 @@ reference's finite-stream test harness shape):
   sketch      Misra-Gries heavy hitters, 16 buckets x 32 counters (constant state)
   ohlc        per-key 1s OHLC bar building (one open bar per key, constant state)
   holt        per-key 1s Holt level+trend smoothing (2 longs + 2 doubles per key)
+  debounce    per-key burst suppression, 1.5s gap (one long per key)
+  hysteresis  per-key two-threshold alert latch, 1s buckets (3 longs per key)
 
 Prints one JSON line: rows/sec per pipeline.
 
@@ -135,6 +137,36 @@ def main() -> None:
             ),
             "key",
             1_000_000,
+        ),
+    )
+
+    from windflow_spark.streaming import streaming_debounce
+
+    results["debounce_rows_per_sec"] = run(
+        "debounce",
+        lambda s: streaming_debounce(
+            s.select(
+                F.concat(F.lit("k"), F.col("key")).alias("key"),
+                F.unix_micros("ts").alias("us"),
+            ),
+            ["key"],
+            1_500_000,  # 1.5s gap vs 1ms cadence x 1000 keys -> ~1s bursts
+        ),
+    )
+
+    from windflow_spark.streaming import streaming_alert_hysteresis
+
+    results["hysteresis_rows_per_sec"] = run(
+        "hysteresis",
+        lambda s: streaming_alert_hysteresis(
+            s.select(
+                F.concat(F.lit("k"), F.col("key")).alias("key"),
+                F.unix_micros("ts").alias("us"),
+            ),
+            "key",
+            1_000_000,
+            hi=1.2,
+            lo=0.8,
         ),
     )
 
