@@ -9435,6 +9435,13 @@ def recursive_trade_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("src", "dst")
     )
+    # Materialize the ≤25×3-row edge frame BEFORE the recursion: a temp
+    # view is re-planned per iteration, so without this the full fact join
+    # re-executes once per hop (measured 7 s → ~1 s at sf0.1; at 100 TB it
+    # would be the whole scan × depth). The cache is dimension-sized — the
+    # same bounded exception as the k-means codebook.
+    e = e.persist()
+    e.count()
     e.createOrReplaceTempView("_reach_edges")
     return spark.sql(
         """
