@@ -96,6 +96,8 @@ _BNLJ_ALLOWED = {
     "ccf_clicks_purchases_daily",
     # one-row OLS coefficient frame broadcast back onto the facts
     "breusch_pagan_price_quantity",
+    # one-row grand-mean frame crossJoined with the 5-row segment summary
+    "anova_f_segments",
     "sim_topk_bruteforce",
     "sim_lsh_recall",
     "sim_ivf_recall",
@@ -536,10 +538,13 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
         "graph_degree_powerlaw": 2,   # degree agg shared by both branch
                                       # aggs (ReuseExchange); one-row
                                       # scalar crossJoin
-        "recursive_trade_reachability": 4,  # corridor agg + src rank
-                                      # window; headroom for shuffled
-                                      # fact joins at scale (dims
-                                      # broadcast at test sf)
+        "recursive_trade_reachability": 5,  # corridor agg + src rank
+                                      # window + the persist
+                                      # materialization of the ≤75-row
+                                      # edge frame (the fix that stops
+                                      # the recursion re-running the
+                                      # fact join per hop); dims
+                                      # broadcast at test sf
         "impute_median_missing": 2,   # per-type median agg broadcast
                                       # back + final type agg
         "zipf_token_rank_slope": 1,   # one (token) count shuffle; top-500
@@ -597,6 +602,11 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
         "discount_elasticity_brand": 2,  # fact⋈dim + brand co-moment agg
         "time_decay_attribution": 4,  # user-keyed conv⋈touch join + per-
                                       # conversion share window + type agg
+        "weighted_median_binned": 8,  # ONE fact (flag,bin) agg; all other
+                                      # exchanges move the ≤256-row-per-
+                                      # group summary or the boundary bin
+        "anova_f_segments": 3,        # fact⋈dim + per-segment moment agg;
+                                      # SS algebra rides the 5-row summary
     }
     over = {}
     for name, budget in budgets.items():

@@ -10757,3 +10757,197 @@ def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("share"), 6).alias("credit"),
         F.round(F.avg("share"), 6).alias("avg_share"),
     )
+
+
+@register(
+    "weighted_median_binned",
+    """
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice,
+             CAST(l_quantity AS BIGINT) AS w,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cumw,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS totw
+      FROM lineitem)
+    SELECT l_returnflag,
+           CAST(max(totw) AS BIGINT) AS total_weight,
+           min(l_extendedprice) FILTER (WHERE 2 * cumw >= totw)
+             AS weighted_median
+    FROM r GROUP BY l_returnflag
+    """,
+)
+def weighted_median_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median via two-pass binning — the scale path for
+    `weighted_median_price`, whose single-window form is parallelism-bound
+    by the group count (3 return flags ⇒ 3 sort tasks, measured 6.5× at
+    the 10× probe). Pass 1 bins every row into 256 per-group buckets (a
+    (flag, bin) AGGREGATION — parallelism 3×256, no row sort anywhere);
+    the 256-row-per-group summary locates the boundary bin and its
+    cumulative-weight offset. Pass 2 sorts ONLY the boundary bin's rows
+    (~1/256 of the group) with the offset carried in. Binning partitions
+    the price order (monotone map), weights are exact BIGINTs, and the
+    boundary test is integer arithmetic — so the result is IDENTICAL to
+    the naive full-sort form, which is exactly what the oracle runs. The
+    two-phase shape is the same trick as `skew_salted_agg`: trade one
+    extra reduced-frame pass for unbounded parallelism."""
+    li = _t(spark, sf_dir, "lineitem")
+    wq = F.col("l_quantity").cast("long")
+    # per-group price range (3-row frame, broadcast back onto the facts)
+    rng = li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("pmin"),
+        F.max("l_extendedprice").alias("pmax"),
+    )
+    binned = li.join(F.broadcast(rng), "l_returnflag").select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        wq.alias("w"),
+        F.least(
+            F.lit(255),
+            F.floor(
+                (F.col("l_extendedprice") - F.col("pmin"))
+                / (F.col("pmax") - F.col("pmin"))
+                * 256
+            ).cast("int"),
+        ).alias("bin"),
+    )
+    # pass 1: (flag, bin) weight histogram -> boundary bin + offset + total
+    hist = binned.groupBy("l_returnflag", "bin").agg(
+        F.sum("w").alias("bw")
+    )
+    wb = W.partitionBy("l_returnflag").orderBy("bin")
+    cum = hist.withColumn(
+        "cum", F.sum("bw").over(wb.rowsBetween(W.unboundedPreceding, W.currentRow))
+    ).withColumn("tot", F.sum("bw").over(W.partitionBy("l_returnflag")))
+    boundary = (
+        cum.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("bin").alias("bbin"),
+            F.max("tot").cast("long").alias("total_weight"),
+        )
+        .join(
+            cum.select(
+                "l_returnflag",
+                F.col("bin").alias("bbin"),
+                (F.col("cum") - F.col("bw")).alias("offset"),
+            ),
+            ["l_returnflag", "bbin"],
+        )
+        .select(
+            F.col("l_returnflag").alias("bflag"),
+            "bbin",
+            "offset",
+            "total_weight",
+        )
+    )
+    # pass 2: exact order within the boundary bin only, offset carried in
+    inbin = binned.join(
+        F.broadcast(boundary),
+        (F.col("l_returnflag") == F.col("bflag"))
+        & (F.col("bin") == F.col("bbin")),
+    ).select(
+        F.col("l_returnflag").alias("flag"),
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        "w",
+        "offset",
+        "total_weight",
+    )
+    w2 = (
+        W.partitionBy("flag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    scored = inbin.withColumn("cum2", F.col("offset") + F.sum("w").over(w2))
+    return (
+        scored.filter(2 * F.col("cum2") >= F.col("total_weight"))
+        .groupBy(F.col("flag").alias("l_returnflag"))
+        .agg(
+            F.max("total_weight").cast("long").alias("total_weight"),
+            F.min("l_extendedprice").alias("weighted_median"),
+        )
+    )
+
+
+@register(
+    "anova_f_segments",
+    """
+    WITH g AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(o.o_totalprice) AS m,
+             var_samp(o.o_totalprice) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(n) AS BIGINT) AS n_total,
+                 sum(n * m) / sum(n) AS gm,
+                 sum(v * (n - 1)) AS ssw
+          FROM g),
+    b AS (SELECT t.k, t.n_total,
+                 sum(g.n * (g.m - t.gm) * (g.m - t.gm)) AS ssb,
+                 max(t.ssw) AS ssw
+          FROM g CROSS JOIN t GROUP BY t.k, t.n_total)
+    SELECT k, n_total,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n_total - k AS BIGINT) AS df_within,
+           round((ssb / (k - 1)) / (ssw / (n_total - k)), 4) AS f_stat,
+           round(ssb / (ssb + ssw), 6) AS eta_squared
+    FROM b
+    """,
+)
+def anova_f_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across market segments on order value: F =
+    between-group MS / within-group MS, with η² effect size — the k-group
+    generalization of `ab_test_welch` (on this synthetic feed segments
+    don't differ, so F ≈ 1 and η² ≈ 0: a verified null). Everything
+    derives from ONE per-segment moment pass (n, mean, variance): the
+    grand mean and both sums of squares are algebra over the 5-row
+    summary — no second fact scan, no row-level residuals."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg("o_totalprice").alias("m"),
+            F.var_samp("o_totalprice").alias("v"),
+        )
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_total"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+        F.sum(F.col("v") * (F.col("n") - 1)).alias("ssw"),
+    )
+    b = (
+        g.crossJoin(F.broadcast(t))
+        .groupBy("k", "n_total")
+        .agg(
+            F.sum(
+                F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))
+            ).alias("ssb"),
+            F.max("ssw").alias("ssw"),
+        )
+    )
+    return b.select(
+        "k",
+        "n_total",
+        (F.col("k") - 1).cast("long").alias("df_between"),
+        (F.col("n_total") - F.col("k")).cast("long").alias("df_within"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n_total") - F.col("k"))),
+            4,
+        ).alias("f_stat"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias(
+            "eta_squared"
+        ),
+    )
