@@ -67,3 +67,41 @@ def test_bucketed_groupby_skips_shuffle(spark, sf_dir):
         assert got == exp
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b2")
+
+
+def test_publish_with_audit_blocks_bad_batch(spark, sf_dir, tmp_path):
+    """WAP: a failing rule must leave the published path untouched (the
+    previous good version stays readable); a passing batch replaces it
+    atomically."""
+    from pyspark.sql import functions as F
+
+    from windflow_spark.io import publish_with_audit
+
+    o = load_table(spark, "orders", sf_dir)
+    path = str(tmp_path / "orders_published")
+
+    good = publish_with_audit(
+        o,
+        path,
+        [
+            ("price_positive", F.col("o_totalprice") > 0),
+            ("key_present", F.col("o_orderkey").isNotNull()),
+        ],
+    )
+    assert good["published"] and good["n_rows"] == o.count()
+    v1 = spark.read.parquet(path).count()
+
+    bad = publish_with_audit(
+        o.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 100 == 0, -1.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        ),
+        path,
+        [("price_positive", F.col("o_totalprice") > 0)],
+    )
+    assert not bad["published"] and bad["failed_rules"] == ["price_positive"]
+    # previous good version still fully readable
+    assert spark.read.parquet(path).count() == v1
+    assert spark.read.parquet(path).filter(F.col("o_totalprice") <= 0).count() == 0

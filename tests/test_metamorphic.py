@@ -135,6 +135,7 @@ SAMPLE = [
     "time_decay_attribution",       # conv-window share normalize (r6w6)
     "weighted_median_binned",       # two-pass exact boundary bin (r6w6)
     "anova_f_segments",             # moment-algebra F test (r6w6)
+    "sim_matryoshka_recall",        # prefix-dim vs exact top-5 (r6w6)
     # entity_resolution_suppliers is NOT here: the fuzzy edge set is empty
     # at the tiny test sf (no supplier-name pairs within distance 2), so
     # the invariance run would compare empty frames; its determinism is

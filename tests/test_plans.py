@@ -98,6 +98,8 @@ _BNLJ_ALLOWED = {
     "breusch_pagan_price_quantity",
     # one-row grand-mean frame crossJoined with the 5-row segment summary
     "anova_f_segments",
+    # k×Q bounded brute-force comparison frames (quantized-recall shape)
+    "sim_matryoshka_recall",
     "sim_topk_bruteforce",
     "sim_lsh_recall",
     "sim_ivf_recall",
@@ -607,6 +609,8 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
                                       # group summary or the boundary bin
         "anova_f_segments": 3,        # fact⋈dim + per-segment moment agg;
                                       # SS algebra rides the 5-row summary
+        "sim_matryoshka_recall": 4,   # k×Q comparison frames; prefix side
+                                      # + exact side each one agg
     }
     over = {}
     for name, budget in budgets.items():

@@ -299,3 +299,47 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def publish_with_audit(
+    df: DataFrame,
+    path: str,
+    checks: Sequence[tuple[str, "object"]],
+    fmt: str = "parquet",
+) -> dict:
+    """Write-Audit-Publish: stage ``df``, run every audit rule against the
+    STAGED files, and only then move them to ``path`` — the pattern that
+    keeps a bad batch from ever being visible to readers (the missing
+    half of `write_manifest_jsonl`'s commit protocol, applied to batch
+    tables). ``checks`` are (name, boolean Column) rules evaluated in ONE
+    aggregation pass over the staged data (every rule must hold for every
+    row — the data_quality_report shape); any failure leaves the
+    published path UNTOUCHED and the staging directory in place for
+    inspection. Returns {"published": bool, "failed_rules": [...],
+    "n_rows": int}.
+
+    The final step is a filesystem rename — atomic on POSIX/HDFS; on
+    object stores use the manifest-committed writer instead (rename is
+    copy+delete there)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    staging = path.rstrip("/") + "__staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    df.write.mode("overwrite").format(fmt).save(staging)
+    staged = spark.read.format(fmt).load(staging)
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.min(F.when(col, True).otherwise(False)).alias(name)
+            for name, col in checks
+        ],
+    ).collect()[0]
+    failed = [name for name, _ in checks if not agg[name]]
+    if failed:
+        return {"published": False, "failed_rules": failed, "n_rows": agg["_n"]}
+    shutil.rmtree(path, ignore_errors=True)
+    os.replace(staging, path)
+    return {"published": True, "failed_rules": [], "n_rows": agg["_n"]}

@@ -10951,3 +10951,79 @@ def anova_f_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eta_squared"
         ),
     )
+
+
+@register(
+    "sim_matryoshka_recall",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qs AS (SELECT vec_id AS query_id, v AS qev FROM e WHERE vec_id < 10),
+    bf_s AS (
+      SELECT qs.query_id, e.vec_id,
+             round(list_cosine_similarity(qev, v), 6) AS cs
+      FROM e JOIN qs ON e.vec_id <> qs.query_id),
+    bf AS (SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cs DESC, vec_id) AS rk
+             FROM bf_s) WHERE rk <= 5),
+    m AS (SELECT vec_id, v[1:16] AS mv FROM e),
+    zq AS (SELECT vec_id AS query_id, mv AS qmv FROM m WHERE vec_id < 10),
+    ap_s AS (
+      SELECT zq.query_id, m.vec_id,
+             round(list_cosine_similarity(qmv, mv), 6) AS cs
+      FROM m JOIN zq ON m.vec_id <> zq.query_id),
+    ap AS (SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cs DESC, vec_id) AS rk
+             FROM ap_s) WHERE rk <= 5),
+    h AS (SELECT bf.query_id, count(*) AS n_hits
+          FROM bf JOIN ap ON bf.query_id = ap.query_id
+                         AND bf.vec_id = ap.vec_id
+          GROUP BY bf.query_id),
+    nn AS (SELECT query_id, count(*) AS n_exact FROM bf GROUP BY query_id)
+    SELECT nn.query_id, coalesce(n_hits, 0)::BIGINT AS n_hits,
+           coalesce(n_hits, 0)::DOUBLE / n_exact AS recall
+    FROM nn LEFT JOIN h USING (query_id)
+    """,
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation tradeoff: recall@5 of brute-force
+    cosine over the FIRST 16 of 64 embedding dimensions against the exact
+    full-dimension top-5 — the measurement behind the
+    coarse-search-on-prefix / rerank-on-full-vector serving pattern
+    (4× less bandwidth and memory in the hot path; these synthetic
+    embeddings are not MRL-trained, so the recall readout is the honest
+    baseline a trained model would beat). Same k×Q-bounded comparison
+    frames as `sim_quantized_recall`; prefix slicing is exact on both
+    engines."""
+    from windflow_spark.functions.similarity import (
+        as_double_array,
+        brute_force_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    m = emb.select(
+        "vec_id",
+        F.slice(as_double_array("embedding"), 1, 16).alias("embedding"),
+    )
+    zq = m.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ap = brute_force_topk(m, zq, k=5).select("query_id", "vec_id")
+    bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    hits = (
+        bf.join(F.broadcast(ap), ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return n.join(F.broadcast(hits), "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+            / F.col("n_exact")
+        ).alias("recall"),
+    )
