@@ -611,6 +611,8 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
                                       # SS algebra rides the 5-row summary
         "sim_matryoshka_recall": 4,   # k×Q comparison frames; prefix side
                                       # + exact side each one agg
+        "dft_hourly_seasonality": 1,  # hourly agg; all six projections in
+                                      # one global moment pass
     }
     over = {}
     for name, budget in budgets.items():

@@ -11027,3 +11027,72 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_exact")
         ).alias("recall"),
     )
+
+
+@register(
+    "dft_hourly_seasonality",
+    """
+    WITH h AS (
+      SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS th,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n_hours,
+                 avg(cnt) AS mu,
+                 sum(cnt * cos(2 * pi() * (th % 24) / 24.0)) AS a24,
+                 sum(cnt * sin(2 * pi() * (th % 24) / 24.0)) AS b24,
+                 sum(cnt * cos(2 * pi() * (th % 12) / 12.0)) AS a12,
+                 sum(cnt * sin(2 * pi() * (th % 12) / 12.0)) AS b12,
+                 sum(cnt * cos(2 * pi() * (th % 8) / 8.0)) AS a8,
+                 sum(cnt * sin(2 * pi() * (th % 8) / 8.0)) AS b8
+          FROM h)
+    SELECT n_hours, round(mu, 2) AS mean_hourly,
+           round(2 * sqrt(a24 * a24 + b24 * b24) / n_hours, 4) AS amp_24h,
+           round(2 * sqrt(a12 * a12 + b12 * b12) / n_hours, 4) AS amp_12h,
+           round(2 * sqrt(a8 * a8 + b8 * b8) / n_hours, 4) AS amp_8h
+    FROM s
+    """,
+)
+def dft_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral seasonality detection: single-frequency DFT (harmonic
+    regression) of the hourly event-count series at the 24 h / 12 h / 8 h
+    periods — amplitude ≫ 0 at 24 h means a diurnal cycle the
+    day-of-week decomposition (`ts_seasonal_dow`) can't see. One hourly
+    aggregation + ONE moment pass computing all six cos/sin projections;
+    the harmonic argument is reduced to the INTEGER hour-of-period
+    (th % p) before cos/sin — exactly equivalent by periodicity, and it
+    keeps both engines' transcendental calls in the small-argument range
+    where they agree to the ulp (large-argument reduction is the only
+    place libm implementations drift)."""
+    from windflow_spark.operators.timeutil import event_micros
+
+    ev = _t(spark, sf_dir, "events")
+    th = F.floor(event_micros(ev, "ts") / F.lit(3_600_000_000)).cast("long")
+    h = ev.groupBy(th.alias("th")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    def proj(fn, p):
+        return F.sum(
+            F.col("cnt")
+            * fn(F.lit(2.0) * F.lit(3.141592653589793) * (F.col("th") % p) / F.lit(float(p)))
+        )
+    s = h.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.avg("cnt").alias("mu"),
+        proj(F.cos, 24).alias("a24"),
+        proj(F.sin, 24).alias("b24"),
+        proj(F.cos, 12).alias("a12"),
+        proj(F.sin, 12).alias("b12"),
+        proj(F.cos, 8).alias("a8"),
+        proj(F.sin, 8).alias("b8"),
+    )
+    def amp(a, b):
+        return F.round(
+            2 * F.sqrt(F.col(a) * F.col(a) + F.col(b) * F.col(b)) / F.col("n_hours"), 4
+        )
+    return s.select(
+        "n_hours",
+        F.round("mu", 2).alias("mean_hourly"),
+        amp("a24", "b24").alias("amp_24h"),
+        amp("a12", "b12").alias("amp_12h"),
+        amp("a8", "b8").alias("amp_8h"),
+    )
