@@ -613,6 +613,9 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
                                       # + exact side each one agg
         "dft_hourly_seasonality": 1,  # hourly agg; all six projections in
                                       # one global moment pass
+        "lang_id_confusion": 3,       # one (true,pred) reduction; totals
+                                      # agg + join re-key ride the
+                                      # L²-bounded matrix frame
     }
     over = {}
     for name, budget in budgets.items():

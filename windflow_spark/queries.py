@@ -11096,3 +11096,50 @@ def dft_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         amp("a12", "b12").alias("amp_12h"),
         amp("a8", "b8").alias("amp_8h"),
     )
+
+
+def _lang_id_confusion_sql() -> str:
+    from windflow_spark.functions.text import lang_id_oracle_sql
+
+    pred = lang_id_oracle_sql("documents", "text")
+    return f"""
+    WITH p AS ({pred}),
+    j AS (SELECT d.lang AS lang_true, p.lang_pred
+          FROM documents d JOIN p USING (doc_id)),
+    m AS (SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+          FROM j GROUP BY 1, 2),
+    t AS (SELECT lang_true, sum(n) AS tot FROM m GROUP BY lang_true)
+    SELECT m.lang_true, m.lang_pred, m.n,
+           round(m.n / CAST(t.tot AS DOUBLE), 4) AS share_of_true
+    FROM m JOIN t USING (lang_true)
+    """
+
+
+@register("lang_id_confusion", _lang_id_confusion_sql())
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword lang-id heuristic against the
+    corpus's LABELED `lang` column — the honest-eval companion to
+    `lang_id_documents` (every classifier shipped in this repo gets its
+    accuracy measured, same posture as the sim_*_recall family). Rows are
+    (true, predicted, count, share-of-true); the diagonal shares are the
+    per-language recalls. One prediction pass (JVM column exprs) + one
+    (true, pred) reduction; the per-language totals ride a join over the
+    L²-bounded matrix."""
+    from windflow_spark.functions.text import lang_id_heuristic
+
+    docs = _t(spark, sf_dir, "documents")
+    p = lang_id_heuristic(docs).select(
+        F.col("lang").alias("lang_true"), "lang_pred"
+    )
+    m = p.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = m.groupBy("lang_true").agg(F.sum("n").alias("tot"))
+    return m.join(F.broadcast(t), "lang_true").select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        F.round(F.col("n") / F.col("tot").cast("double"), 4).alias(
+            "share_of_true"
+        ),
+    )
