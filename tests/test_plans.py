@@ -100,6 +100,8 @@ _BNLJ_ALLOWED = {
     "anova_f_segments",
     # k×Q bounded brute-force comparison frames (quantized-recall shape)
     "sim_matryoshka_recall",
+    # one-row corpus-median frame broadcast back onto the doc flags
+    "quality_filter_kappa",
     "sim_topk_bruteforce",
     "sim_lsh_recall",
     "sim_ivf_recall",
@@ -616,6 +618,10 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
         "lang_id_confusion": 3,       # one (true,pred) reduction; totals
                                       # agg + join re-key ride the
                                       # L²-bounded matrix frame
+        "quality_filter_kappa": 1,    # two global agg passes; the median
+                                      # rides back as a one-row broadcast
+        "trimmed_mean_prices": 2,     # bounds agg + conditional agg share
+                                      # the (returnflag) keying
     }
     over = {}
     for name, budget in budgets.items():

@@ -11143,3 +11143,172 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_true"
         ),
     )
+
+
+@register(
+    "quality_filter_kappa",
+    """
+    WITH d AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+             CASE WHEN len(words) >= 30 AND len(words) <= 100000
+                   AND CAST(list_sum(list_transform(words, w -> length(w)))
+                            AS DOUBLE) / len(words) >= CAST(3 AS DOUBLE)
+                   AND CAST(list_sum(list_transform(words, w -> length(w)))
+                            AS DOUBLE) / len(words) <= CAST(10 AS DOUBLE)
+                   AND len(list_intersect(words,
+                       ['the','a','of','and','to','in','is','that'])) >= 2
+                   AND CAST(len(list_distinct(words)) AS DOUBLE)
+                       / len(words) >= CAST(0.4 AS DOUBLE)
+              THEN 1 ELSE 0 END AS a,
+             least(1.0, len(words) / 100.0)
+               * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  / greatest(length(text), 1)) AS q
+      FROM d),
+    m AS (SELECT quantile_cont(q, CAST(0.5 AS DOUBLE)) AS med FROM f),
+    t AS (SELECT CASE WHEN f.q > m.med THEN 1 ELSE 0 END AS b, f.a
+          FROM f CROSS JOIN m),
+    c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n11,
+                 CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n10,
+                 CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n01,
+                 CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n00
+          FROM t)
+    SELECT n, n11, n10, n01, n00,
+           round((n11 + n00) / CAST(n AS DOUBLE), 4) AS agreement,
+           round(((n11 + n00) / CAST(n AS DOUBLE)
+                  - ((n11 + n10) * (n11 + n01)
+                     + (n01 + n00) * (n10 + n00)) / (CAST(n AS DOUBLE) * n))
+                 / (1.0 - ((n11 + n10) * (n11 + n01)
+                           + (n01 + n00) * (n10 + n00))
+                          / (CAST(n AS DOUBLE) * n)), 4) AS cohens_kappa
+    FROM c
+    """,
+)
+def quality_filter_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-filter agreement between the two quality filters this repo
+    ships: the Gopher rule battery (all four rules pass) vs the continuous
+    q_score above its corpus median — raw agreement plus Cohen's κ, the
+    chance-corrected number that says whether the heuristics measure the
+    same thing (κ≈0: adding the second filter genuinely changes the kept
+    set; κ≈1: it's redundant). Both flags derive from ONE document pass;
+    the median threshold is a one-row broadcast (allowlisted BNLJ); the κ
+    algebra runs on four exact integer cells and is rounded once."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    stop = F.array(
+        *[F.lit(w) for w in ["the", "a", "of", "and", "to", "in", "is", "that"]]
+    )
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size("words")
+    mean_wl = (
+        F.aggregate(
+            F.transform("words", lambda w: F.length(w)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / n_tok
+    )
+    a = (
+        (n_tok >= 30)
+        & (n_tok <= 100000)
+        & (mean_wl >= F.lit(3.0))
+        & (mean_wl <= F.lit(10.0))
+        & (F.size(F.array_intersect("words", stop)) >= 2)
+        & (F.size(F.array_distinct("words")).cast("double") / n_tok >= F.lit(0.4))
+    )
+    q = F.least(F.lit(1.0), n_tok / F.lit(100.0)) * (
+        F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    f = docs.select(F.col("text"), toks.alias("words")).select(
+        F.when(a, 1).otherwise(0).alias("a"), q.alias("q")
+    )
+    med = f.agg(F.expr("percentile(q, 0.5)").alias("med"))
+    t = f.crossJoin(F.broadcast(med)).select(
+        "a", F.when(F.col("q") > F.col("med"), 1).otherwise(0).alias("b")
+    )
+    c = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n01"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ) / (nd * F.col("n"))
+    po = (F.col("n11") + F.col("n00")) / nd
+    return c.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 4).alias("agreement"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 4).alias("cohens_kappa"),
+    )
+
+
+@register(
+    "trimmed_mean_prices",
+    """
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, CAST(0.05 AS DOUBLE)) AS lo,
+             quantile_cont(l_extendedprice, CAST(0.95 AS DOUBLE)) AS hi
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_all,
+           CAST(count(*) FILTER (WHERE l.l_extendedprice >= b.lo
+                                   AND l.l_extendedprice <= b.hi) AS BIGINT)
+             AS n_kept,
+           round(avg(l.l_extendedprice), 2) AS mean_plain,
+           round(avg(l.l_extendedprice) FILTER (
+             WHERE l.l_extendedprice >= b.lo AND l.l_extendedprice <= b.hi),
+             2) AS mean_trimmed
+    FROM lineitem l JOIN b USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 % two-sided trimmed mean per return flag next to the plain mean —
+    the robust-location companion to `winsorize_order_prices` (winsorize
+    CLAMPS the tails into the estimate, trimming EXCLUDES them; the gap
+    between the two means is itself an outlier-mass diagnostic). One
+    percentile pass for the per-group bounds (3-row frame, broadcast
+    back) + one conditional aggregation; exact percentile ≡ quantile_cont
+    (house rule), so the kept set is identical across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("hi"),
+    )
+    j = li.join(F.broadcast(b), "l_returnflag")
+    kept = (F.col("l_extendedprice") >= F.col("lo")) & (
+        F.col("l_extendedprice") <= F.col("hi")
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.count(F.when(kept, 1)).cast("long").alias("n_kept"),
+        F.round(F.avg("l_extendedprice"), 2).alias("mean_plain"),
+        F.round(F.avg(F.when(kept, F.col("l_extendedprice"))), 2).alias(
+            "mean_trimmed"
+        ),
+    )
