@@ -140,6 +140,8 @@ SAMPLE = [
     "lang_id_confusion",            # heuristic-vs-label matrix (r6w6)
     "quality_filter_kappa",         # 2x2 exact cells + kappa (r6w6)
     "trimmed_mean_prices",          # percentile-bounded means (r6w6)
+    "lateral_top2_orders_per_customer",  # decorrelated lateral rank (r6w6)
+    "hof_embedding_battery",        # HOF lambda sums (r6w6)
     # entity_resolution_suppliers is NOT here: the fuzzy edge set is empty
     # at the tiny test sf (no supplier-name pairs within distance 2), so
     # the invariance run would compare empty frames; its determinism is

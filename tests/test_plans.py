@@ -622,6 +622,10 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
                                       # rides back as a one-row broadcast
         "trimmed_mean_prices": 2,     # bounds agg + conditional agg share
                                       # the (returnflag) keying
+        "lateral_top2_orders_per_customer": 3,  # DecorrelateInnerQuery →
+                                      # join + window (WindowGroupLimit
+                                      # pinned below), never N subscans
+        "hof_embedding_battery": 0,   # one scan, one global moment agg
     }
     over = {}
     for name, budget in budgets.items():
@@ -639,3 +643,14 @@ def test_funnel_single_keyed_exchange(spark, sf_dir):
     from windflow_spark.queries import funnel_signup_purchase
 
     assert keyed_shuffle_count(funnel_signup_purchase(spark, sf_dir)) <= 1
+
+
+def test_lateral_decorrelates_to_window_limit(spark, sf_dir):
+    # the correlated LATERAL subquery must rewrite to join + rank window
+    # with map-side WindowGroupLimit — N per-customer subscans would be
+    # the quadratic failure mode at scale
+    from windflow_spark.queries import lateral_top2_orders_per_customer
+
+    plan = physical_plan(lateral_top2_orders_per_customer(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan

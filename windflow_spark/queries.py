@@ -11312,3 +11312,109 @@ def trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_trimmed"
         ),
     )
+
+
+@register(
+    "lateral_top2_orders_per_customer",
+    """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice, o.rk
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice,
+             CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                  AS BIGINT) AS rk
+      FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) o
+    WHERE c.c_nationkey < 3
+    """,
+)
+def lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer via a correlated LATERAL subquery — the
+    SQL-surface sibling of the window-rank idiom (`rank_top3_per_segment`),
+    exercising Spark's DecorrelateInnerQuery path: Catalyst rewrites the
+    per-row subquery into a JOIN + window, so the executed plan is the
+    same shuffle shape as the window form (pinned ≤3 keyed exchanges), not
+    N per-customer scans — which is exactly what makes LATERAL safe at
+    100 TB. DuckDB executes the IDENTICAL statement."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("_lat_customer")
+    o.createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice, o.rk
+        FROM _lat_customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice,
+                 CAST(row_number() OVER (ORDER BY o_totalprice DESC,
+                                         o_orderkey) AS BIGINT) AS rk
+          FROM _lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) o
+        WHERE c.c_nationkey < 3
+        """
+    )
+
+
+@register(
+    "hof_embedding_battery",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT vec_id,
+             CAST(len(v) AS BIGINT) AS dim,
+             CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+             list_sum(list_transform(v, x -> x * x)) AS sq,
+             list_sum(v) / len(v) AS mean_dim,
+             CASE WHEN len(list_filter(v, x -> abs(x) > 3.0)) > 0
+               THEN 1 ELSE 0 END AS has_outlier_dim
+      FROM e)
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(max(dim) AS BIGINT) AS dim,
+           round(avg(n_pos), 4) AS avg_positive_dims,
+           round(avg(sqrt(sq)), 6) AS avg_l2_norm,
+           round(avg(mean_dim), 6) AS avg_mean_dim,
+           CAST(sum(has_outlier_dim) AS BIGINT) AS n_with_outlier_dim
+    FROM s
+    """,
+)
+def hof_embedding_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function battery over the embedding column: per-vector
+    transform/filter/aggregate lambdas (positive-dim count, L2 norm, mean
+    component, |x|>3 outlier flag) rolled into one corpus report — the
+    surface a vector pipeline uses for sanity screens before indexing,
+    and the demonstration that Spark's HOF lambdas (JVM-side, no Python)
+    mirror DuckDB's list_* lambdas one-to-one. ONE scan, one global
+    aggregate; per-vector arithmetic stays raw IEEE."""
+    from windflow_spark.functions.similarity import as_double_array
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = as_double_array("embedding")
+    s = emb.select(
+        F.size(v).cast("long").alias("dim"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        ).alias("sq"),
+        (
+            F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.size(v)
+        ).alias("mean_dim"),
+        F.when(
+            F.size(F.filter(v, lambda x: F.abs(x) > 3.0)) > 0, 1
+        )
+        .otherwise(0)
+        .alias("has_outlier_dim"),
+    )
+    return s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.max("dim").cast("long").alias("dim"),
+        F.round(F.avg("n_pos"), 4).alias("avg_positive_dims"),
+        F.round(F.avg(F.sqrt("sq")), 6).alias("avg_l2_norm"),
+        F.round(F.avg("mean_dim"), 6).alias("avg_mean_dim"),
+        F.sum("has_outlier_dim").cast("long").alias("n_with_outlier_dim"),
+    )
