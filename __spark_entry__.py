@@ -27,11 +27,77 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q.flagship(spark, "/root/testdata/sf0.001")
 
 
+# The driver hashes only the FIRST 50 registry entries. Through r6 that
+# slice was frozen to the r1-r2 families, so none of the later additions
+# ever earned a driver-green row (r6 VERDICT #3). GATE_SLICE rotates a
+# representative one-per-family cross-section to the front; every other
+# entry keeps registration order. Names and oracles are unchanged — the
+# full 250-query self-gate (tools/check_correctness.py) is order-blind.
+GATE_SLICE: list[str] = [
+    "q1_pricing_summary",        # flagship TPC-H agg
+    "q6_revenue_filter",         # pushdown filter
+    "dedup_minhash_lsh",         # banded LSH near-dup
+    "dedup_simhash",             # bit-vote near-dup
+    "dedup_embedding_cosine",    # embedding near-dup
+    "dedup_clusters",            # connected-components clustering
+    "dedup_exact_documents",     # exact hash dedup
+    "sim_topk_ivf_kmeans",       # k-means-trained IVF ANN
+    "sim_topk_pq",               # product-quantization ANN
+    "sim_topk_bruteforce",       # exact cosine top-k baseline
+    "sim_matryoshka_recall",     # truncated-dim rerank ANN
+    "funnel_signup_purchase",    # one-pass K-stage funnel
+    "scd2_customer_status",      # slowly-changing-dimension type 2
+    "pagerank_purchase_graph",   # iterative graph
+    "recursive_trade_reachability",  # recursive CTE
+    "lateral_top2_orders_per_customer",  # correlated LATERAL
+    "ts_ewma_daily",             # recursive time-series smoothing
+    "chi2_segment_priority",     # statistical test
+    "win_tb_sliding_1h_15m",     # time-based sliding window
+    "win_cb_tumbling_10",        # count-based window
+    "win_paned_1h_15m",          # paned PLQ/WLQ window
+    "win_spine_empty_1d",        # empty-window spine
+    "win_session_30m",           # session window
+    "interval_join_kp",          # keyed interval join
+    "interval_join_bucketed",    # large-large time-bucketed join
+    "asof_join_prev_purchase",   # as-of join
+    "band_join_similar_value",   # band join
+    "merge_union_events",        # merge operator
+    "split_route_counts",        # split/route operator
+    "flatmap_tokens",            # FlatMap / UDTF
+    "reduce_rolling_sum",        # rolling Reduce
+    "agg_cube_orders",           # CUBE
+    "agg_grouping_sets",         # GROUPING SETS
+    "pivot_event_values",        # pivot
+    "win_nonincremental_median", # non-incremental window func
+    "text_quality_scores",       # text quality scoring
+    "lang_id_documents",         # language ID
+    "gopher_quality_rules",      # Gopher-rule filtering
+    "lm_perplexity_scores",      # bigram-LM perplexity
+    "bpe_pair_stats",            # BPE pair statistics
+    "doc_chunk_tokens",          # pipeline chunking
+    "decontam_eval_train_overlap",  # decontamination
+    "pack_greedy_budget",        # greedy sequence packing
+    "sample_stratified_hash",    # stratified sampling
+    "heavy_hitters_tokens",      # Misra-Gries sketch
+    "approx_distinct_users",     # HLL sketch
+    "cdc_upsert_latest",         # CDC upsert
+    "entity_resolution_suppliers",  # blocked entity resolution
+    "fuzzy_match_suppliers",     # fuzzy record linkage
+    "multimodal_features",       # multimodal feature extraction
+]
+
+
+def _rotated(mapping: dict) -> dict:
+    head = {k: mapping[k] for k in GATE_SLICE if k in mapping}
+    tail = {k: v for k, v in mapping.items() if k not in head}
+    return {**head, **tail}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(_q.QUERIES)
+    return _rotated(dict(_q.QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted keys → rows-only check)."""
-    return dict(_q.ORACLE)
+    return _rotated(dict(_q.ORACLE))

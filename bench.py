@@ -103,7 +103,8 @@ def main() -> None:
         times[name] = round(statistics.median(runs), 3) if runs else -1.0
     wall = time.time() - t_all
 
-    payload = json.dumps(build_payload(times, sf_dir, repeats, wall))
+    payload_obj = build_payload(times, sf_dir, repeats, wall)
+    payload = json.dumps(payload_obj)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Durable artifact in addition to the stdout line: the r1 BENCH capture
     # truncated mid-line, losing the total and early per-query times, so
@@ -126,6 +127,20 @@ def main() -> None:
     except OSError as e:
         print(f"bench: could not write {out_path}: {e}", file=sys.stderr)
     print(payload)
+    # Final COMPACT line for the driver: the full 250-entry payload above
+    # exceeds the driver's tail window, which truncated it mid-object two
+    # rounds running (BENCH_r05/r06 "parsed": null — VERDICT r6 #2). This
+    # line is <200 bytes so it survives any tail capture; the full per-query
+    # map lives in BENCH_LOCAL.json.
+    compact = {
+        "metric": "total_query_wall_time",
+        "value": payload_obj["value"],
+        "unit": "sec",
+        "n": len(times),
+        "failed": sum(1 for t in times.values() if t < 0),
+        "sf": payload_obj["sf"],
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

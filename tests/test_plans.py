@@ -654,3 +654,26 @@ def test_lateral_decorrelates_to_window_limit(spark, sf_dir):
     plan = physical_plan(lateral_top2_orders_per_customer(spark, sf_dir))
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_plans_md_covers_registry():
+    # PLANS.md is the auditable scale artifact; r6 VERDICT #1 found it
+    # stale for the final 9 queries because the regen step was skipped
+    # after late-round query commits. This makes staleness a test failure:
+    # the PLANS.md row set must equal the registry key set exactly.
+    import os
+    import re
+
+    plans_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"
+    )
+    with open(plans_path) as f:
+        text = f.read()
+    rows = set(re.findall(r"^\| (\w+) \|", text, flags=re.M)) - {"query"}
+    registry = set(QUERIES.keys())
+    missing = sorted(registry - rows)
+    extra = sorted(rows - registry)
+    assert not missing and not extra, (
+        f"PLANS.md out of sync with registry — regen with "
+        f"`python tools/plan_report.py`. missing={missing} extra={extra}"
+    )

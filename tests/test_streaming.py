@@ -1747,3 +1747,77 @@ def test_streaming_debounce_matches_batch(spark, tmp_path_factory):
     name, _ = to_memory_sink(out, output_mode="append")
     got = sorted((r.k, r.us) for r in spark.table(name).collect())
     assert got == expect
+
+
+def test_streaming_interval_join_left_outer_equals_batch(spark, tmp_path_factory):
+    """r6 VERDICT #5: LEFT-outer bucketed stream-stream interval join must
+    equal the batch left form — matched pairs AND null-extended unmatched
+    A rows — with rows split across micro-batches (maxFilesPerTrigger=1).
+    Outer null-emission needs the watermark to pass the unmatched row's
+    retention bound, so each side gets a far-future sentinel file (key -1,
+    filtered out of the comparison) whose processing advances the global
+    watermark and flushes the remaining A-side state."""
+    import time as _time
+
+    from windflow_spark.operators.interval_join import interval_join_bucketed
+    from windflow_spark.streaming import streaming_interval_join_bucketed
+
+    rows_a = [(k % 3, v, v * 700_000 + k * 13_000) for k, v in ((i % 5, i) for i in range(30))]
+    rows_b = [(k % 3, v + 1000, v * 1_400_000 + 350_000) for k, v in ((i % 5, i) for i in range(12))]
+    # TWO sentinel files per side: the watermark computed from sentinel 1's
+    # batch is only APPLIED at the start of the following batch, so a second
+    # (later) sentinel provides the batch in which the remaining unmatched
+    # A state is evicted and null-emitted before availableNow terminates
+    sentinel = [(-1, -1, 500 * SEC)]
+    sentinel2 = [(-1, -2, 600 * SEC)]
+    batch_a = _mk(spark, rows_a + sentinel + sentinel2)
+    batch_b = _mk(spark, rows_b + sentinel + sentinel2)
+
+    expect = sorted(
+        map(
+            tuple,
+            interval_join_bucketed(
+                batch_a, batch_b, ["key"], "ts", "ts", 0, 1 * SEC, how="left"
+            )
+            .filter(F.col("a.key") >= 0)
+            .select("a.value", "b.value")
+            .collect(),
+        )
+    )
+    # unmatched A rows must exist, and so must matches — both paths live
+    assert any(bv is None for _, bv in expect) and any(bv is not None for _, bv in expect)
+
+    src_a = str(tmp_path_factory.mktemp("sij_left_a"))
+    src_b = str(tmp_path_factory.mktemp("sij_left_b"))
+    for src, rows in ((src_a, rows_a), (src_b, rows_b)):
+        half = len(rows) // 2
+        _mk(spark, rows[:half]).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+        _mk(spark, rows[half:]).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+        _mk(spark, sentinel).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+        _mk(spark, sentinel2).coalesce(1).write.mode("append").parquet(src)
+
+    stream_a = file_stream(spark, src_a, batch_a.schema, max_files_per_trigger=1)
+    stream_b = file_stream(spark, src_b, batch_b.schema, max_files_per_trigger=1)
+    j = streaming_interval_join_bucketed(
+        stream_a, stream_b, ["key"], "ts", "ts", 0, 1 * SEC,
+        watermark_us=1 * SEC, how="left",
+    )
+    # do NOT filter the sentinels inside the streaming plan: a key predicate
+    # pushes down into the file scan, removing the sentinel rows BEFORE the
+    # watermark operator — the watermark then never advances and unmatched
+    # state never flushes. Sentinels are dropped from the collected rows.
+    name, _ = to_memory_sink(
+        j.select(
+            F.col("a.key").alias("ak"),
+            F.col("a.value").alias("av"),
+            F.col("b.value").alias("bv"),
+        )
+    )
+    got = sorted(
+        (av, bv) for ak, av, bv in _rows(spark, name, ["ak", "av", "bv"]) if ak >= 0
+    )
+    assert got == expect
+    assert len(got) == len(set(got))  # B-replication produced no dup rows

@@ -71,6 +71,7 @@ def interval_join_bucketed(
     lower_us: int,
     upper_us: int,
     bucket_us: int | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Interval join blocked by time bucket — the large-large scale path.
 
@@ -89,10 +90,23 @@ def interval_join_bucketed(
     dedup is needed. Shuffle parallelism now scales with key × time rather
     than key cardinality.
 
-    Inner join only (outer semantics would need per-replica dedup of
-    unmatched A rows). Result exposes the same ``a``/``b`` aliases as
-    :func:`interval_join`; the helper bucket columns are dropped.
+    Outer joins (``how`` ∈ {'inner', 'left', 'right'}): the replicated side
+    flips so the OUTER-PRESERVED side lands in exactly ONE bucket — with
+    the default (A replicated) a left join would null-emit each unmatched A
+    row once per replica. For ``how='left'`` A takes floor(ts_a/W) and B is
+    exploded to the buckets a matching A could occupy
+    ([floor((ts_b−upper)/W), floor((ts_b−lower)/W)], ≤2 replicas); every
+    matching pair then shares exactly a's bucket and each unmatched A row
+    null-emits exactly once. ``how='right'`` is the mirror (A replicated —
+    the inner layout — with a right join). The reference's join is
+    inner-only (wf/interval_join.hpp:279-313); outer is the natural Spark
+    completion for late-unmatched detection.
+
+    Result exposes the same ``a``/``b`` aliases as :func:`interval_join`;
+    the helper bucket columns are dropped.
     """
+    if how not in ("inner", "left", "right"):
+        raise ValueError(f"how must be inner|left|right, got {how!r}")
     span = upper_us - lower_us
     if span < 0:
         raise ValueError(f"upper_us < lower_us ({upper_us} < {lower_us})")
@@ -104,18 +118,32 @@ def interval_join_bucketed(
 
     a_us = event_micros(a, a_ts)
     b_us = event_micros(b, b_ts)
-    aa = (
-        a.withColumn(
-            "__ij_bkt",
-            F.explode(
-                F.sequence(
-                    F.floor((a_us + F.lit(lower_us)) / F.lit(width)),
-                    F.floor((a_us + F.lit(upper_us)) / F.lit(width)),
-                )
-            ),
-        )
-    ).alias("a")
-    bb = b.withColumn("__ij_bkt", F.floor(b_us / F.lit(width))).alias("b")
+    if how == "left":
+        aa = a.withColumn("__ij_bkt", F.floor(a_us / F.lit(width))).alias("a")
+        bb = (
+            b.withColumn(
+                "__ij_bkt",
+                F.explode(
+                    F.sequence(
+                        F.floor((b_us - F.lit(upper_us)) / F.lit(width)),
+                        F.floor((b_us - F.lit(lower_us)) / F.lit(width)),
+                    )
+                ),
+            )
+        ).alias("b")
+    else:
+        aa = (
+            a.withColumn(
+                "__ij_bkt",
+                F.explode(
+                    F.sequence(
+                        F.floor((a_us + F.lit(lower_us)) / F.lit(width)),
+                        F.floor((a_us + F.lit(upper_us)) / F.lit(width)),
+                    )
+                ),
+            )
+        ).alias("a")
+        bb = b.withColumn("__ij_bkt", F.floor(b_us / F.lit(width))).alias("b")
 
     qa_us = event_micros(a, a_ts, qualifier="a")
     qb_us = event_micros(b, b_ts, qualifier="b")
@@ -125,7 +153,7 @@ def interval_join_bucketed(
         qb_us >= qa_us + F.lit(lower_us),
         qb_us <= qa_us + F.lit(upper_us),
     ]
-    joined = aa.join(bb, _and_all(cond), how="inner")
+    joined = aa.join(bb, _and_all(cond), how=how)
     return joined.drop(F.col("a.__ij_bkt")).drop(F.col("b.__ij_bkt"))
 
 

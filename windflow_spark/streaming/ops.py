@@ -128,23 +128,43 @@ def streaming_interval_join(
     lower_us: int,
     upper_us: int,
     watermark_us: int = 1,
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join. Spark derives state retention from the
     time-bound condition exactly as the reference purges archives by
     watermark (A kept while ts >= wm − upper, B while ts >= wm + lower;
-    reference wf/interval_join.hpp:109-117,153-159)."""
+    reference wf/interval_join.hpp:109-117,153-159).
+
+    ``how`` ∈ {'inner', 'left', 'right'}: outer forms null-emit the
+    unmatched preserved-side row once its buffered state expires past the
+    watermark — WindFlow's join is inner-only (wf/interval_join.hpp:279),
+    this is the Spark-native completion for late-unmatched detection.
+    Outer emission REQUIRES a real watermark delay (Spark emits nulls only
+    when state provably cannot match anymore), so watermark_us bounds the
+    null-emission latency.
+
+    The range condition is native timestamp+INTERVAL arithmetic, NOT
+    unix_micros: StreamingJoinHelper can only derive the per-side state
+    watermark (→ bounded join state, and outer null-emission at all) from
+    conditions it can invert over the event-time column — wrapping ts in
+    unix_micros made state retention UNBOUNDED for inner joins and a hard
+    analysis error for outer ones."""
+    if how not in ("inner", "left", "right"):
+        raise ValueError(f"how must be inner|left|right, got {how!r}")
     aa = a.withWatermark(a_ts, _dur(watermark_us)).alias("a")
     bb = b.withWatermark(b_ts, _dur(watermark_us)).alias("b")
     cond = None
     for k in key_cols:
         c = F.col(f"a.{k}") == F.col(f"b.{k}")
         cond = c if cond is None else (cond & c)
-    from windflow_spark.operators.timeutil import event_micros
-
-    a_us = event_micros(a, a_ts, qualifier="a")
-    b_us = event_micros(b, b_ts, qualifier="b")
-    cond = cond & (b_us >= a_us + F.lit(lower_us)) & (b_us <= a_us + F.lit(upper_us))
-    return aa.join(bb, cond, "inner")
+    bt = F.col(f"b.{b_ts}")
+    at = F.col(f"a.{a_ts}")
+    cond = (
+        cond
+        & (bt >= at + F.expr(f"INTERVAL {lower_us} MICROSECOND"))
+        & (bt <= at + F.expr(f"INTERVAL {upper_us} MICROSECOND"))
+    )
+    return aa.join(bb, cond, how)
 
 
 def streaming_interval_join_bucketed(
@@ -157,6 +177,7 @@ def streaming_interval_join_bucketed(
     upper_us: int,
     bucket_us: int | None = None,
     watermark_us: int = 1,
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join blocked by time bucket — the streaming
     sibling of operators.interval_join.interval_join_bucketed (r5 VERDICT
@@ -166,6 +187,15 @@ def streaming_interval_join_bucketed(
     floor(ts/W) bucket, A rows replicate to the ≤2 buckets their match
     interval covers (W defaults to upper−lower), and every matching pair
     shares exactly one bucket — b's — so no duplicate pairs arise.
+
+    ``how`` ∈ {'inner', 'left', 'right'} (r6 VERDICT #5): for outer joins
+    the replicated side FLIPS so the outer-preserved side lands in exactly
+    one bucket — otherwise each unmatched preserved row would null-emit
+    once per replica. how='left': A takes floor(ts_a/W), B explodes to
+    [floor((ts_b−upper)/W), floor((ts_b−lower)/W)]; pairs share a's bucket.
+    how='right' mirrors the inner layout with a right join. Null emission
+    happens when the preserved row's state expires past the watermark, so
+    watermark_us bounds the unmatched-detection latency.
 
     Why it matters in streaming: Spark partitions JOIN STATE by the
     equi-key. With key alone, one hot key concentrates its entire
@@ -178,6 +208,8 @@ def streaming_interval_join_bucketed(
     that bounded state lives. A replicas double the A-side state, the
     price of the key×time spread (same trade as the batch form).
     """
+    if how not in ("inner", "left", "right"):
+        raise ValueError(f"how must be inner|left|right, got {how!r}")
     span = upper_us - lower_us
     if span < 0:
         raise ValueError(f"upper_us < lower_us ({upper_us} < {lower_us})")
@@ -188,31 +220,58 @@ def streaming_interval_join_bucketed(
 
     a_us = event_micros(a, a_ts)
     b_us = event_micros(b, b_ts)
-    aa = (
-        a.withWatermark(a_ts, _dur(watermark_us))
-        .withColumn(
-            "__ij_bkt",
-            F.explode(
-                F.sequence(
-                    F.floor((a_us + F.lit(lower_us)) / F.lit(width)),
-                    F.floor((a_us + F.lit(upper_us)) / F.lit(width)),
-                )
-            ),
+    if how == "left":
+        aa = (
+            a.withWatermark(a_ts, _dur(watermark_us))
+            .withColumn("__ij_bkt", F.floor(a_us / F.lit(width)))
+            .alias("a")
         )
-        .alias("a")
-    )
-    bb = (
-        b.withWatermark(b_ts, _dur(watermark_us))
-        .withColumn("__ij_bkt", F.floor(b_us / F.lit(width)))
-        .alias("b")
-    )
+        bb = (
+            b.withWatermark(b_ts, _dur(watermark_us))
+            .withColumn(
+                "__ij_bkt",
+                F.explode(
+                    F.sequence(
+                        F.floor((b_us - F.lit(upper_us)) / F.lit(width)),
+                        F.floor((b_us - F.lit(lower_us)) / F.lit(width)),
+                    )
+                ),
+            )
+            .alias("b")
+        )
+    else:
+        aa = (
+            a.withWatermark(a_ts, _dur(watermark_us))
+            .withColumn(
+                "__ij_bkt",
+                F.explode(
+                    F.sequence(
+                        F.floor((a_us + F.lit(lower_us)) / F.lit(width)),
+                        F.floor((a_us + F.lit(upper_us)) / F.lit(width)),
+                    )
+                ),
+            )
+            .alias("a")
+        )
+        bb = (
+            b.withWatermark(b_ts, _dur(watermark_us))
+            .withColumn("__ij_bkt", F.floor(b_us / F.lit(width)))
+            .alias("b")
+        )
     cond = F.col("a.__ij_bkt") == F.col("b.__ij_bkt")
     for k in key_cols:
         cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
-    qa_us = event_micros(a, a_ts, qualifier="a")
-    qb_us = event_micros(b, b_ts, qualifier="b")
-    cond = cond & (qb_us >= qa_us + F.lit(lower_us)) & (qb_us <= qa_us + F.lit(upper_us))
-    return aa.join(bb, cond, "inner").drop(F.col("a.__ij_bkt")).drop(
+    # native timestamp+INTERVAL range condition (not unix_micros): the only
+    # form StreamingJoinHelper can invert to a per-side state watermark —
+    # bounded state for inner, and the precondition for outer null-emission
+    bt = F.col(f"b.{b_ts}")
+    at = F.col(f"a.{a_ts}")
+    cond = (
+        cond
+        & (bt >= at + F.expr(f"INTERVAL {lower_us} MICROSECOND"))
+        & (bt <= at + F.expr(f"INTERVAL {upper_us} MICROSECOND"))
+    )
+    return aa.join(bb, cond, how).drop(F.col("a.__ij_bkt")).drop(
         F.col("b.__ij_bkt")
     )
 
