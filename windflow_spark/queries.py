@@ -4986,34 +4986,44 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar-attach plan); per-bin PSI contributions are exact-count
     rationals through single float ops, so values match cross-engine.
     Bins the current population misses yield NULL (sum the rest for the
-    headline PSI)."""
+    headline PSI).
+
+    Shape (r7, from the 10× probe — the r6 form was the corpus' worst
+    scale ratio): BOTH populations bin in ONE pass over orders with a
+    population tag and a conditional aggregation, so the exact-percentile
+    cut branch is consumed exactly once (the old per-population binned()
+    built the percentile subtree twice — 4 scans, no exchange reuse) and
+    the ref←cur left join disappears. 2 scans total: one for cuts, one
+    for binning."""
     from pyspark.sql import Window as W
 
     o = _t(spark, sf_dir, "orders").select(
         F.year("o_orderdate").alias("y"), F.col("o_totalprice").alias("v")
     )
-    ref, cur = o.filter(F.col("y") < 1998), o.filter(F.col("y") >= 1998)
+    ref = o.filter(F.col("y") < 1998)
     cuts = ref.agg(
         F.percentile("v", F.array(*[F.lit(i / 10) for i in range(1, 10)])).alias(
             "cuts"
         )
     )
-
-    def binned(pop, out):
-        b = F.aggregate(
-            F.col("cuts"),
-            F.lit(0),
-            lambda acc, x: acc + F.when(F.col("v") > x, 1).otherwise(0),
-        ).cast("long")
-        return (
-            pop.crossJoin(F.broadcast(cuts))
-            .select(b.alias("bin"))
-            .groupBy("bin")
-            .agg(F.count(F.lit(1)).cast("long").alias(out))
+    b = F.aggregate(
+        F.col("cuts"),
+        F.lit(0),
+        lambda acc, x: acc + F.when(F.col("v") > x, 1).otherwise(0),
+    ).cast("long")
+    is_ref = F.col("y") < 1998
+    j = (
+        o.crossJoin(F.broadcast(cuts))
+        .select(b.alias("bin"), is_ref.alias("is_ref"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("is_ref"), 1)).cast("long").alias("n_ref"),
+            F.count(F.when(~F.col("is_ref"), 1)).cast("long").alias("n_cur"),
         )
-
-    j = binned(ref, "n_ref").join(binned(cur, "n_cur_raw"), "bin", "left").select(
-        "bin", "n_ref", F.coalesce(F.col("n_cur_raw"), F.lit(0)).alias("n_cur")
+        # the old form kept only REF-populated bins (rc LEFT JOIN cc);
+        # ref deciles populate all 10 bins so this filter is a no-op on
+        # real data, kept for exact semantic parity
+        .filter(F.col("n_ref") > 0)
     )
     w = W.partitionBy()
     tr = F.sum("n_ref").over(w)
@@ -11348,6 +11358,205 @@ def trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.when(kept, F.col("l_extendedprice"))), 2).alias(
             "mean_trimmed"
         ),
+    )
+
+
+@register(
+    "trimmed_mean_prices_approx",
+    """
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, CAST(0.05 AS DOUBLE)) AS lo,
+             quantile_cont(l_extendedprice, CAST(0.95 AS DOUBLE)) AS hi
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           round(avg(l.l_extendedprice) FILTER (
+             WHERE l.l_extendedprice >= b.lo AND l.l_extendedprice <= b.hi),
+             2) AS mean_trimmed_exact,
+           TRUE AS lo_within_rank_tol,
+           TRUE AS hi_within_rank_tol,
+           TRUE AS mean_within_1pct
+    FROM lineitem l JOIN b USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def trimmed_mean_prices_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile-bounded trimmed mean — the 100 TB sibling of
+    `trimmed_mean_prices` (r6 VERDICT #6). The exact form pays two full
+    per-group percentile sorts just to find the 5 %/95 % cut points; here
+    the bounds come from the GK sketch (accuracy 1000 → rank error
+    ≤ 0.1 %), whose state is fixed-size and mergeable — one pass, no
+    per-group sort. Contract pinned engine-side, sketch-family pattern
+    (`approx_quantile_value`): each approx bound must land between the
+    exact percentiles one rank-percent either side (0.04/0.06 and
+    0.94/0.96), and the approx-trimmed mean within 1 % relative of the
+    exact one; the exact trimmed mean itself is value-checked. Production
+    use drops the exact branch — it exists here only to measure the
+    sketch against."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.04, 0.05, 0.06, 0.94, 0.95, 0.96))"
+        ).alias("pe"),
+        F.expr("approx_percentile(l_extendedprice, array(0.05, 0.95), 1000)").alias(
+            "pa"
+        ),
+    ).select(
+        "l_returnflag",
+        F.col("pe")[1].alias("lo_e"),
+        F.col("pe")[4].alias("hi_e"),
+        F.col("pa")[0].alias("lo_a"),
+        F.col("pa")[1].alias("hi_a"),
+        F.col("pe")[0].alias("lo_lb"),
+        F.col("pe")[2].alias("lo_ub"),
+        F.col("pe")[3].alias("hi_lb"),
+        F.col("pe")[5].alias("hi_ub"),
+    )
+    j = li.join(F.broadcast(b), "l_returnflag")
+    kept_e = (F.col("l_extendedprice") >= F.col("lo_e")) & (
+        F.col("l_extendedprice") <= F.col("hi_e")
+    )
+    kept_a = (F.col("l_extendedprice") >= F.col("lo_a")) & (
+        F.col("l_extendedprice") <= F.col("hi_a")
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.round(F.avg(F.when(kept_e, F.col("l_extendedprice"))), 2).alias(
+            "mean_trimmed_exact"
+        ),
+        F.avg(F.when(kept_a, F.col("l_extendedprice"))).alias("_mean_a"),
+        F.avg(F.when(kept_e, F.col("l_extendedprice"))).alias("_mean_e"),
+        ((F.first("lo_a") >= F.first("lo_lb")) & (F.first("lo_a") <= F.first("lo_ub")))
+        .alias("lo_within_rank_tol"),
+        ((F.first("hi_a") >= F.first("hi_lb")) & (F.first("hi_a") <= F.first("hi_ub")))
+        .alias("hi_within_rank_tol"),
+    ).select(
+        "l_returnflag",
+        "mean_trimmed_exact",
+        "lo_within_rank_tol",
+        "hi_within_rank_tol",
+        (
+            F.abs(F.col("_mean_a") - F.col("_mean_e"))
+            <= 0.01 * F.abs(F.col("_mean_e"))
+        ).alias("mean_within_1pct"),
+    )
+
+
+@register(
+    "weighted_median_price_approx",
+    """
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice,
+             CAST(l_quantity AS BIGINT) AS w,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cumw,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS totw
+      FROM lineitem),
+    e AS (SELECT l_returnflag,
+                 CAST(max(totw) AS BIGINT) AS total_weight,
+                 min(l_extendedprice) FILTER (WHERE 2 * cumw >= totw)
+                   AS exact_median
+          FROM r GROUP BY l_returnflag),
+    rng AS (SELECT l_returnflag, min(l_extendedprice) AS pmin,
+                   max(l_extendedprice) AS pmax
+            FROM lineitem GROUP BY l_returnflag),
+    b AS (SELECT l.l_returnflag, CAST(l_quantity AS BIGINT) AS w,
+                 least(255, CAST(floor((l_extendedprice - pmin)
+                                       / (pmax - pmin) * 256) AS INT)) AS bin
+          FROM lineitem l JOIN rng USING (l_returnflag)),
+    h AS (SELECT l_returnflag, bin, sum(w) AS bw FROM b GROUP BY 1, 2),
+    c AS (SELECT *, sum(bw) OVER (PARTITION BY l_returnflag ORDER BY bin)
+                      AS cum,
+                 sum(bw) OVER (PARTITION BY l_returnflag) AS tot FROM h),
+    s AS (SELECT l_returnflag, min(bin) FILTER (WHERE 2 * cum >= tot) AS bbin
+          FROM c GROUP BY l_returnflag)
+    SELECT e.l_returnflag, e.total_weight,
+           rng.pmin + (s.bbin + 0.5) * (rng.pmax - rng.pmin) / 256
+             AS approx_median,
+           TRUE AS within_half_bin
+    FROM e JOIN s USING (l_returnflag) JOIN rng USING (l_returnflag)
+    """,
+)
+def weighted_median_price_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-pass approximate weighted median: the boundary bin's midpoint
+    from a 256-bucket weight histogram — the true 100 TB form of
+    `weighted_median_price` (r6 VERDICT #6). The exact single-window form
+    sorts each group (parallelism = group count); the exact binned form
+    (`weighted_median_binned`) adds a second pass over the boundary bin;
+    this one stops after the histogram: fixed-size mergeable state, error
+    ≤ half a bin width by construction (the exact median provably lies in
+    the boundary bin). The midpoint arithmetic is replicated term-for-term
+    in the oracle (raw IEEE doubles, no rounding), the exact median is
+    computed alongside only to pin |approx − exact| ≤ width/2 engine-side
+    — production use drops that branch."""
+    li = _t(spark, sf_dir, "lineitem")
+    wq = F.col("l_quantity").cast("long")
+    rng = li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("pmin"),
+        F.max("l_extendedprice").alias("pmax"),
+    )
+    binned = li.join(F.broadcast(rng), "l_returnflag").select(
+        "l_returnflag",
+        wq.alias("w"),
+        F.least(
+            F.lit(255),
+            F.floor(
+                (F.col("l_extendedprice") - F.col("pmin"))
+                / (F.col("pmax") - F.col("pmin"))
+                * 256
+            ).cast("int"),
+        ).alias("bin"),
+    )
+    hist = binned.groupBy("l_returnflag", "bin").agg(F.sum("w").alias("bw"))
+    wb = W.partitionBy("l_returnflag").orderBy("bin")
+    cum = hist.withColumn(
+        "cum", F.sum("bw").over(wb.rowsBetween(W.unboundedPreceding, W.currentRow))
+    ).withColumn("tot", F.sum("bw").over(W.partitionBy("l_returnflag")))
+    sel = (
+        cum.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("bin").alias("bbin"))
+    )
+    approx = sel.join(rng, "l_returnflag").select(
+        "l_returnflag",
+        (
+            F.col("pmin")
+            + (F.col("bbin") + F.lit(0.5)) * (F.col("pmax") - F.col("pmin")) / 256
+        ).alias("approx_median"),
+        ((F.col("pmax") - F.col("pmin")) / 256).alias("_width"),
+    )
+    # exact branch (window form) — correctness pin only, not the scale path
+    order = [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")]
+    wcum = (
+        W.partitionBy("l_returnflag")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    exact = (
+        li.select(
+            "l_returnflag",
+            "l_extendedprice",
+            F.sum(wq).over(wcum).alias("cumw"),
+            F.sum(wq).over(W.partitionBy("l_returnflag")).alias("totw"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("totw").cast("long").alias("total_weight"),
+            F.min(
+                F.when(2 * F.col("cumw") >= F.col("totw"), F.col("l_extendedprice"))
+            ).alias("_exact"),
+        )
+    )
+    return exact.join(approx, "l_returnflag").select(
+        "l_returnflag",
+        "total_weight",
+        "approx_median",
+        (
+            F.abs(F.col("approx_median") - F.col("_exact"))
+            <= F.col("_width") / 2 + F.lit(1e-9) * F.col("_width")
+        ).alias("within_half_bin"),
     )
 
 
