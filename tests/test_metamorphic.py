@@ -63,6 +63,11 @@ SAMPLE = [
     "psi_price_drift",              # decile cuts + exact-count rationals (r6)
     "scd2_point_in_time_join",      # half-open interval residual join (r6)
     "wau_rolling_7d",               # interval-expansion distinct (r6)
+    "fingerprint_winnowing",        # per-row HOF windows under layout (r7)
+    "asof_join_next_purchase",      # forward fill frame determinism (r7)
+    "mannwhitney_u_price",          # exact 0.5-rational rank sums (r7)
+    "cusum_order_volume",           # integer-exact ordered cumsum (r7)
+    "recsys_ndcg_at3",              # integer-scaled score ranking (r7)
     "forward_fill_last_purchase",   # IGNORE NULLS frame determinism (r6)
     "embedding_source_drift",       # per-dim float means over shuffles (r6)
     "ts_twap_daily",                # duration attribution tie-break (r6)

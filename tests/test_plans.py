@@ -90,6 +90,12 @@ _BNLJ_ALLOWED = {
     # one-row global min/max scalar broadcast onto the fact rows before
     # the 256-bin histogram — the documented scalar crossJoin shape
     "ks_drift_order_prices",
+    # one-row bucket-size scalar crossJoined onto the token stream (r7)
+    "heaps_law_vocab_growth",
+    # one-row (n_days, total) scalar crossJoined onto the day frame (r7)
+    "cusum_order_volume",
+    # one-row grand-total frame crossJoined with the 5-row segment summary
+    "theil_index_segments",
     # one-row node-count scalar crossJoined with the one-row MLE agg
     "graph_degree_powerlaw",
     # 8-row lag frame broadcast-replicating the days-sized summary
@@ -677,3 +683,36 @@ def test_plans_md_covers_registry():
         f"PLANS.md out of sync with registry — regen with "
         f"`python tools/plan_report.py`. missing={missing} extra={extra}"
     )
+
+
+def test_r7_additions_exchange_budgets(spark, sf_dir):
+    # keyed-shuffle budgets of the r7 families (from the plan audit at
+    # tuning time) — a regression reintroduces a corpus re-shuffle
+    from windflow_spark.plans.explain import keyed_shuffle_count
+
+    budgets = {
+        "interval_join_left_unmatched": 0,  # bucketed equi-join, both
+                                            # sides broadcast-eligible at sf
+        "trimmed_mean_prices_approx": 2,  # bounds agg + trimmed agg
+        "weighted_median_price_approx": 5,  # hist + boundary + exact pin
+        "asof_join_next_purchase": 1,     # one union+fill window keying
+        "fingerprint_winnowing": 0,       # pure per-row HOFs, scan speed
+        "mannwhitney_u_price": 1,         # distinct-value agg; rank map
+                                          # is a SinglePartition window
+        "spearman_corr_price_qty": 2,     # two distinct-value aggs;
+                                          # rank maps broadcast back
+        "heaps_law_vocab_growth": 3,      # bucket agg + first-bucket-per-
+                                          # token agg + 20-row join
+        "cusum_order_volume": 2,          # day agg + ordered windows
+        "theil_index_segments": 4,        # customer agg + segment agg
+        "attribution_position_based": 2,  # user pair join + conv window
+        "recsys_ndcg_at3": 17,            # logical count over the UNCACHED
+                                          # basket lineage (hitrate/pagerank
+                                          # pattern); runtime persists b
+    }
+    over = {}
+    for name, budget in budgets.items():
+        got = keyed_shuffle_count(QUERIES[name](spark, sf_dir))
+        if got > budget:
+            over[name] = (got, budget)
+    assert not over, f"keyed-exchange budgets exceeded: {over}"

@@ -87,3 +87,69 @@ def asof_join_backward(
         *[F.col(c) for c in a_payload_cols],
         *[F.col(f"_bp.{c}").alias(f"{prefix}{c}") for c in payload],
     )
+
+
+def asof_join_forward(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: Sequence[str],
+    a_ts: str,
+    b_ts: str,
+    b_payload: Sequence[str],
+    how: str = "left",
+    prefix: str = "b_",
+) -> DataFrame:
+    """For each row of ``a``: the ``b`` row of the same key with the
+    SMALLEST ``b_ts`` >= ``a_ts`` (inclusive) — the forward as-of
+    (time-to-next-event / lead-lookup direction; DuckDB expresses it as
+    ``ASOF JOIN ... ON b.ts >= a.ts``).
+
+    Same union + fill scale shape as :func:`asof_join_backward` (ONE
+    shuffle, |A|+|B| intermediate rows, no range-join explosion), mirrored:
+    the running fill is ``first(payload, ignorenulls)`` over the FOLLOWING
+    frame. At equal ts the a-row sorts before b-rows (inclusive match);
+    among equal-``b_ts`` rows the LEAST payload struct wins (field order =
+    payload order) — put a unique column first for determinism.
+    """
+    keys = list(key_cols)
+    payload = list(b_payload)
+    a_payload_cols = [c for c in a.columns if c not in keys]
+    b_struct_type = (
+        b.select(F.struct(*payload).alias("_bp")).schema["_bp"].dataType.simpleString()
+    )
+
+    a_side = a.select(
+        *[F.col(k) for k in keys],
+        F.col(a_ts).alias("_ts"),
+        F.lit(1).alias("_is_a"),
+        *[F.col(c) for c in a_payload_cols],
+        F.lit(None).cast(b_struct_type).alias("_bp"),
+    )
+    a_field_types = {f.name: f.dataType for f in a.schema.fields}
+    b_side = b.select(
+        *[F.col(k) for k in keys],
+        F.col(b_ts).alias("_ts"),
+        F.lit(0).alias("_is_a"),
+        *[F.lit(None).cast(a_field_types[c]).alias(c) for c in a_payload_cols],
+        F.struct(*payload).alias("_bp"),
+    )
+    # a rows (_is_a=1 sorts desc-first) precede b rows at equal ts so the
+    # frame [current, following] includes same-ts b rows (inclusive); among
+    # equal-ts b rows the least struct comes first and `first` picks it
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.col("_ts"), F.col("_is_a").desc(), F.col("_bp").asc_nulls_last())
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    filled = (
+        a_side.unionByName(b_side)
+        .withColumn("_bp", F.first("_bp", ignorenulls=True).over(w))
+        .filter(F.col("_is_a") == 1)
+    )
+    if how == "inner":
+        filled = filled.filter(F.col("_bp").isNotNull())
+    return filled.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c) for c in a_payload_cols],
+        *[F.col(f"_bp.{c}").alias(f"{prefix}{c}") for c in payload],
+    )

@@ -11664,3 +11664,675 @@ def hof_embedding_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("mean_dim"), 6).alias("avg_mean_dim"),
         F.sum("has_outlier_dim").cast("long").alias("n_with_outlier_dim"),
     )
+
+
+@register(
+    "asof_join_next_purchase",
+    """
+    SELECT a.event_id, a.user_id, a.ts,
+           b.event_id AS b_event_id, b.value AS b_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') a
+    ASOF LEFT JOIN
+         (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase') b
+    ON a.user_id = b.user_id AND b.ts >= a.ts
+    """,
+)
+def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click matched with the user's EARLIEST
+    purchase at or after it — the time-to-next-event direction
+    (`asof_join_prev_purchase` mirrored; DuckDB `ASOF ... ON b.ts >= a.ts`
+    is the oracle). Same union + fill scale shape: one shuffle, |A|+|B|
+    intermediate rows, the fill runs first(payload) over the FOLLOWING
+    frame instead of last() over the preceding one."""
+    from windflow_spark.operators.asof_join import asof_join_forward
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return asof_join_forward(
+        clicks, purchases, ["user_id"], "ts", "ts", ["event_id", "value"]
+    ).select("event_id", "user_id", "ts", "b_event_id", "b_value")
+
+
+@register(
+    "fingerprint_winnowing",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '),
+               x -> x <> '') AS toks
+      FROM documents),
+    s AS (SELECT doc_id,
+                 [array_to_string(toks[i:i+2], ' ')
+                  for i in generate_series(1, len(toks) - 2)] AS shingles
+          FROM t WHERE len(toks) >= 6),
+    h AS (SELECT doc_id,
+                 [('0x' || substr(md5(s), 1, 15))::BIGINT
+                  for s in shingles] AS hs
+          FROM s),
+    wmin AS (SELECT doc_id,
+                    list_distinct([list_min(hs[i:i+3])
+                      for i in generate_series(1, len(hs) - 3)]) AS fps
+             FROM h)
+    SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           list_min(fps) AS fp_min, list_max(fps) AS fp_max
+    FROM wmin
+    """,
+)
+def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS local-fingerprint
+    algorithm): 3-word shingles are hashed (md5-derived 60-bit ints, the
+    repo's engine-portable hash), every sliding window of 4 consecutive
+    shingle hashes contributes its MINIMUM, and the distinct selected
+    values form the fingerprint set. Unlike the global `doc_fingerprint`
+    md5 (changes entirely on any edit), winnowing guarantees any shared
+    substring of ≥ 6 words produces at least one shared fingerprint —
+    the robust plagiarism/near-dup detector. Everything runs as JVM-side
+    higher-order functions on per-row arrays (transform/slice/array_min —
+    no UDF, no explode, no shuffle before the final projection), so at
+    100 TB it executes at scan speed with column pruning. Docs shorter
+    than k+w−1 = 6 tokens have no window and are excluded (both engines)."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    from windflow_spark.functions.text import normalize_text
+
+    toks = F.filter(
+        F.split(normalize_text("text"), " "), lambda x: x != F.lit("")
+    )
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 6)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.array_join(F.slice("toks", i, 3), " "),
+    )
+    h = d.select(
+        "doc_id",
+        F.transform(
+            shingles,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        ).alias("hs"),
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - 3),
+            lambda i: F.array_min(F.slice("hs", i, 4)),
+        )
+    )
+    return h.select("doc_id", fps.alias("fps")).select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.array_min("fps").alias("fp_min"),
+        F.array_max("fps").alias("fp_max"),
+    )
+
+
+@register(
+    "mannwhitney_u_price",
+    """
+    WITH j AS (
+      SELECT o_totalprice AS v, (c_mktsegment = 'BUILDING') AS g
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    r AS (SELECT g,
+                 rank() OVER (ORDER BY v)
+                   + (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS ar
+          FROM j),
+    s AS (SELECT sum(ar) FILTER (WHERE g) AS r1,
+                 CAST(count(*) FILTER (WHERE g) AS BIGINT) AS n1,
+                 CAST(count(*) FILTER (WHERE NOT g) AS BIGINT) AS n2
+          FROM r)
+    SELECT n1, n2,
+           r1 - n1 * (n1 + 1) / 2.0 AS u1,
+           round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                 / sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0), 6) AS z
+    FROM s
+    """,
+)
+def mannwhitney_u_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test: are BUILDING-segment order prices
+    stochastically larger than the rest? The nonparametric sibling of
+    `ab_test_welch` (no normality assumption). Scale form: ranks are NOT
+    computed by sorting the fact table — prices aggregate to a DISTINCT-
+    VALUE frame first (count + group-1 count per price), the average rank
+    per value comes from a cumulative sum over that far smaller frame,
+    and the rank-sum R1 is Σ n1(v)·avgrank(v). Every rank is a multiple
+    of 0.5 and every partial sum stays < 2^52, so the float arithmetic is
+    EXACT in any association order — U1 is emitted raw and matches the
+    oracle's row-level window form bit-for-bit. z uses the large-sample
+    normal approximation without tie correction (documented; prices are
+    near-unique so ties are negligible), rounded 6dp."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("o_totalprice").alias("v"),
+        (F.col("c_mktsegment") == "BUILDING").alias("g"),
+    )
+    byv = j.groupBy("v").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("g"), 1)).alias("n1v"),
+    )
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = byv.withColumn("cum", F.sum("n").over(wv)).select(
+        "n1v",
+        "n",
+        (F.col("cum") - F.col("n") + (F.col("n") + 1) / 2.0).alias("ar"),
+    )
+    s = ranked.agg(
+        F.sum(F.col("n1v") * F.col("ar")).alias("r1"),
+        F.sum("n1v").cast("long").alias("n1"),
+        F.sum(F.col("n") - F.col("n1v")).cast("long").alias("n2"),
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    z = (u1 - F.col("n1") * F.col("n2") / 2.0) / F.sqrt(
+        F.col("n1") * F.col("n2") * (F.col("n1") + F.col("n2") + 1) / 12.0
+    )
+    return s.select("n1", "n2", u1.alias("u1"), F.round(z, 6).alias("z"))
+
+
+@register(
+    "spearman_corr_price_qty",
+    """
+    WITH r AS (
+      SELECT rank() OVER (ORDER BY l_extendedprice)
+               + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0
+               AS rp,
+             rank() OVER (ORDER BY l_quantity)
+               + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rq
+      FROM lineitem)
+    SELECT CAST(count(*) AS BIGINT) AS n, round(corr(rp, rq), 6) AS rho
+    FROM r
+    """,
+)
+def spearman_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between line price and quantity — the
+    monotone-association companion to `corr_lineitem_metrics` (Pearson).
+    Scale form: each column's average ranks come from its DISTINCT-VALUE
+    frame (quantity has ~50 values, price collapses ~4×) via one
+    cumulative sum over the sorted distinct values, then the tiny rank
+    maps broadcast back onto the facts and a single corr() co-moment pass
+    finishes — the fact table is never globally sorted. Ranks are exact
+    0.5-rationals; corr rounds 6dp (one-pass co-moment on both engines)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice", "l_quantity")
+
+    def rank_map(col: str):
+        byv = li.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+        wv = W.orderBy(col).rowsBetween(W.unboundedPreceding, W.currentRow)
+        return byv.withColumn("cum", F.sum("n").over(wv)).select(
+            col,
+            (F.col("cum") - F.col("n") + (F.col("n") + 1) / 2.0).alias(f"r_{col}"),
+        )
+    j = li.join(F.broadcast(rank_map("l_extendedprice")), "l_extendedprice").join(
+        F.broadcast(rank_map("l_quantity")), "l_quantity"
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.corr("r_l_extendedprice", "r_l_quantity"), 6).alias("rho"),
+    )
+
+
+@register(
+    "heaps_law_vocab_growth",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '),
+               x -> x <> '') AS toks
+      FROM documents),
+    bsz AS (SELECT CAST(ceil((max(doc_id) + 1) / 20.0) AS BIGINT) AS b FROM t),
+    tok AS (SELECT doc_id // (SELECT b FROM bsz) AS bucket, u.tok
+            FROM t, unnest(toks) AS u(tok)),
+    per AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+            FROM tok GROUP BY bucket),
+    firsts AS (SELECT min(bucket) AS fb FROM tok GROUP BY tok),
+    nv AS (SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS new_types
+           FROM firsts GROUP BY fb),
+    g AS (SELECT p.bucket, p.n_tokens, coalesce(nv.new_types, 0) AS new_types
+          FROM per p LEFT JOIN nv USING (bucket)),
+    c AS (SELECT bucket,
+                 sum(n_tokens) OVER (ORDER BY bucket) AS cum_tokens,
+                 sum(new_types) OVER (ORDER BY bucket) AS cum_types
+          FROM g)
+    SELECT bucket, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(cum_types AS BIGINT) AS cum_types,
+           round(regr_slope(ln(CAST(cum_types AS DOUBLE)),
+                            ln(CAST(cum_tokens AS DOUBLE))) OVER (), 6)
+             AS heaps_beta
+    FROM c
+    """,
+)
+def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: the corpus is cut into 20
+    arrival buckets by doc_id, each bucket reports CUMULATIVE token count
+    vs CUMULATIVE distinct-type count, and the log-log regression slope
+    over the 20 points estimates the Heaps exponent β (V ≈ k·nᵝ, β≈0.5
+    for natural text) — the capacity-planning number for tokenizer/vocab
+    sizing on a growing corpus. Scale shape: the only big work is one
+    explode + two keyed aggregations (tokens per bucket; FIRST bucket per
+    type = a min-agg over the token frame — never a distinct-per-prefix
+    rescan, which would be quadratic in buckets); the cumulative curve
+    and the regression run on the 20-row summary. regr_slope ≡ DuckDB at
+    6dp (r6 memory: regr_* parity)."""
+    from windflow_spark.functions.text import normalize_text
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    toks = F.filter(F.split(normalize_text("text"), " "), lambda x: x != F.lit(""))
+    d = docs.select("doc_id", toks.alias("toks"))
+    bsz = d.agg(
+        F.ceil((F.max("doc_id") + 1) / 20.0).cast("long").alias("b")
+    )
+    tok = (
+        d.crossJoin(F.broadcast(bsz))
+        .select(
+            (F.col("doc_id") / F.col("b")).cast("long").alias("bucket"),
+            F.explode("toks").alias("tok"),
+        )
+    )
+    per = tok.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    nv = (
+        tok.groupBy("tok")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+    )
+    g = per.join(nv, "bucket", "left").select(
+        "bucket",
+        "n_tokens",
+        F.coalesce("new_types", F.lit(0)).alias("new_types"),
+    )
+    wc = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = g.select(
+        "bucket",
+        F.sum("n_tokens").over(wc).cast("long").alias("cum_tokens"),
+        F.sum("new_types").over(wc).cast("long").alias("cum_types"),
+    )
+    wall = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return c.select(
+        "bucket",
+        "cum_tokens",
+        "cum_types",
+        F.round(
+            F.regr_slope(
+                F.log(F.col("cum_types").cast("double")),
+                F.log(F.col("cum_tokens").cast("double")),
+            ).over(wall),
+            6,
+        ).alias("heaps_beta"),
+    )
+
+
+@register(
+    "cusum_order_volume",
+    """
+    WITH d AS (SELECT o_orderdate AS day, CAST(count(*) AS BIGINT) AS x
+               FROM orders GROUP BY o_orderdate),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(x) AS BIGINT) AS tot
+          FROM d),
+    c AS (SELECT day, x,
+                 sum(x * (SELECT nd FROM t) - (SELECT tot FROM t))
+                   OVER (ORDER BY day) AS cpos,
+                 sum((SELECT tot FROM t) - x * (SELECT nd FROM t))
+                   OVER (ORDER BY day) AS cneg
+          FROM d),
+    s AS (SELECT day, x,
+                 cpos - min(cpos) OVER (ORDER BY day) AS s_up,
+                 cneg - min(cneg) OVER (ORDER BY day) AS s_down
+          FROM c)
+    SELECT day, x AS n_orders,
+           CAST(s_up AS BIGINT) AS s_up, CAST(s_down AS BIGINT) AS s_down,
+           (s_up > 8 * (SELECT tot FROM t)
+             OR s_down > 8 * (SELECT tot FROM t)) AS alarm
+    FROM s
+    """,
+)
+def cusum_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detector on daily order volume — the
+    sequential changepoint monitor complementing the retrospective
+    `ts_changepoint_meanshift` (CUSUM accumulates small persistent
+    shifts; the mean-shift scan finds the single best split). Uses the
+    cumsum-minus-running-min identity S_t = C_t − min_{i≤t} C_i (the
+    recursive max(0, S+x) unrolled), so both one-sided statistics are
+    plain ordered windows. INTEGER-EXACT throughout: the series is scaled
+    by n_days (x·N − total instead of x − mean), keeping every value a
+    BIGINT — no float mean, no rounding, bit-identical across engines.
+    The day frame is tiny after the first keyed aggregation; alarm
+    threshold 8·total (≈ 8 mean-days of accumulated deviation, the
+    h≈8σ-ish convention on the scaled series)."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    t = d.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("x").cast("long").alias("tot"),
+    )
+    wd = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = d.crossJoin(F.broadcast(t)).select(
+        "day",
+        "x",
+        "tot",
+        F.sum(F.col("x") * F.col("nd") - F.col("tot")).over(wd).alias("cpos"),
+        F.sum(F.col("tot") - F.col("x") * F.col("nd")).over(wd).alias("cneg"),
+    )
+    s = c.select(
+        "day",
+        "x",
+        "tot",
+        (F.col("cpos") - F.min("cpos").over(wd)).alias("s_up"),
+        (F.col("cneg") - F.min("cneg").over(wd)).alias("s_down"),
+    )
+    return s.select(
+        "day",
+        F.col("x").alias("n_orders"),
+        F.col("s_up").cast("long").alias("s_up"),
+        F.col("s_down").cast("long").alias("s_down"),
+        (
+            (F.col("s_up") > 8 * F.col("tot")) | (F.col("s_down") > 8 * F.col("tot"))
+        ).alias("alarm"),
+    )
+
+
+@register(
+    "theil_index_segments",
+    """
+    WITH r AS (
+      SELECT c.c_mktsegment AS seg, sum(o.o_totalprice) AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_mktsegment),
+    g AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_g, sum(x) AS sum_g,
+                 sum(x * ln(x)) AS sxlx
+          FROM r GROUP BY seg),
+    tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, sum(sum_g) AS s FROM g)
+    SELECT g.seg,
+           g.n_g,
+           round(g.sum_g / tot.s, 6) AS revenue_share,
+           round((g.sxlx / g.sum_g) - ln(g.sum_g / g.n_g), 6) AS theil_within,
+           round((g.sum_g / tot.s)
+                 * ln((g.sum_g / g.n_g) / (tot.s / tot.n)), 6)
+             AS theil_between_contrib
+    FROM g, tot
+    """,
+)
+def theil_index_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality of per-customer revenue, DECOMPOSED by market
+    segment — the additive between/within split Gini cannot do
+    (`revenue_gini_segments` gives the headline number; Theil answers
+    "how much inequality lives inside segments vs between them"). Using
+    T_g = Σ(x/μ_g)ln(x/μ_g)/n_g = (Σx·ln x)/Σx − ln μ_g, each segment
+    needs only THREE mergeable partials (n, Σx, Σx·ln x) — one keyed
+    aggregation over customers, no per-row normalization join, so at
+    100 TB it is exactly as cheap as a sum. Between-group term is
+    s_g·ln(μ_g/μ) on the 5-row summary. 6dp rounds absorb float-sum
+    association (ln is ≤1-ulp both engines)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    r = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", F.col("c_mktsegment").alias("seg"))
+        .agg(F.sum("o_totalprice").alias("x"))
+        .select("seg", F.col("x").cast("double").alias("x"))
+    )
+    g = r.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("x").alias("sum_g"),
+        F.sum(F.col("x") * F.log("x")).alias("sxlx"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("long").alias("n"), F.sum("sum_g").alias("s")
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "seg",
+        "n_g",
+        F.round(F.col("sum_g") / F.col("s"), 6).alias("revenue_share"),
+        F.round(
+            F.col("sxlx") / F.col("sum_g") - F.log(F.col("sum_g") / F.col("n_g")), 6
+        ).alias("theil_within"),
+        F.round(
+            (F.col("sum_g") / F.col("s"))
+            * F.log((F.col("sum_g") / F.col("n_g")) / (F.col("s") / F.col("n"))),
+            6,
+        ).alias("theil_between_contrib"),
+    )
+
+
+@register(
+    "attribution_position_based",
+    """
+    WITH conv AS (
+      SELECT user_id, event_id AS conv_id, epoch_us(ts) AS cus
+      FROM events WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+      FROM events WHERE event_type IN ('view', 'click')),
+    pair AS (
+      SELECT c.conv_id, t.event_type, t.tus, t.event_id
+      FROM conv c JOIN touch t
+        ON t.user_id = c.user_id
+       AND t.tus <= c.cus AND c.cus - t.tus <= 604800000000),
+    ranked AS (
+      SELECT conv_id, event_type,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY tus, event_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS k
+      FROM pair),
+    sh AS (SELECT event_type,
+                  CASE WHEN k = 1 THEN 1.0
+                       WHEN k = 2 THEN 0.5
+                       WHEN rn = 1 OR rn = k THEN 0.4
+                       ELSE 0.2 / (k - 2) END AS share
+           FROM ranked)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touch_pairs,
+           round(sum(share), 6) AS credit,
+           round(avg(share), 6) AS avg_share
+    FROM sh GROUP BY event_type
+    """,
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution:
+    within each purchase's 7-day lookback the FIRST touch earns 40 %,
+    the LAST 40 %, middles split the remaining 20 % evenly (single touch
+    100 %, two touches 50/50) — the discover-vs-close split completing
+    the attribution family (last-touch = all-or-nothing, time-decay =
+    exponential). Same user-keyed pair shape as `time_decay_attribution`
+    (equi-join + bounded residual range; per-user fan-out is activity²
+    with the bucketed interval join as the escape hatch); positions are
+    one window over the pair frame keyed by conversion. Shares are exact
+    k-dependent rationals (same float division both engines), 6dp sums."""
+    from windflow_spark.operators.timeutil import event_micros
+
+    ev = _t(spark, sf_dir, "events")
+    us = event_micros(ev, "ts")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("conv_id"), us.alias("cus")
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "event_type", us.alias("tus"), "event_id"
+    )
+    pair = conv.join(touch, "user_id").filter(
+        (F.col("tus") <= F.col("cus"))
+        & (F.col("cus") - F.col("tus") <= F.lit(604_800_000_000))
+    )
+    wr = W.partitionBy("conv_id").orderBy("tus", "event_id")
+    ranked = pair.select(
+        "conv_id",
+        "event_type",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("conv_id")).cast("long").alias("k"),
+    )
+    share = (
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when(F.col("k") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("k")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("k") - 2))
+    )
+    return (
+        ranked.select("event_type", share.alias("share"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touch_pairs"),
+            F.round(F.sum("share"), 6).alias("credit"),
+            F.round(F.avg("share"), 6).alias("avg_share"),
+        )
+    )
+
+
+@register(
+    "recsys_ndcg_at3",
+    """
+    WITH cut AS (SELECT (min(epoch_us(o_orderdate))
+                         + max(epoch_us(o_orderdate))) // 2 AS c
+                 FROM orders),
+    tro AS (SELECT * FROM orders
+            WHERE epoch_us(o_orderdate) <= (SELECT c FROM cut)),
+    teo AS (SELECT * FROM orders
+            WHERE epoch_us(o_orderdate) > (SELECT c FROM cut)),
+    b0 AS (SELECT o.o_custkey AS ck, l.l_partkey AS pk,
+                  max(o.o_orderdate) AS md
+           FROM lineitem l JOIN tro o ON l.l_orderkey = o.o_orderkey
+           GROUP BY 1, 2),
+    b AS (SELECT ck, pk FROM (
+            SELECT ck, pk, row_number() OVER (PARTITION BY ck
+                     ORDER BY md DESC, pk) AS rn
+            FROM b0) WHERE rn <= 10),
+    cnt AS (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY pk),
+    pr AS (SELECT a.pk AS pa, b2.pk AS pb, CAST(count(*) AS BIGINT) AS cooc
+           FROM b a JOIN b b2 ON a.ck = b2.ck AND a.pk < b2.pk
+           GROUP BY 1, 2
+           HAVING count(*) >= 2),
+    sym AS (SELECT pa AS item_a, pb AS item_b, cooc FROM pr
+            UNION ALL
+            SELECT pb, pa, cooc FROM pr),
+    sc AS (SELECT s.item_a, s.item_b,
+                  round(s.cooc / sqrt(ca.n * cb.n), 6) AS cosine_sim
+           FROM sym s JOIN cnt ca ON s.item_a = ca.pk
+                      JOIN cnt cb ON s.item_b = cb.pk),
+    model AS (SELECT item_a, item_b, cosine_sim FROM (
+                SELECT *, row_number() OVER (PARTITION BY item_a
+                          ORDER BY cosine_sim DESC, item_b) AS rk
+                FROM sc) WHERE rk <= 3),
+    cand AS (SELECT b.ck, m.item_b AS pk,
+                    CAST(sum(CAST(round(m.cosine_sim * 1000000) AS BIGINT))
+                         AS BIGINT) AS score
+             FROM b JOIN model m ON b.pk = m.item_a
+             WHERE NOT EXISTS (SELECT 1 FROM b b3
+                               WHERE b3.ck = b.ck AND b3.pk = m.item_b)
+             GROUP BY b.ck, m.item_b),
+    top3 AS (SELECT ck, pk, pos FROM (
+               SELECT ck, pk, row_number() OVER (PARTITION BY ck
+                        ORDER BY score DESC, pk) AS pos
+               FROM cand) WHERE pos <= 3),
+    test AS (SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+             FROM lineitem l JOIN teo o ON l.l_orderkey = o.o_orderkey),
+    nrel AS (SELECT ck, CAST(count(*) AS BIGINT) AS n_rel
+             FROM test GROUP BY ck),
+    eval_u AS (SELECT DISTINCT t.ck FROM test t
+               WHERE t.ck IN (SELECT ck FROM b)),
+    dcg AS (SELECT e.ck,
+                   coalesce(sum(CASE WHEN t.pk IS NOT NULL
+                     THEN 1.0 / (ln(p.pos + 1) / ln(2)) END), 0) AS dcg
+            FROM eval_u e
+            LEFT JOIN top3 p ON p.ck = e.ck
+            LEFT JOIN test t ON t.ck = p.ck AND t.pk = p.pk
+            GROUP BY e.ck),
+    nd AS (SELECT d.ck, d.dcg,
+                  d.dcg / (CASE WHEN n.n_rel >= 3
+                                THEN 1.0 + 1.0 / (ln(3.0) / ln(2)) + 0.5
+                                WHEN n.n_rel = 2
+                                THEN 1.0 + 1.0 / (ln(3.0) / ln(2))
+                                ELSE 1.0 END) AS ndcg
+           FROM dcg d JOIN nrel n ON d.ck = n.ck)
+    SELECT CAST(count(*) AS BIGINT) AS n_eval_users,
+           CAST(count(*) FILTER (WHERE dcg > 0) AS BIGINT) AS n_hit_users,
+           round(avg(dcg), 6) AS avg_dcg,
+           round(avg(ndcg), 6) AS avg_ndcg
+    FROM nd
+    """,
+)
+def recsys_ndcg_at3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@3 of the item-item recommender under the same temporal
+    holdout as `recsys_hitrate_at3` — rank-aware evaluation (a hit at
+    position 1 is worth 2× one at position 3), the second standard
+    recsys metric. Per held-out user, candidates are the union of the
+    top-3 neighbor lists of their train basket, scored by SUMMED cosine
+    and ranked; train-basket items are excluded (standard). The ranking
+    key is the cosine sum SCALED TO 1e-6-integer BIGINTs — float
+    association in a sum of 6dp-rounded cosines could flip near-ties
+    across engines, integers cannot. IDCG is the closed form over
+    min(3, n_rel) ideal positions. Same capped-basket bounded shapes as
+    the model; the eval adds co-partitioned (ck, pk) joins only."""
+    from windflow_spark.operators.recsys import capped_baskets, itemitem_topk
+    from windflow_spark.operators.timeutil import event_micros
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ou = o.withColumn("_ou", event_micros(o, "o_orderdate"))
+    cut = int(
+        ou.agg(F.expr("(min(_ou) + max(_ou)) div 2").alias("c")).collect()[0]["c"]
+    )
+    tro = ou.filter(F.col("_ou") <= cut).drop("_ou")
+    teo = ou.filter(F.col("_ou") > cut).drop("_ou")
+    p = spark.sparkContext.defaultParallelism
+    b = capped_baskets(li, tro, basket_cap=10).repartition(p, "ck").persist()
+    model = itemitem_topk(b, min_cooc=2, topk=3).select(
+        "item_a", "item_b", "cosine_sim"
+    )
+    cand = (
+        b.join(model, b.pk == model.item_a)
+        .join(
+            b.select(F.col("ck").alias("ck2"), F.col("pk").alias("pk2")),
+            (F.col("ck") == F.col("ck2")) & (F.col("item_b") == F.col("pk2")),
+            "left_anti",
+        )
+        .groupBy("ck", F.col("item_b").alias("cpk"))
+        .agg(
+            F.sum(F.round(F.col("cosine_sim") * 1_000_000).cast("long"))
+            .cast("long")
+            .alias("score")
+        )
+    )
+    wtop = W.partitionBy("ck").orderBy(F.col("score").desc(), F.col("cpk"))
+    top3 = (
+        cand.withColumn("pos", F.row_number().over(wtop))
+        .filter(F.col("pos") <= 3)
+        .select("ck", F.col("cpk").alias("pk"), "pos")
+    )
+    test = (
+        li.join(teo, li.l_orderkey == teo.o_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    nrel = test.groupBy("ck").agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    eval_u = test.select("ck").distinct().join(
+        b.select("ck").distinct(), "ck", "left_semi"
+    )
+    hits = top3.join(test, ["ck", "pk"], "left_semi")
+    dcg = (
+        eval_u.join(
+            hits.select(
+                "ck", (F.lit(1.0) / (F.log(F.col("pos") + 1) / F.log(F.lit(2.0)))).alias("g")
+            ),
+            "ck",
+            "left",
+        )
+        .groupBy("ck")
+        .agg(F.coalesce(F.sum("g"), F.lit(0.0)).alias("dcg"))
+    )
+    log2_3 = F.log(F.lit(3.0)) / F.log(F.lit(2.0))
+    idcg = (
+        F.when(F.col("n_rel") >= 3, F.lit(1.0) + F.lit(1.0) / log2_3 + F.lit(0.5))
+        .when(F.col("n_rel") == 2, F.lit(1.0) + F.lit(1.0) / log2_3)
+        .otherwise(F.lit(1.0))
+    )
+    nd = dcg.join(nrel, "ck").select(
+        "dcg", (F.col("dcg") / idcg).alias("ndcg")
+    )
+    return nd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_users"),
+        F.count(F.when(F.col("dcg") > 0, 1)).cast("long").alias("n_hit_users"),
+        F.round(F.avg("dcg"), 6).alias("avg_dcg"),
+        F.round(F.avg("ndcg"), 6).alias("avg_ndcg"),
+    )
