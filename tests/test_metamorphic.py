@@ -68,6 +68,8 @@ SAMPLE = [
     "mannwhitney_u_price",          # exact 0.5-rational rank sums (r7)
     "cusum_order_volume",           # integer-exact ordered cumsum (r7)
     "recsys_ndcg_at3",              # integer-scaled score ranking (r7)
+    "dedup_lsh_recall",             # dual-pipeline set intersection (r7)
+    "k_core_copurchase",            # iterative peel under re-partitioning (r7)
     "forward_fill_last_purchase",   # IGNORE NULLS frame determinism (r6)
     "embedding_source_drift",       # per-dim float means over shuffles (r6)
     "ts_twap_daily",                # duration attribution tie-break (r6)

@@ -96,6 +96,10 @@ _BNLJ_ALLOWED = {
     "cusum_order_volume",
     # one-row grand-total frame crossJoined with the 5-row segment summary
     "theil_index_segments",
+    # three/four ONE-ROW count frames combined by 1x1 crossJoins into the
+    # single report row (the graph_triangle_count shape) (r7)
+    "dedup_lsh_recall",
+    "k_core_copurchase",
     # one-row node-count scalar crossJoined with the one-row MLE agg
     "graph_degree_powerlaw",
     # 8-row lag frame broadcast-replicating the days-sized summary
@@ -709,6 +713,11 @@ def test_r7_additions_exchange_budgets(spark, sf_dir):
         "recsys_ndcg_at3": 17,            # logical count over the UNCACHED
                                           # basket lineage (hitrate/pagerank
                                           # pattern); runtime persists b
+        "dedup_lsh_recall": 15,           # LSH chain + inverted-index truth
+                                          # (two audit pipelines by design)
+        "k_core_copurchase": 22,          # logical count over the UNCACHED
+                                          # 4-round peel lineage; runtime
+                                          # persists each round's edges
     }
     over = {}
     for name, budget in budgets.items():

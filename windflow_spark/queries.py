@@ -12336,3 +12336,227 @@ def recsys_ndcg_at3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("dcg"), 6).alias("avg_dcg"),
         F.round(F.avg("ndcg"), 6).alias("avg_ndcg"),
     )
+
+
+@register(
+    "dedup_lsh_recall",
+    f"""
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+      FROM d WHERE len(toks) >= 3),
+    bs AS (
+      SELECT doc_id, sh,
+             list_transform(sh, s -> [
+               ('0x' || substr(md5(s), 1, 15))::BIGINT,
+               ('0x' || substr(md5(s), 16, 14))::BIGINT
+             ]) AS base
+      FROM s),
+    g AS (
+      SELECT doc_id, [
+        {_MINHASH_MD5_MINS}
+      ] AS sig FROM bs),
+    b AS (
+      SELECT doc_id, j AS band,
+             md5(concat_ws(',', sig[j*4+1], sig[j*4+2], sig[j*4+3], sig[j*4+4]))
+               AS bucket
+      FROM g, generate_series(0, 7) AS t(j)),
+    p AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM b a JOIN b b2
+        ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+    ex AS (SELECT doc_id, unnest(sh) AS gr FROM s),
+    shared AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                      CAST(count(*) AS BIGINT) AS shared
+               FROM ex x JOIN ex y ON x.gr = y.gr AND x.doc_id < y.doc_id
+               GROUP BY 1, 2),
+    sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS nsh FROM s),
+    truth AS (SELECT id_a, id_b
+              FROM shared JOIN sz a ON shared.id_a = a.doc_id
+                          JOIN sz b3 ON shared.id_b = b3.doc_id
+              WHERE CAST(shared AS DOUBLE) / (a.nsh + b3.nsh - shared) >= 0.8),
+    hits AS (SELECT id_a, id_b FROM p INTERSECT SELECT id_a, id_b FROM truth)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hits,
+           (SELECT count(*) FROM hits)
+             / CAST((SELECT count(*) FROM truth) AS DOUBLE) AS recall,
+           (SELECT count(*) FROM hits)
+             / CAST((SELECT count(*) FROM p) AS DOUBLE) AS precision
+    """,
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured pair recall/precision of the MinHash-LSH dedup path
+    against EXACT ground truth — the dedup family's quality artifact,
+    exactly as sim_*_recall measures the ANN family (the r6 verdict's
+    'every ANN path has measured recall' posture, extended to dedup).
+    Truth = every pair with exact 3-shingle Jaccard ≥ 0.8, generated by a
+    shingle inverted-index join (a J≥0.8 pair must share a shingle, so
+    the inverted index is COMPLETE — no sampling); shared-shingle counts
+    aggregate per pair and J = shared/(|A|+|B|−shared) is one exact
+    integer-rational division, so the 0.8 cut is bit-identical across
+    engines. Candidates = the 8-band/4-row signature buckets of
+    `dedup_minhash_lsh` (md5-portable mode). At 100 TB the truth side is
+    the expensive audit — run it on a stratified sample there; the
+    inverted-index shape itself stays bucketed (never all-pairs)."""
+    from windflow_spark.functions.dedup import minhash_lsh_candidates, shingle_sets
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(
+        docs, num_hashes=32, bands=8, hash_mode="md5"
+    ).select("id_a", "id_b").distinct()
+    sh = shingle_sets(docs).select("doc_id", F.col("_sh").alias("sh"))
+    sz = sh.select("doc_id", F.size("sh").cast("long").alias("nsh"))
+    ex = sh.select("doc_id", F.explode("sh").alias("gr"))
+    shared = (
+        ex.alias("x")
+        .join(
+            ex.alias("y"),
+            (F.col("x.gr") == F.col("y.gr"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    truth = (
+        shared.join(sz.select(F.col("doc_id").alias("id_a"), F.col("nsh").alias("na")), "id_a")
+        .join(sz.select(F.col("doc_id").alias("id_b"), F.col("nsh").alias("nb")), "id_b")
+        .filter(
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared"))
+            >= 0.8
+        )
+        .select("id_a", "id_b")
+    )
+    hits = cand.join(truth, ["id_a", "id_b"], "left_semi")
+    s_t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    s_c = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    s_h = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return (
+        s_t.crossJoin(s_c)
+        .crossJoin(s_h)
+        .select(
+            "n_true_pairs",
+            "n_candidates",
+            "n_hits",
+            (F.col("n_hits") / F.col("n_true_pairs").cast("double")).alias("recall"),
+            (F.col("n_hits") / F.col("n_candidates").cast("double")).alias(
+                "precision"
+            ),
+        )
+    )
+
+
+@register(
+    "k_core_copurchase",
+    """
+    WITH li AS MATERIALIZED (
+           SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE p.p_size <= 25),
+    e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+    d0 AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) AS d
+           FROM (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) GROUP BY n),
+    k0 AS (SELECT n FROM d0 WHERE d >= 52),
+    e1 AS MATERIALIZED (SELECT e.u, e.v FROM e0 e JOIN k0 a ON e.u = a.n
+                                    JOIN k0 b ON e.v = b.n),
+    d1 AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) AS d
+           FROM (SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1) GROUP BY n),
+    k1 AS (SELECT n FROM d1 WHERE d >= 52),
+    e2 AS MATERIALIZED (SELECT e.u, e.v FROM e1 e JOIN k1 a ON e.u = a.n
+                                    JOIN k1 b ON e.v = b.n),
+    d2 AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) AS d
+           FROM (SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2) GROUP BY n),
+    k2 AS (SELECT n FROM d2 WHERE d >= 52),
+    e3 AS MATERIALIZED (SELECT e.u, e.v FROM e2 e JOIN k2 a ON e.u = a.n
+                                    JOIN k2 b ON e.v = b.n),
+    d3 AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) AS d
+           FROM (SELECT u AS n FROM e3 UNION ALL SELECT v FROM e3) GROUP BY n)
+    SELECT CAST(0 AS BIGINT) AS round,
+           (SELECT CAST(count(*) AS BIGINT) FROM d0) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges
+    UNION ALL SELECT 1, (SELECT count(*) FROM d1), (SELECT count(*) FROM e1)
+    UNION ALL SELECT 2, (SELECT count(*) FROM d2), (SELECT count(*) FROM e2)
+    UNION ALL SELECT 3, (SELECT count(*) FROM d3), (SELECT count(*) FROM e3)
+    """,
+)
+def k_core_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=52, ~the median degree — chosen so the cascade
+    is live at every tested scale) of the part co-purchase graph, 3
+    unrolled rounds — the density-skeleton extractor (k-core survivors
+    are the products with genuinely entangled demand; degree alone
+    overcounts hub noise). Each round drops nodes of degree < k and
+    re-filters edges by TWO semi-joins
+    (never materializing node×edge products); per-round node/edge counts
+    are the emitted convergence trace. Exact k-core iterates to a fixed
+    point — 3 rounds is a documented truncation (the oracle unrolls the
+    SAME 3 rounds, so the check is exact); the full loop is the
+    pagerank-style driver loop with a scalar convergence collect. Edge
+    generation is in-row from per-order basket arrays (bounded per order,
+    the triangle-count discipline), and the edge frame is persisted at
+    cluster parallelism — each round reuses it instead of re-deriving the
+    basket chain."""
+    pt = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 25).select("p_partkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    baskets = li.groupBy("ok").agg(F.array_sort(F.collect_set("pk")).alias("ps"))
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ps"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                            lambda y: F.struct(x.alias("u"), y.alias("v")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .distinct()
+    )
+    p = spark.sparkContext.defaultParallelism
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        )
+
+    def stats(e: DataFrame, rnd: int) -> DataFrame:
+        return (
+            degrees(e)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+            .crossJoin(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+            .select(F.lit(rnd).cast("long").alias("round"), "n_nodes", "n_edges")
+        )
+
+    e = pairs.repartition(p, "u").persist()
+    out = stats(e, 0)
+    for rnd in range(1, 4):
+        keep = degrees(e).filter(F.col("d") >= 52).select("n")
+        e_next = (
+            e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            .select("u", "v")
+            .repartition(p, "u")
+            .persist()
+        )
+        out = out.unionAll(stats(e_next, rnd))
+        e = e_next
+    return out
