@@ -12500,9 +12500,9 @@ def k_core_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME 3 rounds, so the check is exact); the full loop is the
     pagerank-style driver loop with a scalar convergence collect. Edge
     generation is in-row from per-order basket arrays (bounded per order,
-    the triangle-count discipline), and the edge frame is persisted at
-    cluster parallelism — each round reuses it instead of re-deriving the
-    basket chain."""
+    the triangle-count discipline); each round's edge frame is
+    localCheckpoint'ed so the next round plans over a LogicalRDD — the
+    lineage-truncation requirement explained at the loop below."""
     pt = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 25).select("p_partkey")
     li = (
         _t(spark, sf_dir, "lineitem")
@@ -12538,25 +12538,29 @@ def k_core_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("d"))
         )
 
-    def stats(e: DataFrame, rnd: int) -> DataFrame:
-        return (
-            degrees(e)
-            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-            .crossJoin(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
-            .select(F.lit(rnd).cast("long").alias("round"), "n_nodes", "n_edges")
-        )
-
-    e = pairs.repartition(p, "u").persist()
-    out = stats(e, 0)
-    for rnd in range(1, 4):
-        keep = degrees(e).filter(F.col("d") >= 52).select("n")
-        e_next = (
-            e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
-            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
-            .select("u", "v")
-            .repartition(p, "u")
-            .persist()
-        )
-        out = out.unionAll(stats(e_next, rnd))
-        e = e_next
-    return out
+    # DRIVER-LOOP form with LINEAGE TRUNCATION: each round's edge frame is
+    # localCheckpoint'ed (eager), so round r+1 plans over a LogicalRDD —
+    # never over round r's expression tree. Without truncation each round
+    # embeds the previous round's subtree 5× (the edge frame itself + two
+    # keep-sets, each of whose degree agg embeds it twice): by round 3 the
+    # plan holds ~125 copies of the basket chain and merely RENDERING it
+    # (generateTreeString) OOMs a default-heap driver — persist() does not
+    # help because cached plans still print their children. The per-round
+    # trace is two O(1) scalar counts (the pagerank convergence-collect
+    # discipline) — scale-safe at 100 TB.
+    e = pairs.repartition(p, "u").localCheckpoint()
+    trace: list[tuple[int, int, int]] = []
+    for rnd in range(4):
+        deg = degrees(e).localCheckpoint()
+        trace.append((rnd, deg.count(), e.count()))
+        if rnd < 3:
+            keep = deg.filter(F.col("d") >= 52).select("n")
+            e = (
+                e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+                .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+                .select("u", "v")
+                .localCheckpoint()
+            )
+    return spark.createDataFrame(
+        trace, "round long, n_nodes long, n_edges long"
+    )
