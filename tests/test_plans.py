@@ -713,8 +713,11 @@ def test_r7_additions_exchange_budgets(spark, sf_dir):
         "recsys_ndcg_at3": 17,            # logical count over the UNCACHED
                                           # basket lineage (hitrate/pagerank
                                           # pattern); runtime persists b
-        "dedup_lsh_recall": 15,           # LSH chain + inverted-index truth
-                                          # (two audit pipelines by design)
+        "dedup_lsh_recall": 23,           # LSH chain + prefix-filtered
+                                          # exact-Jaccard truth (two audit
+                                          # pipelines by design: dfreq,
+                                          # prefix window, pair join,
+                                          # verify joins)
         "k_core_copurchase": 22,          # logical count over the UNCACHED
                                           # 4-round peel lineage; runtime
                                           # persists each round's edges

@@ -18,6 +18,7 @@ from collections.abc import Sequence
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from windflow_spark.functions.text import tokens
@@ -717,4 +718,90 @@ def fuzzy_pairs_blocked(
         .withColumn("dist", F.levenshtein("_ta", "_tb").cast("long"))
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
+    )
+
+
+def exact_jaccard_pairs_prefix(
+    df: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """ALL pairs with exact k-shingle Jaccard ≥ threshold — by PREFIX
+    FILTERING (the PPJoin family), the exact set-similarity join that
+    does NOT enumerate every shared-shingle pair.
+
+    Prefix-filter theorem: order every doc's shingles by one GLOBAL
+    canonical order (ascending document frequency, ties by value — rare
+    shingles first); if J(A,B) ≥ t, the first ``|X| − ⌈t·|X|⌉ + 1``
+    shingles of A and B must intersect. So only PREFIX shingles generate
+    candidates: with t = 0.8 that is ~n/5 of each doc, and — decisively —
+    the hot boilerplate shingles (highest df) sort LAST and never enter a
+    prefix, which is what removes the df² blowup of the naive
+    inverted-index join on a duplication-heavy corpus. Candidates then
+    verify against the FULL shingle arrays.
+
+    The threshold is a RATIONAL (``threshold_num/threshold_den``), and
+    every bound is integer arithmetic — ⌈t·n⌉ = (num·n + den − 1) // den,
+    and the final test is den·|∩| ≥ num·(|A|+|B|−|∩|) — because a float
+    ``ceil(0.8·n)`` rounds up on exact multiples (0.8·5 = 4.0000…0002)
+    and would SHRINK the prefix below the theorem's bound, silently
+    dropping true pairs. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    tn, td = int(threshold_num), int(threshold_den)
+    if not (0 < tn <= td):
+        raise ValueError(f"threshold must be in (0, 1]: {tn}/{td}")
+    sh = shingle_sets(df, id_col, text_col, k).select(
+        F.col(id_col).alias("_id"), "_sh"
+    )
+    ex = sh.select("_id", F.explode("_sh").alias("_g"))
+    dfreq = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    w = W.partitionBy("_id").orderBy("_df", "_g")
+    ceil_tn = lambda n: F.floor((F.lit(tn) * n + F.lit(td - 1)) / F.lit(td))
+    pref = (
+        ex.join(dfreq, "_g")
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(W.partitionBy("_id")))
+        .filter(F.col("_rn") <= F.col("_n") - ceil_tn(F.col("_n")) + 1)
+        .select("_id", "_g", "_rn", "_n")
+    )
+    # POSITIONAL filter (PPJoin): a pair generated at canonical positions
+    # (i, j) can share at most 1 + min(|A|−i, |B|−j) shingles, while
+    # J ≥ t needs |∩| ≥ ⌈t/(1+t)·(|A|+|B|)⌉ — prune generated rows below
+    # that bound BEFORE the distinct and the array verify. Row-level
+    # pruning is safe: a true pair's EARLIEST shared prefix shingle gives
+    # its loosest bound, and that row always passes.
+    na_, nb_ = F.col("x._n"), F.col("y._n")
+    ub = F.lit(1) + F.least(na_ - F.col("x._rn"), nb_ - F.col("y._rn"))
+    required = F.floor(
+        (F.lit(tn) * (na_ + nb_) + F.lit(tn + td - 1)) / F.lit(tn + td)
+    )
+    pairs = (
+        pref.alias("x")
+        .join(
+            pref.alias("y"),
+            (F.col("x._g") == F.col("y._g"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .filter(ub >= required)
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .distinct()
+    )
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    na, nb = F.size("_sha").cast("long"), F.size("_shb").cast("long")
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("long")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        # length filter (exact): J >= t forces t·|A| <= |B| and vice versa
+        .filter((nb >= ceil_tn(na)) & (na >= ceil_tn(nb)))
+        .filter(F.lit(td) * inter >= F.lit(tn) * (na + nb - inter))
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / (na + nb - inter)).alias("jaccard"),
+        )
     )
