@@ -29,10 +29,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver hashes only the FIRST 50 registry entries. Through r6 that
 # slice was frozen to the r1-r2 families, so none of the later additions
-# ever earned a driver-green row (r6 VERDICT #3). GATE_SLICE rotates a
-# representative one-per-family cross-section to the front; every other
-# entry keeps registration order. Names and oracles are unchanged — the
-# full 250-query self-gate (tools/check_correctness.py) is order-blind.
+# ever earned a driver-green row (r6 VERDICT #3). Round 7 rotated a
+# hand-picked cross-section to the front (GATE_SLICE below); round 8
+# replaces the hand-picked list with a NON-CURATED scheduler (r7 VERDICT
+# #1 + ADVICE): the slice is computed from the committed
+# CORRECTNESS_r*.json artifacts by a fixed, auditable rule —
+#   [canaries] + [never-driver-checked names, strict registry
+#   registration order] + [least-recently-checked names] — truncated
+# to 50. No name is ever skipped or demoted by hand: every entry earns
+# a driver row within ceil(264/48) ≈ 6 rounds, and an auditor can
+# reproduce the slice from the committed artifacts alone. Names and
+# oracles are unchanged — the full registry self-gate
+# (tools/check_correctness.py) is order-blind and runs every round at
+# sf0.01 AND sf0.1.
+GATE_WIDTH = 50
+# Always-gated canaries: a stable cross-round signal so consecutive
+# CORRECTNESS files share at least these rows for drift comparison.
+GATE_CANARIES: list[str] = ["q1_pricing_summary", "q6_revenue_filter"]
+
+# r7's hand-picked slice, kept only as the deterministic fallback when
+# no CORRECTNESS artifacts are present (e.g. a fresh clone).
 GATE_SLICE: list[str] = [
     "q1_pricing_summary",        # flagship TPC-H agg
     "q6_revenue_filter",         # pushdown filter
@@ -87,8 +103,44 @@ GATE_SLICE: list[str] = [
 ]
 
 
+def _gate_slice(names: list[str]) -> list[str]:
+    """Compute the round's 50-name gate slice from committed artifacts.
+
+    Rule (fixed; see module comment): canaries first, then every name
+    that has NEVER appeared in a CORRECTNESS_r*.json (strict registry
+    registration order — no curation), then least-recently-checked
+    names (by last round seen, ties in registry order) to fill to 50.
+    """
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last_seen: dict[str, int] = {}
+    artifacts = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    for path in artifacts:
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(path) as f:
+                for k in json.load(f):
+                    last_seen[k] = max(last_seen.get(k, 0), rnd)
+        except (OSError, ValueError):
+            continue
+    if not last_seen:  # fresh clone: fall back to the r7 static slice
+        return [n for n in GATE_SLICE if n in names][:GATE_WIDTH]
+    canaries = [n for n in GATE_CANARIES if n in names]
+    never = [n for n in names if n not in last_seen and n not in canaries]
+    stale = sorted(
+        (n for n in names if n in last_seen and n not in canaries),
+        key=lambda n: (last_seen[n], names.index(n)),
+    )
+    return (canaries + never + stale)[:GATE_WIDTH]
+
+
 def _rotated(mapping: dict) -> dict:
-    head = {k: mapping[k] for k in GATE_SLICE if k in mapping}
+    order = _gate_slice(list(mapping))
+    head = {k: mapping[k] for k in order if k in mapping}
     tail = {k: v for k, v in mapping.items() if k not in head}
     return {**head, **tail}
 
