@@ -35,9 +35,10 @@ def test_streaming_frame_untouched(spark, tmp_path_factory):
 
 
 def test_bench_payload_schema():
-    # bench artifact guard (r4 VERDICT #8): per-query medians in "queries",
-    # failed queries (-1) excluded from the total, sf parsed from the dir,
-    # repeats + actual wall recorded. The driver parses exactly this shape.
+    # bench artifact guard (r4 VERDICT #8, r8 sentinel meta): per-query
+    # order-rotated minima in "queries", failed queries (-1) excluded from
+    # the total, sf parsed from the dir, repeats + actual wall + drift
+    # sentinel recorded. The driver parses exactly this shape.
     from bench import build_payload
 
     p = build_payload(
@@ -45,11 +46,14 @@ def test_bench_payload_schema():
         "/root/testdata/sf0.01",
         repeats=3,
         wall_sec=6.789,
+        sentinel_sec=1.234,
+        sentinels={"q1_pricing_summary": 1.234},
     )
     assert p["metric"] == "total_query_wall_time" and p["unit"] == "sec"
-    assert p["value"] == 2.0  # sum of medians, broken query excluded
+    assert p["value"] == 2.0  # sum of per-query minima, broken query excluded
     assert p["sf"] == 0.01 and p["repeats"] == 3 and p["wall_sec"] == 6.789
     assert p["queries"]["q_broken"] == -1.0
+    assert p["sentinel_sec"] == 1.234 and p["stat"] == "min_of_rotated_repeats"
     import json
 
     json.dumps(p)  # must be JSON-serializable as one line
