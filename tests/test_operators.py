@@ -534,6 +534,15 @@ def test_asof_join_backward_edge_cases(spark):
     inner = asof_join_backward(a, b, ["key"], "ts", "ts", ["bid", "v"], how="inner")
     assert {r.tag for r in inner.collect()} == {"a1", "a2"}
 
+    # invalid how must raise, not silently behave as left (r7 ADVICE)
+    import pytest as _pytest
+
+    from windflow_spark.operators.asof_join import asof_join_forward
+
+    for fn in (asof_join_backward, asof_join_forward):
+        with _pytest.raises(ValueError, match="how"):
+            fn(a, b, ["key"], "ts", "ts", ["bid", "v"], how="leftt")
+
 
 def test_connected_components_clusters(spark):
     from windflow_spark.functions.dedup import connected_components

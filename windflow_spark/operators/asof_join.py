@@ -39,8 +39,14 @@ def asof_join_backward(
     ``b_ts`` <= ``a_ts`` (inclusive). ``b_payload`` columns arrive prefixed.
     ``how='left'`` keeps unmatched a-rows (null payload); ``'inner'`` drops
     them. Ties on ``b_ts`` resolve to the row greatest in ``b_payload``
-    field order — put a unique column first for determinism.
+    field order — put a unique column first for determinism. NOTE: which
+    same-ts row an engine's native ASOF picks is implementation-defined
+    (DuckDB guarantees no particular tie-break), so oracle-compared
+    callers must dedupe ``b`` on (key, ts) first unless uniqueness is
+    known.
     """
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
     keys = list(key_cols)
     payload = list(b_payload)
     a_payload_cols = [c for c in a.columns if c not in keys]
@@ -109,8 +115,13 @@ def asof_join_forward(
     the running fill is ``first(payload, ignorenulls)`` over the FOLLOWING
     frame. At equal ts the a-row sorts before b-rows (inclusive match);
     among equal-``b_ts`` rows the LEAST payload struct wins (field order =
-    payload order) — put a unique column first for determinism.
+    payload order) — put a unique column first for determinism. NOTE:
+    engines' native ASOF tie-breaks on equal ts are implementation-defined
+    (DuckDB guarantees none), so oracle-compared callers must dedupe ``b``
+    on (key, ts) first unless uniqueness is known.
     """
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
     keys = list(key_cols)
     payload = list(b_payload)
     a_payload_cols = [c for c in a.columns if c not in keys]

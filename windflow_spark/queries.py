@@ -2948,21 +2948,32 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            b.event_id AS b_event_id, b.value AS b_value
     FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') a
     ASOF LEFT JOIN
-         (SELECT event_id, user_id, ts, value FROM events
-          WHERE event_type = 'purchase') b
+         (SELECT user_id, ts, min(event_id) AS event_id,
+                 arg_min(value, event_id) AS value
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id, ts) b
     ON a.user_id = b.user_id AND b.ts <= a.ts
     """,
 )
 def asof_join_prev_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click matched with the user's latest purchase at or
     before it (DuckDB native ASOF JOIN is the oracle). Union + forward-fill
-    — one shuffle, |A|+|B| intermediate rows, no range-join explosion."""
+    — one shuffle, |A|+|B| intermediate rows, no range-join explosion.
+    The purchase side is deduped on (user_id, ts) keeping min event_id on
+    BOTH engines first: native ASOF tie-breaks on equal ts are
+    implementation-defined (r7 ADVICE), so the oracle comparison must not
+    depend on them."""
     from windflow_spark.operators.asof_join import asof_join_backward
 
     ev = _t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts", "value"
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.min("event_id").alias("event_id"),
+            F.min_by("value", "event_id").alias("value"),
+        )
     )
     return asof_join_backward(
         clicks, purchases, ["user_id"], "ts", "ts", ["event_id", "value"]
@@ -11673,8 +11684,10 @@ def hof_embedding_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            b.event_id AS b_event_id, b.value AS b_value
     FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') a
     ASOF LEFT JOIN
-         (SELECT event_id, user_id, ts, value FROM events
-          WHERE event_type = 'purchase') b
+         (SELECT user_id, ts, min(event_id) AS event_id,
+                 arg_min(value, event_id) AS value
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id, ts) b
     ON a.user_id = b.user_id AND b.ts >= a.ts
     """,
 )
@@ -11684,15 +11697,22 @@ def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`asof_join_prev_purchase` mirrored; DuckDB `ASOF ... ON b.ts >= a.ts`
     is the oracle). Same union + fill scale shape: one shuffle, |A|+|B|
     intermediate rows, the fill runs first(payload) over the FOLLOWING
-    frame instead of last() over the preceding one."""
+    frame instead of last() over the preceding one. Purchase side deduped
+    on (user_id, ts) on both engines — native ASOF equal-ts tie-breaks are
+    implementation-defined (r7 ADVICE)."""
     from windflow_spark.operators.asof_join import asof_join_forward
 
     ev = _t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "event_id", "ts"
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts", "value"
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.min("event_id").alias("event_id"),
+            F.min_by("value", "event_id").alias("value"),
+        )
     )
     return asof_join_forward(
         clicks, purchases, ["user_id"], "ts", "ts", ["event_id", "value"]
@@ -11803,7 +11823,15 @@ def mannwhitney_u_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT in any association order — U1 is emitted raw and matches the
     oracle's row-level window form bit-for-bit. z uses the large-sample
     normal approximation without tie correction (documented; prices are
-    near-unique so ties are negligible), rounded 6dp."""
+    near-unique so ties are negligible), rounded 6dp.
+
+    SCALE CAVEAT (r7 ADVICE): the distinct-value shrink only helps for
+    low-cardinality columns — o_totalprice is near-unique, so here the
+    distinct frame is ≈ the full table and the rank window is a
+    single-partition sort plus a large broadcast. At 100 TB either
+    quantize the metric first (e.g. cents→dollar bins, accepting binned
+    ranks) or compute ranks with a range-partitioned two-pass
+    (per-partition counts → prefix offsets), as `bin_equal_freq` does."""
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     j = o.join(c, o.o_custkey == c.c_custkey).select(
@@ -11851,10 +11879,17 @@ def spearman_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone-association companion to `corr_lineitem_metrics` (Pearson).
     Scale form: each column's average ranks come from its DISTINCT-VALUE
     frame (quantity has ~50 values, price collapses ~4×) via one
-    cumulative sum over the sorted distinct values, then the tiny rank
-    maps broadcast back onto the facts and a single corr() co-moment pass
+    cumulative sum over the sorted distinct values, then the rank maps
+    broadcast back onto the facts and a single corr() co-moment pass
     finishes — the fact table is never globally sorted. Ranks are exact
-    0.5-rationals; corr rounds 6dp (one-pass co-moment on both engines)."""
+    0.5-rationals; corr rounds 6dp (one-pass co-moment on both engines).
+
+    SCALE CAVEAT (r7 ADVICE): this shape pays off only when the metric's
+    distinct-value frame is genuinely small (l_quantity: ~50 values).
+    l_extendedprice is near-unique, so ITS rank map is ≈ the full table —
+    a single-partition window sort plus a large broadcast. At 100 TB
+    quantize near-unique metrics first or rank via a range-partitioned
+    two-pass (per-partition counts → prefix offsets)."""
     li = _t(spark, sf_dir, "lineitem").select("l_extendedprice", "l_quantity")
 
     def rank_map(col: str):
@@ -11927,7 +11962,10 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (
         d.crossJoin(F.broadcast(bsz))
         .select(
-            (F.col("doc_id") / F.col("b")).cast("long").alias("bucket"),
+            # integer floor division (`div`), matching the oracle's `//`
+            # unconditionally — double-divide-then-truncate is only
+            # equivalent below 2^53 (r7 ADVICE)
+            F.expr("doc_id div b").cast("long").alias("bucket"),
             F.explode("toks").alias("tok"),
         )
     )
