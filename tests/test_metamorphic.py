@@ -70,6 +70,7 @@ SAMPLE = [
     "recsys_ndcg_at3",              # integer-scaled score ranking (r7)
     "dedup_lsh_recall",             # dual-pipeline set intersection (r7)
     "k_core_copurchase",            # iterative peel under re-partitioning (r7)
+    "interval_join_full_unmatched", # union-of-two-outer decomposition (r8)
     "forward_fill_last_purchase",   # IGNORE NULLS frame determinism (r6)
     "embedding_source_drift",       # per-dim float means over shuffles (r6)
     "ts_twap_daily",                # duration attribution tie-break (r6)
@@ -169,7 +170,11 @@ def _rows(df):
     def norm(v):
         return round(v, 9) if isinstance(v, float) and math.isfinite(v) else v
 
-    return sorted(tuple(norm(v) for v in r) for r in df.collect())
+    # repr key: a deterministic total order that tolerates NULLs from
+    # outer joins (None < int comparisons raise under the plain sort)
+    return sorted(
+        (tuple(norm(v) for v in r) for r in df.collect()), key=repr
+    )
 
 
 @pytest.mark.parametrize("name", SAMPLE)

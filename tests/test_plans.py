@@ -728,3 +728,20 @@ def test_r7_additions_exchange_budgets(spark, sf_dir):
         if got > budget:
             over[name] = (got, budget)
     assert not over, f"keyed-exchange budgets exceeded: {over}"
+
+
+def test_r8_additions_exchange_budgets(spark, sf_dir):
+    # keyed-shuffle budgets of the r8 families (from the plan audit at
+    # tuning time) — a regression reintroduces a corpus re-shuffle
+    from windflow_spark.plans.explain import keyed_shuffle_count
+
+    budgets = {
+        "interval_join_full_unmatched": 0,  # two bucketed equi-joins,
+                                            # both broadcast-eligible at sf
+    }
+    over = {}
+    for name, budget in budgets.items():
+        got = keyed_shuffle_count(QUERIES[name](spark, sf_dir))
+        if got > budget:
+            over[name] = (got, budget)
+    assert not over, f"keyed-exchange budgets exceeded: {over}"

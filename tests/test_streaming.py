@@ -1821,3 +1821,139 @@ def test_streaming_interval_join_left_outer_equals_batch(spark, tmp_path_factory
     )
     assert got == expect
     assert len(got) == len(set(got))  # B-replication produced no dup rows
+
+
+def _nsort(pairs):
+    # None-safe deterministic ordering for nullable outer-join tuples
+    return sorted(pairs, key=lambda t: tuple((x is None, 0 if x is None else x) for x in t))
+
+
+def test_streaming_interval_join_full_outer_equals_batch(spark, tmp_path_factory):
+    """r7 VERDICT #4: FULL-outer bucketed stream-stream interval join must
+    equal the batch full form — matched pairs once, unmatched-A nulls, AND
+    unmatched-B nulls — with rows split across micro-batches
+    (maxFilesPerTrigger=1). Union-of-two-outer decomposition: each branch
+    is its own stream-stream join with bounded state. Two far-future
+    sentinel files per side (watermark lags one batch) flush both branches'
+    unmatched state before availableNow terminates."""
+    import time as _time
+
+    from windflow_spark.operators.interval_join import interval_join_full_bucketed
+    from windflow_spark.streaming import streaming_interval_join_full_bucketed
+
+    rows_a = [(k % 3, v, v * 700_000 + k * 13_000) for k, v in ((i % 5, i) for i in range(30))]
+    # shifted + sparse B so all three populations exist: matches,
+    # A-only rows, and B rows no A interval reaches
+    rows_b = [(k % 3, v + 1000, v * 1_400_000 + 350_000) for k, v in ((i % 5, i) for i in range(12))]
+    sentinel = [(-1, -1, 500 * SEC)]
+    sentinel2 = [(-1, -2, 600 * SEC)]
+    batch_a = _mk(spark, rows_a + sentinel + sentinel2)
+    batch_b = _mk(spark, rows_b + sentinel + sentinel2)
+
+    expect = _nsort(
+        map(
+            tuple,
+            interval_join_full_bucketed(
+                batch_a, batch_b, ["key"], "ts", "ts", 0, 1 * SEC
+            )
+            .filter(F.col("key") >= 0)
+            .select("a_value", "b_value")
+            .collect(),
+        )
+    )
+    # all three populations must be live or the test proves nothing
+    assert any(av is None for av, _ in expect)      # unmatched B
+    assert any(bv is None for _, bv in expect)      # unmatched A
+    assert any(av is not None and bv is not None for av, bv in expect)
+
+    src_a = str(tmp_path_factory.mktemp("sij_full_a"))
+    src_b = str(tmp_path_factory.mktemp("sij_full_b"))
+    for src, rows in ((src_a, rows_a), (src_b, rows_b)):
+        half = len(rows) // 2
+        _mk(spark, rows[:half]).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+        _mk(spark, rows[half:]).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+        _mk(spark, sentinel).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+        _mk(spark, sentinel2).coalesce(1).write.mode("append").parquet(src)
+
+    stream_a = file_stream(spark, src_a, batch_a.schema, max_files_per_trigger=1)
+    stream_b = file_stream(spark, src_b, batch_b.schema, max_files_per_trigger=1)
+    j = streaming_interval_join_full_bucketed(
+        stream_a, stream_b, ["key"], "ts", "ts", 0, 1 * SEC,
+        watermark_us=1 * SEC,
+    )
+    # sentinels filtered from COLLECTED rows, not in the plan (a key
+    # predicate would push below the watermark operator and kill them)
+    name, _ = to_memory_sink(j.select("key", "a_value", "b_value"))
+    got = _nsort(
+        (av, bv)
+        for k, av, bv in map(
+            tuple, spark.table(name).select("key", "a_value", "b_value").collect()
+        )
+        if k >= 0
+    )
+    assert got == expect
+    assert len(got) == len(set(got))  # no per-replica duplicate null-emits
+
+
+def test_streaming_interval_join_plain_full_equals_batch(spark, tmp_path_factory):
+    """The NON-bucketed streaming interval join supports how='full' as a
+    single join (no replication → no decomposition needed); parity with
+    the batch full join on the same data."""
+    import time as _time
+
+    from windflow_spark.operators.interval_join import interval_join
+
+    rows_a = [(k % 3, v, v * 700_000 + k * 13_000) for k, v in ((i % 5, i) for i in range(20))]
+    rows_b = [(k % 3, v + 1000, v * 1_400_000 + 350_000) for k, v in ((i % 5, i) for i in range(8))]
+    sentinel = [(-1, -1, 500 * SEC)]
+    sentinel2 = [(-1, -2, 600 * SEC)]
+    batch_a = _mk(spark, rows_a + sentinel + sentinel2)
+    batch_b = _mk(spark, rows_b + sentinel + sentinel2)
+
+    expect = _nsort(
+        map(
+            tuple,
+            interval_join(batch_a, batch_b, ["key"], "ts", "ts", 0, 1 * SEC, how="full")
+            .filter(F.coalesce(F.col("a.key"), F.col("b.key")) >= 0)
+            .select("a.value", "b.value")
+            .collect(),
+        )
+    )
+    assert any(av is None for av, _ in expect) and any(bv is None for _, bv in expect)
+
+    src_a = str(tmp_path_factory.mktemp("sij_pfull_a"))
+    src_b = str(tmp_path_factory.mktemp("sij_pfull_b"))
+    for src, rows in ((src_a, rows_a), (src_b, rows_b)):
+        half = len(rows) // 2
+        _mk(spark, rows[:half]).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+        _mk(spark, rows[half:]).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+        _mk(spark, sentinel).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+        _mk(spark, sentinel2).coalesce(1).write.mode("append").parquet(src)
+
+    stream_a = file_stream(spark, src_a, batch_a.schema, max_files_per_trigger=1)
+    stream_b = file_stream(spark, src_b, batch_b.schema, max_files_per_trigger=1)
+    j = streaming_interval_join(
+        stream_a, stream_b, ["key"], "ts", "ts", 0, 1 * SEC,
+        watermark_us=1 * SEC, how="full",
+    )
+    name, _ = to_memory_sink(
+        j.select(
+            F.coalesce(F.col("a.key"), F.col("b.key")).alias("k"),
+            F.col("a.value").alias("av"),
+            F.col("b.value").alias("bv"),
+        )
+    )
+    got = _nsort(
+        (av, bv)
+        for k, av, bv in map(
+            tuple, spark.table(name).select("k", "av", "bv").collect()
+        )
+        if k >= 0
+    )
+    assert got == expect

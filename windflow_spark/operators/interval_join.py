@@ -157,6 +157,75 @@ def interval_join_bucketed(
     return joined.drop(F.col("a.__ij_bkt")).drop(F.col("b.__ij_bkt"))
 
 
+def interval_join_full_bucketed(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: Sequence[str],
+    a_ts: str,
+    b_ts: str,
+    lower_us: int,
+    upper_us: int,
+    bucket_us: int | None = None,
+    a_prefix: str = "a_",
+    b_prefix: str = "b_",
+) -> DataFrame:
+    """FULL-outer bucketed interval join (completes the §2.6 how-matrix;
+    reference match semantics wf/interval_join.hpp:279-295, both sides
+    preserved — the reference's join is inner-only, full-outer is the
+    Spark-native completion, r7 VERDICT #4).
+
+    A single bucketed join cannot be full-outer: whichever side is
+    replicated across buckets would null-emit each of its unmatched rows
+    once PER REPLICA. Decomposition instead: FULL = LEFT-layout left join
+    (every matched pair exactly once, in a's bucket, plus unmatched-A)
+    UNION ALL the unmatched-B rows of a RIGHT-layout right join (detected
+    via a non-null marker column on the a side — the marker, not a payload
+    column, so genuinely-null a payloads can't masquerade as unmatched).
+    Each branch replicates only its NON-preserved side, so every unmatched
+    row null-emits exactly once and every matched pair appears exactly
+    once. Cost: the inputs are scanned/joined twice — the price of
+    key×time state spread with both sides preserved.
+
+    Because both sides survive with nulls, the result is a FLAT schema
+    (qualified a./b. access can't outlive the union): coalesced key
+    columns under their original names, then a's non-key columns prefixed
+    ``a_prefix``, then b's prefixed ``b_prefix``.
+    """
+    keys = list(key_cols)
+    a_payload = [c for c in a.columns if c not in keys]
+    b_payload = [c for c in b.columns if c not in keys]
+    marker = "__ijf_a_present"
+
+    def _flat(joined: DataFrame) -> DataFrame:
+        return joined.select(
+            *[
+                F.coalesce(F.col(f"a.{k}"), F.col(f"b.{k}")).alias(k)
+                for k in keys
+            ],
+            *[F.col(f"a.{c}").alias(f"{a_prefix}{c}") for c in a_payload],
+            *[F.col(f"b.{c}").alias(f"{b_prefix}{c}") for c in b_payload],
+        )
+
+    matched_and_a = _flat(
+        interval_join_bucketed(
+            a, b, keys, a_ts, b_ts, lower_us, upper_us, bucket_us, how="left"
+        )
+    )
+    right = interval_join_bucketed(
+        a.withColumn(marker, F.lit(1)),
+        b,
+        keys,
+        a_ts,
+        b_ts,
+        lower_us,
+        upper_us,
+        bucket_us,
+        how="right",
+    )
+    unmatched_b = _flat(right.filter(F.col(f"a.{marker}").isNull()))
+    return matched_and_a.unionByName(unmatched_b)
+
+
 def band_join(
     a: DataFrame,
     b: DataFrame,

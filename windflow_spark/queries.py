@@ -818,6 +818,52 @@ def interval_join_left_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "interval_join_full_unmatched",
+    f"""
+    SELECT coalesce(a.user_id, b.user_id) AS user_id,
+           a.event_id AS click_id, b.event_id AS purchase_id
+    FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') a
+    FULL JOIN (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND epoch_us(b.ts) >= epoch_us(a.ts)
+     AND epoch_us(b.ts) <= epoch_us(a.ts) + {US_HOUR}
+    WHERE a.event_id IS NULL OR b.event_id IS NULL
+    """,
+)
+def interval_join_full_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-outer bucketed interval join, BOTH unmatched sides (completes
+    the §2.6 how-matrix, r7 VERDICT #4): clicks with no purchase within
+    the next hour AND purchases preceded by no click in the prior hour.
+    A single bucketed join cannot be full-outer (the replicated side would
+    null-emit once per replica) — uses the union-of-two-outer
+    decomposition: left-layout left join ∪ unmatched-B rows of a
+    right-layout right join, marker-detected. Streaming sibling:
+    streaming/ops.streaming_interval_join_full_bucketed (parity test
+    across micro-batch splits)."""
+    from windflow_spark.operators.interval_join import interval_join_full_bucketed
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    j = interval_join_full_bucketed(
+        clicks, purchases, key_cols=["user_id"], a_ts="ts", b_ts="ts",
+        lower_us=0, upper_us=US_HOUR,
+    )
+    return j.filter(
+        F.col("a_event_id").isNull() | F.col("b_event_id").isNull()
+    ).select(
+        "user_id",
+        F.col("a_event_id").alias("click_id"),
+        F.col("b_event_id").alias("purchase_id"),
+    )
+
+
+@register(
     "merge_union_events",
     """
     SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value FROM (

@@ -135,13 +135,15 @@ def streaming_interval_join(
     watermark (A kept while ts >= wm − upper, B while ts >= wm + lower;
     reference wf/interval_join.hpp:109-117,153-159).
 
-    ``how`` ∈ {'inner', 'left', 'right'}: outer forms null-emit the
-    unmatched preserved-side row once its buffered state expires past the
-    watermark — WindFlow's join is inner-only (wf/interval_join.hpp:279),
+    ``how`` ∈ {'inner', 'left', 'right', 'full'}: outer forms null-emit
+    the unmatched preserved-side row once its buffered state expires past
+    the watermark — WindFlow's join is inner-only (wf/interval_join.hpp:279),
     this is the Spark-native completion for late-unmatched detection.
     Outer emission REQUIRES a real watermark delay (Spark emits nulls only
     when state provably cannot match anymore), so watermark_us bounds the
-    null-emission latency.
+    null-emission latency. 'full' preserves BOTH sides in ONE join —
+    possible here (unlike the bucketed form, which must decompose) because
+    neither side is replicated.
 
     The range condition is native timestamp+INTERVAL arithmetic, NOT
     unix_micros: StreamingJoinHelper can only derive the per-side state
@@ -149,8 +151,8 @@ def streaming_interval_join(
     conditions it can invert over the event-time column — wrapping ts in
     unix_micros made state retention UNBOUNDED for inner joins and a hard
     analysis error for outer ones."""
-    if how not in ("inner", "left", "right"):
-        raise ValueError(f"how must be inner|left|right, got {how!r}")
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(f"how must be inner|left|right|full, got {how!r}")
     aa = a.withWatermark(a_ts, _dur(watermark_us)).alias("a")
     bb = b.withWatermark(b_ts, _dur(watermark_us)).alias("b")
     cond = None
@@ -274,6 +276,71 @@ def streaming_interval_join_bucketed(
     return aa.join(bb, cond, how).drop(F.col("a.__ij_bkt")).drop(
         F.col("b.__ij_bkt")
     )
+
+
+def streaming_interval_join_full_bucketed(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: Sequence[str],
+    a_ts: str,
+    b_ts: str,
+    lower_us: int,
+    upper_us: int,
+    bucket_us: int | None = None,
+    watermark_us: int = 1,
+    a_prefix: str = "a_",
+    b_prefix: str = "b_",
+) -> DataFrame:
+    """FULL-outer bucketed stream-stream interval join — the streaming
+    sibling of operators.interval_join.interval_join_full_bucketed
+    (completes the §2.6 streaming how-matrix, r7 VERDICT #4; reference
+    match semantics wf/interval_join.hpp:279-295, both sides preserved).
+
+    Same union-of-two-outer decomposition as the batch form: a single
+    bucketed join cannot be full-outer because the replicated side would
+    null-emit each unmatched row once per replica. Branch 1 is the
+    LEFT-layout left join (every matched pair exactly once, plus
+    unmatched-A nulls when A state expires past the watermark); branch 2
+    is the RIGHT-layout right join reduced to its unmatched-B rows via a
+    non-null marker on the a side. Each branch is an independent
+    stream-stream join with its OWN bounded state (Spark derives both
+    retention bounds from the native timestamp+INTERVAL range condition);
+    the union doubles state versus one join — the cost of key×time state
+    spread with both sides preserved. Null-emission latency on both sides
+    is bounded by ``watermark_us`` exactly as in the single-sided outer
+    forms.
+
+    Flat output schema (qualified a./b. access can't outlive a union):
+    coalesced keys under their original names, a's non-key columns
+    prefixed ``a_prefix``, b's prefixed ``b_prefix``.
+    """
+    keys = list(key_cols)
+    a_payload = [c for c in a.columns if c not in keys]
+    b_payload = [c for c in b.columns if c not in keys]
+    marker = "__ijf_a_present"
+
+    def _flat(joined: DataFrame) -> DataFrame:
+        return joined.select(
+            *[
+                F.coalesce(F.col(f"a.{k}"), F.col(f"b.{k}")).alias(k)
+                for k in keys
+            ],
+            *[F.col(f"a.{c}").alias(f"{a_prefix}{c}") for c in a_payload],
+            *[F.col(f"b.{c}").alias(f"{b_prefix}{c}") for c in b_payload],
+        )
+
+    matched_and_a = _flat(
+        streaming_interval_join_bucketed(
+            a, b, keys, a_ts, b_ts, lower_us, upper_us, bucket_us,
+            watermark_us, how="left",
+        )
+    )
+    right = streaming_interval_join_bucketed(
+        a.withColumn(marker, F.lit(1)), b, keys, a_ts, b_ts,
+        lower_us, upper_us, bucket_us, watermark_us, how="right",
+    )
+    unmatched_b = _flat(right.filter(F.col(f"a.{marker}").isNull()))
+    return matched_and_a.unionByName(unmatched_b)
 
 
 def streaming_rolling_reduce(
