@@ -12757,3 +12757,496 @@ def k_core_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(rnd, prev[0], prev[1])], "rounds long, n_nodes long, n_edges long"
     )
+
+
+@register(
+    "status_runs_per_customer",
+    """
+    WITH o AS (
+      SELECT o_custkey AS c, o_orderstatus AS st,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn,
+             row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+                                ORDER BY o_orderdate, o_orderkey) AS rs
+      FROM orders),
+    runs AS (SELECT c, st, rn - rs AS grp, CAST(count(*) AS BIGINT) AS len
+             FROM o GROUP BY c, st, rn - rs)
+    SELECT st AS status, CAST(count(*) AS BIGINT) AS n_runs,
+           round(avg(CAST(len AS DOUBLE)), 6) AS avg_run_len,
+           CAST(max(len) AS BIGINT) AS max_run_len
+    FROM runs GROUP BY st
+    """,
+)
+def status_runs_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands run-length encoding of each customer's order-status
+    sequence (the classic rn − rn-per-value grouping trick): consecutive
+    same-status orders collapse to one run; the report aggregates run
+    counts/lengths per status. Both row_numbers share ONE partition-by-
+    customer sort (Catalyst reuses the exchange; the second window only
+    sub-partitions), the run frame is grouped on (customer, status, grp) —
+    everything keyed by customer, no global sort, linear at 100 TB."""
+    o = _t(spark, sf_dir, "orders")
+    wc = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ws = W.partitionBy("o_custkey", "o_orderstatus").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    runs = (
+        o.select(
+            F.col("o_custkey").alias("c"),
+            F.col("o_orderstatus").alias("st"),
+            (F.row_number().over(wc) - F.row_number().over(ws)).alias("grp"),
+        )
+        .groupBy("c", "st", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("len"))
+    )
+    return runs.groupBy(F.col("st").alias("status")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.round(F.avg(F.col("len").cast("double")), 6).alias("avg_run_len"),
+        F.max("len").cast("long").alias("max_run_len"),
+    )
+
+
+@register(
+    "graph_assortativity_copurchase",
+    """
+    WITH li AS MATERIALIZED (
+           SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE p.p_size <= 25),
+    e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+    d0 AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) AS d
+           FROM (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) GROUP BY n),
+    sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    j AS (SELECT du.d AS dd_u, dv.d AS dd_v
+          FROM sym JOIN d0 du ON sym.u = du.n JOIN d0 dv ON sym.v = dv.n)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges,
+           round(corr(CAST(dd_u AS DOUBLE), CAST(dd_v AS DOUBLE)), 6)
+             AS assortativity
+    FROM j
+    """,
+)
+def graph_assortativity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph: the Pearson
+    correlation of endpoint degrees over the SYMMETRIZED edge list
+    (Newman's r — negative means hubs attach to leaves, the usual retail
+    shape). Same in-row basket pair generation as the k-core/triangle
+    family (never node×edge); degrees are one keyed agg; the corr is a
+    single co-moment pass over edges joined to the (small) degree frame
+    twice. corr partial-merge parity with DuckDB is pinned by
+    corr_lineitem_metrics."""
+    pt = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 25).select("p_partkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    baskets = li.groupBy("ok").agg(F.array_sort(F.collect_set("pk")).alias("ps"))
+    edges = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ps"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                            lambda y: F.struct(x.alias("u"), y.alias("v")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .distinct()
+        # repartition BEFORE persist (cached relations freeze partitioning):
+        # a bare session would otherwise run the whole chain at 200 tiny
+        # shuffle partitions — measured 30 s vs 8 s at sf0.01
+        .repartition(spark.sparkContext.defaultParallelism, "u")
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    j = (
+        sym.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "dd_u"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dd_v"), "v")
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        j.agg(
+            F.round(
+                F.corr(F.col("dd_u").cast("double"), F.col("dd_v").cast("double")), 6
+            ).alias("assortativity")
+        )
+        .crossJoin(F.broadcast(n_edges))
+        .select("n_edges", "assortativity")
+    )
+
+
+@register(
+    "cramers_v_segment_priority",
+    """
+    WITH cell AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+             CAST(count(*) AS BIGINT) AS c
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY seg, pri),
+    rt AS (SELECT seg, CAST(sum(c) AS BIGINT) AS r FROM cell GROUP BY seg),
+    ct AS (SELECT pri, CAST(sum(c) AS BIGINT) AS cc FROM cell GROUP BY pri),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                 CAST(count(DISTINCT seg) AS BIGINT) AS nr,
+                 CAST(count(DISTINCT pri) AS BIGINT) AS nc
+          FROM cell),
+    chi AS (
+      SELECT sum(pow(cell.c - CAST(rt.r AS DOUBLE) * ct.cc / n.n, 2)
+                 / (CAST(rt.r AS DOUBLE) * ct.cc / n.n)) AS chi2
+      FROM cell JOIN rt USING (seg) JOIN ct USING (pri), n)
+    SELECT n.n, round(chi.chi2, 6) AS chi2,
+           round(sqrt(chi.chi2 / (n.n * least(n.nr - 1, n.nc - 1))), 6)
+             AS cramers_v
+    FROM chi, n
+    """,
+)
+def cramers_v_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the segment×priority contingency — the
+    normalized companion to chi2_segment_priority (chi² grows with N; V
+    is comparable across table sizes). The fact tables reduce to a 25-cell
+    contingency in one keyed agg; marginals, chi², and V are arithmetic
+    over that tiny frame (broadcast joins, one-row output)."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cell = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    rt = cell.groupBy("seg").agg(F.sum("c").cast("long").alias("r"))
+    ct = cell.groupBy("pri").agg(F.sum("c").cast("long").alias("cc"))
+    n = cell.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.countDistinct("seg").cast("long").alias("nr"),
+        F.countDistinct("pri").cast("long").alias("nc"),
+    )
+    e = F.col("r").cast("double") * F.col("cc") / F.col("n")
+    chi = (
+        cell.join(F.broadcast(rt), "seg")
+        .join(F.broadcast(ct), "pri")
+        .crossJoin(F.broadcast(n))
+        .agg(F.sum(F.pow(F.col("c") - e, F.lit(2)) / e).alias("chi2"))
+    )
+    return chi.crossJoin(F.broadcast(n)).select(
+        "n",
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "wilson_ci_returns_by_nation",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS k
+      FROM lineitem GROUP BY l_orderkey),
+    nat AS (
+      SELECT nn.n_name AS nation, CAST(sum(po.n) AS BIGINT) AS n,
+             CAST(sum(po.k) AS BIGINT) AS k
+      FROM per_order po
+      JOIN orders o ON po.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nn ON c.c_nationkey = nn.n_nationkey
+      GROUP BY nn.n_name)
+    SELECT nation, n, k,
+           round(CAST(k AS DOUBLE) / n, 6) AS p_hat,
+           round((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2 * n)
+                  - 1.96 * sqrt((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n) / n
+                                + 1.96 * 1.96 / (4.0 * n * n)))
+                 / (1 + 1.96 * 1.96 / n), 6) AS wilson_lo,
+           round((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2 * n)
+                  + 1.96 * sqrt((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n) / n
+                                + 1.96 * 1.96 / (4.0 * n * n)))
+                 / (1 + 1.96 * 1.96 / n), 6) AS wilson_hi
+    FROM nat
+    """,
+)
+def wilson_ci_returns_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score interval for the per-nation return rate — the
+    small-sample-honest CI (a normal-approx interval goes negative on rare
+    events). Scale shape: lineitem PARTIAL-AGGREGATES to per-order (n, k)
+    counts BEFORE touching the dimension chain, so the 3-table join runs
+    on the order-level frame (~4× smaller than lineitem, and the orders/
+    customer/nation joins stay co-partitioned/broadcast); the interval is
+    closed-form arithmetic on the 25-row nation frame."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).cast("long").alias("k"),
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nn = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nat = (
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nn), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum("n").cast("long").alias("n"), F.sum("k").cast("long").alias("k"))
+    )
+    z = F.lit(1.96)
+    p = F.col("k").cast("double") / F.col("n")
+    z2n = z * z / F.col("n")
+    center = p + z * z / (2 * F.col("n"))
+    half = z * F.sqrt(
+        p * (1 - p) / F.col("n") + z * z / (4.0 * F.col("n") * F.col("n"))
+    )
+    denom = 1 + z2n
+    return nat.select(
+        "nation",
+        "n",
+        "k",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )
+
+
+@register(
+    "ts_donchian_channel_daily",
+    """
+    WITH d AS (
+      SELECT o_orderdate AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY o_orderdate)
+    SELECT day, rev_cents,
+           CAST(max(rev_cents) OVER w7 AS BIGINT) AS ch_hi,
+           CAST(min(rev_cents) OVER w7 AS BIGINT) AS ch_lo,
+           coalesce(rev_cents > max(rev_cents) OVER wprev, FALSE) AS breakout_up,
+           coalesce(rev_cents < min(rev_cents) OVER wprev, FALSE) AS breakout_dn
+    FROM d
+    WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+           wprev AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+    """,
+)
+def ts_donchian_channel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian channel (rolling 7-day high/low of daily revenue) with
+    new-high/new-low breakout flags — the order-statistic band sibling of
+    the σ-based anomaly detectors (ts_mad/ts_zscore): max/min over a ROWS
+    frame are EXACT in integer cents, so the comparison is deterministic
+    on any engine (a σ band on a rolling float sum is not). One keyed day
+    agg; the ordered windows run on the tiny day frame (one row per day —
+    the single-partition sort is bounded by the calendar, not the data)."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    w7 = W.orderBy("day").rowsBetween(-6, 0)
+    wprev = W.orderBy("day").rowsBetween(-6, -1)
+    return d.select(
+        "day",
+        "rev_cents",
+        F.max("rev_cents").over(w7).cast("long").alias("ch_hi"),
+        F.min("rev_cents").over(w7).cast("long").alias("ch_lo"),
+        F.coalesce(
+            F.col("rev_cents") > F.max("rev_cents").over(wprev), F.lit(False)
+        ).alias("breakout_up"),
+        F.coalesce(
+            F.col("rev_cents") < F.min("rev_cents").over(wprev), F.lit(False)
+        ).alias("breakout_dn"),
+    )
+
+
+@register(
+    "ts_rsi_14_daily",
+    """
+    WITH d AS (
+      SELECT o_orderdate AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY o_orderdate),
+    df AS (SELECT day, rev - lag(rev) OVER (ORDER BY day) AS diff FROM d),
+    w AS (SELECT day,
+                 CAST(count(diff) OVER f AS BIGINT) AS n_diffs,
+                 CAST(sum(CASE WHEN diff > 0 THEN diff ELSE 0 END) OVER f
+                      AS BIGINT) AS gain,
+                 CAST(sum(CASE WHEN diff < 0 THEN -diff ELSE 0 END) OVER f
+                      AS BIGINT) AS loss
+          FROM df
+          WINDOW f AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT day, gain AS gain_cents, loss AS loss_cents,
+           CASE WHEN gain + loss = 0 THEN NULL
+                ELSE round(100.0 * gain / (gain + loss), 6) END AS rsi
+    FROM w WHERE n_diffs = 14
+    """,
+)
+def ts_rsi_14_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day RSI (simple-average form, RSI = 100·ΣG/(ΣG+ΣL)) on daily
+    revenue — the momentum oscillator of the ts_* family. INTEGER-EXACT:
+    day-over-day diffs, gains and losses stay BIGINT cents until the one
+    final division of identical operands, so float association order
+    cannot flip a value. Rows emit only once the frame holds a full 14
+    diffs (no warm-up noise); an all-flat window yields NULL, not a
+    division error."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    wd = W.orderBy("day")
+    df_ = d.select("day", (F.col("rev") - F.lag("rev").over(wd)).alias("diff"))
+    f = W.orderBy("day").rowsBetween(-13, 0)
+    w = df_.select(
+        "day",
+        F.count("diff").over(f).cast("long").alias("n_diffs"),
+        F.sum(F.when(F.col("diff") > 0, F.col("diff")).otherwise(0))
+        .over(f)
+        .cast("long")
+        .alias("gain"),
+        F.sum(F.when(F.col("diff") < 0, -F.col("diff")).otherwise(0))
+        .over(f)
+        .cast("long")
+        .alias("loss"),
+    )
+    return w.filter(F.col("n_diffs") == 14).select(
+        "day",
+        F.col("gain").alias("gain_cents"),
+        F.col("loss").alias("loss_cents"),
+        F.when(F.col("gain") + F.col("loss") == 0, F.lit(None)).otherwise(
+            F.round(100.0 * F.col("gain") / (F.col("gain") + F.col("loss")), 6)
+        ).alias("rsi"),
+    )
+
+
+@register(
+    "jarque_bera_order_prices",
+    """
+    WITH x AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+               FROM orders),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(c) AS DOUBLE) / count(*) AS mu
+          FROM x),
+    cm AS (SELECT m.n, m.mu,
+                  sum(pow(x.c - m.mu, 2)) / m.n AS m2,
+                  sum(pow(x.c - m.mu, 3)) / m.n AS m3,
+                  sum(pow(x.c - m.mu, 4)) / m.n AS m4
+           FROM x, m GROUP BY m.n, m.mu)
+    SELECT n,
+           round(m3 / pow(m2, 1.5), 6) AS skewness,
+           round(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis,
+           round(n / 6.0 * (pow(m3 / pow(m2, 1.5), 2)
+                 + pow(m4 / (m2 * m2) - 3, 2) / 4.0), 2) AS jb_stat
+    FROM cm
+    """,
+)
+def jarque_bera_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality test on order prices (skewness + excess
+    kurtosis → JB = n/6·(S² + K²/4)) — the distribution-shape audit next
+    to ks_drift/benford. The mean is computed from an EXACT integer-cents
+    sum (BIGINT → one double division of identical operands on both
+    engines), so the centered moments share a bit-identical μ; the m2-m4
+    sums are floats whose association-order wobble is ~1e-12 relative —
+    absorbed by 6dp rounding on the O(1) shape stats and 2dp on the O(n)
+    JB. Two passes over orders (mean, then moments), both scan-speed
+    aggregations."""
+    o = _t(spark, sf_dir, "orders")
+    x = o.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("c"))
+    m = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias("mu"),
+    )
+    cm = (
+        x.crossJoin(F.broadcast(m))
+        .groupBy("n", "mu")
+        .agg(
+            (F.sum(F.pow(F.col("c") - F.col("mu"), F.lit(2))) / F.col("n").cast("double")).alias("m2"),
+            (F.sum(F.pow(F.col("c") - F.col("mu"), F.lit(3))) / F.col("n").cast("double")).alias("m3"),
+            (F.sum(F.pow(F.col("c") - F.col("mu"), F.lit(4))) / F.col("n").cast("double")).alias("m4"),
+        )
+    )
+    skew = F.col("m3") / F.pow(F.col("m2"), F.lit(1.5))
+    kurt = F.col("m4") / (F.col("m2") * F.col("m2")) - 3
+    return cm.select(
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+        F.round(
+            F.col("n") / 6.0 * (F.pow(skew, F.lit(2)) + F.pow(kurt, F.lit(2)) / 4.0),
+            2,
+        ).alias("jb_stat"),
+    )
+
+
+@register(
+    "woe_iv_segment_urgent",
+    """
+    WITH s AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(count(*) FILTER (WHERE o.o_orderpriority = '1-URGENT')
+                  AS BIGINT) AS g,
+             CAST(count(*) FILTER (WHERE o.o_orderpriority <> '1-URGENT')
+                  AS BIGINT) AS b
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY seg),
+    t AS (SELECT CAST(sum(g) AS BIGINT) AS gt, CAST(sum(b) AS BIGINT) AS bt
+          FROM s)
+    SELECT s.seg, s.g AS n_urgent, s.b AS n_other,
+           round(ln((CAST(s.g AS DOUBLE) / t.gt)
+                    / (CAST(s.b AS DOUBLE) / t.bt)), 6) AS woe,
+           round((CAST(s.g AS DOUBLE) / t.gt - CAST(s.b AS DOUBLE) / t.bt)
+                 * ln((CAST(s.g AS DOUBLE) / t.gt)
+                      / (CAST(s.b AS DOUBLE) / t.bt)), 6) AS iv_contrib
+    FROM s, t
+    """,
+)
+def woe_iv_segment_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value screening of c_mktsegment
+    for predicting urgent orders — the credit-scoring feature-selection
+    classic (IV = Σ(g%−b%)·WoE; <0.02 means the feature is useless).
+    Integer event/non-event counts per segment, one scalar total attach,
+    closed-form logs — deterministic division of identical operands, one
+    keyed agg over the joined fact."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    s = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1))
+            .cast("long")
+            .alias("g"),
+            F.count(F.when(F.col("o_orderpriority") != "1-URGENT", 1))
+            .cast("long")
+            .alias("b"),
+        )
+    )
+    t = s.agg(
+        F.sum("g").cast("long").alias("gt"), F.sum("b").cast("long").alias("bt")
+    )
+    gr = F.col("g").cast("double") / F.col("gt")
+    br = F.col("b").cast("double") / F.col("bt")
+    woe = F.log(gr / br)
+    return s.crossJoin(F.broadcast(t)).select(
+        "seg",
+        F.col("g").alias("n_urgent"),
+        F.col("b").alias("n_other"),
+        F.round(woe, 6).alias("woe"),
+        F.round((gr - br) * woe, 6).alias("iv_contrib"),
+    )
