@@ -71,6 +71,11 @@ SAMPLE = [
     "dedup_lsh_recall",             # dual-pipeline set intersection (r7)
     "k_core_copurchase",            # iterative peel under re-partitioning (r7)
     "interval_join_full_unmatched", # union-of-two-outer decomposition (r8)
+    "status_runs_per_customer",     # dual row_number run grouping (r8)
+    "graph_assortativity_copurchase",  # corr over symmetrized edges (r8)
+    "bigram_entropy_by_source",     # in-row bigram zip + entropy sum (r8)
+    "ts_rsi_14_daily",              # lag diffs + bounded frame sums (r8)
+    "k_core_fixed_point",           # convergence loop determinism (r8)
     "forward_fill_last_purchase",   # IGNORE NULLS frame determinism (r6)
     "embedding_source_drift",       # per-dim float means over shuffles (r6)
     "ts_twap_daily",                # duration attribution tie-break (r6)

@@ -738,6 +738,26 @@ def test_r8_additions_exchange_budgets(spark, sf_dir):
     budgets = {
         "interval_join_full_unmatched": 0,  # two bucketed equi-joins,
                                             # both broadcast-eligible at sf
+        "status_runs_per_customer": 3,   # customer window sort + run agg
+                                         # + status agg
+        "graph_assortativity_copurchase": 7,  # basket agg + pair distinct
+                                              # + degree agg + 2 deg joins
+        "cramers_v_segment_priority": 4,  # cell agg + marginal aggs
+        "wilson_ci_returns_by_nation": 2,  # per-order partial agg BEFORE
+                                           # the dim joins + nation agg
+        "ts_donchian_channel_daily": 1,   # one day agg; windows on the
+                                          # tiny day frame
+        "ts_rsi_14_daily": 1,             # same day-agg shape
+        "jarque_bera_order_prices": 1,    # mean + moments aggs (scalar
+                                          # broadcast attach)
+        "woe_iv_segment_urgent": 2,       # segment agg + scalar total
+        "tokenizer_fertility_by_lang": 1, # per-row regex, one lang agg
+        "bigram_entropy_by_source": 6,    # in-row bigrams, (src,u,v)/(src,u)
+                                          # aggs + count join
+        "multimodal_audio_frames": 0,     # pure in-row explode fan-out
+        "gains_table_deciles": 0,         # global ntile (SinglePartition,
+                                          # documented caveat) + decile agg
+        "price_quartiles_by_segment": 2,  # grouped percentile + fence pass
     }
     over = {}
     for name, budget in budgets.items():

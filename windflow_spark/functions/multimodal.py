@@ -97,6 +97,39 @@ def frame_sample_stub(df: DataFrame, every_n: int = 10, bytes_per_frame: int = 1
     return df.withColumn("frame_idx", F.explode(idx))
 
 
+def audio_frame_stub(
+    df: DataFrame,
+    window_samples: int = 400,
+    hop_samples: int = 160,
+    bytes_per_sample: int = 2,
+) -> DataFrame:
+    """Audio framing plumbing stub (the STFT/feature-window front end):
+    treats the payload as 16-bit PCM, cuts overlapping analysis frames of
+    ``window_samples`` every ``hop_samples`` (the standard 25ms/10ms shape
+    at 16kHz), and explodes one row per frame with its start-sample
+    offset. Real decode needs ffmpeg (not in this container); the frame
+    arithmetic, schema, and explode-parallel fan-out are the real
+    contract. Generation is in-row (sequence + explode) — at 100 TB the
+    frame rows never pass through the driver."""
+    n_samples = F.floor(F.col("payload_bytes") / F.lit(bytes_per_sample)).cast("long")
+    # guard before dividing: engines disagree on negative integer division
+    # (floor vs truncate-toward-zero), so the shorter-than-one-window case
+    # must never reach the divide
+    n_frames = F.when(
+        n_samples >= window_samples,
+        F.floor((n_samples - window_samples) / F.lit(hop_samples)) + 1,
+    ).otherwise(F.lit(0)).cast("long")
+    idx = F.sequence(F.lit(0), n_frames - 1)
+    return (
+        df.filter(n_frames > 0)
+        .withColumn("frame_idx", F.explode(idx))
+        .withColumn(
+            "start_sample", (F.col("frame_idx") * hop_samples).cast("long")
+        )
+        .withColumn("n_samples", n_samples)
+    )
+
+
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     """Image-resize plumbing stub: real pixel work needs an image lib (not
     in this container) — the Spark-side contract is what matters: the

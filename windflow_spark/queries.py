@@ -13250,3 +13250,279 @@ def woe_iv_segment_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(woe, 6).alias("woe"),
         F.round((gr - br) * woe, 6).alias("iv_contrib"),
     )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    r"""
+    WITH t AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))
+                  AS BIGINT) AS n_tok,
+             CAST(len(list_filter(string_split(trim(regexp_replace(
+                    regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                    '\s+', ' ', 'g')), ' '), x -> x <> '')) AS BIGINT)
+               AS n_words
+      FROM documents)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           round(CAST(sum(n_tok) AS DOUBLE) / sum(n_words), 6) AS fertility
+    FROM t GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (subword-ish tokens per whitespace word) per
+    language — THE capacity metric when sizing a tokenizer for a
+    multilingual corpus (high fertility = wasted context window).
+    Fertility is computed as Σtokens/Σwords per language (integer sums,
+    ONE division), never as an average of per-doc float ratios whose
+    association order differs across engines. Pure per-row JVM regex
+    counting + one keyed agg — scan speed at 100 TB."""
+    from windflow_spark.functions.text import normalize_text
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    words = F.filter(F.split(normalize_text("text"), " "), lambda x: x != F.lit(""))
+    t = docs.select(
+        "lang",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+|[0-9]+"), 0))
+        .cast("long")
+        .alias("n_tok"),
+        F.size(words).cast("long").alias("n_words"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.round(F.sum("n_tok").cast("double") / F.sum("n_words"), 6).alias(
+            "fertility"
+        ),
+    )
+
+
+@register(
+    "bigram_entropy_by_source",
+    r"""
+    WITH t AS (
+      SELECT source,
+             list_filter(string_split(trim(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '),
+               x -> x <> '') AS toks
+      FROM documents),
+    bg AS (SELECT source, u.b.u AS u, u.b.v AS v
+           FROM (SELECT source,
+                        [{'u': toks[i], 'v': toks[i+1]}
+                         for i in generate_series(1, len(toks) - 1)] AS bs
+                 FROM t WHERE len(toks) >= 2) s, unnest(s.bs) AS u(b)),
+    cuv AS (SELECT source, u, v, CAST(count(*) AS BIGINT) AS c
+            FROM bg GROUP BY source, u, v),
+    cu AS (SELECT source, u, CAST(sum(c) AS BIGINT) AS cu
+           FROM cuv GROUP BY source, u),
+    n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cuv GROUP BY source)
+    SELECT cuv.source, n.n AS n_bigrams,
+           round(sum(cuv.c * ln(CAST(cu.cu AS DOUBLE) / cuv.c)) / n.n, 6)
+             AS cond_entropy
+    FROM cuv JOIN cu ON cuv.source = cu.source AND cuv.u = cu.u
+             JOIN n ON cuv.source = n.source
+    GROUP BY cuv.source, n.n
+    """,
+)
+def bigram_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram entropy H(next|current) per source — the
+    sequence-predictability score of a corpus slice (low entropy =
+    templated/boilerplate text; the bigram-level companion to
+    user_predictability_entropy and lm_perplexity_scores). Bigrams are
+    generated IN-ROW (zip_with over the token array, no self-join), counts
+    stay integers through two keyed aggs, and H = Σ c_uv·ln(c_u/c_uv)/N
+    runs over the (source,u)-joined count frame — logs of exact integer
+    ratios, association wobble absorbed by 6dp."""
+    from windflow_spark.functions.text import normalize_text
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    toks = F.filter(F.split(normalize_text("text"), " "), lambda x: x != F.lit(""))
+    t = docs.select("source", toks.alias("toks")).filter(F.size("toks") >= 2)
+    bg = t.select(
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("u"), b.alias("v")),
+            )
+        ).alias("b"),
+    ).select("source", "b.u", "b.v")
+    cuv = bg.groupBy("source", "u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cu = cuv.groupBy("source", "u").agg(F.sum("c").cast("long").alias("cu"))
+    n = cuv.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    return (
+        cuv.join(cu, ["source", "u"])
+        .join(F.broadcast(n), "source")
+        .groupBy("source", F.col("n").alias("n_bigrams"))
+        .agg(
+            F.round(
+                F.sum(F.col("c") * F.log(F.col("cu").cast("double") / F.col("c")))
+                / F.first("n"),
+                6,
+            ).alias("cond_entropy")
+        )
+        .select("source", "n_bigrams", "cond_entropy")
+    )
+
+
+@register(
+    "multimodal_audio_frames",
+    """
+    WITH m AS (SELECT doc_id AS media_id,
+                      CAST(octet_length(encode(text)) AS BIGINT) AS nbytes
+               FROM documents),
+    f AS (SELECT media_id, nbytes // 2 AS n_samples,
+                 CASE WHEN nbytes // 2 >= 64
+                      THEN (nbytes // 2 - 64) // 16 + 1 ELSE 0 END AS n_frames
+          FROM m)
+    SELECT media_id, CAST(u.f AS BIGINT) AS frame_idx,
+           CAST(u.f * 16 AS BIGINT) AS start_sample,
+           CAST(n_samples AS BIGINT) AS n_samples
+    FROM f, unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT))) AS u(f)
+    WHERE n_frames > 0
+    """,
+)
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio analysis-frame fan-out over the derived binary column: the
+    payload read as 16-bit PCM, overlapping 64-sample windows every 16
+    samples (the STFT window/hop shape, sized to the synthetic payloads;
+    400/160 at 16kHz in production) — the front end of every
+    speech featurizer. Real decode needs ffmpeg (stubbed, documented);
+    the frame arithmetic and explode-parallel fan-out are the real
+    Spark-side contract (frames never pass through the driver)."""
+    from windflow_spark.functions.multimodal import attach_binary_metadata, audio_frame_stub
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    meta = attach_binary_metadata(docs)
+    framed = audio_frame_stub(meta, window_samples=64, hop_samples=16)
+    return framed.select("media_id", "frame_idx", "start_sample", "n_samples")
+
+
+@register(
+    "gains_table_deciles",
+    """
+    WITH d AS (
+      SELECT ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS decile,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      FROM orders),
+    g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS n_pos
+          FROM d GROUP BY decile),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(n_pos) AS BIGINT) AS pt
+          FROM g),
+    c AS (SELECT decile, n, n_pos,
+                 CAST(sum(n) OVER wo AS BIGINT) AS cum_n,
+                 CAST(sum(n_pos) OVER wo AS BIGINT) AS cum_pos
+          FROM g WINDOW wo AS (ORDER BY decile
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT c.decile, c.n, c.n_pos,
+           round(CAST(c.cum_pos AS DOUBLE) / t.pt, 6) AS capture_rate,
+           round((CAST(c.cum_pos AS DOUBLE) / c.cum_n)
+                 / (CAST(t.pt AS DOUBLE) / t.nt), 6) AS cum_lift
+    FROM c, t
+    """,
+)
+def gains_table_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains table / cumulative-lift deciles: orders scored by price
+    (desc, orderkey tie-break for a deterministic total order), urgent
+    orders as the positive label — the model-evaluation table every
+    targeting team reads. SCALE CAVEAT (the mannwhitney lesson): global
+    ntile is a single-partition sort; at 100 TB replace with a two-pass
+    range-partitioned rank or quantile-boundary bucketing. The cumulative
+    stats run on the 10-row decile frame."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        F.ntile(10)
+        .over(W.orderBy(F.col("o_totalprice").desc(), "o_orderkey"))
+        .alias("decile"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("y"),
+    )
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    t = g.agg(
+        F.sum("n").cast("long").alias("nt"), F.sum("n_pos").cast("long").alias("pt")
+    )
+    wo = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = g.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n").over(wo).cast("long").alias("cum_n"),
+        F.sum("n_pos").over(wo).cast("long").alias("cum_pos"),
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "decile",
+        "n",
+        "n_pos",
+        F.round(F.col("cum_pos").cast("double") / F.col("pt"), 6).alias(
+            "capture_rate"
+        ),
+        F.round(
+            (F.col("cum_pos").cast("double") / F.col("cum_n"))
+            / (F.col("pt").cast("double") / F.col("nt")),
+            6,
+        ).alias("cum_lift"),
+    )
+
+
+@register(
+    "price_quartiles_by_segment",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg, o.o_totalprice AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    q AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
+                 quantile_cont(v, 0.25) AS p25,
+                 quantile_cont(v, 0.5) AS p50,
+                 quantile_cont(v, 0.75) AS p75
+          FROM j GROUP BY seg)
+    SELECT q.seg, q.n, q.p25, q.p50, q.p75,
+           CAST(count(*) FILTER (WHERE j.v > q.p75 + 1.5 * (q.p75 - q.p25))
+                AS BIGINT) AS n_outliers_hi
+    FROM j JOIN q USING (seg)
+    GROUP BY q.seg, q.n, q.p25, q.p50, q.p75
+    """,
+)
+def price_quartiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment exact price quartiles + Tukey-fence high-outlier count
+    — the grouped box-plot backbone (the existing percentile queries are
+    all global). Spark percentile ≡ DuckDB quantile_cont bit-exact
+    (linear interpolation on the sorted group). Two passes over the
+    joined fact: one grouped percentile agg (5 segments), then the tiny
+    quartile frame broadcasts back for the fence count — no global
+    sort."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), F.col("o_totalprice").alias("v")
+    )
+    q = j.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.percentile("v", F.lit(0.25)).alias("p25"),
+        F.percentile("v", F.lit(0.5)).alias("p50"),
+        F.percentile("v", F.lit(0.75)).alias("p75"),
+    )
+    return (
+        j.join(F.broadcast(q), "seg")
+        .groupBy("seg", "n", "p25", "p50", "p75")
+        .agg(
+            F.count(
+                F.when(
+                    F.col("v") > F.col("p75") + 1.5 * (F.col("p75") - F.col("p25")),
+                    1,
+                )
+            )
+            .cast("long")
+            .alias("n_outliers_hi")
+        )
+    )
