@@ -1957,3 +1957,72 @@ def test_streaming_interval_join_plain_full_equals_batch(spark, tmp_path_factory
         if k >= 0
     )
     assert got == expect
+
+
+def test_streaming_asof_join_backward_equals_batch(spark, tmp_path_factory):
+    """EOS-flush streaming as-of join ≡ batch asof_join_backward with rows
+    split across micro-batches and the two sides interleaving arbitrarily.
+    Each side gets one far-future EOS punctuation row per key; the flush
+    fires only when BOTH sides' EOS have arrived, so side interleaving
+    across triggers cannot produce a partial join."""
+    import time as _time
+
+    from windflow_spark.operators.asof_join import asof_join_backward
+    from windflow_spark.streaming import streaming_asof_join_backward
+
+    # a: probes; b: quotes — same-key same-ts b duplicates EXERCISE the tie
+    rows_a = [(k % 3, 100 + i, (i * 7 + 1) * SEC) for k, i in ((i % 5, i) for i in range(24))]
+    rows_b = [(k % 3, 500 + i, (i * 11) * SEC) for k, i in ((i % 4, i) for i in range(14))]
+    rows_b += [(0, 900, 0 * SEC), (0, 901, 0 * SEC)]  # exact tie on (key, ts)
+
+    def _mk2(rows, with_val):
+        return spark.createDataFrame(
+            [
+                (k, i, ts, float(i) / 4 if with_val else None, False)
+                for k, i, ts in rows
+            ],
+            "key long, id long, us long, val double, eos boolean",
+        )
+
+    batch_a = _mk2(rows_a, False).drop("val")
+    batch_b = _mk2(rows_b, True)
+    expect = _nsort(
+        map(
+            tuple,
+            asof_join_backward(
+                batch_a.select("key", F.col("id").alias("a_id"), F.col("us").alias("ts")),
+                batch_b.select("key", F.col("id").alias("b_id"), F.col("us").alias("ts"), "val"),
+                ["key"], "ts", "ts", ["b_id", "val"],
+            )
+            .select("key", "a_id", F.col("b_b_id").alias("b_id"), F.col("b_val").alias("b_val"))
+            .collect(),
+        )
+    )
+    assert any(t[2] is None for t in expect) and any(t[2] is not None for t in expect)
+
+    eos_a = [(k, -1, 10_000 * SEC) for k in {r[0] for r in rows_a} | {r[0] for r in rows_b}]
+    src_a = str(tmp_path_factory.mktemp("sasof_a"))
+    src_b = str(tmp_path_factory.mktemp("sasof_b"))
+    for src, rows, with_val in ((src_a, rows_a, False), (src_b, rows_b, True)):
+        half = len(rows) // 2
+        _mk2(rows[:half], with_val).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+        _mk2(rows[half:], with_val).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+        eos = spark.createDataFrame(
+            [(k, i, ts, None, True) for k, i, ts in eos_a],
+            "key long, id long, us long, val double, eos boolean",
+        )
+        eos.coalesce(1).write.mode("append").parquet(src)
+
+    schema = _mk2(rows_b, True).schema
+    stream_a = file_stream(spark, src_a, schema, max_files_per_trigger=1)
+    stream_b = file_stream(spark, src_b, schema, max_files_per_trigger=1)
+    j = streaming_asof_join_backward(
+        stream_a, stream_b, "key", "us", "us", "id", "id", "val"
+    )
+    name, _ = to_memory_sink(j.select("k", "a_id", "b_id", "b_val"))
+    got = _nsort(
+        map(tuple, spark.table(name).select("k", "a_id", "b_id", "b_val").collect())
+    )
+    assert got == expect

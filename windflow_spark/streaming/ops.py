@@ -2006,3 +2006,113 @@ def streaming_debounce(
     return df.groupBy(*key_cols).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_asof_join_backward(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    a_us_col: str,
+    b_us_col: str,
+    a_id_col: str,
+    b_id_col: str,
+    b_val_col: str,
+    eos_col: str = "eos",
+) -> DataFrame:
+    """Streaming as-of join (backward), EOS-flush exact form — the
+    incremental sibling of operators.asof_join.asof_join_backward: each
+    ``a`` row is matched with the same key's LATEST ``b`` row at or before
+    its timestamp; equal-``b_us`` ties resolve to the greatest (id, val)
+    payload, identical to the batch struct tie-break.
+
+    Both inputs carry an ``eos`` boolean (one far-future punctuation row
+    per key per side — cb_eos_punctuations' discipline); the sides are
+    tagged, unioned, and buffered per key in GroupState across
+    micro-batches, and the join is computed ONCE per key when BOTH sides'
+    EOS have arrived (then state is removed). Buffering the full per-key
+    history is the EOS-flush contract shared with the CB windows/KSlack
+    siblings — exact on bounded replays regardless of how rows split
+    across micro-batches or interleave between sides. For unbounded
+    streams use a FINITE-LOOKBACK as-of instead: streaming_interval_join
+    with [−lookback, 0] plus a max_by per a-row — that form has
+    watermark-bounded state; the unbounded-lookback exact form
+    fundamentally requires full history (the reference's archives never
+    purge without a watermark either, wf/interval_join.hpp:109-117).
+
+    Output (append, on flush): key, a_id, a_us, b_id, b_val — unmatched
+    a rows keep null b columns, like how='left' in the batch form.
+    """
+    a_side = a.select(
+        F.col(key_col).alias("k"),
+        F.col(a_us_col).cast("long").alias("us"),
+        F.lit(0).alias("side"),
+        F.col(a_id_col).cast("long").alias("id"),
+        F.lit(None).cast("double").alias("val"),
+        F.col(eos_col).cast("boolean").alias("eos"),
+    )
+    b_side = b.select(
+        F.col(key_col).alias("k"),
+        F.col(b_us_col).cast("long").alias("us"),
+        F.lit(1).alias("side"),
+        F.col(b_id_col).cast("long").alias("id"),
+        F.col(b_val_col).cast("double").alias("val"),
+        F.col(eos_col).cast("boolean").alias("eos"),
+    )
+    u = a_side.unionByName(b_side)
+
+    out_schema = "k long, a_id long, a_us long, b_id long, b_val double"
+    state_schema = (
+        "a_ids array<long>, a_us array<long>, b_ids array<long>, "
+        "b_us array<long>, b_vals array<double>, a_done boolean, b_done boolean"
+    )
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            a_ids, a_uss, b_ids, b_uss, b_vals, a_done, b_done = state.get
+            a_ids, a_uss = list(a_ids), list(a_uss)
+            b_ids, b_uss, b_vals = list(b_ids), list(b_uss), list(b_vals)
+        else:
+            a_ids, a_uss, b_ids, b_uss, b_vals = [], [], [], [], []
+            a_done = b_done = False
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                if bool(r.eos):
+                    if r.side == 0:
+                        a_done = True
+                    else:
+                        b_done = True
+                elif r.side == 0:
+                    a_ids.append(int(r.id))
+                    a_uss.append(int(r.us))
+                else:
+                    b_ids.append(int(r.id))
+                    b_uss.append(int(r.us))
+                    b_vals.append(float(r.val))
+        cols = ["k", "a_id", "a_us", "b_id", "b_val"]
+        if a_done and b_done:
+            # flush: sort b once by (us, id, val) so "last at-or-before"
+            # lands on the greatest payload among equal timestamps —
+            # the batch form's struct tie-break
+            order = sorted(range(len(b_ids)), key=lambda i: (b_uss[i], b_ids[i], b_vals[i]))
+            s_us = [b_uss[i] for i in order]
+            rows = []
+            import bisect
+
+            for aid, aus in zip(a_ids, a_uss):
+                j = bisect.bisect_right(s_us, aus) - 1
+                if j >= 0:
+                    i = order[j]
+                    rows.append((key[0], aid, aus, b_ids[i], b_vals[i]))
+                else:
+                    rows.append((key[0], aid, aus, None, None))
+            state.remove()
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
+                {c: [] for c in cols}
+            )
+        else:
+            state.update((a_ids, a_uss, b_ids, b_uss, b_vals, a_done, b_done))
+            yield pd.DataFrame({c: [] for c in cols})
+
+    return u.groupBy("k").applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
