@@ -90,6 +90,18 @@ _BNLJ_ALLOWED = {
     # one-row global min/max scalar broadcast onto the fact rows before
     # the 256-bin histogram — the documented scalar crossJoin shape
     "ks_drift_order_prices",
+    # one-row edge-count scalar crossJoined with the one-row corr agg (r8)
+    "graph_assortativity_copurchase",
+    # one-row (n, nr, nc) totals crossJoined onto the 25-cell frame and
+    # the one-row chi2 agg (r8)
+    "cramers_v_segment_priority",
+    # one-row exact-integer mean broadcast onto the facts for the
+    # centered-moment pass (r8)
+    "jarque_bera_order_prices",
+    # one-row (gt, bt) totals crossJoined onto the 5-row segment frame (r8)
+    "woe_iv_segment_urgent",
+    # one-row (nt, pt) totals crossJoined onto the 10-row decile frame (r8)
+    "gains_table_deciles",
     # one-row bucket-size scalar crossJoined onto the token stream (r7)
     "heaps_law_vocab_growth",
     # one-row (n_days, total) scalar crossJoined onto the day frame (r7)
