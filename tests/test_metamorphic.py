@@ -76,6 +76,7 @@ SAMPLE = [
     "bigram_entropy_by_source",     # in-row bigram zip + entropy sum (r8)
     "ts_rsi_14_daily",              # lag diffs + bounded frame sums (r8)
     "k_core_fixed_point",           # convergence loop determinism (r8)
+    "minhash_jaccard_calibration",  # est vs exact over bucketed pairs (r8)
     "forward_fill_last_purchase",   # IGNORE NULLS frame determinism (r6)
     "embedding_source_drift",       # per-dim float means over shuffles (r6)
     "ts_twap_daily",                # duration attribution tie-break (r6)

@@ -770,6 +770,10 @@ def test_r8_additions_exchange_budgets(spark, sf_dir):
         "gains_table_deciles": 0,         # global ntile (SinglePartition,
                                           # documented caveat) + decile agg
         "price_quartiles_by_segment": 2,  # grouped percentile + fence pass
+        "minhash_jaccard_calibration": 6,  # fused LSH+verify chain (5, the
+                                           # dedup_minhash_lsh budget) + the
+                                           # signature re-agg for the
+                                           # estimate join
     }
     over = {}
     for name, budget in budgets.items():

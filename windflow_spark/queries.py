@@ -13526,3 +13526,132 @@ def price_quartiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers_hi")
         )
     )
+
+
+@register(
+    "minhash_jaccard_calibration",
+    """
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+      FROM d WHERE len(toks) >= 3),
+    bs AS (
+      SELECT doc_id, sh,
+             list_transform(sh, s -> [
+               ('0x' || substr(md5(s), 1, 15))::BIGINT,
+               ('0x' || substr(md5(s), 16, 14))::BIGINT
+             ]) AS base
+      FROM s),
+    g AS (
+      SELECT doc_id, [
+        list_aggregate(list_transform(base, x -> x[1] + 0 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 1 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 2 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 3 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 4 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 5 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 6 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 7 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 8 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 9 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 10 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 11 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 12 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 13 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 14 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 15 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 16 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 17 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 18 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 19 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 20 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 21 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 22 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 23 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 24 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 25 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 26 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 27 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 28 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 29 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 30 * x[2]), 'min'),
+        list_aggregate(list_transform(base, x -> x[1] + 31 * x[2]), 'min')
+      ] AS sig FROM bs),
+    b AS (
+      SELECT doc_id, j AS band,
+             md5(concat_ws(',', sig[j*4+1], sig[j*4+2], sig[j*4+3], sig[j*4+4])) AS bucket
+      FROM g, generate_series(0, 7) AS t(j)),
+    p AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM b a JOIN b b2
+        ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+    jac AS (
+      SELECT id_a, id_b,
+             round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                   / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard,
+             len([i for i in generate_series(1, 32)
+                  if ga.sig[i] = gb.sig[i]]) / 32.0 AS est
+      FROM p JOIN s sa ON p.id_a = sa.doc_id JOIN s sb ON p.id_b = sb.doc_id
+             JOIN g ga ON p.id_a = ga.doc_id JOIN g gb ON p.id_b = gb.doc_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(abs(est - jaccard)), 6) AS mae,
+           round(max(abs(est - jaccard)), 6) AS max_abs_err,
+           round(avg(est - jaccard), 6) AS bias,
+           round(corr(est, jaccard), 6) AS corr_est_exact
+    FROM jac
+""",
+)
+def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR calibration over the LSH candidate pairs: the
+    signature-agreement estimate (matching components / 32) against the
+    exact shingle-set Jaccard — MAE, worst error, signed bias, and the
+    est↔exact correlation. dedup_lsh_recall measures whether LSH FINDS the
+    true pairs; this measures whether the signatures SCORE them right —
+    the second number a dedup-threshold decision needs (a biased estimator
+    silently moves the effective threshold). Candidates stay
+    bucket-generated (never all-pairs); the signature frame joins back by
+    id; every per-pair quantity is an exact rational (k/32 and |∩|/|∪|),
+    so 6dp rounding absorbs aggregation association order."""
+    from windflow_spark.functions.dedup import (
+        minhash_lsh_jaccard,
+        minhash_signatures_agg,
+        shingle_sets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_jaccard(docs, num_hashes=32, bands=8, hash_mode="md5")
+    sigs = minhash_signatures_agg(
+        shingle_sets(docs), "doc_id", "_sh", num_hashes=32, hash_mode="md5"
+    )
+    j = pairs.join(
+        sigs.select(F.col("doc_id").alias("id_a"), F.col("_sig").alias("_sa")),
+        "id_a",
+    ).join(
+        sigs.select(F.col("doc_id").alias("id_b"), F.col("_sig").alias("_sb")),
+        "id_b",
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda b: b
+            )
+        )
+        / F.lit(32.0)
+    ).alias("est")
+    scored = j.select(est, F.col("jaccard"))
+    corr = F.corr("est", "jaccard")
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg(F.abs(F.col("est") - F.col("jaccard"))), 6).alias("mae"),
+        F.round(F.max(F.abs(F.col("est") - F.col("jaccard"))), 6).alias(
+            "max_abs_err"
+        ),
+        F.round(F.avg(F.col("est") - F.col("jaccard")), 6).alias("bias"),
+        F.when(F.isnan(corr), F.lit(None)).otherwise(F.round(corr, 6)).alias(
+            "corr_est_exact"
+        ),
+    )
