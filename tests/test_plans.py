@@ -711,7 +711,12 @@ def test_r7_additions_exchange_budgets(spark, sf_dir):
                                             # sides broadcast-eligible at sf
         "trimmed_mean_prices_approx": 2,  # bounds agg + trimmed agg
         "weighted_median_price_approx": 5,  # hist + boundary + exact pin
-        "asof_join_next_purchase": 1,     # one union+fill window keying
+        "asof_join_next_purchase": 2,     # union+fill window keying + the
+                                          # r8 (user_id, ts) tie-safety
+                                          # dedup agg (map-side combinable;
+                                          # native ASOF tie-breaks are
+                                          # implementation-defined, so the
+                                          # oracle needs a unique right side)
         "fingerprint_winnowing": 0,       # pure per-row HOFs, scan speed
         "mannwhitney_u_price": 1,         # distinct-value agg; rank map
                                           # is a SinglePartition window
