@@ -77,6 +77,9 @@ SAMPLE = [
     "ts_rsi_14_daily",              # lag diffs + bounded frame sums (r8)
     "k_core_fixed_point",           # convergence loop determinism (r8)
     "minhash_jaccard_calibration",  # est vs exact over bucketed pairs (r8)
+    "embedding_dim_variance_topk",  # pre-rounded variance rank ties (r8)
+    "vocab_coverage_curve",         # ranked cumsum total order (r8)
+    "shingle_df_histogram",         # per-doc distinct + bit-length bucket (r8)
     "forward_fill_last_purchase",   # IGNORE NULLS frame determinism (r6)
     "embedding_source_drift",       # per-dim float means over shuffles (r6)
     "ts_twap_daily",                # duration attribution tie-break (r6)

@@ -102,6 +102,11 @@ _BNLJ_ALLOWED = {
     "woe_iv_segment_urgent",
     # one-row (nt, pt) totals crossJoined onto the 10-row decile frame (r8)
     "gains_table_deciles",
+    # one-row grand algebra crossJoined with the 5-row deviation frame,
+    # the anova_f_segments shape (r8)
+    "levene_bf_segments",
+    # one-row (total, vocab) frame crossJoined onto the 3 emitted rows (r8)
+    "vocab_coverage_curve",
     # one-row bucket-size scalar crossJoined onto the token stream (r7)
     "heaps_law_vocab_growth",
     # one-row (n_days, total) scalar crossJoined onto the day frame (r7)
@@ -779,6 +784,17 @@ def test_r8_additions_exchange_budgets(spark, sf_dir):
                                            # dedup_minhash_lsh budget) + the
                                            # signature re-agg for the
                                            # estimate join
+        "levene_bf_segments": 5,          # median agg + deviation agg +
+                                          # grand algebra on 5-row frames
+        "poisson_dispersion_daily": 1,    # one day agg, scalar algebra
+        "session_duration_percentiles": 1,  # session windows reuse one
+                                            # user-keyed sort
+        "embedding_dim_variance_topk": 1,   # per-dim agg; rank on the
+                                            # dim-sized frame
+        "vocab_coverage_curve": 2,        # vocab agg + ranked cumsum on
+                                          # the vocab frame
+        "shingle_df_histogram": 3,        # per-doc distinct + df agg +
+                                          # bucket agg
     }
     over = {}
     for name, budget in budgets.items():

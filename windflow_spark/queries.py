@@ -13655,3 +13655,351 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corr_est_exact"
         ),
     )
+
+
+@register(
+    "levene_bf_segments",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg, o.o_totalprice AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    med AS (SELECT seg, quantile_cont(x, 0.5) AS md FROM j GROUP BY seg),
+    z AS (SELECT j.seg, abs(j.x - med.md) AS z
+          FROM j JOIN med USING (seg)),
+    g AS (SELECT seg, CAST(count(*) AS BIGINT) AS n, avg(z) AS m,
+                 var_samp(z) AS v
+          FROM z GROUP BY seg),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(n) AS BIGINT) AS n_total,
+                 sum(n * m) / sum(n) AS gm,
+                 sum(v * (n - 1)) AS ssw
+          FROM g),
+    b AS (SELECT t.k, t.n_total,
+                 sum(g.n * (g.m - t.gm) * (g.m - t.gm)) AS ssb,
+                 max(t.ssw) AS ssw
+          FROM g CROSS JOIN t GROUP BY t.k, t.n_total)
+    SELECT k, n_total,
+           round((ssb / (k - 1)) / (ssw / (n_total - k)), 4) AS bf_stat
+    FROM b
+    """,
+)
+def levene_bf_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe (median-centered Levene) test for equal VARIANCES
+    across market segments — the precondition check for anova_f_segments
+    (classic ANOVA assumes homoscedasticity; BF is its robust gatekeeper).
+    Absolute deviations from the EXACT per-segment median (percentile ≡
+    quantile_cont bit-exact) feed the same one-moment-pass F recipe as
+    the ANOVA query: per-segment (n, mean, var) of z, grand algebra on
+    the 5-row frame. Two fact passes (median, then deviations), both
+    keyed aggs."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), F.col("o_totalprice").alias("x")
+    )
+    med = j.groupBy("seg").agg(F.percentile("x", F.lit(0.5)).alias("md"))
+    z = j.join(F.broadcast(med), "seg").select(
+        "seg", F.abs(F.col("x") - F.col("md")).alias("z")
+    )
+    g = z.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("z").alias("m"),
+        F.var_samp("z").alias("v"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_total"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+        F.sum(F.col("v") * (F.col("n") - 1)).alias("ssw"),
+    )
+    b = (
+        g.crossJoin(F.broadcast(t))
+        .groupBy("k", "n_total")
+        .agg(
+            F.sum(
+                F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))
+            ).alias("ssb"),
+            F.max("ssw").alias("ssw"),
+        )
+    )
+    return b.select(
+        "k",
+        "n_total",
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n_total") - F.col("k"))),
+            4,
+        ).alias("bf_stat"),
+    )
+
+
+@register(
+    "poisson_dispersion_daily",
+    """
+    WITH d AS (SELECT o_orderdate AS day, CAST(count(*) AS BIGINT) AS x
+               FROM orders GROUP BY o_orderdate),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS s1,
+                 CAST(sum(x * x) AS BIGINT) AS s2
+          FROM d)
+    SELECT n, s1 AS total_orders,
+           round(CAST(s1 AS DOUBLE) / n, 6) AS mean_per_day,
+           round((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                 / (CAST(n AS DOUBLE) * (n - 1)), 6) AS var_per_day,
+           round(((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                  / (CAST(n AS DOUBLE) * (n - 1)))
+                 / (CAST(s1 AS DOUBLE) / n), 6) AS dispersion_index,
+           round((n - 1) * ((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                  / (CAST(n AS DOUBLE) * (n - 1)))
+                 / (CAST(s1 AS DOUBLE) / n), 4) AS chi2_stat
+    FROM s
+    """,
+)
+def poisson_dispersion_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson dispersion (variance-to-mean) test on daily order counts —
+    the over/under-dispersion audit that decides whether a Poisson arrival
+    model (and its staffing/capacity math) is even admissible. FULLY
+    integer-exact inputs: n, Σx, Σx² are BIGINT (daily counts are small),
+    variance uses the n·Σx² − (Σx)² identity with the float conversion
+    only at the final divisions of identical operands — bit-identical
+    across engines before the 6dp rounding."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    s = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    var = (n * F.col("s2") - s1 * F.col("s1")) / (n * (F.col("n") - 1))
+    mean = s1 / F.col("n")
+    return s.select(
+        "n",
+        F.col("s1").alias("total_orders"),
+        F.round(mean, 6).alias("mean_per_day"),
+        F.round(var, 6).alias("var_per_day"),
+        F.round(var / mean, 6).alias("dispersion_index"),
+        F.round((F.col("n") - 1) * var / mean, 4).alias("chi2_stat"),
+    )
+
+
+@register(
+    "session_duration_percentiles",
+    f"""
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {US_30MIN}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    g AS (
+      SELECT user_id, us,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS sid
+      FROM s),
+    sess AS (
+      SELECT user_id, sid, max(us) - min(us) AS dur_us,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM g GROUP BY user_id, sid)
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(*) FILTER (WHERE cnt > 1) AS BIGINT) AS n_multi_event,
+           quantile_cont(dur_us, 0.5) AS p50_us,
+           quantile_cont(dur_us, 0.9) AS p90_us,
+           CAST(max(dur_us) AS BIGINT) AS max_us
+    FROM sess
+    """,
+)
+def session_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/max of 30-minute-gap session DURATIONS — the
+    distributional companion to session_bounce_daily's daily means (a
+    mean hides the bimodal bounce-vs-binge shape every engagement team
+    cares about). Same two-window session assignment; durations stay
+    integer micros; Spark percentile ≡ DuckDB quantile_cont bit-exact."""
+    from windflow_spark.operators.timeutil import event_micros
+    from windflow_spark.operators.windows import session_window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    ev_us = ev.withColumn("_us", event_micros(ev, "ts"))
+    sess = session_window_agg(
+        ev_us,
+        key_cols=["user_id"],
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+        gap_us=US_30MIN,
+        aggs=[
+            (F.max("_us") - F.min("_us")).alias("dur_us"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        ],
+    )
+    return sess.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.count(F.when(F.col("cnt") > 1, 1)).cast("long").alias("n_multi_event"),
+        F.percentile("dur_us", F.lit(0.5)).alias("p50_us"),
+        F.percentile("dur_us", F.lit(0.9)).alias("p90_us"),
+        F.max("dur_us").cast("long").alias("max_us"),
+    )
+
+
+@register(
+    "embedding_dim_variance_topk",
+    """
+    WITH x AS (
+      SELECT u.i - 1 AS dim, CAST(embedding[u.i] AS DOUBLE) AS v
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+    g AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                 round(avg(v), 6) AS mean_v, round(var_samp(v), 6) AS var_v
+          FROM x GROUP BY dim),
+    r AS (SELECT dim, n, mean_v, var_v,
+                 row_number() OVER (ORDER BY var_v DESC, dim) AS rk
+          FROM g)
+    SELECT CAST(dim AS BIGINT) AS dim, n, mean_v, var_v
+    FROM r WHERE rk <= 10
+    """,
+)
+def embedding_dim_variance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 highest-variance embedding dimensions — the dimension-
+    selection diagnostic behind Matryoshka truncation and PQ subspace
+    allocation (low-variance dims carry nothing worth quantizing).
+    posexplode keeps the per-dim pass scan-parallel; ranking happens on
+    the dim-count-sized frame with variance ROUNDED BEFORE the rank so
+    cross-engine float wobble cannot flip the top-10 boundary (the
+    tfidf_top_terms tie discipline), dim as the total-order tie-break."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(F.posexplode("embedding").alias("dim", "v")).select(
+        "dim", F.col("v").cast("double").alias("v")
+    )
+    g = x.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("v"), 6).alias("mean_v"),
+        F.round(F.var_samp("v"), 6).alias("var_v"),
+    )
+    r = g.select(
+        "dim",
+        "n",
+        "mean_v",
+        "var_v",
+        F.row_number()
+        .over(W.orderBy(F.col("var_v").desc(), "dim"))
+        .alias("rk"),
+    )
+    return r.filter(F.col("rk") <= 10).select(
+        F.col("dim").cast("long").alias("dim"), "n", "mean_v", "var_v"
+    )
+
+
+@register(
+    "vocab_coverage_curve",
+    r"""
+    WITH t AS (
+      SELECT u.tok FROM (
+        SELECT list_filter(string_split(trim(regexp_replace(regexp_replace(
+                 lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '),
+                 x -> x <> '') AS toks
+        FROM documents) d, unnest(d.toks) AS u(tok)),
+    v AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS vocab
+            FROM v),
+    r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rk,
+                 sum(c) OVER (ORDER BY c DESC, tok
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM v)
+    SELECT CAST(r.rk AS BIGINT) AS vocab_size,
+           CAST(r.cum AS BIGINT) AS tokens_covered,
+           round(CAST(r.cum AS DOUBLE) / tot.n, 6) AS coverage,
+           tot.vocab AS total_vocab
+    FROM r, tot WHERE r.rk IN (10, 100, 1000)
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what share of all token OCCURRENCES the
+    top-10/100/1000 most frequent types cover — the tokenizer-budget
+    companion to heaps_law (Heaps says how vocab grows; this says what a
+    fixed vocab BUYS). Integer counts, cumulative sum over the ranked
+    vocab frame (deterministic (count desc, token) total order), one
+    division per emitted row. The ordered window runs on the vocab frame
+    (types, not occurrences) — bounded by vocabulary, not corpus size."""
+    from windflow_spark.functions.text import normalize_text
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    toks = F.filter(F.split(normalize_text("text"), " "), lambda x: x != F.lit(""))
+    v = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = v.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    wr = W.orderBy(F.col("c").desc(), "tok")
+    r = v.select(
+        "c",
+        F.row_number().over(wr).alias("rk"),
+        F.sum("c").over(wr.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum"),
+    )
+    return (
+        r.filter(F.col("rk").isin(10, 100, 1000))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("rk").cast("long").alias("vocab_size"),
+            F.col("cum").cast("long").alias("tokens_covered"),
+            F.round(F.col("cum").cast("double") / F.col("n"), 6).alias("coverage"),
+            F.col("vocab").alias("total_vocab"),
+        )
+    )
+
+
+@register(
+    "shingle_df_histogram",
+    """
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+      FROM d WHERE len(toks) >= 3),
+    df AS (SELECT u.s AS shingle, CAST(count(*) AS BIGINT) AS df
+           FROM s, unnest(sh) AS u(s) GROUP BY u.s)
+    SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS log2_df_bucket,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(df) AS BIGINT) AS n_postings,
+           CAST(max(df) AS BIGINT) AS max_df
+    FROM df GROUP BY log2_df_bucket
+    """,
+)
+def shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency histogram in log2 buckets — THE hot-
+    bucket risk diagnostic for every shingle-keyed dedup path (a bucket
+    at 2^k df contributes ~df² candidate pairs in a naive inverted-index
+    join; this is the number that justified the prefix filter and the
+    LSH bucket caps). Same 3-token shingle definition as the minhash
+    family. Bucket = bit-length − 1 (integer floor(log2) on BOTH engines
+    — a float log2 can land on 2.999… and floor differently per libm)."""
+    from windflow_spark.functions.dedup import shingle_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    df_ = (
+        shingle_stream(docs, "doc_id", "text", 3)
+        # per-doc DISTINCT before the df count: a shingle repeated inside
+        # one doc is one posting, matching the oracle's list_distinct sets
+        .dropDuplicates(["doc_id", "_s"])
+        .groupBy("_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    return (
+        df_.groupBy(
+            (F.length(F.bin("df")) - 1).cast("long").alias("log2_df_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum("df").cast("long").alias("n_postings"),
+            F.max("df").cast("long").alias("max_df"),
+        )
+    )
