@@ -200,6 +200,11 @@ _BNLJ_ALLOWED = {
 
 
 def test_no_cartesian_anywhere(spark, sf_dir):
+    # exchange counts must be cache-independent: queries that persist()
+    # register InMemoryRelations the CacheManager substitutes into any
+    # later identical subtree, shifting plan-node counts (r8 flake:
+    # assortativity read 8 vs 7 after no_cartesian built all DFs)
+    spark.catalog.clearCache()
     # global design rules: every registry query must PLAN (a query erroring
     # at analysis time must fail THIS test, not silently skip — round 3's
     # NTZ regression hid exactly there), no query may plan a cartesian
@@ -337,6 +342,11 @@ def test_zscore_two_keyed_exchanges(spark, sf_dir):
 
 
 def test_r5_additions_exchange_budgets(spark, sf_dir):
+    # exchange counts must be cache-independent: queries that persist()
+    # register InMemoryRelations the CacheManager substitutes into any
+    # later identical subtree, shifting plan-node counts (r8 flake:
+    # assortativity read 8 vs 7 after no_cartesian built all DFs)
+    spark.catalog.clearCache()
     # pin the keyed-shuffle budgets of the late-r5 families — a regression
     # here reintroduces a corpus re-shuffle at 100 TB (budgets from
     # PLANS.md at the time each operator was tuned)
@@ -359,6 +369,11 @@ def test_r5_additions_exchange_budgets(spark, sf_dir):
 
 
 def test_r6_additions_exchange_budgets(spark, sf_dir):
+    # exchange counts must be cache-independent: queries that persist()
+    # register InMemoryRelations the CacheManager substitutes into any
+    # later identical subtree, shifting plan-node counts (r8 flake:
+    # assortativity read 8 vs 7 after no_cartesian built all DFs)
+    spark.catalog.clearCache()
     # keyed-shuffle budgets of the r6 families (from PLANS.md at tuning
     # time) — a regression reintroduces a corpus re-shuffle at 100 TB
     from windflow_spark.plans.explain import keyed_shuffle_count
@@ -707,6 +722,11 @@ def test_plans_md_covers_registry():
 
 
 def test_r7_additions_exchange_budgets(spark, sf_dir):
+    # exchange counts must be cache-independent: queries that persist()
+    # register InMemoryRelations the CacheManager substitutes into any
+    # later identical subtree, shifting plan-node counts (r8 flake:
+    # assortativity read 8 vs 7 after no_cartesian built all DFs)
+    spark.catalog.clearCache()
     # keyed-shuffle budgets of the r7 families (from the plan audit at
     # tuning time) — a regression reintroduces a corpus re-shuffle
     from windflow_spark.plans.explain import keyed_shuffle_count
@@ -753,6 +773,11 @@ def test_r7_additions_exchange_budgets(spark, sf_dir):
 
 
 def test_r8_additions_exchange_budgets(spark, sf_dir):
+    # exchange counts must be cache-independent: queries that persist()
+    # register InMemoryRelations the CacheManager substitutes into any
+    # later identical subtree, shifting plan-node counts (r8 flake:
+    # assortativity read 8 vs 7 after no_cartesian built all DFs)
+    spark.catalog.clearCache()
     # keyed-shuffle budgets of the r8 families (from the plan audit at
     # tuning time) — a regression reintroduces a corpus re-shuffle
     from windflow_spark.plans.explain import keyed_shuffle_count
