@@ -2026,3 +2026,46 @@ def test_streaming_asof_join_backward_equals_batch(spark, tmp_path_factory):
         map(tuple, spark.table(name).select("k", "a_id", "b_id", "b_val").collect())
     )
     assert got == expect
+
+
+def test_monitor_report_renders_html(spark, stream_fixture, tmp_path):
+    """tools/monitor_report: the dashboard-report analog of the
+    reference's WindFlow_Dashboard — a live query's progress feeds the
+    jsonl sink, and the renderer produces a self-contained HTML page with
+    the query's throughput/state numbers (both from the jsonl path and
+    from StreamMonitor.stats() directly)."""
+    import time
+
+    from tools.monitor_report import jsonl_sink, render_from_jsonl, render_report
+    from windflow_spark.streaming import monitor_streams, streaming_tumbling_window_tb
+
+    _, stream = stream_fixture
+    jl = str(tmp_path / "progress.jsonl")
+    mon = monitor_streams(spark, sink=jsonl_sink(jl))
+    try:
+        out = streaming_tumbling_window_tb(
+            stream, ["key"], "ts", 7 * SEC, [F.count(F.lit(1)).alias("cnt")]
+        )
+        name, q = to_memory_sink(out, output_mode="complete")
+        q.awaitTermination(60)
+        stats = {}
+        for _ in range(50):
+            stats = mon.stats()
+            if any(s["total_input_rows"] > 0 for s in stats.values()):
+                break
+            time.sleep(0.2)
+    finally:
+        mon.remove()
+    assert any(s["total_input_rows"] > 0 for s in stats.values())
+
+    # path 1: straight from the live monitor's aggregates + histories
+    html1 = render_report(stats, {qid: mon.history(qid) for qid in stats})
+    assert "<table>" in html1 and "60" in html1  # fixture's row count
+    assert "<svg" in html1  # sparkline rendered
+
+    # path 2: from the durable jsonl the sink wrote
+    html2 = render_from_jsonl(jl)
+    assert "<table>" in html2 and "60" in html2
+    out_path = tmp_path / "report.html"
+    out_path.write_text(html2)
+    assert out_path.stat().st_size > 500

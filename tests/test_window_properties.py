@@ -338,3 +338,140 @@ def test_dedup_segments_matches_model(spark, docs, seg):
         for r in dedup_segments(df, seg_tokens=seg).collect()
     }
     assert got == model
+
+
+# ---- full-outer bucketed interval join vs a direct model (r8) ----
+
+ij_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # key
+        st.integers(min_value=0, max_value=300),    # ts (µs)
+    ),
+    min_size=0,
+    max_size=25,
+    unique_by=lambda r: (r[0], r[1]),
+)
+ij_cfg = st.tuples(
+    st.integers(min_value=-8, max_value=8),   # lower
+    st.integers(min_value=0, max_value=12),   # upper-lower span
+    st.integers(min_value=1, max_value=20),   # bucket width
+)
+
+
+def _model_full_join(a_rows, b_rows, lower, upper):
+    """Direct full-outer interval-join model: all (a, b) pairs with equal
+    key and ts_b in [ts_a+lower, ts_a+upper], plus null-extended unmatched
+    rows from BOTH sides — each exactly once."""
+    pairs = []
+    a_matched, b_matched = set(), set()
+    for ia, (ka, ta) in enumerate(a_rows):
+        for ib, (kb, tb) in enumerate(b_rows):
+            if ka == kb and ta + lower <= tb <= ta + upper:
+                pairs.append((ka, ta, tb))
+                a_matched.add(ia)
+                b_matched.add(ib)
+    for ia, (ka, ta) in enumerate(a_rows):
+        if ia not in a_matched:
+            pairs.append((ka, ta, None))
+    for ib, (kb, tb) in enumerate(b_rows):
+        if ib not in b_matched:
+            pairs.append((kb, None, tb))
+    return sorted(pairs, key=repr)
+
+
+@given(a_rows=ij_rows, b_rows=ij_rows, cfg=ij_cfg)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_full_outer_bucketed_interval_join_matches_model(spark, a_rows, b_rows, cfg):
+    """r8 union-of-two-outer decomposition: for random inputs, bounds, and
+    bucket widths (including widths smaller than the span, i.e. >2
+    replicas), the full-outer bucketed join must emit every matching pair
+    exactly once and every unmatched row of BOTH sides exactly once —
+    never once per replica."""
+    from windflow_spark.operators.interval_join import interval_join_full_bucketed
+
+    lower, span, width = cfg
+    upper = lower + span
+    a = _df(spark, [(k, 0, ts) for k, ts in a_rows]).drop("value")
+    b = _df(spark, [(k, 0, ts) for k, ts in b_rows]).drop("value")
+    out = interval_join_full_bucketed(
+        a, b, ["key"], "ts", "ts", lower, upper, bucket_us=width
+    )
+    def _us(t):
+        if t is None:
+            return None
+        td = t - EPOCH  # exact integer micros — total_seconds()*1e6 truncates
+        return td.days * 86_400_000_000 + td.seconds * 1_000_000 + td.microseconds
+
+    got = sorted(
+        ((r["key"], _us(r["a_ts"]), _us(r["b_ts"])) for r in out.collect()),
+        key=repr,
+    )
+    assert got == _model_full_join(a_rows, b_rows, lower, upper)
+
+
+# ---- as-of joins vs a direct model (r8) ----
+
+asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # key
+        st.integers(min_value=0, max_value=200),    # ts
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(a_rows=asof_rows, b_rows=asof_rows)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_asof_backward_and_forward_match_model(spark, a_rows, b_rows):
+    """For random inputs INCLUDING duplicate (key, ts) rows on both sides,
+    backward picks the latest b at-or-before (greatest payload on ties),
+    forward the earliest b at-or-after (least payload on ties) — the
+    documented struct tie-breaks, checked against a direct model."""
+    from windflow_spark.operators.asof_join import (
+        asof_join_backward,
+        asof_join_forward,
+    )
+
+    # payload id = arrival index → duplicates on (key, ts) are real rows
+    a = spark.createDataFrame(
+        [(k, i, EPOCH + dt.timedelta(microseconds=ts)) for i, (k, ts) in enumerate(a_rows)],
+        "key long, aid long, ts timestamp",
+    )
+    b = spark.createDataFrame(
+        [(k, i, EPOCH + dt.timedelta(microseconds=ts)) for i, (k, ts) in enumerate(b_rows)],
+        "key long, bid long, ts timestamp",
+    )
+
+    def model(direction):
+        out = []
+        for ia, (ka, ta) in enumerate(a_rows):
+            cands = [
+                (tb, ib)
+                for ib, (kb, tb) in enumerate(b_rows)
+                if kb == ka and (tb <= ta if direction == "backward" else tb >= ta)
+            ]
+            if not cands:
+                out.append((ka, ia, None))
+            elif direction == "backward":
+                # latest ts; ties → GREATEST (bid) payload
+                tb, ib = max(cands)
+                out.append((ka, ia, ib))
+            else:
+                # earliest ts; ties → LEAST (bid) payload
+                tb, ib = min(cands)
+                out.append((ka, ia, ib))
+        return sorted(out, key=repr)
+
+    got_b = sorted(
+        ((r["key"], r["aid"], r["b_bid"]) for r in
+         asof_join_backward(a, b, ["key"], "ts", "ts", ["bid"]).collect()),
+        key=repr,
+    )
+    assert got_b == model("backward")
+    got_f = sorted(
+        ((r["key"], r["aid"], r["b_bid"]) for r in
+         asof_join_forward(a, b, ["key"], "ts", "ts", ["bid"]).collect()),
+        key=repr,
+    )
+    assert got_f == model("forward")
