@@ -10,7 +10,9 @@ then executes it three ways:
   2. batch at a DIFFERENT shuffle width w2,
   3. streaming (file source, drawn maxFilesPerTrigger) where semantics
      allow — windowed aggregation via streaming_tumbling_window_tb,
-     stream-stream inner interval join via streaming_interval_join.
+     stream-stream inner interval join via streaming_interval_join, and
+     (r8) FULL-outer interval join via how='full' with two far-future
+     sentinel files per side flushing the unmatched state.
 
 All three must produce the identical multiset of rows (compared sorted,
 plus an md5 checksum mirroring the reference's checksum invariance).
@@ -67,7 +69,7 @@ def _gen(seed: int) -> dict:
     rng = random.Random(seed)
     n_ops = rng.randint(1, 3)
     ops = [rng.choice(OPS) for _ in range(n_ops)]
-    terminal = rng.choice(["win", "jwin"])
+    terminal = rng.choice(["win", "jwin", "jfull"])
     if seed < 3:  # pinned: merge+split+interval-join in one shape
         if "split_merge" not in ops:
             ops[rng.randrange(len(ops))] = "split_merge"
@@ -133,6 +135,20 @@ def _batch_result(spark, shape, width):
         pipe = g.add_source(_events(spark))
         for op in shape["ops"]:
             pipe = _apply_batch(pipe, op)
+        if shape["terminal"] == "jfull":
+            # full-outer terminal: the union-of-two-outer decomposition must
+            # be checksum-invariant across shuffle widths (r8)
+            from windflow_spark.operators.interval_join import (
+                interval_join_full_bucketed,
+            )
+
+            df = _events(spark)
+            for op in shape["ops"]:
+                df = _apply_stream(df, op)
+            out = interval_join_full_bucketed(
+                df, _others(spark), ["key"], "ts", "ts", 0, 2 * SEC
+            ).select("key", "a_value", "b_value")
+            return sorted(map(tuple, out.collect()), key=repr)
         if shape["terminal"] == "win":
             out = pipe.keyed_windows_tb(
                 ["key"], "ts", shape["win_us"], None,
@@ -181,6 +197,39 @@ def _stream_result(spark, shape, tmp_path_factory):
             [F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv")],
         ).select("key", "w_start", "cnt", "sv")
         name, _ = to_memory_sink(out, output_mode="complete")
+    elif shape["terminal"] == "jfull":
+        import time as _time
+
+        # two far-future sentinel files per side (key -1, filtered from the
+        # collected rows): outer null-emission needs the watermark to pass
+        # the buffered rows, and the watermark lags one batch
+        ob = _others(spark)
+        src_b = str(tmp_path_factory.mktemp("rand_fb"))
+        _write_time_ordered(spark, ob, src_b, 2)
+        for src in (src_a, src_b):
+            for us in (500 * SEC, 600 * SEC):
+                _time.sleep(1.05)
+                spark.createDataFrame(
+                    [(-1, -2, dt.datetime(2024, 1, 1) + dt.timedelta(microseconds=us))],
+                    ev.schema,
+                ).coalesce(1).write.mode("append").parquet(src)
+        stream = file_stream(spark, src_a, ev.schema, max_files_per_trigger=shape["mft"])
+        for op in shape["ops"]:
+            stream = _apply_stream(stream, op)
+        stream_b = file_stream(spark, src_b, ob.schema, max_files_per_trigger=shape["mft"])
+        out = streaming_interval_join(
+            stream, stream_b, ["key"], "ts", "ts", 0, 2 * SEC,
+            watermark_us=1 * SEC, how="full",
+        ).select(
+            F.coalesce(F.col("a.key"), F.col("b.key")).alias("key"),
+            F.col("a.value").alias("a_value"),
+            F.col("b.value").alias("b_value"),
+        )
+        name, _ = to_memory_sink(out, output_mode="append")
+        return sorted(
+            (t for t in map(tuple, spark.table(name).collect()) if t[0] >= 0),
+            key=repr,
+        )
     else:
         ob = _others(spark)
         src_b = str(tmp_path_factory.mktemp("rand_b"))
