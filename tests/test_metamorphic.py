@@ -80,6 +80,15 @@ SAMPLE = [
     "embedding_dim_variance_topk",  # pre-rounded variance rank ties (r8)
     "vocab_coverage_curve",         # ranked cumsum total order (r8)
     "shingle_df_histogram",         # per-doc distinct + bit-length bucket (r8)
+    "ols_price_on_qty_by_brand",    # decimal moment sums under shuffles (r9)
+    "ts_macd_daily",                # coupled-EMA fold determinism (r9)
+    "ts_obv_daily",                 # decimal up/down + running sum (r9)
+    "kruskal_wallis_qty_priority",  # integer rank sums + k-term float H (r9)
+    "ngram_novelty_by_source",      # first-seen min over shingle shuffles (r9)
+    "link_prediction_jaccard",      # capped wedge top-k tie-break (r9)
+    "ts_atr_14_daily",              # quantized-TR window sums (r9)
+    "mann_kendall_trend_daily",     # pairwise sign sums + tie term (r9)
+    "ols2_price_on_qty_discount",   # 9-moment Cramer solve (r9)
     "forward_fill_last_purchase",   # IGNORE NULLS frame determinism (r6)
     "embedding_source_drift",       # per-dim float means over shuffles (r6)
     "ts_twap_daily",                # duration attribution tie-break (r6)

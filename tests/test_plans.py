@@ -87,6 +87,9 @@ def test_q1_single_shuffle_and_fused(spark, sf_dir):
 # - the scalar-subquery queries join a ONE-ROW broadcast aggregate
 #   (avg/total) — a 1×N nested loop is O(N), the right plan for a scalar.
 _BNLJ_ALLOWED = {
+    # one-row H-statistic frame crossJoined onto the 5-row group rank
+    # sums, plus the 1x1 totals x ties join (the anova shape) (r9)
+    "kruskal_wallis_qty_priority",
     # one-row global min/max scalar broadcast onto the fact rows before
     # the 256-bin histogram — the documented scalar crossJoin shape
     "ks_drift_order_prices",
@@ -820,6 +823,46 @@ def test_r8_additions_exchange_budgets(spark, sf_dir):
                                           # the vocab frame
         "shingle_df_histogram": 3,        # per-doc distinct + df agg +
                                           # bucket agg
+    }
+    over = {}
+    for name, budget in budgets.items():
+        got = keyed_shuffle_count(QUERIES[name](spark, sf_dir))
+        if got > budget:
+            over[name] = (got, budget)
+    assert not over, f"keyed-exchange budgets exceeded: {over}"
+
+
+def test_r9_additions_exchange_budgets(spark, sf_dir):
+    # cache-independence discipline (see the r5 test's comment)
+    spark.catalog.clearCache()
+    from windflow_spark.plans.explain import keyed_shuffle_count
+
+    budgets = {
+        "ols_price_on_qty_by_brand": 1,   # broadcast part join + one
+                                          # brand moment agg
+        "durbin_watson_daily_events": 2,  # (type, day) agg + per-type
+                                          # windows/agg on the day frame
+        "ts_macd_daily": 2,               # (type, day) agg + per-type fold
+        "ts_bollinger_daily": 2,          # (type, day) agg + rolling window
+        "ts_obv_daily": 2,                # (type, day) agg + lag/cumsum
+        "kruskal_wallis_qty_priority": 10,  # fact join (2) + (grp,v) agg;
+                                          # everything after runs on <=50-row
+                                          # frames whose tiny exchanges
+                                          # dominate the logical count
+        "ngram_novelty_by_source": 4,     # shingle window + per-doc distinct
+                                          # + first-seen agg/join + source agg
+        "ts_atr_14_daily": 2,             # (type, day) OHLC agg + window
+        "mann_kendall_trend_daily": 8,    # day agg, then pair join / tie
+                                          # aggs all on days-sized frames
+        "ols2_price_on_qty_discount": 1,  # one 9-moment agg pass
+        "mcnemar_returns_discount": 0,    # single global conditional agg
+        "link_prediction_jaccard": 9,     # basket agg + neighbor-set agg
+                                          # + candidate agg; edges/degrees
+                                          # derive in-row and ride
+                                          # broadcasts (no persist — a
+                                          # cached subtree would pin the
+                                          # 200-partition layout on the
+                                          # bare gate session)
     }
     over = {}
     for name, budget in budgets.items():

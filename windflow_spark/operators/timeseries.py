@@ -429,3 +429,102 @@ def holt_smooth(
         F.round(F.col("_x.t"), 6).alias("trend"),
         F.round(F.col("_x.l") + F.col("_x.t"), 6).alias("forecast_next"),
     )
+
+
+def macd_smooth(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """MACD (moving-average convergence/divergence) over per-bucket event
+    counts: fast/slow EMAs of the series, their difference (the MACD
+    line), an EMA of that difference (the signal line), and the histogram
+    — the canonical momentum indicator, and the composition test for the
+    EWMA fold (three coupled recurrences in ONE pass; no reference
+    analog, WindFlow would chain keyed rolling Reduces,
+    wf/basic_operators.hpp).
+
+    Recurrence (standard alphas 2/(p+1); every EMA initializes to its
+    first input, signal to the first MACD value):
+      ``ef_t = af*x_t + (1-af)*ef_{t-1}``  (af = 2/(fast+1))
+      ``es_t = as*x_t + (1-as)*es_{t-1}``  (as = 2/(slow+1))
+      ``macd_t = ef_t - es_t``
+      ``sig_t = ag*macd_t + (1-ag)*sig_{t-1}``  (ag = 2/(signal+1))
+
+    Cross-engine exactness: the alphas are single IEEE divisions of small
+    integers — both engines produce the identical correctly-rounded
+    double from the same literal — and the fold is a strict left-to-right
+    sequential recurrence (same shape as ewma_smooth/holt_smooth), so the
+    float sequence is bit-identical to the recursive-CTE oracle at any
+    partitioning. Per-key state is the timeline length in buckets.
+    """
+    from windflow_spark.operators.timeutil import event_micros
+
+    keys = list(key_cols)
+    af, asl, ag = 2.0 / (fast + 1), 2.0 / (slow + 1), 2.0 / (signal + 1)
+    bidx = F.floor(event_micros(df, ts_col) / F.lit(bucket_us)).cast("long")
+    bucketed = (
+        df.withColumn("_bidx", bidx)
+        .groupBy(*keys, "_bidx")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    lst = F.sort_array(
+        F.collect_list(F.struct(F.col("_bidx").alias("b"), F.col("cnt").alias("c")))
+    )
+    zero = F.struct(
+        F.expr(
+            "CAST(array() AS array<struct<b:bigint,c:bigint,"
+            "f:double,s:double,m:double,g:double>>)"
+        ).alias("arr"),
+        F.lit(None).cast("double").alias("ef"),
+        F.lit(None).cast("double").alias("es"),
+        F.lit(None).cast("double").alias("sg"),
+    )
+
+    def _step(acc, x):
+        first = acc["ef"].isNull()
+        xd = x["c"].cast("double")
+        new_f = F.when(first, xd).otherwise(
+            F.lit(af) * xd + F.lit(1.0 - af) * acc["ef"]
+        )
+        new_s = F.when(first, xd).otherwise(
+            F.lit(asl) * xd + F.lit(1.0 - asl) * acc["es"]
+        )
+        new_m = new_f - new_s
+        new_g = F.when(first, new_m).otherwise(
+            F.lit(ag) * new_m + F.lit(1.0 - ag) * acc["sg"]
+        )
+        return F.struct(
+            F.concat(
+                acc["arr"],
+                F.array(
+                    F.struct(
+                        x["b"].alias("b"),
+                        x["c"].alias("c"),
+                        new_f.alias("f"),
+                        new_s.alias("s"),
+                        new_m.alias("m"),
+                        new_g.alias("g"),
+                    )
+                ),
+            ).alias("arr"),
+            new_f.alias("ef"),
+            new_s.alias("es"),
+            new_g.alias("sg"),
+        )
+
+    folded = bucketed.groupBy(*keys).agg(F.aggregate(lst, zero, _step).alias("_r"))
+    return folded.select(*keys, F.explode(F.col("_r.arr")).alias("_x")).select(
+        *keys,
+        F.timestamp_micros(F.col("_x.b") * F.lit(bucket_us)).alias("bucket_start"),
+        F.col("_x.c").alias("cnt"),
+        F.round(F.col("_x.f"), 6).alias("ema_fast"),
+        F.round(F.col("_x.s"), 6).alias("ema_slow"),
+        F.round(F.col("_x.m"), 6).alias("macd"),
+        F.round(F.col("_x.g"), 6).alias("signal"),
+        F.round(F.col("_x.m") - F.col("_x.g"), 6).alias("histogram"),
+    )

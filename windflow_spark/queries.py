@@ -14003,3 +14003,1078 @@ def shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("df").cast("long").alias("max_df"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r9 wave 1: regression / autocorrelation diagnostics and technical
+# indicators (compositions of the keyed-fold + integer-window disciplines)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ols_price_on_qty_by_brand",
+    """
+    WITH j AS (
+      SELECT p.p_brand AS brand, l.l_quantity AS x, l.l_extendedprice AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    g AS (
+      SELECT brand, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * x AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(x * y AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) AS syy
+      FROM j GROUP BY brand),
+    s AS (
+      SELECT brand, n,
+             CAST(n AS DOUBLE) * sxy - sx * sy AS cov_n,
+             CAST(n AS DOUBLE) * sxx - sx * sx AS varx_n,
+             CAST(n AS DOUBLE) * syy - sy * sy AS vary_n,
+             sx, sy
+      FROM g)
+    SELECT brand, n,
+           round(cov_n / varx_n, 6) AS slope,
+           round((sy - (cov_n / varx_n) * sx) / n, 6) AS intercept,
+           round((cov_n * cov_n) / (varx_n * vary_n), 6) AS r2
+    FROM s
+    """,
+)
+def ols_price_on_qty_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand simple OLS of extended price on quantity (slope,
+    intercept, R²) from the closed-form moment sums — the regression
+    sibling of corr_lineitem_metrics. Cross-engine exactness: every moment
+    (Σx, Σy, Σx², Σxy, Σy²) accumulates as DECIMAL (order-independent;
+    the per-row double products are cast half-away-from-zero identically
+    on both engines, the _dsum discipline), and the slope/intercept/R²
+    algebra then runs on identical doubles. One scan, one keyed exchange
+    (brand agg after a broadcast part join) — at 100 TB this is a single
+    map-side-combined aggregation over the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    g = j.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(18,6)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    s = g.select(
+        "brand",
+        "n",
+        (nd * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cov_n"),
+        (nd * F.col("sxx") - F.col("sx") * F.col("sx")).alias("varx_n"),
+        (nd * F.col("syy") - F.col("sy") * F.col("sy")).alias("vary_n"),
+        "sx",
+        "sy",
+    )
+    return s.select(
+        "brand",
+        "n",
+        F.round(F.col("cov_n") / F.col("varx_n"), 6).alias("slope"),
+        F.round(
+            (F.col("sy") - (F.col("cov_n") / F.col("varx_n")) * F.col("sx"))
+            / F.col("n"),
+            6,
+        ).alias("intercept"),
+        F.round(
+            (F.col("cov_n") * F.col("cov_n"))
+            / (F.col("varx_n") * F.col("vary_n")),
+            6,
+        ).alias("r2"),
+    )
+
+
+@register(
+    "durbin_watson_daily_events",
+    f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // {US_DAY} AS BIGINT) AS bidx,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, bidx, cnt,
+             cnt - lag(cnt) OVER (PARTITION BY event_type ORDER BY bidx) AS d,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS sx
+      FROM c)
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_days,
+           CASE WHEN sum((n * cnt - sx) * (n * cnt - sx)) > 0 THEN
+             round(CAST(max(n) * max(n) * sum(d * d) AS DOUBLE)
+                   / CAST(sum((n * cnt - sx) * (n * cnt - sx)) AS DOUBLE), 6)
+           END AS dw_stat
+    FROM w GROUP BY event_type
+    """,
+)
+def durbin_watson_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson serial-correlation statistic of each type's daily
+    event-count series (DW ≈ 2 → no lag-1 autocorrelation; < 2 →
+    positive). INTEGER-EXACT until the single final division: with
+    residuals about the mean, DW = Σ(x_t − x_prev)² / Σ(x_t − Sx/n)²
+    = n²·Σd² / Σ(n·x_t − Sx)² — numerator and denominator are BIGINT
+    sums of integer squares, so both engines divide identical integers.
+    Two keyed exchanges: the (type, day) bucket agg, then one per-type
+    partitioning shared by the lag/total windows and the final agg over
+    the days-sized frame."""
+    ev = _t(spark, sf_dir, "events")
+    from windflow_spark.operators.timeutil import event_micros
+
+    c = (
+        ev.withColumn(
+            "bidx", F.floor(event_micros(ev, "ts") / F.lit(US_DAY)).cast("long")
+        )
+        .groupBy("event_type", "bidx")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wt = W.partitionBy("event_type")
+    w = c.select(
+        "event_type",
+        "cnt",
+        (F.col("cnt") - F.lag("cnt").over(wt.orderBy("bidx"))).alias("d"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("n"),
+        F.sum("cnt").over(wt).cast("long").alias("sx"),
+    )
+    dev = F.col("n") * F.col("cnt") - F.col("sx")
+    return w.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.when(
+            F.sum(dev * dev) > 0,
+            F.round(
+                (F.max("n") * F.max("n") * F.sum(F.col("d") * F.col("d")))
+                .cast("double")
+                / F.sum(dev * dev).cast("double"),
+                6,
+            ),
+        ).alias("dw_stat"),
+    )
+
+
+@register(
+    "ts_macd_daily",
+    f"""
+    WITH RECURSIVE c AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // {US_DAY} AS BIGINT) AS bidx,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, bidx, cnt,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                                         ORDER BY bidx) AS BIGINT) AS rn
+          FROM c),
+    e AS (
+      SELECT event_type, bidx, cnt, rn,
+             CAST(cnt AS DOUBLE) AS ef, CAST(cnt AS DOUBLE) AS es,
+             CAST(cnt AS DOUBLE) - CAST(cnt AS DOUBLE) AS md,
+             CAST(cnt AS DOUBLE) - CAST(cnt AS DOUBLE) AS sg
+      FROM r WHERE rn = 1
+      UNION ALL
+      SELECT r.event_type, r.bidx, r.cnt, r.rn,
+             (CAST(2 AS DOUBLE) / 13) * r.cnt
+               + (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) / 13) * e.ef,
+             (CAST(2 AS DOUBLE) / 27) * r.cnt
+               + (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) / 27) * e.es,
+             ((CAST(2 AS DOUBLE) / 13) * r.cnt
+               + (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) / 13) * e.ef)
+             - ((CAST(2 AS DOUBLE) / 27) * r.cnt
+               + (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) / 27) * e.es),
+             (CAST(2 AS DOUBLE) / 10)
+               * (((CAST(2 AS DOUBLE) / 13) * r.cnt
+                   + (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) / 13) * e.ef)
+                  - ((CAST(2 AS DOUBLE) / 27) * r.cnt
+                     + (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) / 27) * e.es))
+               + (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) / 10) * e.sg
+      FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1)
+    SELECT event_type, make_timestamp(bidx * {US_DAY}) AS bucket_start, cnt,
+           round(ef, 6) AS ema_fast, round(es, 6) AS ema_slow,
+           round(md, 6) AS macd, round(sg, 6) AS signal,
+           round(md - sg, 6) AS histogram
+    FROM e
+    """,
+)
+def ts_macd_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12, 26, 9) momentum indicator over each type's daily event
+    counts — three coupled EMA recurrences folded in ONE keyed pass (the
+    ewma_smooth composition test). Alphas 2/13, 2/27, 2/10 are single
+    IEEE divisions both engines round identically; the fold is strictly
+    left-to-right so the float sequence matches the recursive-CTE oracle
+    bit-for-bit. One keyed exchange; per-key state = timeline length."""
+    from windflow_spark.operators.timeseries import macd_smooth
+
+    return macd_smooth(
+        _t(spark, sf_dir, "events"),
+        ["event_type"],
+        "ts",
+        fast=12,
+        slow=26,
+        signal=9,
+        bucket_us=US_DAY,
+    )
+
+
+@register(
+    "ts_bollinger_daily",
+    f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // {US_DAY} AS BIGINT) AS bidx,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, bidx, cnt,
+             CAST(count(*) OVER win AS BIGINT) AS nw,
+             CAST(sum(cnt) OVER win AS BIGINT) AS sx,
+             CAST(sum(cnt * cnt) OVER win AS BIGINT) AS sxx
+      FROM c
+      WINDOW win AS (PARTITION BY event_type ORDER BY bidx
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT event_type, make_timestamp(bidx * {US_DAY}) AS bucket_start, cnt,
+           round(sx / CAST(7 AS DOUBLE), 6) AS sma7,
+           round(sqrt(CAST(7 * sxx - sx * sx AS DOUBLE)) / 7, 6) AS sigma7,
+           round(sx / CAST(7 AS DOUBLE)
+                 + 2 * (sqrt(CAST(7 * sxx - sx * sx AS DOUBLE)) / 7), 6)
+             AS upper_band,
+           round(sx / CAST(7 AS DOUBLE)
+                 - 2 * (sqrt(CAST(7 * sxx - sx * sx AS DOUBLE)) / 7), 6)
+             AS lower_band,
+           cnt > sx / CAST(7 AS DOUBLE)
+                 + 2 * (sqrt(CAST(7 * sxx - sx * sx AS DOUBLE)) / 7)
+             AS breakout_up
+    FROM w WHERE nw = 7
+    """,
+)
+def ts_bollinger_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over each type's daily event counts: 7-day rolling
+    mean ± 2 population σ, plus the breakout flag — the volatility-band
+    sibling of ts_donchian_channel_daily (which uses order statistics;
+    this uses moments). INTEGER-EXACT core: the rolling Σx and Σx² are
+    BIGINT window sums, σ = sqrt(7Σx² − Sx²)/7 where the sqrt argument is
+    an exact integer (IEEE sqrt is correctly rounded on both engines),
+    and the breakout compares against the UNROUNDED band. Rows-based
+    window over observed buckets (calendar gaps advance, not decay);
+    the first 6 days per key are dropped (full windows only). Two keyed
+    exchanges: the (type, day) bucket agg, then the per-type rolling
+    window over the days-sized summary frame."""
+    ev = _t(spark, sf_dir, "events")
+    from windflow_spark.operators.timeutil import event_micros
+
+    c = (
+        ev.withColumn(
+            "bidx", F.floor(event_micros(ev, "ts") / F.lit(US_DAY)).cast("long")
+        )
+        .groupBy("event_type", "bidx")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    win = (
+        W.partitionBy("event_type").orderBy("bidx").rowsBetween(-6, W.currentRow)
+    )
+    w = c.select(
+        "event_type",
+        "bidx",
+        "cnt",
+        F.count(F.lit(1)).over(win).cast("long").alias("nw"),
+        F.sum("cnt").over(win).cast("long").alias("sx"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(win).cast("long").alias("sxx"),
+    )
+    mean = F.col("sx") / F.lit(7.0)
+    sigma = F.sqrt((7 * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) / 7
+    upper = mean + 2 * sigma
+    lower = mean - 2 * sigma
+    return w.filter(F.col("nw") == 7).select(
+        "event_type",
+        F.timestamp_micros(F.col("bidx") * F.lit(US_DAY)).alias("bucket_start"),
+        "cnt",
+        F.round(mean, 6).alias("sma7"),
+        F.round(sigma, 6).alias("sigma7"),
+        F.round(upper, 6).alias("upper_band"),
+        F.round(lower, 6).alias("lower_band"),
+        (F.col("cnt") > upper).alias("breakout_up"),
+    )
+
+
+@register(
+    "ts_obv_daily",
+    f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // {US_DAY} AS BIGINT) AS bidx,
+             CAST(count(*) AS BIGINT) AS vol,
+             sum(CAST(value AS DECIMAL(18,6))) AS dsum
+      FROM events GROUP BY 1, 2),
+    d AS (SELECT *, lag(dsum) OVER (PARTITION BY event_type
+                                    ORDER BY bidx) AS prev
+          FROM c),
+    s AS (SELECT *,
+                 CASE WHEN prev IS NULL THEN 0
+                      WHEN dsum > prev THEN 1
+                      WHEN dsum < prev THEN -1
+                      ELSE 0 END AS dir
+          FROM d)
+    SELECT event_type, make_timestamp(bidx * {US_DAY}) AS bucket_start, vol,
+           round(CAST(dsum AS DOUBLE), 2) AS day_value,
+           CAST(sum(dir * vol) OVER (PARTITION BY event_type ORDER BY bidx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS obv
+    FROM s
+    """,
+)
+def ts_obv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume over each type's daily series: volume (event
+    count) accumulates positively on days the daily value-sum rises and
+    negatively when it falls — the classic volume-confirms-trend
+    indicator. The up/down comparison runs on EXACT DECIMAL day sums
+    (order-independent accumulation — a float day-sum could flip a
+    hairline up/down day between engines and corrupt every later OBV),
+    and the OBV itself is a BIGINT running sum. Two keyed exchanges: the
+    (type, day) bucket agg, then one per-type ordering shared by the lag
+    and the running sum over the days-sized frame."""
+    ev = _t(spark, sf_dir, "events")
+    from windflow_spark.operators.timeutil import event_micros
+
+    c = (
+        ev.withColumn(
+            "bidx", F.floor(event_micros(ev, "ts") / F.lit(US_DAY)).cast("long")
+        )
+        .groupBy("event_type", "bidx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vol"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("dsum"),
+        )
+    )
+    wt = W.partitionBy("event_type").orderBy("bidx")
+    d = c.withColumn("prev", F.lag("dsum").over(wt))
+    s = d.withColumn(
+        "dir",
+        F.when(F.col("prev").isNull(), F.lit(0))
+        .when(F.col("dsum") > F.col("prev"), F.lit(1))
+        .when(F.col("dsum") < F.col("prev"), F.lit(-1))
+        .otherwise(F.lit(0)),
+    )
+    return s.select(
+        "event_type",
+        F.timestamp_micros(F.col("bidx") * F.lit(US_DAY)).alias("bucket_start"),
+        "vol",
+        F.round(F.col("dsum").cast("double"), 2).alias("day_value"),
+        F.sum(F.col("dir") * F.col("vol"))
+        .over(wt.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("obv"),
+    )
+
+
+@register(
+    "kruskal_wallis_qty_priority",
+    """
+    WITH j AS (
+      SELECT o.o_orderpriority AS grp, CAST(l.l_quantity AS BIGINT) AS v
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    gc AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS cg
+           FROM j GROUP BY grp, v),
+    vc AS (SELECT v, CAST(sum(cg) AS BIGINT) AS c FROM gc GROUP BY v),
+    vr AS (SELECT v, c,
+                  CAST(2 * (sum(c) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+                       + c + 1 AS BIGINT) AS ar2
+           FROM vc),
+    gr AS (SELECT gc.grp, CAST(sum(gc.cg) AS BIGINT) AS nj,
+                  CAST(sum(gc.cg * vr.ar2) AS BIGINT) AS r2j
+           FROM gc JOIN vr ON gc.v = vr.v GROUP BY gc.grp),
+    t AS (SELECT CAST(sum(nj) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+                 sum((CAST(r2j AS DOUBLE) / 2) * (CAST(r2j AS DOUBLE) / 2)
+                     / nj) AS srn
+          FROM gr),
+    ties AS (SELECT CAST(sum(c * c * c - c) AS BIGINT) AS tsum FROM vc),
+    h AS (SELECT t.n, t.k,
+                 (CAST(12 AS DOUBLE) / (CAST(t.n AS DOUBLE) * (t.n + 1)))
+                   * t.srn - 3 * (t.n + 1) AS h_raw,
+                 CAST(1 AS DOUBLE)
+                   - CAST(ties.tsum AS DOUBLE)
+                     / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n) AS corr
+          FROM t CROSS JOIN ties)
+    SELECT gr.grp, gr.nj, gr.r2j,
+           round(CAST(gr.r2j AS DOUBLE) / (2 * gr.nj), 6) AS mean_rank,
+           h.n, h.k,
+           round(h.h_raw, 4) AS h_stat,
+           round(h.h_raw / h.corr, 4) AS h_corrected
+    FROM gr CROSS JOIN h
+    """,
+)
+def kruskal_wallis_qty_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis rank test of lineitem quantity across the 5 order
+    priorities (the nonparametric ANOVA; mannwhitney_u_price is its
+    2-group special case). Rank discipline: quantity has ≤50 DISTINCT
+    integer values, so average ranks come from the tiny distinct-value
+    frame as EXACT INTEGERS via the 2×-average-rank trick
+    (ar2 = 2·cum_before + c + 1), each group's rank sum R2j stays BIGINT,
+    and only the final H algebra (with the tie correction
+    1 − Σ(t³−t)/(n³−n)) runs in doubles — rounded at 4, the anova_f
+    discipline, because the k-term Σ R²/n sum is the one
+    order-sensitive float reduction. Emits the per-group rank sums
+    (exact) alongside the H statistics. Scale shape: one co-partitioned
+    fact join + one (grp, v) aggregation; everything after runs on
+    ≤ 50-row frames (the docstring caveat from mannwhitney applies: this
+    rank trick REQUIRES a low-cardinality measure)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("l_quantity").cast("long").alias("v"),
+    )
+    gc = j.groupBy("grp", "v").agg(F.count(F.lit(1)).cast("long").alias("cg"))
+    vc = gc.groupBy("v").agg(F.sum("cg").cast("long").alias("c"))
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    vr = vc.select(
+        "v",
+        "c",
+        (2 * (F.sum("c").over(wv) - F.col("c")) + F.col("c") + 1)
+        .cast("long")
+        .alias("ar2"),
+    )
+    gr = (
+        gc.join(F.broadcast(vr), "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("cg").cast("long").alias("nj"),
+            F.sum(F.col("cg") * F.col("ar2")).cast("long").alias("r2j"),
+        )
+    )
+    r2d = F.col("r2j").cast("double")
+    t = gr.agg(
+        F.sum("nj").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum((r2d / 2) * (r2d / 2) / F.col("nj")).alias("srn"),
+    )
+    ties = vc.agg(
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tsum")
+    )
+    nd = F.col("n").cast("double")
+    h = (
+        t.crossJoin(F.broadcast(ties))
+        .select(
+            "n",
+            "k",
+            ((F.lit(12.0) / (nd * (F.col("n") + 1))) * F.col("srn")
+             - 3 * (F.col("n") + 1)).alias("h_raw"),
+            (F.lit(1.0)
+             - F.col("tsum").cast("double")
+             / (nd * F.col("n") * F.col("n") - F.col("n"))).alias("corr"),
+        )
+    )
+    return gr.crossJoin(F.broadcast(h)).select(
+        "grp",
+        "nj",
+        "r2j",
+        F.round(F.col("r2j").cast("double") / (2 * F.col("nj")), 6).alias(
+            "mean_rank"
+        ),
+        "n",
+        "k",
+        F.round(F.col("h_raw"), 4).alias("h_stat"),
+        F.round(F.col("h_raw") / F.col("corr"), 4).alias("h_corrected"),
+    )
+
+
+@register(
+    "ngram_novelty_by_source",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+      FROM d WHERE len(toks) >= 3),
+    occ AS (SELECT doc_id, source, u.s AS shingle
+            FROM s, unnest(sh) AS u(s)),
+    fs AS (SELECT shingle, CAST(min(doc_id) AS BIGINT) AS first_doc
+           FROM occ GROUP BY shingle)
+    SELECT occ.source,
+           CAST(count(*) AS BIGINT) AS shingle_occurrences,
+           CAST(sum(CASE WHEN occ.doc_id = fs.first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS novel_occurrences,
+           round(CAST(sum(CASE WHEN occ.doc_id = fs.first_doc THEN 1 ELSE 0
+                          END) AS DOUBLE) / count(*), 6) AS novelty_rate
+    FROM occ JOIN fs ON occ.shingle = fs.shingle
+    GROUP BY occ.source
+    """,
+)
+def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram novelty rate per source: the share of each source's
+    distinct-per-doc shingle occurrences whose shingle first appears (by
+    min doc_id) in that very document — the corpus-freshness /
+    memorization-pressure diagnostic for training-data curation (a
+    low-novelty source is mostly re-paste of earlier material; the
+    cross-source companion to cross_source_duplication). A shingle's
+    "first" document is the minimum doc_id — deterministic on both
+    engines. Scale shape: same 3-token shingle definition as the minhash
+    family; the per-shingle min-agg and the occurrence join share the
+    shingle exchange; final agg is |sources| rows. No all-pairs
+    anything — novelty is computed per occurrence against a keyed
+    first-seen table."""
+    from windflow_spark.functions.dedup import shingle_stream
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    occ = shingle_stream(docs, "doc_id", "text", 3, carry=["source"]).dropDuplicates(
+        ["doc_id", "_s"]
+    )
+    fs = occ.groupBy("_s").agg(F.min("doc_id").cast("long").alias("first_doc"))
+    novel = F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+    return (
+        occ.join(fs, "_s")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shingle_occurrences"),
+            F.sum(novel).cast("long").alias("novel_occurrences"),
+            F.round(
+                F.sum(novel).cast("double") / F.count(F.lit(1)), 6
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+@register(
+    "link_prediction_jaccard",
+    """
+    WITH li AS (SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_size <= 25),
+    e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+    adj AS (SELECT u AS node, v AS nbr FROM e
+            UNION ALL
+            SELECT v, u FROM e),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY node),
+    zok AS (SELECT node AS z FROM deg WHERE d <= 60),
+    w AS (SELECT a.nbr AS x, b.nbr AS y
+          FROM adj a JOIN adj b ON a.node = b.node AND a.nbr < b.nbr
+          JOIN zok ON a.node = zok.z),
+    cn AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cn
+           FROM w GROUP BY x, y),
+    ne AS (SELECT cn.* FROM cn LEFT JOIN e ON cn.x = e.u AND cn.y = e.v
+           WHERE e.u IS NULL),
+    sc AS (SELECT ne.x, ne.y, ne.cn, dx.d AS deg_x, dy.d AS deg_y,
+                  CAST(ne.cn AS DOUBLE) / (dx.d + dy.d - ne.cn) AS j_raw
+           FROM ne JOIN deg dx ON ne.x = dx.node
+                   JOIN deg dy ON ne.y = dy.node)
+    SELECT x, y, cn AS common_neighbors, deg_x, deg_y,
+           round(j_raw, 6) AS jaccard
+    FROM sc
+    ORDER BY j_raw DESC, x, y
+    LIMIT 20
+    """,
+)
+def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph: top-20 NON-adjacent part
+    pairs by neighborhood Jaccard = |N(x)∩N(y)| / (deg x + deg y − cn) —
+    the classic common-neighbors recommender. Scale disciplines: edges
+    are generated IN-ROW from per-order basket arrays (the triangle-count
+    move, never an order-keyed self-join); wedge pairs are likewise
+    expanded IN-ROW from each center's collected neighbor array rather
+    than an adj⋈adj self-join, and only through HUB-CAPPED centers
+    (deg ≤ 60 — the LSH bucket-cap move: a degree-10⁶ hub would emit
+    10¹² wedges; scores through hubs carry no signal and are excluded on
+    BOTH engines, making the reported Jaccard a documented lower bound);
+    the candidate count is then Σ C(min(deg,60), 2) — LINEAR in nodes,
+    and the edge/degree side tables ride broadcasts. Ranking uses the raw
+    rational cn/(dx+dy−cn) (exact integers → identical IEEE division)
+    with (x, y) tie-breaks; the global top-20 is a TakeOrdered, never a
+    full sort."""
+    pt = (
+        _t(spark, sf_dir, "part").filter(F.col("p_size") <= 25).select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    baskets = li.groupBy("ok").agg(F.array_sort(F.collect_set("pk")).alias("ps"))
+    # BOTH-direction co-occurrence pairs in-row from each basket, then ONE
+    # collect_set aggregation builds the deduplicated neighbor sets — no
+    # separate edge-list materialization, no persist: a persisted subtree
+    # pins its 200-partition layout (AQE may not re-partition cached plan
+    # output), which is exactly what made the first cut of this query
+    # spend ~50 s in tiny-task shuffles on the bare driver-gate session.
+    adj = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda x: F.transform(
+                        F.filter(F.col("ps"), lambda y: y != x),
+                        lambda y: F.struct(x.alias("node"), y.alias("nbr")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.node", "p.nbr")
+    nbrs = adj.groupBy("node").agg(F.array_sort(F.collect_set("nbr")).alias("nb"))
+    deg = nbrs.select("node", F.size("nb").cast("long").alias("d"))
+    # the u<v edge list for the non-adjacency check, derived IN-ROW from
+    # the neighbor arrays (zero extra shuffles)
+    e = nbrs.select(
+        F.col("node").alias("u"),
+        F.explode(F.filter(F.col("nb"), lambda y: y > F.col("node"))).alias("v"),
+    )
+    w = (
+        nbrs.filter(F.size("nb") <= 60)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("nb"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("nb"), i + 2, F.size(F.col("nb"))),
+                            lambda y: F.struct(x.alias("x"), y.alias("y")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+    )
+    cn = w.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    # the edge list (|E| rows) and degree table (|V| rows) are both tiny
+    # next to the candidate-pair frame — broadcast them (at 100 TB the
+    # node set is the parts catalog: dimension-sized; if it ever outgrew
+    # broadcast these become co-partitioned equi-joins on x/y)
+    ne = cn.join(
+        F.broadcast(e), (cn.x == e.u) & (cn.y == e.v), "left_anti"
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("d").alias("deg_x"))
+    dy = deg.select(F.col("node").alias("y"), F.col("d").alias("deg_y"))
+    sc = (
+        ne.join(F.broadcast(dx), "x")
+        .join(F.broadcast(dy), "y")
+        .withColumn(
+            "j_raw",
+            F.col("cn").cast("double")
+            / (F.col("deg_x") + F.col("deg_y") - F.col("cn")),
+        )
+    )
+    return (
+        sc.orderBy(F.col("j_raw").desc(), "x", "y")
+        .limit(20)
+        .select(
+            "x",
+            "y",
+            F.col("cn").alias("common_neighbors"),
+            "deg_x",
+            "deg_y",
+            F.round(F.col("j_raw"), 6).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "ts_atr_14_daily",
+    f"""
+    WITH c AS (
+      SELECT event_type, CAST(epoch_us(ts) // {US_DAY} AS BIGINT) AS bidx,
+             max(value) AS high, min(value) AS low,
+             (max({{'t': epoch_us(ts), 'v': value}})).v AS close
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    p AS (SELECT *, lag(close) OVER (PARTITION BY event_type
+                                     ORDER BY bidx) AS pc
+          FROM c),
+    t AS (SELECT event_type, bidx,
+                 CAST(floor((CASE WHEN pc IS NULL THEN high - low
+                       ELSE greatest(high - low, abs(high - pc),
+                                     abs(low - pc)) END)
+                      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS tr_u
+          FROM p),
+    w AS (SELECT event_type, bidx, tr_u,
+                 CAST(count(*) OVER win AS BIGINT) AS nw,
+                 CAST(sum(tr_u) OVER win AS BIGINT) AS s
+          FROM t
+          WINDOW win AS (PARTITION BY event_type ORDER BY bidx
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT event_type, make_timestamp(bidx * {US_DAY}) AS bucket_start, tr_u,
+           round((CAST(s AS DOUBLE) / 14) / CAST(1000000 AS DOUBLE), 6)
+             AS atr14
+    FROM w WHERE nw = 14
+    """,
+)
+def ts_atr_14_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day average true range over daily value bars per type (SMA-ATR
+    — the volatility denominator of Keltner channels and position sizing;
+    the OHLC consumer of resample_ohlc). True range =
+    max(H−L, |H−prevC|, |L−prevC|) on raw doubles (exact IEEE ops on
+    identical parquet bits), then QUANTIZED to integer micro-units
+    (floor(tr·1e6) — double mult + floor are identical on both engines)
+    so the 14-day window sum is BIGINT-exact regardless of summation
+    order; the quantization (≤1e-6 per term, documented) is the price of
+    order-independence for a rolling float sum. Two keyed exchanges:
+    the (type, day) OHLC agg + the per-type window chain."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    from windflow_spark.operators.timeseries import resample_ohlc
+
+    ohlc = resample_ohlc(ev, ["event_type"], "ts", "value", US_DAY).select(
+        "event_type",
+        (F.unix_micros(F.col("bucket_start")) / F.lit(US_DAY))
+        .cast("long")
+        .alias("bidx"),
+        "high",
+        "low",
+        "close",
+    )
+    wt = W.partitionBy("event_type").orderBy("bidx")
+    p = ohlc.withColumn("pc", F.lag("close").over(wt))
+    tr = F.when(F.col("pc").isNull(), F.col("high") - F.col("low")).otherwise(
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - F.col("pc")),
+            F.abs(F.col("low") - F.col("pc")),
+        )
+    )
+    t = p.select(
+        "event_type",
+        "bidx",
+        F.floor(tr * F.lit(1000000.0)).cast("long").alias("tr_u"),
+    )
+    win = wt.rowsBetween(-13, W.currentRow)
+    w = t.select(
+        "event_type",
+        "bidx",
+        "tr_u",
+        F.count(F.lit(1)).over(win).cast("long").alias("nw"),
+        F.sum("tr_u").over(win).cast("long").alias("s"),
+    )
+    return w.filter(F.col("nw") == 14).select(
+        "event_type",
+        F.timestamp_micros(F.col("bidx") * F.lit(US_DAY)).alias("bucket_start"),
+        "tr_u",
+        F.round(
+            (F.col("s").cast("double") / 14) / F.lit(1000000.0), 6
+        ).alias("atr14"),
+    )
+
+
+@register(
+    "mann_kendall_trend_daily",
+    f"""
+    WITH c AS (
+      SELECT event_type, CAST(epoch_us(ts) // {US_DAY} AS BIGINT) AS bidx,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    p AS (SELECT a.event_type,
+                 CASE WHEN b.cnt > a.cnt THEN 1
+                      WHEN b.cnt < a.cnt THEN -1 ELSE 0 END AS sg
+          FROM c a JOIN c b
+            ON a.event_type = b.event_type AND a.bidx < b.bidx),
+    s AS (SELECT event_type, CAST(sum(sg) AS BIGINT) AS s_stat
+          FROM p GROUP BY 1),
+    n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1),
+    t AS (SELECT event_type,
+                 CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tie_term
+          FROM (SELECT event_type, cnt, CAST(count(*) AS BIGINT) AS tc
+                FROM c GROUP BY 1, 2)
+          GROUP BY 1),
+    v AS (SELECT n.event_type, n.n,
+                 CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term AS DOUBLE)
+                   / 18 AS var_s
+          FROM n JOIN t USING (event_type))
+    SELECT v.event_type, v.n AS n_days, s.s_stat,
+           round(v.var_s, 6) AS var_s,
+           CASE WHEN s.s_stat > 0 THEN round((s.s_stat - 1) / sqrt(v.var_s), 6)
+                WHEN s.s_stat < 0 THEN round((s.s_stat + 1) / sqrt(v.var_s), 6)
+                ELSE CAST(0 AS DOUBLE) END AS z_stat,
+           CASE WHEN s.s_stat > 0 AND (s.s_stat - 1) / sqrt(v.var_s) > 1.96
+                  THEN 'increasing'
+                WHEN s.s_stat < 0 AND (s.s_stat + 1) / sqrt(v.var_s) < -1.96
+                  THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM v JOIN s USING (event_type)
+    """,
+)
+def mann_kendall_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall nonparametric trend test per type's daily series — the
+    hypothesis-test companion to ts_theilsen_trend (same pairwise-sign
+    machinery; this one adds the tie-corrected variance and Z decision).
+    S = Σ_(i<j) sign(x_j − x_i) is an EXACT BIGINT from the pairwise
+    self-join on the days-sized summary frame (30 days → 435 pairs per
+    key — quadratic only in the TIMELINE length, never in event volume;
+    at 100 TB the day frame is still tiny). Variance uses the exact
+    integer tie term Σt(t−1)(2t+5); only the final z = (S∓1)/√var runs
+    in doubles, and the trend label compares the UNROUNDED z on both
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    from windflow_spark.operators.timeutil import event_micros
+
+    c = (
+        ev.withColumn(
+            "bidx", F.floor(event_micros(ev, "ts") / F.lit(US_DAY)).cast("long")
+        )
+        .groupBy("event_type", "bidx")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    a = c.select("event_type", F.col("bidx").alias("ai"), F.col("cnt").alias("ac"))
+    b = c.select(
+        F.col("event_type").alias("bt"),
+        F.col("bidx").alias("bi"),
+        F.col("cnt").alias("bc"),
+    )
+    sg = (
+        F.when(F.col("bc") > F.col("ac"), 1)
+        .when(F.col("bc") < F.col("ac"), -1)
+        .otherwise(0)
+    )
+    s = (
+        a.join(b, (F.col("event_type") == F.col("bt")) & (F.col("ai") < F.col("bi")))
+        .groupBy("event_type")
+        .agg(F.sum(sg).cast("long").alias("s_stat"))
+    )
+    n = c.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = (
+        c.groupBy("event_type", "cnt")
+        .agg(F.count(F.lit(1)).cast("long").alias("tc"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("tc") * (F.col("tc") - 1) * (2 * F.col("tc") + 5)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    v = n.join(t, "event_type").select(
+        "event_type",
+        "n",
+        (
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie_term")
+            ).cast("double")
+            / 18
+        ).alias("var_s"),
+    )
+    zpos = (F.col("s_stat") - 1) / F.sqrt(F.col("var_s"))
+    zneg = (F.col("s_stat") + 1) / F.sqrt(F.col("var_s"))
+    return v.join(s, "event_type").select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "s_stat",
+        F.round(F.col("var_s"), 6).alias("var_s"),
+        F.when(F.col("s_stat") > 0, F.round(zpos, 6))
+        .when(F.col("s_stat") < 0, F.round(zneg, 6))
+        .otherwise(F.lit(0.0))
+        .alias("z_stat"),
+        F.when((F.col("s_stat") > 0) & (zpos > 1.96), F.lit("increasing"))
+        .when((F.col("s_stat") < 0) & (zneg < -1.96), F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )
+
+
+@register(
+    "ols2_price_on_qty_discount",
+    """
+    WITH g AS (
+      SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6)))
+                  AS DOUBLE) AS s11,
+             CAST(sum(CAST(l_discount * l_discount AS DECIMAL(18,6)))
+                  AS DOUBLE) AS s22,
+             CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(18,6)))
+                  AS DOUBLE) AS s12,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6)))
+                  AS DOUBLE) AS s1y,
+             CAST(sum(CAST(l_discount * l_extendedprice AS DECIMAL(18,6)))
+                  AS DOUBLE) AS s2y,
+             CAST(sum(CAST(l_extendedprice * l_extendedprice
+                           AS DECIMAL(28,6))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY 1),
+    d AS (
+      SELECT flag, n, s1, s2, sy, s1y, s2y, syy,
+             CAST(n AS DOUBLE) * (s11 * s22 - s12 * s12)
+               - s1 * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s12 - s11 * s2) AS det,
+             sy * (s11 * s22 - s12 * s12)
+               - s1 * (s1y * s22 - s12 * s2y)
+               + s2 * (s1y * s12 - s11 * s2y) AS det0,
+             CAST(n AS DOUBLE) * (s1y * s22 - s12 * s2y)
+               - sy * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s2y - s1y * s2) AS det1,
+             CAST(n AS DOUBLE) * (s11 * s2y - s1y * s12)
+               - s1 * (s1 * s2y - s1y * s2)
+               + sy * (s1 * s12 - s11 * s2) AS det2
+      FROM g),
+    b AS (SELECT flag, n, det0 / det AS b0, det1 / det AS b1,
+                 det2 / det AS b2, sy, s1y, s2y, syy
+          FROM d)
+    SELECT flag, n,
+           round(b0, 6) AS intercept,
+           round(b1, 6) AS beta_qty,
+           round(b2, 6) AS beta_discount,
+           round(CAST(1 AS DOUBLE)
+                 - (syy - b0 * sy - b1 * s1y - b2 * s2y)
+                   / (syy - (sy * sy) / n), 6) AS r2
+    FROM b
+    """,
+)
+def ols2_price_on_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor OLS per return flag (extended price on quantity AND
+    discount) solved in closed form: the 3×3 normal equations via
+    Cramer's rule over the nine moment sums — multiple regression as ONE
+    map-side-combined aggregation pass, no iteration, no driver-side
+    solver (at 100 TB this is exactly one scan + one 3-row shuffle).
+    Every moment accumulates as DECIMAL (order-independent, the _dsum
+    discipline); the determinant expansions and R² = 1 − SSE/SST are then
+    fixed IEEE expression trees over identical doubles on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def dsum6(expr):
+        return F.sum(expr.cast("decimal(18,6)")).cast("double")
+
+    q, dc, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    g = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum6(q).alias("s1"),
+        dsum6(dc).alias("s2"),
+        dsum6(y).alias("sy"),
+        dsum6(q * q).alias("s11"),
+        dsum6(dc * dc).alias("s22"),
+        dsum6(q * dc).alias("s12"),
+        dsum6(q * y).alias("s1y"),
+        dsum6(dc * y).alias("s2y"),
+        F.sum((y * y).cast("decimal(28,6)")).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    s1, s2, sy = F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s22, s12 = F.col("s11"), F.col("s22"), F.col("s12")
+    s1y, s2y, syy = F.col("s1y"), F.col("s2y"), F.col("syy")
+    d = g.select(
+        "flag",
+        "n",
+        "sy",
+        "s1y",
+        "s2y",
+        "syy",
+        (
+            nd * (s11 * s22 - s12 * s12)
+            - s1 * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s12 - s11 * s2)
+        ).alias("det"),
+        (
+            sy * (s11 * s22 - s12 * s12)
+            - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y)
+        ).alias("det0"),
+        (
+            nd * (s1y * s22 - s12 * s2y)
+            - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2)
+        ).alias("det1"),
+        (
+            nd * (s11 * s2y - s1y * s12)
+            - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2)
+        ).alias("det2"),
+    )
+    b = d.select(
+        "flag",
+        "n",
+        "sy",
+        "s1y",
+        "s2y",
+        "syy",
+        (F.col("det0") / F.col("det")).alias("b0"),
+        (F.col("det1") / F.col("det")).alias("b1"),
+        (F.col("det2") / F.col("det")).alias("b2"),
+    )
+    sse = (
+        F.col("syy")
+        - F.col("b0") * F.col("sy")
+        - F.col("b1") * F.col("s1y")
+        - F.col("b2") * F.col("s2y")
+    )
+    sst = F.col("syy") - (F.col("sy") * F.col("sy")) / F.col("n")
+    return b.select(
+        "flag",
+        "n",
+        F.round(F.col("b0"), 6).alias("intercept"),
+        F.round(F.col("b1"), 6).alias("beta_qty"),
+        F.round(F.col("b2"), 6).alias("beta_discount"),
+        F.round(F.lit(1.0) - sse / sst, 6).alias("r2"),
+    )
+
+
+@register(
+    "mcnemar_returns_discount",
+    """
+    WITH f AS (
+      SELECT l_returnflag = 'R' AS a,
+             l_discount > 0.05 AS b
+      FROM lineitem),
+    c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                      AS BIGINT) AS b10,
+                 CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+                      AS BIGINT) AS b01,
+                 CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END)
+                      AS BIGINT) AS b11,
+                 CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                      AS BIGINT) AS b00
+          FROM f)
+    SELECT n, b11 AS both_true, b00 AS both_false,
+           b10 AS only_returned, b01 AS only_discounted,
+           round(CAST((abs(b10 - b01) - 1) * (abs(b10 - b01) - 1) AS DOUBLE)
+                 / (b10 + b01), 6) AS chi2_cc,
+           round(CAST(b10 AS DOUBLE) / (b10 + b01), 6) AS discordant_share
+    FROM c
+    """,
+)
+def mcnemar_returns_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test (continuity-corrected) on the paired binary flags
+    "item was returned" vs "item was deep-discounted" — the
+    paired-proportions sibling of chi2_segment_priority (which tests
+    independence on UNPAIRED margins; McNemar tests marginal homogeneity
+    on the SAME rows). χ²_cc = (|b−c|−1)²/(b+c) over the two discordant
+    cells — all BIGINT until the final division. ONE conditional-agg
+    scan, zero joins; the paired flags are computed in-row."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = F.col("l_returnflag") == "R"
+    b = F.col("l_discount") > 0.05
+    c = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(a & ~b, 1).otherwise(0)).cast("long").alias("b10"),
+        F.sum(F.when(~a & b, 1).otherwise(0)).cast("long").alias("b01"),
+        F.sum(F.when(a & b, 1).otherwise(0)).cast("long").alias("b11"),
+        F.sum(F.when(~a & ~b, 1).otherwise(0)).cast("long").alias("b00"),
+    )
+    diff = F.abs(F.col("b10") - F.col("b01")) - 1
+    return c.select(
+        "n",
+        F.col("b11").alias("both_true"),
+        F.col("b00").alias("both_false"),
+        F.col("b10").alias("only_returned"),
+        F.col("b01").alias("only_discounted"),
+        F.round(
+            (diff * diff).cast("double") / (F.col("b10") + F.col("b01")), 6
+        ).alias("chi2_cc"),
+        F.round(
+            F.col("b10").cast("double") / (F.col("b10") + F.col("b01")), 6
+        ).alias("discordant_share"),
+    )
