@@ -89,6 +89,11 @@ SAMPLE = [
     "ts_atr_14_daily",              # quantized-TR window sums (r9)
     "mann_kendall_trend_daily",     # pairwise sign sums + tie term (r9)
     "ols2_price_on_qty_discount",   # 9-moment Cramer solve (r9)
+    "span_corruption_masks",        # content-addressed mask spans (r9)
+    "quantile_normalize_doclen",    # integer rank mapping under shuffles (r9)
+    "sax_symbols_daily",            # boundary-free symbol classification (r9)
+    "growth_accounting_weekly",     # per-user lag classification (r9)
+    "hurst_rs_daily",               # block cumdev extremes + rounded avg (r9)
     "forward_fill_last_purchase",   # IGNORE NULLS frame determinism (r6)
     "embedding_source_drift",       # per-dim float means over shuffles (r6)
     "ts_twap_daily",                # duration attribution tie-break (r6)

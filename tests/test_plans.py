@@ -90,6 +90,9 @@ _BNLJ_ALLOWED = {
     # one-row H-statistic frame crossJoined onto the 5-row group rank
     # sums, plus the 1x1 totals x ties join (the anova shape) (r9)
     "kruskal_wallis_qty_priority",
+    # one-row corpus-count N broadcast onto the ranked doc frame — the
+    # scalar-attach plan for the quantile position formula (r9)
+    "quantile_normalize_doclen",
     # one-row global min/max scalar broadcast onto the fact rows before
     # the 256-bin histogram — the documented scalar crossJoin shape
     "ks_drift_order_prices",
@@ -856,6 +859,18 @@ def test_r9_additions_exchange_budgets(spark, sf_dir):
                                           # aggs all on days-sized frames
         "ols2_price_on_qty_discount": 1,  # one 9-moment agg pass
         "mcnemar_returns_discount": 0,    # single global conditional agg
+        "span_corruption_masks": 0,       # pure in-row array planning
+        "quantile_normalize_doclen": 1,   # source window; global rank is a
+                                          # SinglePartition sort (documented
+                                          # caveat) + broadcast position join
+        "sax_symbols_daily": 4,           # day agg + moment agg + symbol agg
+        "growth_accounting_weekly": 3,    # (user,week) distinct + user
+                                          # windows + week agg; summary lag
+                                          # on the weeks frame
+        "activity_histogram_monthly": 3,  # user-keyed distinct/count + the
+                                          # tiny histogram agg
+        "hurst_rs_daily": 4,              # day agg + per-(type,m,blk)
+                                          # windows + block agg
         "link_prediction_jaccard": 9,     # basket agg + neighbor-set agg
                                           # + candidate agg; edges/degrees
                                           # derive in-row and ride

@@ -15078,3 +15078,529 @@ def mcnemar_returns_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b10").cast("double") / (F.col("b10") + F.col("b01")), 6
         ).alias("discordant_share"),
     )
+
+
+@register(
+    "span_corruption_masks",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+      FROM documents),
+    f AS (SELECT doc_id, CAST(n AS BIGINT) AS n,
+                 CAST((n * 15) // 100 // 3 AS BIGINT) AS nsp
+          FROM d WHERE n >= 20),
+    m AS (SELECT doc_id, n, nsp,
+                 list_distinct(flatten(list_transform(
+                   generate_series(0, nsp - 1),
+                   s -> generate_series(
+                     1 + (('0x' || substr(md5(doc_id || ':' || s), 1, 15))
+                          ::BIGINT % (n - 2)),
+                     least(1 + (('0x' || substr(md5(doc_id || ':' || s), 1, 15))
+                                ::BIGINT % (n - 2)) + 2, n))))) AS masked
+          FROM f)
+    SELECT doc_id, n AS n_tokens, nsp AS n_spans,
+           CAST(len(masked) AS BIGINT) AS n_masked,
+           CAST(list_sum(masked) AS BIGINT) AS mask_pos_sum,
+           round(CAST(len(masked) AS DOUBLE) / n, 6) AS mask_rate
+    FROM m
+    """,
+)
+def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption mask planning per document: ~15% of token
+    positions masked in mean-length-3 spans, span starts drawn
+    DETERMINISTICALLY from md5(doc_id:span_idx) — the denoising-objective
+    data-prep pass (mask positions must be reproducible across reruns and
+    engines, which is why the randomness is content-addressed, the
+    sample_stratified_hash discipline). Everything is IN-ROW array work
+    (zero shuffles, scan-parallel): span count = n·15//100//3 in integer
+    arithmetic, overlapping spans collapse via distinct, and the emitted
+    fingerprint (count + position sum) pins the exact mask set. Docs with
+    <20 tokens are skipped (no full span fits the budget)."""
+    from windflow_spark.functions.text import tokens
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.size(tokens("text")).cast("long").alias("n"))
+    f = d.filter(F.col("n") >= 20).select(
+        "doc_id",
+        "n",
+        ((F.col("n") * 15 - (F.col("n") * 15) % 100) / 100).cast("long").alias("_h"),
+    )
+    f = f.select(
+        "doc_id", "n", ((F.col("_h") - F.col("_h") % 3) / 3).cast("long").alias("nsp")
+    )
+    h = lambda s: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), s)), 1, 15), 16, 10
+    ).cast("long")
+    start = lambda s: 1 + h(s) % (F.col("n") - 2)  # noqa: E731
+    masked = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.col("nsp") - 1),
+                lambda s: F.sequence(
+                    start(s), F.least(start(s) + 2, F.col("n"))
+                ),
+            )
+        )
+    )
+    m = f.select("doc_id", "n", "nsp", masked.alias("masked"))
+    return m.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.col("nsp").alias("n_spans"),
+        F.size("masked").cast("long").alias("n_masked"),
+        F.aggregate(
+            "masked", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("mask_pos_sum"),
+        F.round(F.size("masked").cast("double") / F.col("n"), 6).alias(
+            "mask_rate"
+        ),
+    )
+
+
+@register(
+    "quantile_normalize_doclen",
+    """
+    WITH r AS (
+      SELECT source, n_chars, doc_id,
+             CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+      FROM documents),
+    g AS (SELECT n_chars AS gval,
+                 CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+                   AS gr
+          FROM documents),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+    m AS (SELECT r.source, r.n_chars, g.gval
+          FROM r CROSS JOIN n
+          JOIN g ON g.gr = ((r.r - 1) * n.nn) // r.ns + 1)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS raw_sum,
+           CAST(sum(gval) AS BIGINT) AS norm_sum,
+           CAST(min(gval) AS BIGINT) AS norm_min,
+           CAST(max(gval) AS BIGINT) AS norm_max
+    FROM m GROUP BY source
+    """,
+)
+def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document length across sources: each
+    doc's length is replaced by the GLOBAL length at the same within-
+    source quantile position (the cross-source distribution equalizer —
+    microarray-classic, used in data curation to compare sources whose
+    raw length distributions differ). INTEGER-EXACT: within-source rank r
+    of n_s maps to global rank ((r−1)·N)//n_s + 1 — pure integer
+    arithmetic, deterministic (n_chars, doc_id) tie-break on both
+    engines; the position join is an equi-join on the global rank.
+    Emits per-source raw vs normalized sums/extremes. The global
+    row_number is a documented single-partition sort at THIS corpus
+    size (the gains_table_deciles caveat); the 100 TB path is a range-
+    partitioned two-pass rank, same downstream algebra."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = W.partitionBy("source")
+    r = docs.select(
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(ws.orderBy("n_chars", "doc_id"))
+        .cast("long")
+        .alias("r"),
+        F.count(F.lit(1)).over(ws).cast("long").alias("ns"),
+    )
+    g = docs.select(
+        F.col("n_chars").alias("gval"),
+        F.row_number().over(W.orderBy("n_chars", "doc_id")).cast("long").alias("gr"),
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    pos = ((F.col("r") - 1) * F.col("nn") - ((F.col("r") - 1) * F.col("nn")) % F.col("ns")) / F.col("ns") + 1
+    m = (
+        r.crossJoin(F.broadcast(n))
+        .withColumn("gpos", pos.cast("long"))
+        .join(g, F.col("gpos") == F.col("gr"))
+    )
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("raw_sum"),
+        F.sum("gval").cast("long").alias("norm_sum"),
+        F.min("gval").cast("long").alias("norm_min"),
+        F.max("gval").cast("long").alias("norm_max"),
+    )
+
+
+@register(
+    "sax_symbols_daily",
+    f"""
+    WITH c AS (
+      SELECT event_type, CAST(epoch_us(ts) // {US_DAY} AS BIGINT) AS bidx,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(cnt) AS BIGINT) AS s,
+                  CAST(sum(cnt * cnt) AS BIGINT) AS ss
+           FROM c GROUP BY 1),
+    z AS (SELECT c.event_type, c.bidx, c.cnt,
+                 CAST(st.n * c.cnt - st.s AS DOUBLE) AS dev,
+                 sqrt(CAST(st.n * st.ss - st.s * st.s AS DOUBLE)) AS dnm
+          FROM c JOIN st USING (event_type)),
+    sym AS (SELECT event_type, bidx,
+                   CASE WHEN dnm = 0 THEN 'b'
+                        WHEN dev < -0.6745 * dnm THEN 'a'
+                        WHEN dev < 0 THEN 'b'
+                        WHEN dev < 0.6745 * dnm THEN 'c'
+                        ELSE 'd' END AS sm
+            FROM z)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           string_agg(sm, '' ORDER BY bidx) AS sax,
+           CAST(sum(CASE WHEN sm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN sm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(sum(CASE WHEN sm = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+           CAST(sum(CASE WHEN sm = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_d
+    FROM sym GROUP BY event_type
+    """,
+)
+def sax_symbols_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization of each type's daily count series (alphabet
+    {{a,b,c,d}} at the standard N(0,1) breakpoints ±0.6745, 0) — the
+    symbolic time-series representation behind motif discovery and
+    HOT-SAX anomaly mining. The z-score comparisons are rearranged to
+    integer-exact form: z < t ⇔ (n·x − S) < t·sqrt(n·SS − S²), where
+    dev is BIGINT and the threshold side is one IEEE multiply of an
+    integer-argument sqrt — both engines classify every day identically
+    (no division, no rounding anywhere near a boundary). The SAX string
+    aggregates in explicit bidx order on both engines. One keyed
+    exchange for the day agg; the per-type moments ride a broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    from windflow_spark.operators.timeutil import event_micros
+
+    c = (
+        ev.withColumn(
+            "bidx", F.floor(event_micros(ev, "ts") / F.lit(US_DAY)).cast("long")
+        )
+        .groupBy("event_type", "bidx")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    st = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("ss"),
+    )
+    z = c.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "bidx",
+        (F.col("n") * F.col("cnt") - F.col("s")).cast("double").alias("dev"),
+        F.sqrt(
+            (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+        ).alias("dnm"),
+    )
+    sm = (
+        F.when(F.col("dnm") == 0, F.lit("b"))
+        .when(F.col("dev") < -0.6745 * F.col("dnm"), F.lit("a"))
+        .when(F.col("dev") < 0, F.lit("b"))
+        .when(F.col("dev") < 0.6745 * F.col("dnm"), F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    sym = z.select("event_type", "bidx", sm.alias("sm"))
+    agg = sym.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("bidx"), F.col("sm")))
+                ),
+                lambda x: x["sm"],
+            ),
+            "",
+        ).alias("sax"),
+        F.sum(F.when(F.col("sm") == "a", 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("sm") == "b", 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("sm") == "c", 1).otherwise(0)).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("sm") == "d", 1).otherwise(0)).cast("long").alias("n_d"),
+    )
+    return agg
+
+
+@register(
+    "growth_accounting_weekly",
+    f"""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // {US_DAY * 7} AS BIGINT) AS wk
+      FROM events),
+    l AS (SELECT user_id, wk,
+                 lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+                 min(wk) OVER (PARTITION BY user_id) AS first_wk
+          FROM uw),
+    cl AS (SELECT wk,
+                  CAST(count(*) AS BIGINT) AS n_active,
+                  CAST(sum(CASE WHEN wk = first_wk THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_new,
+                  CAST(sum(CASE WHEN prev_wk = wk - 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_retained,
+                  CAST(sum(CASE WHEN wk <> first_wk
+                                 AND (prev_wk IS NULL OR prev_wk < wk - 1)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+           FROM l GROUP BY wk),
+    w AS (SELECT *, lag(n_active) OVER (ORDER BY wk) AS prev_active
+          FROM cl)
+    SELECT wk AS week_idx, n_active, n_new, n_retained, n_resurrected,
+           CASE WHEN prev_active IS NULL THEN NULL
+                ELSE prev_active - n_retained END AS n_churned,
+           CASE WHEN prev_active IS NOT NULL
+                 AND prev_active - n_retained > 0
+                THEN round(CAST(n_new + n_resurrected AS DOUBLE)
+                           / (prev_active - n_retained), 6) END AS quick_ratio
+    FROM w
+    """,
+)
+def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (the Social-Capital framework): every
+    active user classified as NEW (first-ever week), RETAINED (also
+    active the week before), or RESURRECTED (returning after a gap);
+    CHURNED(w) = active(w−1) − retained(w), and the quick ratio =
+    (new + resurrected)/churned. All counts are exact integers from one
+    (user, week) distinct pass + per-user lag/min windows; the weekly
+    summary lag runs on the weeks-sized frame. The user window and the
+    distinct share the user-keyed exchange — at 100 TB this is the
+    standard two-shuffle cohort shape (fact→user, user→week)."""
+    ev = _t(spark, sf_dir, "events")
+    from windflow_spark.operators.timeutil import event_micros
+
+    uw = (
+        ev.select(
+            "user_id",
+            F.floor(event_micros(ev, "ts") / F.lit(US_DAY * 7))
+            .cast("long")
+            .alias("wk"),
+        )
+        .distinct()
+    )
+    wu = W.partitionBy("user_id")
+    l = uw.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(wu.orderBy("wk")).alias("prev_wk"),
+        F.min("wk").over(wu).alias("first_wk"),
+    )
+    cl = l.groupBy("wk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.sum(F.when(F.col("wk") == F.col("first_wk"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("prev_wk") == F.col("wk") - 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                (F.col("wk") != F.col("first_wk"))
+                & (F.col("prev_wk").isNull() | (F.col("prev_wk") < F.col("wk") - 1)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    w = cl.withColumn("prev_active", F.lag("n_active").over(W.orderBy("wk")))
+    churn = F.col("prev_active") - F.col("n_retained")
+    return w.select(
+        F.col("wk").alias("week_idx"),
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.when(F.col("prev_active").isNotNull(), churn).alias("n_churned"),
+        F.when(
+            F.col("prev_active").isNotNull() & (churn > 0),
+            F.round(
+                (F.col("n_new") + F.col("n_resurrected")).cast("double") / churn, 6
+            ),
+        ).alias("quick_ratio"),
+    )
+
+
+@register(
+    "activity_histogram_monthly",
+    f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             date_trunc('month', ts) AS mon,
+             CAST(epoch_us(ts) // {US_DAY} AS BIGINT) AS d
+      FROM events),
+    per_user AS (SELECT user_id, mon, CAST(count(*) AS BIGINT) AS days_active
+                 FROM ud GROUP BY 1, 2)
+    SELECT mon AS month_start, days_active,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY 1, 2
+    """,
+)
+def activity_histogram_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user curve: per calendar month, the histogram of users by
+    number of active days (the L28/L30 engagement distribution — the
+    shape product teams watch to distinguish habit from drive-by). Exact
+    integers throughout: one (user, month, day) distinct, one per-user
+    count, one histogram agg — all three co-partitioned on user_id then
+    the tiny (month, days) frame. Calendar months via date_trunc on both
+    engines (identical timestamp semantics, system tz UTC)."""
+    ev = _t(spark, sf_dir, "events")
+    from windflow_spark.operators.timeutil import event_micros
+
+    ud = ev.select(
+        "user_id",
+        F.date_trunc("month", F.col("ts")).alias("mon"),
+        F.floor(event_micros(ev, "ts") / F.lit(US_DAY)).cast("long").alias("d"),
+    ).distinct()
+    per_user = ud.groupBy("user_id", "mon").agg(
+        F.count(F.lit(1)).cast("long").alias("days_active")
+    )
+    return per_user.groupBy(
+        F.col("mon").alias("month_start"), "days_active"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+@register(
+    "hurst_rs_daily",
+    f"""
+    WITH c AS (
+      SELECT event_type, CAST(epoch_us(ts) // {US_DAY} AS BIGINT) AS bidx,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, bidx, cnt,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                                         ORDER BY bidx) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+          FROM c),
+    x AS (SELECT r.*, m.m, (rn - 1) // m.m AS blk
+          FROM r CROSS JOIN (SELECT unnest([8, 16]) AS m) m
+          WHERE (rn - 1) // m.m < n // m.m),
+    bs AS (SELECT event_type, m, blk, cnt, rn,
+                  CAST(sum(cnt) OVER w AS BIGINT) AS s,
+                  CAST(sum(cnt * cnt) OVER w AS BIGINT) AS ss
+           FROM x
+           WINDOW w AS (PARTITION BY event_type, m, blk)),
+    cum AS (SELECT event_type, m, blk, s, ss,
+                   CAST(sum(m * cnt - s) OVER (PARTITION BY event_type, m, blk
+                          ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS ck
+            FROM bs),
+    blkrs AS (SELECT event_type, m, blk,
+                     CAST(max(ck) - min(ck) AS BIGINT) AS r_num,
+                     sqrt(CAST(max(m) * max(ss) - max(s) * max(s) AS DOUBLE))
+                       AS s_den
+              FROM cum GROUP BY 1, 2, 3),
+    rs AS (SELECT event_type, m,
+                  round(sum(CAST(r_num AS DOUBLE) / s_den)
+                        / count(*), 6) AS avg_rs,
+                  CAST(count(*) AS BIGINT) AS n_blocks
+           FROM blkrs WHERE s_den > 0 GROUP BY 1, 2)
+    SELECT a.event_type,
+           a.avg_rs AS avg_rs8, a.n_blocks AS n_blocks8,
+           b.avg_rs AS avg_rs16, b.n_blocks AS n_blocks16,
+           round(log2(b.avg_rs / a.avg_rs), 6) AS hurst
+    FROM rs a JOIN rs b ON a.event_type = b.event_type
+    WHERE a.m = 8 AND b.m = 16
+    """,
+)
+def hurst_rs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent (rescaled-range estimate) of each type's daily
+    series: R/S per full block at sizes 8 and 16, H = log2 of the
+    avg-R/S ratio (the two-point slope in log2 space) — H≈0.5 random
+    walk, >0.5 persistent, <0.5 mean-reverting. Integer-exact core: with
+    μ scaled away, the cumulative deviation C_k = Σ(m·x_i − S_block) is
+    BIGINT, R = (maxC − minC)/m and S = sqrt(m·SS − S²)/m cancel to
+    R/S = (maxC − minC)/sqrt(m·SS − S²) — integer numerator over an
+    integer-argument sqrt. The per-(type,m) block average (≤4 doubles)
+    and the final log2 follow the anova round-at-the-end tolerance, and
+    H is computed from the ALREADY-ROUNDED averages so both engines feed
+    log2 identical inputs. Constant blocks (S=0) are excluded
+    identically. One (type,day) exchange + windows on day-frames."""
+    ev = _t(spark, sf_dir, "events")
+    from windflow_spark.operators.timeutil import event_micros
+
+    c = (
+        ev.withColumn(
+            "bidx", F.floor(event_micros(ev, "ts") / F.lit(US_DAY)).cast("long")
+        )
+        .groupBy("event_type", "bidx")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wt = W.partitionBy("event_type")
+    r = c.select(
+        "event_type",
+        "bidx",
+        "cnt",
+        F.row_number().over(wt.orderBy("bidx")).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("n"),
+    )
+    ms = spark.range(1).select(
+        F.explode(F.array(F.lit(8).cast("long"), F.lit(16).cast("long"))).alias("m")
+    )
+    rn1 = F.col("rn") - 1
+    x = (
+        r.crossJoin(F.broadcast(ms))
+        .withColumn("blk", ((rn1 - rn1 % F.col("m")) / F.col("m")).cast("long"))
+        .filter(
+            F.col("blk")
+            < ((F.col("n") - F.col("n") % F.col("m")) / F.col("m")).cast("long")
+        )
+    )
+    wb = W.partitionBy("event_type", "m", "blk")
+    bs = x.select(
+        "event_type",
+        "m",
+        "blk",
+        "cnt",
+        "rn",
+        F.sum("cnt").over(wb).cast("long").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(wb).cast("long").alias("ss"),
+    )
+    cum = bs.select(
+        "event_type",
+        "m",
+        "blk",
+        "s",
+        "ss",
+        F.sum(F.col("m") * F.col("cnt") - F.col("s"))
+        .over(wb.orderBy("rn").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("ck"),
+    )
+    blkrs = cum.groupBy("event_type", "m", "blk").agg(
+        (F.max("ck") - F.min("ck")).cast("long").alias("r_num"),
+        F.sqrt(
+            (F.max("m") * F.max("ss") - F.max("s") * F.max("s")).cast("double")
+        ).alias("s_den"),
+    )
+    rs = (
+        blkrs.filter(F.col("s_den") > 0)
+        .groupBy("event_type", "m")
+        .agg(
+            F.round(
+                F.sum(F.col("r_num").cast("double") / F.col("s_den"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_rs"),
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        )
+    )
+    a = rs.filter(F.col("m") == 8).select(
+        "event_type",
+        F.col("avg_rs").alias("avg_rs8"),
+        F.col("n_blocks").alias("n_blocks8"),
+    )
+    b = rs.filter(F.col("m") == 16).select(
+        F.col("event_type").alias("et_b"),
+        F.col("avg_rs").alias("avg_rs16"),
+        F.col("n_blocks").alias("n_blocks16"),
+    )
+    return (
+        a.join(b, a.event_type == F.col("et_b"))
+        .select(
+            "event_type",
+            "avg_rs8",
+            "n_blocks8",
+            "avg_rs16",
+            "n_blocks16",
+            F.round(F.log2(F.col("avg_rs16") / F.col("avg_rs8")), 6).alias(
+                "hurst"
+            ),
+        )
+    )
