@@ -2069,3 +2069,71 @@ def test_monitor_report_renders_html(spark, stream_fixture, tmp_path):
     out_path = tmp_path / "report.html"
     out_path.write_text(html2)
     assert out_path.stat().st_size > 500
+
+
+def test_streaming_space_saving_equals_ordered_replay(spark, tmp_path_factory):
+    """Space-saving heavy hitters in streaming state ≡ an ordered batch
+    replay of the same fold, with rows split across micro-batches by
+    time (the kslack order-is-a-pure-function-of-the-data discipline).
+    The item stream is Zipf-ish so evictions actually happen (k=4 but
+    8 distinct items), and the test checks the textbook guarantee too:
+    every item with true count > n/k appears in the summary."""
+    import time as _time
+
+    from windflow_spark.streaming import streaming_space_saving
+
+    K = 4
+    # deterministic skewed stream over 2 keys, 8 distinct items
+    rows = []
+    for i in range(120):
+        key = f"g{i % 2}"
+        r = (i * 37) % 16
+        item = f"t{r % 8 if r >= 8 else r % 3}"  # t0..t2 hot, t0..t7 tail
+        rows.append((key, item, i * SEC, False))
+
+    def replay(key):
+        items, counts, errs = [], [], []
+        for _, item, _, _ in sorted(
+            (r for r in rows if r[0] == key), key=lambda r: (r[2], r[1])
+        ):
+            if item in items:
+                counts[items.index(item)] += 1
+            elif len(items) < K:
+                items.append(item); counts.append(1); errs.append(0)
+            else:
+                v = min(range(len(items)), key=lambda i: (counts[i], items[i]))
+                vc = counts[v]
+                items[v], counts[v], errs[v] = item, vc + 1, vc
+        order = sorted(range(len(items)), key=lambda i: (-counts[i], items[i]))
+        return [
+            (key, items[i], counts[i], errs[i], r + 1) for r, i in enumerate(order)
+        ]
+
+    expect = _nsort(replay("g0") + replay("g1"))
+
+    src = str(tmp_path_factory.mktemp("sss"))
+    schema = "key string, item string, us long, eos boolean"
+    mk = lambda rs: spark.createDataFrame(rs, schema)  # noqa: E731
+    third = len(rows) // 3
+    for chunk in (rows[:third], rows[third : 2 * third], rows[2 * third :]):
+        mk(chunk).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+    mk([(k, "_eos", 10_000 * SEC, True) for k in ("g0", "g1")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = file_stream(spark, src, mk(rows[:1]).schema, max_files_per_trigger=1)
+    out = streaming_space_saving(stream, "key", "item", "us", K)
+    name, _ = to_memory_sink(out)
+    got = _nsort(map(tuple, spark.table(name).collect()))
+    assert got == expect
+    # textbook guarantee: true count > n/K per key implies presence
+    from collections import Counter
+
+    for key in ("g0", "g1"):
+        true = Counter(r[1] for r in rows if r[0] == key)
+        n = sum(true.values())
+        summary_items = {t[1] for t in got if t[0] == key}
+        for item, c in true.items():
+            if c > n / K:
+                assert item in summary_items, (key, item, c, n)

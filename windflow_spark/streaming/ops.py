@@ -2116,3 +2116,83 @@ def streaming_asof_join_backward(
     return u.groupBy("k").applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_space_saving(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+    us_col: str,
+    k: int,
+    eos_col: str = "eos",
+) -> DataFrame:
+    """Streaming heavy hitters per key via the SPACE-SAVING (Misra–Gries)
+    sketch: at most ``k`` counters per key live in GroupState across
+    micro-batches; a new item beyond capacity evicts the minimum-count
+    counter (deterministic (count, item) victim order) and inherits its
+    count as the error bound. The guarantee is the textbook one: any item
+    with true frequency > n/k is present in the summary, and
+    count_est − err_bound ≤ true ≤ count_est.
+
+    Processing order is a pure function of the data: rows fold in
+    (us, item) order within each micro-batch, and batches arrive in
+    source order — the same discipline as streaming_kslack, so a batch
+    replay of the same rows in the same order reproduces the summary
+    EXACTLY (pinned by test). Flush: one far-future EOS punctuation row
+    per key (cb_eos_punctuations' contract) emits the summary sorted by
+    (-count, item) with ranks, then state is removed — bounded state
+    (k counters per key) at any stream length, unlike the EOS-buffering
+    joins. At 100 TB the same fold runs unchanged: state is O(keys · k).
+
+    Output (append, on flush): key, item, count_est, err_bound, rank.
+    Analog of the batch heavy_hitters_tokens / cms_heavy_tokens pair
+    (exact CMS parity there; bounded-memory summary here).
+    """
+    sel = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(item_col).cast("string").alias("item"),
+        F.col(us_col).cast("long").alias("us"),
+        F.col(eos_col).cast("boolean").alias("eos"),
+    )
+    out_schema = "key string, item string, count_est long, err_bound long, rank long"
+    state_schema = "items array<string>, counts array<long>, errs array<long>"
+    cols = ["key", "item", "count_est", "err_bound", "rank"]
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        items, counts, errs = (
+            ([list(x) for x in state.get]) if state.exists else ([], [], [])
+        )
+        done = False
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["us", "item"])
+            for item, is_eos in zip(pdf["item"], pdf["eos"]):
+                if is_eos:
+                    done = True
+                    continue
+                if item in items:
+                    counts[items.index(item)] += 1
+                elif len(items) < k:
+                    items.append(item)
+                    counts.append(1)
+                    errs.append(0)
+                else:
+                    v = min(range(len(items)), key=lambda i: (counts[i], items[i]))
+                    vc = counts[v]
+                    items[v], counts[v], errs[v] = item, vc + 1, vc
+        if done:
+            order = sorted(range(len(items)), key=lambda i: (-counts[i], items[i]))
+            rows = [
+                (key[0], items[i], counts[i], errs[i], r + 1)
+                for r, i in enumerate(order)
+            ]
+            state.remove()
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
+                {c: [] for c in cols}
+            )
+        else:
+            state.update((items, counts, errs))
+            yield pd.DataFrame({c: [] for c in cols})
+
+    return sel.groupBy("key").applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
