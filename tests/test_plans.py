@@ -93,6 +93,8 @@ _BNLJ_ALLOWED = {
     # one-row corpus-count N broadcast onto the ranked doc frame — the
     # scalar-attach plan for the quantile position formula (r9)
     "quantile_normalize_doclen",
+    # one-row global-rate prior crossJoined onto the 25-brand frame (r9)
+    "eb_shrunk_return_rates",
     # one-row global min/max scalar broadcast onto the fact rows before
     # the 256-bin histogram — the documented scalar crossJoin shape
     "ks_drift_order_prices",
@@ -871,6 +873,11 @@ def test_r9_additions_exchange_budgets(spark, sf_dir):
                                           # tiny histogram agg
         "hurst_rs_daily": 4,              # day agg + per-(type,m,blk)
                                           # windows + block agg
+        "cohort_ltv_cumulative": 5,       # first-order agg + custkey join
+                                          # + (cohort,month) agg + triangle
+                                          # window on the tiny frame
+        "simpson_diversity_by_source": 2, # (source,tok) agg + source agg
+        "eb_shrunk_return_rates": 2,      # brand agg + one-row prior attach
         "link_prediction_jaccard": 9,     # basket agg + neighbor-set agg
                                           # + candidate agg; edges/degrees
                                           # derive in-row and ride

@@ -15604,3 +15604,190 @@ def hurst_rs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "cohort_ltv_cumulative",
+    """
+    WITH o AS (
+      SELECT o_custkey AS ck,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+               AS midx,
+             o_totalprice AS rev
+      FROM orders),
+    fc AS (SELECT ck, CAST(min(midx) AS BIGINT) AS cohort FROM o GROUP BY ck),
+    cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+           FROM fc GROUP BY cohort),
+    j AS (SELECT fc.cohort, o.midx - fc.cohort AS months_since, o.rev
+          FROM o JOIN fc ON o.ck = fc.ck),
+    m AS (SELECT cohort, CAST(months_since AS BIGINT) AS months_since,
+                 sum(CAST(rev AS DECIMAL(18,6))) AS rev_m,
+                 CAST(count(*) AS BIGINT) AS n_orders
+          FROM j GROUP BY 1, 2),
+    c AS (SELECT cohort, months_since, n_orders,
+                 sum(rev_m) OVER (PARTITION BY cohort ORDER BY months_since
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_rev
+          FROM m)
+    SELECT c.cohort, c.months_since, c.n_orders, cs.cohort_size,
+           round(CAST(c.cum_rev AS DOUBLE), 2) AS cum_revenue,
+           round(CAST(c.cum_rev AS DOUBLE) / cs.cohort_size, 6)
+             AS ltv_per_customer
+    FROM c JOIN cs USING (cohort)
+    """,
+)
+def cohort_ltv_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: customers grouped by first-order month, and
+    each cohort's CUMULATIVE revenue per customer tracked by months since
+    acquisition — the lifetime-value curve every growth team plots (the
+    revenue-weighted companion to cohort_retention_weekly). Exactness:
+    month index is integer (y·12+m), per-(cohort, month) revenue
+    accumulates as DECIMAL, and the cumulative window adds DECIMALS in
+    deterministic integer-month order — the one division to per-customer
+    LTV runs on identical doubles. Shape: first-order agg + one fact join
+    co-partitioned on custkey + the triangle window over the tiny
+    (cohort × month) frame."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("midx"),
+        F.col("o_totalprice").alias("rev"),
+    )
+    fc = o.groupBy("ck").agg(F.min("midx").cast("long").alias("cohort"))
+    cs = fc.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    j = o.join(fc, "ck").select(
+        "cohort", (F.col("midx") - F.col("cohort")).alias("months_since"), "rev"
+    )
+    m = j.groupBy("cohort", F.col("months_since").cast("long").alias("months_since")).agg(
+        F.sum(F.col("rev").cast("decimal(18,6)")).alias("rev_m"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    wc = (
+        W.partitionBy("cohort")
+        .orderBy("months_since")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = m.select(
+        "cohort",
+        "months_since",
+        "n_orders",
+        F.sum("rev_m").over(wc).alias("cum_rev"),
+    )
+    return c.join(F.broadcast(cs), "cohort").select(
+        "cohort",
+        "months_since",
+        "n_orders",
+        "cohort_size",
+        F.round(F.col("cum_rev").cast("double"), 2).alias("cum_revenue"),
+        F.round(
+            F.col("cum_rev").cast("double") / F.col("cohort_size"), 6
+        ).alias("ltv_per_customer"),
+    )
+
+
+@register(
+    "simpson_diversity_by_source",
+    r"""
+    WITH t AS (
+      SELECT source, u.tok FROM (
+        SELECT source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents) d, unnest(d.toks) AS u(tok)),
+    c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+          FROM t GROUP BY source, tok)
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(CAST(sum(c * (c - 1)) AS DOUBLE)
+                 / (sum(c) * (sum(c) - 1)), 6) AS simpson_d,
+           round(CAST(1 AS DOUBLE)
+                 - CAST(sum(c * (c - 1)) AS DOUBLE)
+                   / (sum(c) * (sum(c) - 1)), 6) AS gini_simpson
+    FROM c GROUP BY source
+    """,
+)
+def simpson_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity index per source: the probability two token
+    occurrences drawn WITHOUT replacement are the same type, Σc(c−1) /
+    n(n−1), plus its Gini–Simpson complement — the concentration-based
+    companion to lexical_diversity_sources' TTR (TTR counts types;
+    Simpson weights by the full frequency distribution, so a source
+    dominated by one boilerplate phrase scores low diversity even with a
+    long type tail). ALL-INTEGER numerators and denominators; one
+    division per source. Two keyed exchanges: (source, token) counts,
+    then the per-source reduction."""
+    from windflow_spark.functions.text import tokens
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    c = (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    num = F.sum(F.col("c") * (F.col("c") - 1))
+    den = F.sum("c") * (F.sum("c") - 1)
+    return c.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(num.cast("double") / den, 6).alias("simpson_d"),
+        F.round(F.lit(1.0) - num.cast("double") / den, 6).alias("gini_simpson"),
+    )
+
+
+@register(
+    "eb_shrunk_return_rates",
+    """
+    WITH b AS (
+      SELECT p.p_brand AS brand,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1),
+    g AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(x) AS BIGINT) AS xx
+          FROM b)
+    SELECT b.brand, b.n, b.x,
+           round(CAST(b.x AS DOUBLE) / b.n, 6) AS raw_rate,
+           round((b.x + 100 * (CAST(g.xx AS DOUBLE) / g.nn))
+                 / (b.n + 100), 6) AS eb_rate,
+           round(CAST(g.xx AS DOUBLE) / g.nn, 6) AS prior_rate
+    FROM b CROSS JOIN g
+    """,
+)
+def eb_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes smoothed return rates per brand: each brand's raw
+    rate shrunk toward the GLOBAL rate with fixed prior strength m=100
+    pseudo-observations — (x + m·μ)/(n + m), the beta-binomial posterior
+    mean that keeps small-n brands from topping rankings on noise (the
+    target-encoding cousin of target_encode_loo_segment). μ = X/N is an
+    exact integer rational, so every score is one fixed IEEE expression
+    over exact inputs (a method-of-moments prior would need an
+    order-sensitive variance over the brand frame; fixed-strength is the
+    deterministic standard choice). One agg + a one-row scalar attach."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    b = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    g = b.agg(
+        F.sum("n").cast("long").alias("nn"), F.sum("x").cast("long").alias("xx")
+    )
+    mu = F.col("xx").cast("double") / F.col("nn")
+    return b.crossJoin(F.broadcast(g)).select(
+        "brand",
+        "n",
+        "x",
+        F.round(F.col("x").cast("double") / F.col("n"), 6).alias("raw_rate"),
+        F.round((F.col("x") + 100 * mu) / (F.col("n") + 100), 6).alias("eb_rate"),
+        F.round(mu, 6).alias("prior_rate"),
+    )
