@@ -878,6 +878,9 @@ def test_r9_additions_exchange_budgets(spark, sf_dir):
                                           # window on the tiny frame
         "simpson_diversity_by_source": 2, # (source,tok) agg + source agg
         "eb_shrunk_return_rates": 2,      # brand agg + one-row prior attach
+        "knn_graph_lsh": 4,               # (tag,bkt) width window/join +
+                                          # pair dedup + 2 vec fetches, all
+                                          # keyed equi-joins
         "link_prediction_jaccard": 9,     # basket agg + neighbor-set agg
                                           # + candidate agg; edges/degrees
                                           # derive in-row and ride

@@ -15791,3 +15791,125 @@ def eb_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("x") + 100 * mu) / (F.col("n") + 100), 6).alias("eb_rate"),
         F.round(mu, 6).alias("prior_rate"),
     )
+
+
+def _knn_graph_lsh_sql() -> str:
+    from windflow_spark.functions.similarity import md5_sign_planes_sql_values
+
+    return f"""
+    WITH planes(i, pl) AS (VALUES {md5_sign_planes_sql_values(16, 64)}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+      SELECT vec_id,
+             SUM(CASE WHEN list_dot_product(v, pl) > 0
+                      THEN 1::BIGINT << i ELSE 0::BIGINT END) AS bucket
+      FROM e, planes GROUP BY vec_id),
+    c AS (SELECT vec_id, bucket & 255 AS b1, bucket >> 8 AS b2 FROM b),
+    t AS (SELECT vec_id, 1 AS tag, b1 AS bkt FROM c
+          UNION ALL
+          SELECT vec_id, 2, b2 FROM c),
+    tc AS (SELECT tag, bkt, CAST(count(*) AS BIGINT) AS w
+           FROM t GROUP BY 1, 2),
+    tok AS (SELECT t.* FROM t JOIN tc USING (tag, bkt) WHERE tc.w <= 200),
+    p AS (SELECT DISTINCT a.vec_id AS qid, b2.vec_id AS cid
+          FROM tok a JOIN tok b2
+            ON a.tag = b2.tag AND a.bkt = b2.bkt AND a.vec_id <> b2.vec_id),
+    sc AS (SELECT p.qid, p.cid,
+                  round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+           FROM p JOIN e ea ON p.qid = ea.vec_id
+                 JOIN e eb ON p.cid = eb.vec_id),
+    r AS (SELECT qid, cid, cos_sim,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos_sim DESC, cid) AS rk
+          FROM sc)
+    SELECT qid AS vec_id, cid AS neighbor_id, cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 3
+    """
+
+
+@register("knn_graph_lsh", _knn_graph_lsh_sql())
+def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full KNN-GRAPH construction: EVERY vector gets its top-3 cosine
+    neighbors among LSH candidates — the all-corpus artifact that
+    embedding dedup, density clustering, and graph-ANN indexes are built
+    from (sim_topk_lsh answers 10 external queries; this makes the whole
+    corpus the query set, which is where naive plans go N²). Two LSH
+    tables come FREE from one 16-plane signature (low byte / high byte —
+    md5-parity ±1 planes the oracle reproduces as literals); candidates
+    are same-(table, bucket) pairs with a width cap (≤200 — the minhash
+    bucket-cap move, so a degenerate bucket can't go quadratic), deduped
+    across tables before the exact cosine. Cost: Σ_buckets w² with w
+    capped — LINEAR in corpus at fixed cap; every join is a keyed
+    equi-join (bucket, then vec_id for the vector fetch), no
+    broadcast-of-corpus anywhere, so the plan survives a 10⁸-vector
+    corpus by adding tables/planes rather than width."""
+    from windflow_spark.functions.similarity import (
+        as_double_array,
+        cosine_prenorm,
+        hyperplane_lsh_buckets,
+        _norm,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    b = hyperplane_lsh_buckets(
+        emb, "embedding", n_planes=16, plane_mode="md5-pm1"
+    ).select(
+        "vec_id",
+        (F.col("lsh_bucket").bitwiseAND(F.lit(255))).alias("b1"),
+        F.shiftright("lsh_bucket", 8).alias("b2"),
+    )
+    t = b.select(
+        "vec_id", F.lit(1).alias("tag"), F.col("b1").alias("bkt")
+    ).unionAll(b.select("vec_id", F.lit(2).alias("tag"), F.col("b2").alias("bkt")))
+    wt = W.partitionBy("tag", "bkt")
+    tok = (
+        t.withColumn("w", F.count(F.lit(1)).over(wt).cast("long"))
+        .filter(F.col("w") <= 200)
+        .drop("w")
+    )
+    o = tok.select(
+        F.col("vec_id").alias("cid"), F.col("tag").alias("btag"), F.col("bkt").alias("bbkt")
+    )
+    p = (
+        tok.join(
+            o,
+            (F.col("tag") == F.col("btag"))
+            & (F.col("bkt") == F.col("bbkt"))
+            & (F.col("vec_id") != F.col("cid")),
+        )
+        .select(F.col("vec_id").alias("qid"), "cid")
+        .dropDuplicates(["qid", "cid"])
+    )
+    ev = emb.select(
+        "vec_id", as_double_array("embedding").alias("_v")
+    ).withColumn("_n", _norm(F.col("_v")))
+    ea = ev.select(
+        F.col("vec_id").alias("qid"), F.col("_v").alias("_qv"), F.col("_n").alias("_qn")
+    )
+    eb = ev.select(
+        F.col("vec_id").alias("cid"), F.col("_v").alias("_cv"), F.col("_n").alias("_cn")
+    )
+    sc = (
+        p.join(ea, "qid")
+        .join(eb, "cid")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_prenorm(
+                    F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "cid")
+    return (
+        sc.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("cid").alias("neighbor_id"),
+            "cos_sim",
+            "rk",
+        )
+    )
