@@ -97,6 +97,7 @@ SAMPLE = [
     "cohort_ltv_cumulative",        # decimal triangle cumsum (r9)
     "simpson_diversity_by_source",  # integer concentration index (r9)
     "knn_graph_lsh",                # capped-bucket candidate dedup + rank (r9)
+    "readability_flesch_by_source", # summed-integer readability ratios (r9)
     "forward_fill_last_purchase",   # IGNORE NULLS frame determinism (r6)
     "embedding_source_drift",       # per-dim float means over shuffles (r6)
     "ts_twap_daily",                # duration attribution tie-break (r6)

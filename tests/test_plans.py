@@ -881,6 +881,7 @@ def test_r9_additions_exchange_budgets(spark, sf_dir):
         "knn_graph_lsh": 4,               # (tag,bkt) width window/join +
                                           # pair dedup + 2 vec fetches, all
                                           # keyed equi-joins
+        "readability_flesch_by_source": 1,  # per-row regex + one source agg
         "link_prediction_jaccard": 9,     # basket agg + neighbor-set agg
                                           # + candidate agg; edges/degrees
                                           # derive in-row and ride

@@ -15913,3 +15913,82 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+@register(
+    "readability_flesch_by_source",
+    r"""
+    WITH d AS (
+      SELECT source,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS words,
+             CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+                  AS BIGINT) AS syllables,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1)
+                  AS BIGINT) AS sentences
+      FROM documents),
+    g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(words) AS BIGINT) AS words,
+                 CAST(sum(syllables) AS BIGINT) AS syllables,
+                 CAST(sum(sentences) AS BIGINT) AS sentences
+          FROM d WHERE words > 0 GROUP BY source)
+    SELECT source, n_docs, words, syllables, sentences,
+           round(CAST('206.835' AS DOUBLE)
+                 - CAST('1.015' AS DOUBLE)
+                   * (CAST(words AS DOUBLE) / sentences)
+                 - CAST('84.6' AS DOUBLE)
+                   * (CAST(syllables AS DOUBLE) / words), 6)
+             AS flesch_reading_ease,
+           round(CAST('0.39' AS DOUBLE) * (CAST(words AS DOUBLE) / sentences)
+                 + CAST('11.8' AS DOUBLE)
+                   * (CAST(syllables AS DOUBLE) / words)
+                 - CAST('15.59' AS DOUBLE), 6) AS fk_grade_level
+    FROM g
+    """,
+)
+def readability_flesch_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch–Kincaid grade per source — the
+    readability gate of text-quality pipelines (syllables approximated as
+    vowel-group runs, the standard heuristic; sentences as [.!?] marks,
+    floored at 1 per doc). Corpus-level ratios come from SUMMED integer
+    counts (Σwords/Σsentences, Σsyllables/Σwords — never an average of
+    per-doc float ratios, the tokenizer_fertility discipline), so both
+    engines evaluate one fixed IEEE formula over exact integers; the
+    decimal coefficients parse from identical strings. Per-row regex work
+    is scan-parallel (one pass); one keyed source agg."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    from windflow_spark.functions.text import tokens
+
+    d = docs.select(
+        "source",
+        F.size(tokens("text")).cast("long").alias("words"),
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiou]+"))
+        .cast("long")
+        .alias("syllables"),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit("[.!?]")), F.lit(1)
+        )
+        .cast("long")
+        .alias("sentences"),
+    )
+    g = d.filter(F.col("words") > 0).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("words"),
+        F.sum("syllables").cast("long").alias("syllables"),
+        F.sum("sentences").cast("long").alias("sentences"),
+    )
+    wps = F.col("words").cast("double") / F.col("sentences")
+    spw = F.col("syllables").cast("double") / F.col("words")
+    return g.select(
+        "source",
+        "n_docs",
+        "words",
+        "syllables",
+        "sentences",
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+        ).alias("flesch_reading_ease"),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+        ).alias("fk_grade_level"),
+    )
