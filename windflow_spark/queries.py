@@ -15530,12 +15530,13 @@ def hurst_rs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wt.orderBy("bidx")).cast("long").alias("rn"),
         F.count(F.lit(1)).over(wt).cast("long").alias("n"),
     )
-    ms = spark.range(1).select(
-        F.explode(F.array(F.lit(8).cast("long"), F.lit(16).cast("long"))).alias("m")
-    )
     rn1 = F.col("rn") - 1
     x = (
-        r.crossJoin(F.broadcast(ms))
+        # the two block sizes fan out IN-ROW (explode of a 2-element
+        # array) — no crossJoin, no nested-loop join in the plan
+        r.withColumn(
+            "m", F.explode(F.array(F.lit(8).cast("long"), F.lit(16).cast("long")))
+        )
         .withColumn("blk", ((rn1 - rn1 % F.col("m")) / F.col("m")).cast("long"))
         .filter(
             F.col("blk")
