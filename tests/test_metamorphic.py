@@ -98,6 +98,7 @@ SAMPLE = [
     "simpson_diversity_by_source",  # integer concentration index (r9)
     "knn_graph_lsh",                # capped-bucket candidate dedup + rank (r9)
     "readability_flesch_by_source", # summed-integer readability ratios (r9)
+    "knn_graph_recall",             # dual-pipeline recall intersection (r9)
     "forward_fill_last_purchase",   # IGNORE NULLS frame determinism (r6)
     "embedding_source_drift",       # per-dim float means over shuffles (r6)
     "ts_twap_daily",                # duration attribution tie-break (r6)

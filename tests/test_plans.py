@@ -95,6 +95,9 @@ _BNLJ_ALLOWED = {
     "quantile_normalize_doclen",
     # one-row global-rate prior crossJoined onto the 25-brand frame (r9)
     "eb_shrunk_return_rates",
+    # bounded query-sample frame broadcast for the exact brute-force truth
+    # side (the sim_topk_bruteforce contract) + 1x1 hit/total attach (r9)
+    "knn_graph_recall",
     # one-row global min/max scalar broadcast onto the fact rows before
     # the 256-bin histogram — the documented scalar crossJoin shape
     "ks_drift_order_prices",
@@ -882,6 +885,9 @@ def test_r9_additions_exchange_budgets(spark, sf_dir):
                                           # pair dedup + 2 vec fetches, all
                                           # keyed equi-joins
         "readability_flesch_by_source": 1,  # per-row regex + one source agg
+        "knn_graph_recall": 8,            # the graph pipeline + the bounded
+                                          # brute-force truth rank + two
+                                          # count reductions
         "link_prediction_jaccard": 9,     # basket agg + neighbor-set agg
                                           # + candidate agg; edges/degrees
                                           # derive in-row and ride
