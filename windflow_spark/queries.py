@@ -15809,9 +15809,10 @@ def _knn_graph_lsh_sql() -> str:
           UNION ALL SELECT vec_id, 2, (bucket >> 4) & 15 FROM b
           UNION ALL SELECT vec_id, 3, (bucket >> 8) & 15 FROM b
           UNION ALL SELECT vec_id, 4, (bucket >> 12) & 15 FROM b),
-    tc AS (SELECT tag, bkt, CAST(count(*) AS BIGINT) AS w
-           FROM t GROUP BY 1, 2),
-    tok AS (SELECT t.* FROM t JOIN tc USING (tag, bkt) WHERE tc.w <= 200),
+    tok AS (SELECT vec_id, tag, bkt FROM (
+              SELECT t.*, row_number() OVER (PARTITION BY tag, bkt
+                            ORDER BY vec_id) AS _rn
+              FROM t) WHERE _rn <= 200),
     p AS (SELECT DISTINCT a.vec_id AS qid, b2.vec_id AS cid
           FROM tok a JOIN tok b2
             ON a.tag = b2.tag AND a.bkt = b2.bkt AND a.vec_id <> b2.vec_id),
@@ -15877,11 +15878,15 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tb"),
     ).select("vec_id", "tb.tag", "tb.bkt")
+    # over-width buckets are TRUNCATED to a deterministic 200-row prefix
+    # (rank by vec_id) rather than dropped — bounded Σw² work with
+    # graceful degradation: a dropout rule silently emptied the graph
+    # once density pushed every bucket past the cap (sf1 probe)
     wt = W.partitionBy("tag", "bkt")
     tok = (
-        t.withColumn("w", F.count(F.lit(1)).over(wt).cast("long"))
-        .filter(F.col("w") <= 200)
-        .drop("w")
+        t.withColumn("_rn", F.row_number().over(wt.orderBy("vec_id")))
+        .filter(F.col("_rn") <= 200)
+        .drop("_rn")
     )
     o = tok.select(
         F.col("vec_id").alias("cid"), F.col("tag").alias("btag"), F.col("bkt").alias("bbkt")
@@ -16025,10 +16030,11 @@ def _knn_graph_recall_sql() -> str:
           UNION ALL SELECT vec_id, 2, (bucket >> 4) & 15 FROM b
           UNION ALL SELECT vec_id, 3, (bucket >> 8) & 15 FROM b
           UNION ALL SELECT vec_id, 4, (bucket >> 12) & 15 FROM b),
-    tc AS (SELECT tag, bkt, CAST(count(*) AS BIGINT) AS w
-           FROM t GROUP BY 1, 2),
-    tok AS (SELECT t.* FROM t JOIN tc USING (tag, bkt) WHERE tc.w <= 200),
-    qs AS (SELECT vec_id FROM e WHERE vec_id % 40 = 0),
+    tok AS (SELECT vec_id, tag, bkt FROM (
+              SELECT t.*, row_number() OVER (PARTITION BY tag, bkt
+                            ORDER BY vec_id) AS _rn
+              FROM t) WHERE _rn <= 200),
+    qs AS (SELECT vec_id FROM e WHERE vec_id < 50),
     p AS (SELECT DISTINCT a.vec_id AS qid, b2.vec_id AS cid
           FROM tok a JOIN tok b2
             ON a.tag = b2.tag AND a.bkt = b2.bkt AND a.vec_id <> b2.vec_id
@@ -16076,13 +16082,13 @@ def knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     lsh = (
         knn_graph_lsh(spark, sf_dir)
-        .filter(F.col("vec_id") % 40 == 0)
+        .filter(F.col("vec_id") < 50)
         .select(F.col("vec_id").alias("qid"), F.col("neighbor_id").alias("cid"))
     )
     ev = emb.select("vec_id", as_double_array("embedding").alias("_v")).withColumn(
         "_n", _norm(F.col("_v"))
     )
-    qs = ev.filter(F.col("vec_id") % 40 == 0).select(
+    qs = ev.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("qid"), F.col("_v").alias("_qv"), F.col("_n").alias("_qn")
     )
     bf_sc = (
