@@ -99,6 +99,7 @@ SAMPLE = [
     "knn_graph_lsh",                # capped-bucket candidate dedup + rank (r9)
     "readability_flesch_by_source", # summed-integer readability ratios (r9)
     "knn_graph_recall",             # dual-pipeline recall intersection (r9)
+    "auc_discount_predicts_return", # exact tie-adjusted rank AUC (r9)
     "forward_fill_last_purchase",   # IGNORE NULLS frame determinism (r6)
     "embedding_source_drift",       # per-dim float means over shuffles (r6)
     "ts_twap_daily",                # duration attribution tie-break (r6)

@@ -98,6 +98,8 @@ _BNLJ_ALLOWED = {
     # bounded query-sample frame broadcast for the exact brute-force truth
     # side (the sim_topk_bruteforce contract) + 1x1 hit/total attach (r9)
     "knn_graph_recall",
+    # one-row Brier/total frame crossJoined onto the 11-bin frame (r9)
+    "calibration_bins_brier",
     # one-row global min/max scalar broadcast onto the fact rows before
     # the 256-bin histogram — the documented scalar crossJoin shape
     "ks_drift_order_prices",
@@ -885,6 +887,9 @@ def test_r9_additions_exchange_budgets(spark, sf_dir):
                                           # pair dedup + 2 vec fetches, all
                                           # keyed equi-joins
         "readability_flesch_by_source": 1,  # per-row regex + one source agg
+        "auc_discount_predicts_return": 1,  # one score-bin agg; ranks on
+                                          # the 11-value frame
+        "calibration_bins_brier": 2,      # bin agg + one-row Brier attach
         "knn_graph_recall": 8,            # the graph pipeline + the bounded
                                           # brute-force truth rank + two
                                           # count reductions

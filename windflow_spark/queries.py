@@ -16117,3 +16117,138 @@ def knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_3"
         ),
     )
+
+
+@register(
+    "auc_discount_predicts_return",
+    """
+    WITH j AS (
+      SELECT CAST(l_discount * 100 AS BIGINT) AS s,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem),
+    vc AS (SELECT s, CAST(count(*) AS BIGINT) AS c,
+                  CAST(sum(y) AS BIGINT) AS cpos
+           FROM j GROUP BY s),
+    vr AS (SELECT s, c, cpos,
+                  CAST(2 * (sum(c) OVER (ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+                       + c + 1 AS BIGINT) AS ar2
+           FROM vc),
+    t AS (SELECT CAST(sum(cpos * ar2) AS BIGINT) AS r2pos,
+                 CAST(sum(cpos) AS BIGINT) AS n1,
+                 CAST(sum(c) - sum(cpos) AS BIGINT) AS n0
+          FROM vr)
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           round(CAST(r2pos - n1 * (n1 + 1) AS DOUBLE) / (2 * n1 * n0), 6)
+             AS auc,
+           round(CAST(r2pos - n1 * (n1 + 1) AS DOUBLE) / (n1 * n0) - 1, 6)
+             AS gini
+    FROM t
+    """,
+)
+def auc_discount_predicts_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of "discount level predicts return" — the
+    rank-statistic form (AUC = tie-adjusted Mann–Whitney U / n₁n₀)
+    computed ENTIRELY from the ≤11-value distinct-score frame with the
+    2×-average-rank trick: R2_pos = Σ cpos·ar2 stays BIGINT and AUC =
+    (R2_pos − n₁(n₁+1)) / (2n₁n₀) is one division over exact integers —
+    the standard ML-eval primitive done scan-parallel with NO global
+    sort of scored rows (the mannwhitney caveat applies: this needs a
+    low-cardinality score; bin continuous scores first). On this
+    synthetic feed AUC ≈ 0.5 — a verified null, like anova's F≈1.
+    Scores are integer percents (l_discount·100 is exact: cents-scale
+    doubles) so the rank order is integer-defined on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.select(
+        (F.col("l_discount") * 100).cast("long").alias("s"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    vc = j.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("y").cast("long").alias("cpos"),
+    )
+    wv = W.orderBy("s").rowsBetween(W.unboundedPreceding, W.currentRow)
+    vr = vc.select(
+        "s",
+        "c",
+        "cpos",
+        (2 * (F.sum("c").over(wv) - F.col("c")) + F.col("c") + 1)
+        .cast("long")
+        .alias("ar2"),
+    )
+    t = vr.agg(
+        F.sum(F.col("cpos") * F.col("ar2")).cast("long").alias("r2pos"),
+        F.sum("cpos").cast("long").alias("n1"),
+        (F.sum("c") - F.sum("cpos")).cast("long").alias("n0"),
+    )
+    num = F.col("r2pos") - F.col("n1") * (F.col("n1") + 1)
+    return t.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        F.round(
+            num.cast("double") / (2 * F.col("n1") * F.col("n0")), 6
+        ).alias("auc"),
+        F.round(num.cast("double") / (F.col("n1") * F.col("n0")) - 1, 6).alias(
+            "gini"
+        ),
+    )
+
+
+@register(
+    "calibration_bins_brier",
+    """
+    WITH j AS (
+      SELECT l_discount AS p,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem),
+    b AS (SELECT p, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS n_pos,
+                 sum(CAST((p - y) * (p - y) AS DECIMAL(18,6))) AS se
+          FROM j GROUP BY p),
+    g AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                 CAST(sum(se) AS DOUBLE) AS se_tot
+          FROM b)
+    SELECT b.p AS bin_pred, b.n, b.n_pos,
+           round(CAST(b.n_pos AS DOUBLE) / b.n, 6) AS obs_rate,
+           round(CAST(b.n_pos AS DOUBLE) / b.n - b.p, 6) AS calib_gap,
+           g.nt AS n_total,
+           round(g.se_tot / g.nt, 6) AS brier
+    FROM b CROSS JOIN g
+    """,
+)
+def calibration_bins_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table + Brier score treating the discount level as a
+    (synthetic-proxy) predicted return probability: per predicted-value
+    bin, observed rate and calibration gap; globally, Brier =
+    Σ(p − y)²/n — the reliability-diagram companion to
+    auc_discount_predicts_return (AUC measures ranking; calibration
+    measures the probabilities themselves). (p − y)² has ≤4 decimal
+    places exactly (p is cents-scale), so the squared-error total
+    accumulates as EXACT DECIMAL; every emitted number is one IEEE op
+    over exact inputs. One conditional agg + a one-row scalar attach."""
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.select(
+        F.col("l_discount").alias("p"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    diff = F.col("p") - F.col("y")
+    b = j.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum((diff * diff).cast("decimal(18,6)")).alias("se"),
+    )
+    g = b.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("se").cast("double").alias("se_tot"),
+    )
+    return b.crossJoin(F.broadcast(g)).select(
+        F.col("p").alias("bin_pred"),
+        "n",
+        "n_pos",
+        F.round(F.col("n_pos").cast("double") / F.col("n"), 6).alias("obs_rate"),
+        F.round(
+            F.col("n_pos").cast("double") / F.col("n") - F.col("p"), 6
+        ).alias("calib_gap"),
+        F.col("nt").alias("n_total"),
+        F.round(F.col("se_tot") / F.col("nt"), 6).alias("brier"),
+    )
