@@ -34,9 +34,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # replaces the hand-picked list with a NON-CURATED scheduler (r7 VERDICT
 # #1 + ADVICE): the slice is computed from the committed
 # CORRECTNESS_r*.json artifacts by a fixed, auditable rule —
-#   [canaries] + [never-driver-checked names, strict registry
-#   registration order] + [least-recently-checked names] — truncated
-# to 50. No name is ever skipped or demoted by hand: every entry earns
+#   [canaries] + [last-round FAILED names] + [never-driver-checked
+#   names, strict registry registration order] +
+#   [least-recently-checked names] — truncated to 50. (The failed tier
+# was added in r9 — r8 VERDICT #2: a driver-red row previously had no
+# re-check priority and would wait ~6 rounds for its rotation slot.) No name is ever skipped or demoted by hand: every entry earns
 # a driver row within ceil(264/48) ≈ 6 rounds, and an auditor can
 # reproduce the slice from the committed artifacts alone. Names and
 # oracles are unchanged — the full registry self-gate
@@ -103,39 +105,61 @@ GATE_SLICE: list[str] = [
 ]
 
 
-def _gate_slice(names: list[str]) -> list[str]:
+def _gate_slice(names: list[str], artifacts_dir: str | None = None) -> list[str]:
     """Compute the round's 50-name gate slice from committed artifacts.
 
     Rule (fixed; see module comment): canaries first, then every name
-    that has NEVER appeared in a CORRECTNESS_r*.json (strict registry
-    registration order — no curation), then least-recently-checked
-    names (by last round seen, ties in registry order) to fill to 50.
+    that FAILED in the most recent CORRECTNESS_r*.json (a driver-red row
+    must earn its re-check the very next round — r8 VERDICT #2; registry
+    order), then every name that has NEVER appeared in a
+    CORRECTNESS_r*.json (strict registry registration order — no
+    curation), then least-recently-checked names (by last round seen,
+    ties in registry order) to fill to 50.
     """
     import glob
     import json
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = artifacts_dir or os.path.dirname(os.path.abspath(__file__))
     last_seen: dict[str, int] = {}
+    last_failed: set[str] = set()
+    latest_round = 0
     artifacts = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
     for path in artifacts:
         m = re.search(r"_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
-                for k in json.load(f):
-                    last_seen[k] = max(last_seen.get(k, 0), rnd)
+                rows = json.load(f)
         except (OSError, ValueError):
             continue
+        for k in rows:
+            last_seen[k] = max(last_seen.get(k, 0), rnd)
+        if rnd >= latest_round:
+            latest_round = rnd
+            last_failed = {
+                k
+                for k, v in rows.items()
+                if isinstance(v, dict)
+                and (
+                    v.get("err") is not None
+                    or not all(
+                        v.get(f, True)
+                        for f in ("rows_match", "schema_match", "hash_match")
+                    )
+                )
+            }
     if not last_seen:  # fresh clone: fall back to the r7 static slice
         return [n for n in GATE_SLICE if n in names][:GATE_WIDTH]
     canaries = [n for n in GATE_CANARIES if n in names]
-    never = [n for n in names if n not in last_seen and n not in canaries]
+    failed = [n for n in names if n in last_failed and n not in canaries]
+    taken = set(canaries) | set(failed)
+    never = [n for n in names if n not in last_seen and n not in taken]
     stale = sorted(
-        (n for n in names if n in last_seen and n not in canaries),
+        (n for n in names if n in last_seen and n not in taken),
         key=lambda n: (last_seen[n], names.index(n)),
     )
-    return (canaries + never + stale)[:GATE_WIDTH]
+    return (canaries + failed + never + stale)[:GATE_WIDTH]
 
 
 def _rotated(mapping: dict) -> dict:

@@ -144,7 +144,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_revenue_filter",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2)::DOUBLE AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -162,7 +162,7 @@ def q6_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(_r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
     )
 
 
@@ -430,7 +430,7 @@ def flatmap_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, user_id,
            count(*) OVER w AS running_cnt,
-           round(sum(value) OVER w, 2) AS running_sum
+           round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 2)::DOUBLE AS running_sum
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -442,16 +442,16 @@ def reduce_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         key_cols=["user_id"],
         order_cols=["ts", "event_id"],
-        folds={"running_cnt": F.count(F.lit(1)), "_rsum": F.sum("value")},
+        folds={"running_cnt": F.count(F.lit(1)), "_rsum": F.sum(F.col("value").cast("decimal(18,6)"))},
     )
     return out.select(
-        "event_id", "user_id", "running_cnt", _r2(F.col("_rsum")).alias("running_sum")
+        "event_id", "user_id", "running_cnt", F.round(F.col("_rsum"), 2).cast("double").alias("running_sum")
     )
 
 
 _WIN_TB_TUMBLING_SQL = """
     SELECT user_id, make_timestamp(b) AS w_start, count(*) AS cnt,
-           round(sum(value), 2) AS sum_value
+           round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS sum_value
     FROM (SELECT user_id, epoch_us(ts) - epoch_us(ts) % {LEN} AS b, value FROM events) t
     GROUP BY user_id, b
 """
@@ -465,13 +465,13 @@ def win_tb_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["user_id"],
         ts_col="ts",
         length_us=US_HOUR,
-        aggs=[F.count(F.lit(1)).alias("cnt"), _r2(F.sum("value")).alias("sum_value")],
+        aggs=[F.count(F.lit(1)).alias("cnt"), _dsum(F.col("value")).alias("sum_value")],
     ).select("user_id", "w_start", "cnt", "sum_value")
 
 
 _WIN_TB_SLIDING_SQL = """
     SELECT user_id, make_timestamp(wid * {SLIDE}) AS w_start, count(*) AS cnt,
-           round(sum(value), 2) AS sum_value
+           round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS sum_value
     FROM (SELECT user_id, value,
                  unnest(generate_series(
                      greatest((epoch_us(ts) - {LEN} + {SLIDE}) // {SLIDE}, 0),
@@ -490,7 +490,7 @@ def win_tb_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         length_us=US_HOUR,
         slide_us=US_15MIN,
-        aggs=[F.count(F.lit(1)).alias("cnt"), _r2(F.sum("value")).alias("sum_value")],
+        aggs=[F.count(F.lit(1)).alias("cnt"), _dsum(F.col("value")).alias("sum_value")],
     ).select("user_id", "w_start", "cnt", "sum_value")
 
 
@@ -508,7 +508,7 @@ def win_tb_hopping_30m_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         length_us=US_30MIN,
         slide_us=US_2HOUR,
-        aggs=[F.count(F.lit(1)).alias("cnt"), _r2(F.sum("value")).alias("sum_value")],
+        aggs=[F.count(F.lit(1)).alias("cnt"), _dsum(F.col("value")).alias("sum_value")],
     ).select("user_id", "w_start", "cnt", "sum_value")
 
 
@@ -526,8 +526,8 @@ def win_paned_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         length_us=US_HOUR,
         slide_us=US_15MIN,
-        pane_aggs=[F.count(F.lit(1)).alias("_pc"), F.sum("value").alias("_ps")],
-        final_aggs=[F.sum("_pc").alias("cnt"), _r2(F.sum("_ps")).alias("sum_value")],
+        pane_aggs=[F.count(F.lit(1)).alias("_pc"), F.sum(F.col("value").cast("decimal(18,6)")).alias("_ps")],
+        final_aggs=[F.sum("_pc").alias("cnt"), F.round(F.sum("_ps"), 2).cast("double").alias("sum_value")],
     ).select("user_id", "w_start", "cnt", "sum_value")
 
 
@@ -535,7 +535,7 @@ _US_DAY = 86_400_000_000
 
 _WIN_DENSE_DIURNAL_SQL = f"""
     SELECT event_type, make_timestamp(wid * {US_MIN}) AS w_start,
-           count(*) AS cnt, round(sum(value), 2) AS sum_value
+           count(*) AS cnt, round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS sum_value
     FROM (SELECT event_type, value,
                  unnest(generate_series(
                      greatest((tod - {US_HOUR} + {US_MIN}) // {US_MIN}, 0),
@@ -563,7 +563,7 @@ def win_tb_sliding_dense_1h_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     folded = ev.withColumn(
         "tod", F.timestamp_micros(F.unix_micros(F.col("ts")) % F.lit(_US_DAY))
-    )
+    ).withColumn("value_dec", F.col("value").cast("decimal(18,6)"))
     return (
         sliding_window_tb_auto(
             folded,
@@ -571,9 +571,14 @@ def win_tb_sliding_dense_1h_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
             ts_col="tod",
             length_us=US_HOUR,
             slide_us=US_MIN,
-            spec=[("count", "*", "cnt"), ("sum", "value", "_sv")],
+            spec=[("count", "*", "cnt"), ("sum", "value_dec", "_sv")],
         )
-        .select("event_type", "w_start", "cnt", _r2(F.col("_sv")).alias("sum_value"))
+        .select(
+            "event_type",
+            "w_start",
+            "cnt",
+            F.round(F.col("_sv"), 2).cast("double").alias("sum_value"),
+        )
     )
 
 
@@ -587,11 +592,11 @@ def win_mapreduce_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     us = F.unix_micros(F.col("ts"))
     b = (us - us % F.lit(US_HOUR)).alias("_b")
     partial = ev.groupBy("user_id", b, F.spark_partition_id().alias("_pid")).agg(
-        F.count(F.lit(1)).alias("_pc"), F.sum("value").alias("_ps")
+        F.count(F.lit(1)).alias("_pc"), F.sum(F.col("value").cast("decimal(18,6)")).alias("_ps")
     )
     return (
         partial.groupBy("user_id", "_b")
-        .agg(F.sum("_pc").alias("cnt"), _r2(F.sum("_ps")).alias("sum_value"))
+        .agg(F.sum("_pc").alias("cnt"), F.round(F.sum("_ps"), 2).cast("double").alias("sum_value"))
         .select(
             "user_id",
             F.timestamp_micros(F.col("_b")).alias("w_start"),
@@ -603,7 +608,7 @@ def win_mapreduce_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WIN_CB_TUMBLING_SQL = """
     SELECT user_id, rid // {LEN} AS wid, count(*) AS cnt,
-           round(sum(value), 2) AS sum_value
+           round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS sum_value
     FROM (SELECT user_id, value,
                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rid
           FROM events) t
@@ -619,12 +624,12 @@ def win_cb_tumbling_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["user_id"],
         order_cols=["ts", "event_id"],
         length=10,
-        aggs=[F.count(F.lit(1)).alias("cnt"), _r2(F.sum("value")).alias("sum_value")],
+        aggs=[F.count(F.lit(1)).alias("cnt"), _dsum(F.col("value")).alias("sum_value")],
     ).select("user_id", "wid", "cnt", "sum_value")
 
 
 _WIN_CB_SLIDING_SQL = """
-    SELECT user_id, wid, count(*) AS cnt, round(sum(value), 2) AS sum_value
+    SELECT user_id, wid, count(*) AS cnt, round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS sum_value
     FROM (SELECT user_id, value,
                  unnest(generate_series((greatest(rid - {LEN} + 1, 0) + {SLIDE} - 1) // {SLIDE},
                                         rid // {SLIDE})) AS wid
@@ -644,7 +649,7 @@ def win_cb_sliding_10_5(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=["ts", "event_id"],
         length=10,
         slide=5,
-        aggs=[F.count(F.lit(1)).alias("cnt"), _r2(F.sum("value")).alias("sum_value")],
+        aggs=[F.count(F.lit(1)).alias("cnt"), _dsum(F.col("value")).alias("sum_value")],
     ).select("user_id", "wid", "cnt", "sum_value")
 
 
@@ -657,7 +662,7 @@ def win_cb_sliding_10_5(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM events GROUP BY user_id),
     s AS (SELECT user_id, unnest(generate_series(wmin, wmax)) AS wid FROM b),
     a AS (SELECT user_id, epoch_us(ts) // {US_DAY} AS wid, count(*) AS c,
-                 round(sum(value), 2) AS sv
+                 round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS sv
           FROM events GROUP BY user_id, wid)
     SELECT s.user_id AS user_id, make_timestamp(s.wid * {US_DAY}) AS w_start,
            coalesce(a.c, 0) AS cnt, coalesce(a.sv, 0.0) AS sum_value
@@ -675,7 +680,7 @@ def win_spine_empty_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["user_id"],
         ts_col="ts",
         length_us=US_DAY,
-        aggs=[F.count(F.lit(1)).alias("_c"), _r2(F.sum("value")).alias("_sv")],
+        aggs=[F.count(F.lit(1)).alias("_c"), _dsum(F.col("value")).alias("_sv")],
     )
     return (
         spine.join(agg, ["user_id", "w_start"], "left")
@@ -702,7 +707,7 @@ def win_cb_hopping_5_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=["ts", "event_id"],
         length=5,
         slide=10,
-        aggs=[F.count(F.lit(1)).alias("cnt"), _r2(F.sum("value")).alias("sum_value")],
+        aggs=[F.count(F.lit(1)).alias("cnt"), _dsum(F.col("value")).alias("sum_value")],
     ).select("user_id", "wid", "cnt", "sum_value")
 
 
@@ -866,7 +871,7 @@ def interval_join_full_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "merge_union_events",
     """
-    SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value FROM (
+    SELECT user_id, count(*) AS n, round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS sum_value FROM (
       SELECT user_id, value FROM events WHERE event_type = 'purchase' AND value > 50
       UNION ALL
       SELECT user_id, value FROM events WHERE event_type = 'error' AND value <= 100
@@ -882,7 +887,7 @@ def merge_union_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "value"
     )
     return merge_pipes(a, b).groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n"), _r2(F.sum("value")).alias("sum_value")
+        F.count(F.lit(1)).alias("n"), _dsum(F.col("value")).alias("sum_value")
     )
 
 
@@ -1001,7 +1006,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
       FROM s)
     SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
-           count(*) AS cnt, round(sum(value), 2) AS sum_value
+           count(*) AS cnt, round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS sum_value
     FROM g GROUP BY user_id, sid
     """,
 )
@@ -1019,7 +1024,7 @@ def win_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("cnt"),
-            _r2(F.sum("value")).alias("sum_value"),
+            _dsum(F.col("value")).alias("sum_value"),
         ],
     ).select("user_id", "sid", "session_start", "session_end", "cnt", "sum_value")
 
@@ -1843,7 +1848,7 @@ def win_ffat_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.add_source(ev)
         .keyed_windows_tb(
             ["user_id"], "ts", US_HOUR, None,
-            [F.count(F.lit(1)).alias("cnt"), _r2(F.sum("value")).alias("sum_value")],
+            [F.count(F.lit(1)).alias("cnt"), _dsum(F.col("value")).alias("sum_value")],
         )
         .add_sink()
         .select("user_id", "w_start", "cnt", "sum_value")
@@ -1861,7 +1866,7 @@ def win_parallel_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").repartition(8)
     return tumbling_window_tb(
         ev, ["user_id"], "ts", US_HOUR,
-        [F.count(F.lit(1)).alias("cnt"), _r2(F.sum("value")).alias("sum_value")],
+        [F.count(F.lit(1)).alias("cnt"), _dsum(F.col("value")).alias("sum_value")],
     ).select("user_id", "w_start", "cnt", "sum_value")
 
 
@@ -1966,7 +1971,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "skew_salted_join",
     """
     SELECT c_mktsegment, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total
+           round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE AS total
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -1986,14 +1991,14 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = salted_join(orders, cust, ["o_custkey"], salt_buckets=8)
     return j.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        _r2(F.sum("o_totalprice")).alias("total"),
+        _dsum(F.col("o_totalprice")).alias("total"),
     )
 
 
 @register(
     "skew_salted_agg",
     """
-    SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+    SELECT event_type, count(*) AS cnt, round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS sum_value
     FROM events GROUP BY event_type
     """,
 )
@@ -2006,8 +2011,8 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_aggregate(
         ev,
         key_cols=["event_type"],
-        partial_aggs=[F.count(F.lit(1)).alias("_c"), F.sum("value").alias("_s")],
-        final_aggs=[F.sum("_c").alias("cnt"), _r2(F.sum("_s")).alias("sum_value")],
+        partial_aggs=[F.count(F.lit(1)).alias("_c"), F.sum(F.col("value").cast("decimal(18,6)")).alias("_s")],
+        final_aggs=[F.sum("_c").alias("cnt"), F.round(F.sum("_s"), 2).cast("double").alias("sum_value")],
         salt_buckets=16,
     ).select("event_type", "cnt", "sum_value")
 
@@ -2168,9 +2173,9 @@ def having_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_event_values",
     """
     SELECT user_id,
-           round(sum(CASE WHEN event_type = 'click'    THEN value ELSE 0.0 END), 2) AS click_sum,
-           round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_sum,
-           round(sum(CASE WHEN event_type = 'view'     THEN value ELSE 0.0 END), 2) AS view_sum
+           round(sum(CAST(CASE WHEN event_type = 'click'    THEN value ELSE 0.0 END AS DECIMAL(18,6))), 2)::DOUBLE AS click_sum,
+           round(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,6))), 2)::DOUBLE AS purchase_sum,
+           round(sum(CAST(CASE WHEN event_type = 'view'     THEN value ELSE 0.0 END AS DECIMAL(18,6))), 2)::DOUBLE AS view_sum
     FROM events GROUP BY user_id
     """,
 )
@@ -2179,13 +2184,13 @@ def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         ev.groupBy("user_id")
         .pivot("event_type", ["click", "purchase", "view"])
-        .agg(F.sum("value"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")))
     )
     return out.select(
         "user_id",
-        _r2(F.coalesce("click", F.lit(0.0))).alias("click_sum"),
-        _r2(F.coalesce("purchase", F.lit(0.0))).alias("purchase_sum"),
-        _r2(F.coalesce("view", F.lit(0.0))).alias("view_sum"),
+        F.round(F.coalesce(F.col("click"), F.lit(0).cast("decimal(18,6)")), 2).cast("double").alias("click_sum"),
+        F.round(F.coalesce(F.col("purchase"), F.lit(0).cast("decimal(18,6)")), 2).cast("double").alias("purchase_sum"),
+        F.round(F.coalesce(F.col("view"), F.lit(0).cast("decimal(18,6)")), 2).cast("double").alias("view_sum"),
     )
 
 
@@ -3166,14 +3171,14 @@ def band_join_similar_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH minutely AS (
       SELECT user_id, time_bucket(INTERVAL 1 MINUTE, ts) AS bkt,
-             count(*) AS cnt, sum(value) AS sv
+             count(*) AS cnt, sum(CAST(value AS DECIMAL(18,6))) AS sv
       FROM events GROUP BY 1, 2),
     hourly AS (
       SELECT user_id, time_bucket(INTERVAL 1 HOUR, bkt) AS bkt,
              sum(cnt) AS cnt, sum(sv) AS sv
       FROM minutely GROUP BY 1, 2)
     SELECT user_id, time_bucket(INTERVAL 1 DAY, bkt) AS bkt,
-           sum(cnt) AS cnt, round(sum(sv), 2) AS sv
+           sum(cnt) AS cnt, round(sum(sv), 2)::DOUBLE AS sv
     FROM hourly GROUP BY 1, 2
     """,
 )
@@ -3182,20 +3187,22 @@ def rollup_hierarchy_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame
     each level aggregated FROM the previous level's partials, never
     rescanning raw events (at 100 TB the raw scan happens once; coarser
     rollups read ~60× less each). The oracle computes the same three-level
-    cascade — identical float summation grouping at every level."""
+    cascade; value sums accumulate as DECIMAL(18,6) at every level (the
+    _dsum discipline) so the cascade is summation-order independent —
+    the raw-double form flipped a rounded cent across machines (r8)."""
     def bucket(col: str, n_us: int):
         us = F.unix_micros(F.col(col))
         return F.timestamp_micros(us - us % F.lit(n_us))
 
     ev = _t(spark, sf_dir, "events")
     minutely = ev.groupBy("user_id", bucket("ts", 60_000_000).alias("bkt")).agg(
-        F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv")
+        F.count(F.lit(1)).alias("cnt"), F.sum(F.col("value").cast("decimal(18,6)")).alias("sv")
     )
     hourly = minutely.groupBy("user_id", bucket("bkt", 3_600_000_000).alias("bkt")).agg(
         F.sum("cnt").alias("cnt"), F.sum("sv").alias("sv")
     )
     return hourly.groupBy("user_id", bucket("bkt", 86_400_000_000).alias("bkt")).agg(
-        F.sum("cnt").alias("cnt"), _r2(F.sum("sv")).alias("sv")
+        F.sum("cnt").alias("cnt"), F.round(F.sum("sv"), 2).cast("double").alias("sv")
     )
 
 
@@ -5829,7 +5836,7 @@ def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS sum_value
+           round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -5851,7 +5858,7 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     def partials(df):
         return df.groupBy(day, "event_type").agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.sum("value").alias("_sv"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_sv"),
         )
 
     base = partials(e.filter(F.col("ts") < cutoff))
@@ -5861,7 +5868,7 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "event_type")
         .agg(
             F.sum("n_events").cast("long").alias("n_events"),
-            F.round(F.sum("_sv"), 2).alias("sum_value"),
+            F.round(F.sum("_sv"), 2).cast("double").alias("sum_value"),
         )
     )
 
@@ -5871,7 +5878,7 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(s.s_suppkey AS BIGINT) AS supp_key, s.s_name,
            CAST(count(*) AS BIGINT) AS n_items,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)::DOUBLE AS revenue
     FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
     WHERE s.s_nationkey = 3
     GROUP BY s.s_suppkey, s.s_name
@@ -5899,9 +5906,7 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").cast("long").alias("supp_key"), F.col("s_name")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_items"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        _dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("revenue"),
     )
 
 
@@ -6129,7 +6134,7 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events)
     SELECT coalesce(channel, 'direct') AS channel,
            CAST(count(*) AS BIGINT) AS n_purchases,
-           round(sum(value), 2) AS attributed_revenue
+           round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS attributed_revenue
     FROM a WHERE event_type = 'purchase'
     GROUP BY coalesce(channel, 'direct')
     """,
@@ -6162,7 +6167,7 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_purchases"),
-            F.round(F.sum("value"), 2).alias("attributed_revenue"),
+            _dsum(F.col("value")).alias("attributed_revenue"),
         )
     )
 
@@ -6217,7 +6222,7 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (
       SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-             round(sum(value), 6) AS daily
+             round(sum(CAST(value AS DECIMAL(18,6))), 6)::DOUBLE AS daily
       FROM events GROUP BY 1, 2),
     s AS (SELECT event_type, day, daily,
                  round(avg(daily) OVER (PARTITION BY event_type,
@@ -6242,7 +6247,7 @@ def ts_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = e.groupBy(
         "event_type",
         F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
-    ).agg(F.round(F.sum("value"), 6).alias("daily"))
+    ).agg(F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6).cast("double").alias("daily"))
     # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek: 0=Sunday..6
     # — both are constant WITHIN a (type, dow) partition, so partitioning
     # by either numbering yields identical groups.
@@ -8322,7 +8327,7 @@ def conversion_within_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (
       SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-             round(sum(value), 6) AS daily
+             round(sum(CAST(value AS DECIMAL(18,6))), 6)::DOUBLE AS daily
       FROM events GROUP BY 1, 2),
     s AS (SELECT event_type, day, daily,
                  round(daily - round(avg(daily) OVER (PARTITION BY event_type,
@@ -8358,7 +8363,7 @@ def ts_seasonal_adjusted_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(
             "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
         )
-        .agg(F.round(F.sum("value"), 6).alias("daily"))
+        .agg(F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6).cast("double").alias("daily"))
     )
     wdow = W.partitionBy("event_type", F.dayofweek("day"))
     s = d.withColumn(
@@ -9939,22 +9944,26 @@ def audience_jaccard_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH j AS (
       SELECT c.c_mktsegment AS segment, o.o_totalprice AS v,
+             CAST(o.o_totalprice AS DECIMAL(18,6)) AS dv,
              year(o.o_orderdate) AS yr
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       WHERE year(o.o_orderdate) IN (1997, 1998))
     SELECT segment,
            CAST(count(*) FILTER (WHERE yr = 1997) AS BIGINT) AS n_1997,
            CAST(count(*) FILTER (WHERE yr = 1998) AS BIGINT) AS n_1998,
-           round(sum(v) FILTER (WHERE yr = 1997), 2) AS rev_1997,
-           round(sum(v) FILTER (WHERE yr = 1998), 2) AS rev_1998,
-           round(sum(v) FILTER (WHERE yr = 1998)
-                 - sum(v) FILTER (WHERE yr = 1997), 2) AS rev_delta,
+           round(sum(dv) FILTER (WHERE yr = 1997), 2)::DOUBLE AS rev_1997,
+           round(sum(dv) FILTER (WHERE yr = 1998), 2)::DOUBLE AS rev_1998,
+           round(sum(dv) FILTER (WHERE yr = 1998)
+                 - sum(dv) FILTER (WHERE yr = 1997), 2)::DOUBLE AS rev_delta,
            round((count(*) FILTER (WHERE yr = 1998)
                   - count(*) FILTER (WHERE yr = 1997))
-                 * avg(v) FILTER (WHERE yr = 1997), 2) AS volume_effect,
+                 * (CAST(sum(dv) FILTER (WHERE yr = 1997) AS DOUBLE)
+                    / count(*) FILTER (WHERE yr = 1997)), 2) AS volume_effect,
            round(count(*) FILTER (WHERE yr = 1998)
-                 * (avg(v) FILTER (WHERE yr = 1998)
-                    - avg(v) FILTER (WHERE yr = 1997)), 2) AS price_effect
+                 * (CAST(sum(dv) FILTER (WHERE yr = 1998) AS DOUBLE)
+                    / count(*) FILTER (WHERE yr = 1998)
+                    - CAST(sum(dv) FILTER (WHERE yr = 1997) AS DOUBLE)
+                      / count(*) FILTER (WHERE yr = 1997)), 2) AS price_effect
     FROM j GROUP BY segment
     """,
 )
@@ -9980,15 +9989,17 @@ def revenue_bridge_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _n(y):
         return F.count(F.when(F.col("yr") == y, 1))
     def _s(y):
-        return F.sum(F.when(F.col("yr") == y, F.col("v")))
+        return F.sum(F.when(F.col("yr") == y, F.col("v")).cast("decimal(18,6)"))
     def _m(y):
-        return F.avg(F.when(F.col("yr") == y, F.col("v")))
+        # exact mean: order-independent DECIMAL sum / exact count, one
+        # double division at the end (same derivation in the oracle)
+        return _s(y).cast("double") / _n(y)
     return j.groupBy("segment").agg(
         _n(1997).cast("long").alias("n_1997"),
         _n(1998).cast("long").alias("n_1998"),
-        F.round(_s(1997), 2).alias("rev_1997"),
-        F.round(_s(1998), 2).alias("rev_1998"),
-        F.round(_s(1998) - _s(1997), 2).alias("rev_delta"),
+        F.round(_s(1997), 2).cast("double").alias("rev_1997"),
+        F.round(_s(1998), 2).cast("double").alias("rev_1998"),
+        F.round(_s(1998) - _s(1997), 2).cast("double").alias("rev_delta"),
         F.round((_n(1998) - _n(1997)) * _m(1997), 2).alias("volume_effect"),
         F.round(_n(1998) * (_m(1998) - _m(1997)), 2).alias("price_effect"),
     )
@@ -14410,7 +14421,8 @@ def ts_obv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(gr.r2j AS DOUBLE) / (2 * gr.nj), 6) AS mean_rank,
            h.n, h.k,
            round(h.h_raw, 4) AS h_stat,
-           round(h.h_raw / h.corr, 4) AS h_corrected
+           CASE WHEN h.corr > 0 THEN round(h.h_raw / h.corr, 4) END
+             AS h_corrected
     FROM gr CROSS JOIN h
     """,
 )
@@ -14487,7 +14499,12 @@ def kruskal_wallis_qty_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "k",
         F.round(F.col("h_raw"), 4).alias("h_stat"),
-        F.round(F.col("h_raw") / F.col("corr"), 4).alias("h_corrected"),
+        # corr == 0 exactly when every observation is tied (all one value):
+        # x/0 in doubles is Inf/NaN, rendered differently across engines —
+        # NULL out the corrected statistic there (durbin_watson discipline)
+        F.when(
+            F.col("corr") > 0, F.round(F.col("h_raw") / F.col("corr"), 4)
+        ).alias("h_corrected"),
     )
 
 
@@ -15212,7 +15229,10 @@ def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(W.orderBy("n_chars", "doc_id")).cast("long").alias("gr"),
     )
     n = docs.agg(F.count(F.lit(1)).cast("long").alias("nn"))
-    pos = ((F.col("r") - 1) * F.col("nn") - ((F.col("r") - 1) * F.col("nn")) % F.col("ns")) / F.col("ns") + 1
+    # true BIGINT floor-division (Spark `div`): the double-arithmetic
+    # emulation ((r-1)*nn - mod)/ns is exact only while (r-1)*N < 2^53,
+    # which would quietly break the INTEGER-EXACT claim at corpus scale
+    pos = F.expr("((r - 1) * nn) div ns") + 1
     m = (
         r.crossJoin(F.broadcast(n))
         .withColumn("gpos", pos.cast("long"))
@@ -16067,7 +16087,8 @@ def _knn_graph_recall_sql() -> str:
 @register("knn_graph_recall", _knn_graph_recall_sql())
 def knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall@3 of the knn_graph_lsh construction against exact
-    brute force on a DETERMINISTIC query sample (vec_id % 40 == 0) — the
+    brute force on a DETERMINISTIC FIXED-SIZE query sample (vec_id < 50,
+    constant cost at any corpus size) — the
     dedup_lsh_recall discipline applied to the KNN graph: never ship an
     ANN artifact without its measured-recall row. The brute-force side is
     BOUNDED (sample × corpus, the sim_topk_bruteforce contract), so the

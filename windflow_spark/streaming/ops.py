@@ -2163,22 +2163,31 @@ def streaming_space_saving(
             ([list(x) for x in state.get]) if state.exists else ([], [], [])
         )
         done = False
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["us", "item"])
-            for item, is_eos in zip(pdf["item"], pdf["eos"]):
-                if is_eos:
-                    done = True
-                    continue
-                if item in items:
-                    counts[items.index(item)] += 1
-                elif len(items) < k:
-                    items.append(item)
-                    counts.append(1)
-                    errs.append(0)
-                else:
-                    v = min(range(len(items)), key=lambda i: (counts[i], items[i]))
-                    vc = counts[v]
-                    items[v], counts[v], errs[v] = item, vc + 1, vc
+        # Concatenate ALL Arrow chunks before the single sort: a micro-batch
+        # larger than arrow.maxRecordsPerBatch arrives as multiple chunks,
+        # and per-chunk sorting would make the fold order depend on the
+        # chunking — the (us, item) order must be a pure function of the
+        # data for exact ordered-replay parity (same fix as the asof fold).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        batch = (
+            pd.concat(chunks, ignore_index=True).sort_values(["us", "item"])
+            if chunks
+            else pd.DataFrame({"item": [], "eos": []})
+        )
+        for item, is_eos in zip(batch["item"], batch["eos"]):
+            if is_eos:
+                done = True
+                continue
+            if item in items:
+                counts[items.index(item)] += 1
+            elif len(items) < k:
+                items.append(item)
+                counts.append(1)
+                errs.append(0)
+            else:
+                v = min(range(len(items)), key=lambda i: (counts[i], items[i]))
+                vc = counts[v]
+                items[v], counts[v], errs[v] = item, vc + 1, vc
         if done:
             order = sorted(range(len(items)), key=lambda i: (-counts[i], items[i]))
             rows = [
