@@ -2028,6 +2028,93 @@ def test_streaming_asof_join_backward_equals_batch(spark, tmp_path_factory):
     assert got == expect
 
 
+def test_streaming_asof_join_backward_bounded_equals_batch(
+    spark, tmp_path_factory
+):
+    """Finite-lookback streaming as-of join (watermark-BOUNDED state) ≡
+    batch asof_join_backward restricted to in-lookback matches. Backward
+    as-of takes the LATEST b at-or-before each a row, so a match exists
+    within [a_us − lookback, a_us] iff the unrestricted match falls in
+    it — the batch expectation is the plain as-of with out-of-lookback
+    matches nulled. Rows split across micro-batches, sides interleave,
+    and mid-stream a rows finalize via the WATERMARK (not only the EOS
+    drain), exercising the bounded-state purge path."""
+    import time as _time
+
+    from windflow_spark.operators.asof_join import asof_join_backward
+    from windflow_spark.streaming import streaming_asof_join_backward_bounded
+
+    LOOKBACK = 30 * SEC
+    rows_a = [(k % 3, 100 + i, (i * 7 + 1) * SEC) for k, i in ((i % 5, i) for i in range(24))]
+    rows_b = [(k % 3, 500 + i, (i * 11) * SEC) for k, i in ((i % 4, i) for i in range(14))]
+    rows_b += [(0, 900, 0 * SEC), (0, 901, 0 * SEC)]  # exact tie on (key, ts)
+
+    def _mk2(rows, with_val):
+        return spark.createDataFrame(
+            [
+                (k, i, ts, float(i) / 4 if with_val else None, False)
+                for k, i, ts in rows
+            ],
+            "key long, id long, us long, val double, eos boolean",
+        )
+
+    batch_a = _mk2(rows_a, False).drop("val")
+    batch_b = _mk2(rows_b, True)
+    full = asof_join_backward(
+        batch_a.select("key", F.col("id").alias("a_id"), F.col("us").alias("ts")),
+        batch_b.select(
+            "key",
+            F.col("id").alias("b_id"),
+            F.col("us").alias("ts"),
+            F.col("us").alias("b_us"),
+            "val",
+        ),
+        ["key"], "ts", "ts", ["b_id", "b_us", "val"],
+    ).select(
+        "key", "a_id", F.col("ts").alias("a_us"),
+        F.col("b_b_id").alias("b_id"), F.col("b_b_us").alias("b_us"),
+        F.col("b_val").alias("b_val"),
+    )
+    expect = _nsort(
+        (k, aid, bid, bval)
+        if bus is not None and bus >= aus - LOOKBACK
+        else (k, aid, None, None)
+        for k, aid, aus, bid, bus, bval in map(tuple, full.collect())
+    )
+    # the lookback must actually null some matches the plain as-of keeps
+    n_full = sum(1 for t in map(tuple, full.collect()) if t[3] is not None)
+    n_kept = sum(1 for t in expect if t[2] is not None)
+    assert 0 < n_kept < n_full
+
+    eos_rows = [(k, -1, 10_000 * SEC) for k in {r[0] for r in rows_a} | {r[0] for r in rows_b}]
+    src_a = str(tmp_path_factory.mktemp("sasofb_a"))
+    src_b = str(tmp_path_factory.mktemp("sasofb_b"))
+    for src, rows, with_val in ((src_a, rows_a, False), (src_b, rows_b, True)):
+        half = len(rows) // 2
+        _mk2(rows[:half], with_val).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+        _mk2(rows[half:], with_val).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+        eos = spark.createDataFrame(
+            [(k, i, ts, None, True) for k, i, ts in eos_rows],
+            "key long, id long, us long, val double, eos boolean",
+        )
+        eos.coalesce(1).write.mode("append").parquet(src)
+
+    schema = _mk2(rows_b, True).schema
+    stream_a = file_stream(spark, src_a, schema, max_files_per_trigger=1)
+    stream_b = file_stream(spark, src_b, schema, max_files_per_trigger=1)
+    j = streaming_asof_join_backward_bounded(
+        stream_a, stream_b, "key", "us", "us", "id", "id", "val",
+        lookback_us=LOOKBACK, watermark_us=1 * SEC,
+    )
+    name, _ = to_memory_sink(j.select("k", "a_id", "b_id", "b_val"))
+    got = _nsort(
+        map(tuple, spark.table(name).select("k", "a_id", "b_id", "b_val").collect())
+    )
+    assert got == expect
+
+
 def test_monitor_report_renders_html(spark, stream_fixture, tmp_path):
     """tools/monitor_report: the dashboard-report analog of the
     reference's WindFlow_Dashboard — a live query's progress feeds the

@@ -15,6 +15,9 @@ reference's finite-stream test harness shape):
   holt        per-key 1s Holt level+trend smoothing (2 longs + 2 doubles per key)
   debounce    per-key burst suppression, 1.5s gap (one long per key)
   hysteresis  per-key two-threshold alert latch, 1s buckets (3 longs per key)
+  space_saving per-key top-32 space-saving heavy hitters (k counters per key)
+  asof        bounded-lookback streaming as-of join, 1s lookback
+              (watermark-purged per-key quote buffer)
 
 Prints one JSON line: rows/sec per pipeline.
 
@@ -169,6 +172,52 @@ def main() -> None:
             lo=0.8,
         ),
     )
+
+    from windflow_spark.streaming import streaming_space_saving
+
+    results["space_saving_rows_per_sec"] = run(
+        "space_saving",
+        lambda s: streaming_space_saving(
+            s.select(
+                (F.col("key") % 64).alias("key"),
+                F.concat(F.lit("i"), (F.unix_micros("ts") % 997).cast("long")).alias(
+                    "item"
+                ),
+                F.unix_micros("ts").alias("us"),
+                F.lit(False).alias("eos"),
+            ),
+            "key",
+            "item",
+            "us",
+            k=32,
+        ),
+    )
+
+    from windflow_spark.streaming import streaming_asof_join_backward_bounded
+
+    def _asof(s):
+        w = s.select(
+            "key",
+            F.unix_micros("ts").alias("us"),
+            F.unix_micros("ts").alias("id"),
+            F.col("value").alias("val"),
+            F.lit(False).alias("eos"),
+            (F.unix_micros("ts") % 2).alias("side"),
+        )
+        return streaming_asof_join_backward_bounded(
+            w.filter(F.col("side") == 0),
+            w.filter(F.col("side") == 1),
+            "key",
+            "us",
+            "us",
+            "id",
+            "id",
+            "val",
+            lookback_us=1_000_000,
+            watermark_us=1_000_000,
+        )
+
+    results["asof_rows_per_sec"] = run("asof", _asof)
 
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps({"metric": "stream_throughput", "n_rows": n, **results}))

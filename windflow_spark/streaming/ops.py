@@ -2118,6 +2118,145 @@ def streaming_asof_join_backward(
     )
 
 
+def streaming_asof_join_backward_bounded(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    a_us_col: str,
+    b_us_col: str,
+    a_id_col: str,
+    b_id_col: str,
+    b_val_col: str,
+    lookback_us: int,
+    watermark_us: int = 0,
+    eos_col: str = "eos",
+) -> DataFrame:
+    """Streaming as-of join (backward) with a FINITE LOOKBACK and
+    watermark-BOUNDED state — the corpus-scale form the EOS-flush exact
+    sibling's docstring prescribes: each ``a`` row matches the same key's
+    latest ``b`` row in ``[a_us − lookback_us, a_us]`` (equal-``b_us``
+    ties resolve to the greatest (id, val) payload, the batch struct
+    tie-break); older quotes are treated as expired, exactly the
+    reference's watermark-purged archive (wf/interval_join.hpp:109-117,
+    purges entries below the incoming watermark minus the window bound).
+
+    Mechanics: each side is watermarked BEFORE the union (Spark's
+    multipleWatermarkPolicy=min then gives the stateful operator the MIN
+    of the two sides' watermarks — the Watermark_Collector min-merge,
+    wf/basic_emitter.hpp), sides are tagged and unioned, and a per-key
+    GroupState fold finalizes every ``a`` row once the watermark passes
+    its timestamp (all matchable ``b`` rows are then guaranteed present)
+    and prunes every ``b`` row older than ``watermark − lookback_us``
+    (no live or future ``a`` row can reach it). State is therefore
+    O(rows in the lookback + watermark-delay horizon) per key at ANY
+    stream length — unlike the EOS-flush form's full per-key history.
+    An optional EOS punctuation row per key per side flushes the
+    remaining pending ``a`` rows at end-of-stream (bounded replays /
+    drain), since the final watermark lags one batch.
+
+    Output (append): k, a_id, a_us, b_id, b_val — unmatched ``a`` rows
+    (no ``b`` in the lookback window) keep null b columns, like
+    how='left' in the batch form restricted to in-lookback matches.
+    """
+
+    def _side(df, us_col, id_col, side, val_col=None):
+        sel = df.select(
+            F.col(key_col).alias("k"),
+            F.col(us_col).cast("long").alias("us"),
+            F.lit(side).alias("side"),
+            F.col(id_col).cast("long").alias("id"),
+            (
+                F.col(val_col).cast("double") if val_col else F.lit(None).cast("double")
+            ).alias("val"),
+            F.col(eos_col).cast("boolean").alias("eos"),
+            F.timestamp_micros(F.col(us_col).cast("long")).alias("_ts"),
+        )
+        # per-side watermark BEFORE the union → operator watermark is the
+        # min across sides, so a lagging side holds finalization back
+        return sel.withWatermark("_ts", f"{max(watermark_us, 0)} microsecond")
+
+    # the watermark-annotated _ts column must REACH the stateful operator
+    # (dropping it un-sets the watermark for applyInPandasWithState)
+    u = _side(a, a_us_col, a_id_col, 0).unionByName(
+        _side(b, b_us_col, b_id_col, 1, b_val_col)
+    )
+
+    out_schema = "k long, a_id long, a_us long, b_id long, b_val double"
+    state_schema = (
+        "a_ids array<long>, a_us array<long>, b_ids array<long>, "
+        "b_us array<long>, b_vals array<double>, a_done boolean, b_done boolean"
+    )
+    cols = ["k", "a_id", "a_us", "b_id", "b_val"]
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import bisect
+
+        if state.exists:
+            a_ids, a_uss, b_ids, b_uss, b_vals, a_done, b_done = state.get
+            a_ids, a_uss = list(a_ids), list(a_uss)
+            b_ids, b_uss, b_vals = list(b_ids), list(b_uss), list(b_vals)
+        else:
+            a_ids, a_uss, b_ids, b_uss, b_vals = [], [], [], [], []
+            a_done = b_done = False
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                if bool(r.eos):
+                    if r.side == 0:
+                        a_done = True
+                    else:
+                        b_done = True
+                elif r.side == 0:
+                    a_ids.append(int(r.id))
+                    a_uss.append(int(r.us))
+                else:
+                    b_ids.append(int(r.id))
+                    b_uss.append(int(r.us))
+                    b_vals.append(float(r.val))
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        flush_all = a_done and b_done
+        # finalize: a rows strictly below the watermark (all their b
+        # candidates have arrived), or everything on EOS drain
+        ready = [
+            i for i, aus in enumerate(a_uss) if flush_all or aus < wm_us
+        ]
+        rows = []
+        if ready:
+            order = sorted(
+                range(len(b_ids)), key=lambda i: (b_uss[i], b_ids[i], b_vals[i])
+            )
+            s_us = [b_uss[i] for i in order]
+            for i in ready:
+                aid, aus = a_ids[i], a_uss[i]
+                j = bisect.bisect_right(s_us, aus) - 1
+                if j >= 0 and s_us[j] >= aus - lookback_us:
+                    bi = order[j]
+                    rows.append((key[0], aid, aus, b_ids[bi], b_vals[bi]))
+                else:
+                    rows.append((key[0], aid, aus, None, None))
+        if flush_all:
+            state.remove()
+        else:
+            keep_a = [i for i in range(len(a_ids)) if i not in set(ready)]
+            a_ids = [a_ids[i] for i in keep_a]
+            a_uss = [a_uss[i] for i in keep_a]
+            # prune expired quotes: pending and future a rows sit at or
+            # above the watermark, so nothing below wm − lookback matches
+            cutoff = wm_us - lookback_us
+            keep_b = [i for i in range(len(b_ids)) if b_uss[i] >= cutoff]
+            b_ids = [b_ids[i] for i in keep_b]
+            b_uss = [b_uss[i] for i in keep_b]
+            b_vals = [b_vals[i] for i in keep_b]
+            state.update((a_ids, a_uss, b_ids, b_uss, b_vals, a_done, b_done))
+        yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
+            {c: [] for c in cols}
+        )
+
+    return u.groupBy("k").applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_space_saving(
     df: DataFrame,
     key_col: str,
