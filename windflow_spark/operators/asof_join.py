@@ -164,3 +164,62 @@ def asof_join_forward(
         *[F.col(c) for c in a_payload_cols],
         *[F.col(f"_bp.{c}").alias(f"{prefix}{c}") for c in payload],
     )
+
+
+def asof_join_nearest(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: Sequence[str],
+    a_ts: str,
+    b_ts: str,
+    b_payload: Sequence[str],
+    tolerance: int | None = None,
+    how: str = "left",
+    prefix: str = "b_",
+) -> DataFrame:
+    """For each row of ``a``: the ``b`` row of the same key NEAREST in time
+    (either direction, inclusive), optionally within ``tolerance`` —
+    pandas merge_asof(direction='nearest') semantics, the third member of
+    the backward/forward family. Equal-distance ties resolve to the
+    EARLIER ``b`` row (the backward candidate). Timestamp columns must be
+    numeric (e.g. epoch micros) so distances are exact integers; same-
+    (key, ts) duplicates in ``b`` should be deduped first (each direction
+    resolves them by payload-struct order, which differs between the two
+    fills — the backward/forward docstring caveat squared).
+
+    Scale shape: ONE backward fill + ONE forward fill (each the |A|+|B|
+    union+window pass, no range-join explosion), then a per-row pick —
+    O(|A|+|B|) total regardless of b-density around each a row, where the
+    naive ±tolerance range join + rank explodes to O(matches).
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    keys = list(key_cols)
+    payload = list(b_payload)
+    pay_ts = [b_ts] + [c for c in payload if c != b_ts]
+    bw = asof_join_backward(a, b, keys, a_ts, b_ts, pay_ts, "left", "_bw_")
+    fw = asof_join_forward(bw, b, keys, a_ts, b_ts, pay_ts, "left", "_fw_")
+
+    d_bw = F.col(a_ts) - F.col(f"_bw_{b_ts}")
+    d_fw = F.col(f"_fw_{b_ts}") - F.col(a_ts)
+    ok_bw = F.col(f"_bw_{b_ts}").isNotNull() & (
+        F.lit(True) if tolerance is None else d_bw <= F.lit(tolerance)
+    )
+    ok_fw = F.col(f"_fw_{b_ts}").isNotNull() & (
+        F.lit(True) if tolerance is None else d_fw <= F.lit(tolerance)
+    )
+    # ties (d_bw == d_fw, both in tolerance) take the backward (earlier) row
+    use_bw = ok_bw & (~ok_fw | (d_bw <= d_fw))
+    out = fw
+    for c in payload:
+        out = out.withColumn(
+            f"{prefix}{c}",
+            F.when(use_bw, F.col(f"_bw_{c}")).when(ok_fw, F.col(f"_fw_{c}")),
+        )
+    if how == "inner":
+        # test the tolerance flags, not payload nullness — a matched b row
+        # whose requested payload happens to be all-NULL must survive
+        # (the asof_join_backward 'inner' lesson, ADVICE r1)
+        out = out.filter(use_bw | ok_fw)
+    out = out.drop(*[f"_bw_{c}" for c in pay_ts], *[f"_fw_{c}" for c in pay_ts])
+    return out

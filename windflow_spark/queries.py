@@ -16273,3 +16273,1082 @@ def calibration_bins_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nt").alias("n_total"),
         F.round(F.col("se_tot") / F.col("nt"), 6).alias("brier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch r9: join how-matrix extensions (semi/anti/nearest/overlap)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interval_join_semi_clicks",
+    f"""
+    SELECT a.event_id AS click_id, a.user_id AS user_id,
+           epoch_us(a.ts) AS click_us
+    FROM events a
+    WHERE a.event_type = 'click'
+      AND EXISTS (SELECT 1 FROM events b
+                  WHERE b.event_type = 'purchase'
+                    AND b.user_id = a.user_id
+                    AND epoch_us(b.ts) >= epoch_us(a.ts)
+                    AND epoch_us(b.ts) <= epoch_us(a.ts) + {US_HOUR})
+    """,
+)
+def interval_join_semi_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMI interval join: clicks followed by >=1 same-user purchase
+    within 1h — the existence form of interval_join_kp. Spark's LEFT SEMI
+    keeps the probe side single-copy (no match fan-out to dedup later,
+    which is the difference between |A| and |matches| intermediate rows
+    when conversion windows are dense); the time predicate rides the
+    user-keyed shuffle equi-join as a residual, the interval_join_kp
+    shape (reference wf/interval_join.hpp:279-313 — the reference has no
+    semi form; free in Spark)."""
+    from windflow_spark.operators.timeutil import event_micros
+
+    ev = _t(spark, sf_dir, "events")
+    us = event_micros(ev, "ts")
+    a = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", us.alias("us")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_uid"), us.alias("b_us")
+    )
+    j = a.join(
+        b,
+        (F.col("user_id") == F.col("b_uid"))
+        & (F.col("b_us") >= F.col("us"))
+        & (F.col("b_us") <= F.col("us") + F.lit(US_HOUR)),
+        "left_semi",
+    )
+    return j.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("us").alias("click_us"),
+    )
+
+
+@register(
+    "interval_join_anti_purchases",
+    f"""
+    SELECT a.event_id AS purchase_id, a.user_id AS user_id,
+           a.value AS purchase_value
+    FROM events a
+    WHERE a.event_type = 'purchase'
+      AND NOT EXISTS (SELECT 1 FROM events b
+                      WHERE b.event_type = 'click'
+                        AND b.user_id = a.user_id
+                        AND epoch_us(b.ts) >= epoch_us(a.ts) - {US_HOUR}
+                        AND epoch_us(b.ts) <= epoch_us(a.ts))
+    """,
+)
+def interval_join_anti_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANTI interval join: 'cold' purchases with NO same-user click in the
+    preceding hour — the negation form completing the §2.6 how-matrix
+    (inner/left/right/full/semi/anti all oracle-checked now). LEFT ANTI
+    with the residual time-range predicate on the keyed equi-join: one
+    shuffle, never materializes the matches it rejects."""
+    from windflow_spark.operators.timeutil import event_micros
+
+    ev = _t(spark, sf_dir, "events")
+    us = event_micros(ev, "ts")
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value", us.alias("us")
+    )
+    b = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("b_uid"), us.alias("b_us")
+    )
+    j = a.join(
+        b,
+        (F.col("user_id") == F.col("b_uid"))
+        & (F.col("b_us") >= F.col("us") - F.lit(US_HOUR))
+        & (F.col("b_us") <= F.col("us")),
+        "left_anti",
+    )
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("value").alias("purchase_value"),
+    )
+
+
+@register(
+    "asof_join_nearest_click",
+    f"""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, epoch_us(ts) AS pus
+      FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT user_id, min(event_id) AS cid, epoch_us(ts) AS cus
+      FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)),
+    cand AS (
+      SELECT p.pid, p.user_id, p.pus, c.cid, c.cus,
+             row_number() OVER (PARTITION BY p.pid
+                                ORDER BY abs(c.cus - p.pus), c.cus) AS rn
+      FROM p JOIN c ON p.user_id = c.user_id
+                   AND abs(c.cus - p.pus) <= {US_2HOUR})
+    SELECT p.pid AS purchase_id, p.user_id AS user_id,
+           r.cid AS click_id, r.cus - p.pus AS delta_us
+    FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) r ON p.pid = r.pid
+    """,
+)
+def asof_join_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: each purchase matched with the same user's
+    click closest in time in EITHER direction, within a ±2h tolerance
+    (pandas merge_asof direction='nearest'; equal-distance ties take the
+    earlier click) — the third as-of direction after backward/forward.
+    The operator is two union+window fills (O(|A|+|B|), no ±tolerance
+    range-join explosion); the ORACLE is the independent range-join +
+    rank formulation, so the two derivations cross-check. Clicks are
+    deduped to min event_id per (user, ts) first — the operator's
+    documented same-ts discipline."""
+    from windflow_spark.operators.asof_join import asof_join_nearest
+    from windflow_spark.operators.timeutil import event_micros
+
+    ev = _t(spark, sf_dir, "events")
+    us = event_micros(ev, "ts")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", us.alias("pus")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", us.alias("cus"), "event_id")
+        .groupBy("user_id", "cus")
+        .agg(F.min("event_id").alias("cid"))
+    )
+    j = asof_join_nearest(
+        p, c, ["user_id"], "pus", "cus", ["cid", "cus"], tolerance=US_2HOUR
+    )
+    return j.select(
+        F.col("pid").alias("purchase_id"),
+        "user_id",
+        F.col("b_cid").alias("click_id"),
+        (F.col("b_cus") - F.col("pus")).alias("delta_us"),
+    )
+
+
+@register(
+    "overlap_join_customer_orders",
+    """
+    WITH w AS (
+      SELECT o_custkey AS ck, o_orderkey AS ok, o_orderdate AS s,
+             o_orderdate + to_days(CAST(7 + o_orderkey % 30 AS INTEGER)) AS e
+      FROM orders)
+    SELECT a.ck AS cust_key, a.ok AS order_a, b.ok AS order_b,
+           CAST(date_diff('day', greatest(a.s, b.s), least(a.e, b.e))
+                AS BIGINT) AS overlap_days
+    FROM w a JOIN w b
+      ON a.ck = b.ck AND a.ok < b.ok
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def overlap_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP self-join: pairs of a customer's orders whose
+    fulfillment windows [orderdate, orderdate + 7..36d] (length varies by
+    key — a genuine overlap test, not a reducible band join) intersect —
+    'concurrent open orders'. Keyed equi-join on custkey with the
+    two-sided overlap residual (s_a <= e_b AND s_b <= e_a) and ok_a < ok_b
+    pair dedup: per-customer fan-out is C(orders, 2) with ~10 orders per
+    customer, so output stays linear in customers; a time-bucket blocked
+    variant (interval_join_bucketed's move) is the escape hatch for keys
+    with thousands of live intervals. Overlap length in exact integer
+    days."""
+    o = _t(spark, sf_dir, "orders")
+    w = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderdate").alias("s"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            (F.lit(7) + F.col("o_orderkey") % 30).cast("int"),
+        )
+        .cast("timestamp")
+        .alias("e"),
+    )
+    a, b = w.alias("a"), w.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.ck") == F.col("b.ck"))
+        & (F.col("a.ok") < F.col("b.ok"))
+        & (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e")),
+    )
+    return j.select(
+        F.col("a.ck").alias("cust_key"),
+        F.col("a.ok").alias("order_a"),
+        F.col("b.ok").alias("order_b"),
+        F.datediff(
+            F.least(F.col("a.e"), F.col("b.e")),
+            F.greatest(F.col("a.s"), F.col("b.s")),
+        )
+        .cast("long")
+        .alias("overlap_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch r9: exact rank / hypothesis statistics (BIGINT pair counting)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kendall_tau_qty_discount",
+    """
+    WITH cells AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(l_discount * 100 AS BIGINT) AS y,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2),
+    pairs AS (
+      SELECT CAST(sum(CASE WHEN b.y > a.y THEN a.c * b.c ELSE 0 END)
+                  AS BIGINT) AS nc,
+             CAST(sum(CASE WHEN b.y < a.y THEN a.c * b.c ELSE 0 END)
+                  AS BIGINT) AS nd
+      FROM cells a JOIN cells b ON b.x > a.x),
+    tx AS (SELECT CAST(sum(g * (g - 1) / 2) AS BIGINT) AS n1
+           FROM (SELECT sum(c) AS g FROM cells GROUP BY x)),
+    ty AS (SELECT CAST(sum(g * (g - 1) / 2) AS BIGINT) AS n2
+           FROM (SELECT sum(c) AS g FROM cells GROUP BY y)),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells)
+    SELECT tot.n, pairs.nc, pairs.nd,
+           round((pairs.nc - pairs.nd)
+                 / sqrt((CAST(tot.n AS DOUBLE) * (tot.n - 1) / 2 - tx.n1)
+                        * (CAST(tot.n AS DOUBLE) * (tot.n - 1) / 2 - ty.n2)),
+                 6) AS tau_b
+    FROM tot CROSS JOIN pairs CROSS JOIN tx CROSS JOIN ty
+    """,
+)
+def kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between quantity and discount —
+    EXACT at any scale via contingency-cell pair counting: both columns
+    are low-cardinality (50 x 11 values), so concordant/discordant pairs
+    are BIGINT sums over cell-pair products (cells_a join cells_b on
+    x_b > x_a counts every unordered pair once), never a row-pair join.
+    One scan builds the <=550-row cell table; the pair join is 550x550
+    broadcast work independent of corpus size — the same
+    cardinality-bounded discipline as auc_discount_predicts_return's
+    rank sums. tau_b divides by the tie-corrected pair counts in one
+    final double op."""
+    li = _t(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            F.col("l_quantity").cast("long").alias("x"),
+            (F.col("l_discount") * 100).cast("long").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    # the <=550-row cell table feeds FOUR consumers (pair join both sides,
+    # tie terms, total): cut lineage once so the corpus scan happens once,
+    # not per branch (the k_core_fixed_point localCheckpoint move) —
+    # 10.9 s -> ~1 s at sf0.01
+    cells = cells.coalesce(1).localCheckpoint()
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = (
+        a.join(F.broadcast(b), F.col("b.x") > F.col("a.x"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.y") > F.col("a.y"), F.col("a.c") * F.col("b.c"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("nc"),
+            F.sum(
+                F.when(F.col("b.y") < F.col("a.y"), F.col("a.c") * F.col("b.c"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("nd"),
+        )
+    )
+    # tie-pair terms in ONE pass over the cell frame: within a tied group
+    # of size g the pair count is g(g-1)/2, and Σ_x gx² = Σ_cells c·gx,
+    # so n1 = (Σ c·gx − n)/2 with gx attached by a window — no extra
+    # grouping branches
+    gx = F.sum("c").over(W.partitionBy("x"))
+    gy = F.sum("c").over(W.partitionBy("y"))
+    stats = (
+        cells.select("c", gx.alias("gx"), gy.alias("gy"))
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(F.col("c") * F.col("gx")).cast("long").alias("cgx"),
+            F.sum(F.col("c") * F.col("gy")).cast("long").alias("cgy"),
+        )
+    )
+    tx = stats.select(((F.col("cgx") - F.col("n")) / 2).cast("long").alias("n1"))
+    ty = stats.select(((F.col("cgy") - F.col("n")) / 2).cast("long").alias("n2"))
+    tot = stats.select("n")
+    n0 = F.col("n").cast("double") * (F.col("n") - 1) / 2
+    return (
+        tot.crossJoin(F.broadcast(pairs))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            "n",
+            "nc",
+            "nd",
+            F.round(
+                (F.col("nc") - F.col("nd"))
+                / F.sqrt((n0 - F.col("n1")) * (n0 - F.col("n2"))),
+                6,
+            ).alias("tau_b"),
+        )
+    )
+
+
+@register(
+    "two_proportion_ztest_returns",
+    """
+    WITH g AS (
+      SELECT CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS grp,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem),
+    s AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS x
+          FROM g GROUP BY grp),
+    w AS (SELECT max(CASE WHEN grp = 1 THEN n END) AS n1,
+                 max(CASE WHEN grp = 1 THEN x END) AS x1,
+                 max(CASE WHEN grp = 0 THEN n END) AS n2,
+                 max(CASE WHEN grp = 0 THEN x END) AS x2
+          FROM s)
+    SELECT n1, x1, n2, x2,
+           round(CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2, 6)
+             AS rate_diff,
+           round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+                 / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                        * (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                        * (CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n2)),
+                 6) AS z_stat
+    FROM w
+    """,
+)
+def two_proportion_ztest_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test: is the return rate different for deep
+    discounts (>5%) vs the rest? Pooled-variance z from four EXACT BIGINT
+    counts (one conditional-agg scan; every double op is a final division
+    over exact integers — nothing order-dependent). The proportions
+    sibling of ab_test_welch (means) and chi2_segment_priority
+    (k-way counts)."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.select(
+        F.when(F.col("l_discount") > 0.05, 1).otherwise(0).alias("grp"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    w = g.agg(
+        F.sum(F.when(F.col("grp") == 1, 1)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("grp") == 1, F.col("y"))).cast("long").alias("x1"),
+        F.sum(F.when(F.col("grp") == 0, 1)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("grp") == 0, F.col("y"))).cast("long").alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (F.col("n1") + F.col("n2"))
+    se = F.sqrt(
+        pp
+        * (1 - pp)
+        * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+    )
+    return w.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.round(p1 - p2, 6).alias("rate_diff"),
+        F.round((p1 - p2) / se, 6).alias("z_stat"),
+    )
+
+
+@register(
+    "cohens_d_qty_returnflag",
+    """
+    WITH s AS (
+      SELECT l_returnflag AS f, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx
+      FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY f),
+    w AS (SELECT max(CASE WHEN f = 'R' THEN n END) AS n1,
+                 max(CASE WHEN f = 'R' THEN sx END) AS sx1,
+                 max(CASE WHEN f = 'R' THEN sxx END) AS sxx1,
+                 max(CASE WHEN f = 'N' THEN n END) AS n2,
+                 max(CASE WHEN f = 'N' THEN sx END) AS sx2,
+                 max(CASE WHEN f = 'N' THEN sxx END) AS sxx2
+          FROM s)
+    SELECT n1, n2,
+           round(CAST(sx1 AS DOUBLE) / n1, 6) AS mean_r,
+           round(CAST(sx2 AS DOUBLE) / n2, 6) AS mean_n,
+           round((CAST(sx1 AS DOUBLE) / n1 - CAST(sx2 AS DOUBLE) / n2)
+                 / sqrt(((sxx1 - CAST(sx1 AS DOUBLE) * sx1 / n1)
+                         + (sxx2 - CAST(sx2 AS DOUBLE) * sx2 / n2))
+                        / (n1 + n2 - 2)),
+                 6) AS cohens_d
+    FROM w
+    """,
+)
+def cohens_d_qty_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size for quantity between returned (R) and kept
+    (N) lines — the standardized-difference companion to the t/z tests.
+    l_quantity is integral, so group sums and sums-of-squares are EXACT
+    BIGINTs (the bollinger Σx/Σx² discipline); pooled SD and d are final
+    double ops over exact integers, order-independent at any scale."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag").isin("R", "N"))
+    q = F.col("l_quantity").cast("long")
+    w = li.agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("l_returnflag") == "R", q)).cast("long").alias("sx1"),
+        F.sum(F.when(F.col("l_returnflag") == "R", q * q)).cast("long").alias("sxx1"),
+        F.sum(F.when(F.col("l_returnflag") == "N", 1)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("l_returnflag") == "N", q)).cast("long").alias("sx2"),
+        F.sum(F.when(F.col("l_returnflag") == "N", q * q)).cast("long").alias("sxx2"),
+    )
+    m1 = F.col("sx1").cast("double") / F.col("n1")
+    m2 = F.col("sx2").cast("double") / F.col("n2")
+    ss1 = F.col("sxx1") - F.col("sx1").cast("double") * F.col("sx1") / F.col("n1")
+    ss2 = F.col("sxx2") - F.col("sx2").cast("double") * F.col("sx2") / F.col("n2")
+    sp = F.sqrt((ss1 + ss2) / (F.col("n1") + F.col("n2") - 2))
+    return w.select(
+        "n1",
+        "n2",
+        F.round(m1, 6).alias("mean_r"),
+        F.round(m2, 6).alias("mean_n"),
+        F.round((m1 - m2) / sp, 6).alias("cohens_d"),
+    )
+
+
+@register(
+    "roc_curve_discount_return",
+    """
+    WITH vc AS (
+      SELECT CAST(l_discount * 100 AS BIGINT) AS thr,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT CAST(sum(pos) AS BIGINT) AS tp_all,
+                   CAST(sum(n - pos) AS BIGINT) AS fp_all
+            FROM vc),
+    cum AS (SELECT thr,
+                   CAST(sum(pos) OVER (ORDER BY thr DESC) AS BIGINT) AS tp,
+                   CAST(sum(n - pos) OVER (ORDER BY thr DESC) AS BIGINT) AS fp
+            FROM vc)
+    SELECT cum.thr AS thr_cents, cum.tp, cum.fp,
+           round(CAST(cum.tp AS DOUBLE) / tot.tp_all, 6) AS tpr,
+           round(CAST(cum.fp AS DOUBLE) / tot.fp_all, 6) AS fpr,
+           round(CAST(cum.tp AS DOUBLE) / (cum.tp + cum.fp), 6) AS precision
+    FROM cum CROSS JOIN tot
+    """,
+)
+def roc_curve_discount_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ROC operating points behind auc_discount_predicts_return:
+    at every distinct discount threshold (predict 'returned' when
+    discount >= thr), TP/FP from suffix sums over the 11-row value-count
+    frame — cumulative BIGINTs via a window over the TINY aggregated
+    frame, so the curve costs one scan + O(V) window work regardless of
+    corpus size. TPR/FPR/precision are exact rationals rounded once."""
+    li = _t(spark, sf_dir, "lineitem")
+    vc = (
+        li.select(
+            (F.col("l_discount") * 100).cast("long").alias("thr"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        )
+        .groupBy("thr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+    )
+    tot = vc.agg(
+        F.sum("pos").cast("long").alias("tp_all"),
+        F.sum(F.col("n") - F.col("pos")).cast("long").alias("fp_all"),
+    )
+    wd = W.orderBy(F.col("thr").desc()).rowsBetween(W.unboundedPreceding, 0)
+    cum = vc.select(
+        "thr",
+        F.sum("pos").over(wd).cast("long").alias("tp"),
+        F.sum(F.col("n") - F.col("pos")).over(wd).cast("long").alias("fp"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        F.col("thr").alias("thr_cents"),
+        "tp",
+        "fp",
+        F.round(F.col("tp").cast("double") / F.col("tp_all"), 6).alias("tpr"),
+        F.round(F.col("fp").cast("double") / F.col("fp_all"), 6).alias("fpr"),
+        F.round(
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6
+        ).alias("precision"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch r9: time-series indicators (RANGE frames, stochastic, peaks, VWAP)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_vwap_ship_daily",
+    """
+    SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS volume,
+           round(CAST(sum(CAST(l_extendedprice * l_quantity
+                               AS DECIMAL(28,6))) AS DOUBLE)
+                 / sum(CAST(l_quantity AS BIGINT)), 6) AS vwap
+    FROM lineitem GROUP BY 1
+    """,
+)
+def ts_vwap_ship_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily volume-weighted average price over shipped lines — the
+    volume-weighted sibling of ts_twap_daily. The price x quantity inner
+    product accumulates as DECIMAL(28,6) (price has 2dp, quantity is
+    integral, so the products are exact at 2dp — the _dsum discipline
+    widened for the product magnitude), the quantity denominator is an
+    exact BIGINT, and VWAP is one final double division."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    return (
+        li.groupBy(F.date_trunc("day", F.col("l_shipdate")).cast("date").alias("day"))
+        .agg(
+            F.sum(q).cast("long").alias("volume"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_quantity")).cast(
+                        "decimal(28,6)"
+                    )
+                ).cast("double")
+                / F.sum(q),
+                6,
+            ).alias("vwap"),
+        )
+    )
+
+
+@register(
+    "ts_stochastic_14d",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    w AS (SELECT event_type, day, cnt,
+                 min(cnt) OVER f AS lo, max(cnt) OVER f AS hi,
+                 count(*) OVER f AS n
+          FROM d
+          WINDOW f AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+    k AS (SELECT event_type, day, cnt,
+                 CASE WHEN n >= 14 AND hi > lo THEN
+                   round(100.0 * (cnt - lo) / (hi - lo), 6) END AS pct_k
+          FROM w)
+    SELECT event_type, day, cnt, pct_k,
+           CASE WHEN count(pct_k) OVER d3 = 3 THEN
+             round(avg(pct_k) OVER d3, 6) END AS pct_d
+    FROM k
+    WINDOW d3 AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_stochastic_14d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator (%K over a 14-day channel, %D = 3-day SMA of
+    %K) on the daily event-count series — the momentum companion of
+    ts_donchian_channel_daily (whose min/max channel this reuses). All
+    channel arithmetic is BIGINT-exact; %K is one division over exact
+    integers rounded 6dp, and %D averages three ROUNDED %K values in
+    frame order, so both engines fold identical doubles (the
+    ts_seasonal_dow pre-rounding discipline). Warmup rows (n<14) and
+    flat channels (hi=lo) emit NULL rather than divide-by-zero."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    f = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-13, 0)
+    )
+    w = d.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.min("cnt").over(f).alias("lo"),
+        F.max("cnt").over(f).alias("hi"),
+        F.count(F.lit(1)).over(f).alias("n"),
+    )
+    k = w.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.when(
+            (F.col("n") >= 14) & (F.col("hi") > F.col("lo")),
+            F.round(
+                100.0 * (F.col("cnt") - F.col("lo")) / (F.col("hi") - F.col("lo")), 6
+            ),
+        ).alias("pct_k"),
+    )
+    d3 = W.partitionBy("event_type").orderBy("day").rowsBetween(-2, 0)
+    return k.select(
+        "event_type",
+        "day",
+        "cnt",
+        "pct_k",
+        F.when(
+            F.count("pct_k").over(d3) == 3, F.round(F.avg("pct_k").over(d3), 6)
+        ).alias("pct_d"),
+    )
+
+
+@register(
+    "ts_peak_detect_daily",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    l AS (SELECT event_type, day, cnt,
+                 lag(cnt) OVER w AS prev, lead(cnt) OVER w AS next
+          FROM d
+          WINDOW w AS (PARTITION BY event_type ORDER BY day))
+    SELECT event_type, day, cnt,
+           CAST(cnt - greatest(prev, next) AS BIGINT) AS prominence
+    FROM l
+    WHERE prev IS NOT NULL AND next IS NOT NULL
+      AND cnt > prev AND cnt > next
+    """,
+)
+def ts_peak_detect_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict local maxima of the daily event-count series (cnt above
+    both neighbors; series edges excluded) with the one-step prominence
+    cnt − max(neighbors) — the discrete peak detector feeding alerting
+    and seasonality eyeballing. Pure BIGINT comparisons over one per-type
+    day ordering (the lag/lead exchange shape); at 100 TB the window
+    runs on the already-aggregated daily frame, three orders of magnitude
+    smaller than the scan."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = W.partitionBy("event_type").orderBy("day")
+    l = d.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.lag("cnt").over(w).alias("prev"),
+        F.lead("cnt").over(w).alias("next"),
+    )
+    return l.filter(
+        F.col("prev").isNotNull()
+        & F.col("next").isNotNull()
+        & (F.col("cnt") > F.col("prev"))
+        & (F.col("cnt") > F.col("next"))
+    ).select(
+        "event_type",
+        "day",
+        "cnt",
+        (F.col("cnt") - F.greatest("prev", "next")).cast("long").alias("prominence"),
+    )
+
+
+@register(
+    "win_range_frame_sum",
+    f"""
+    WITH d AS (
+      SELECT event_type, CAST(epoch_us(ts) // {US_DAY} AS BIGINT) AS didx,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, make_timestamp(didx * {US_DAY}) AS day,
+           cnt,
+           CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY didx
+                               RANGE BETWEEN 3 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cnt_4d,
+           CAST(count(*) OVER (PARTITION BY event_type ORDER BY didx
+                               RANGE BETWEEN 3 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS days_present
+    FROM d
+    """,
+)
+def win_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window aggregation (value-based frame bounds, DISTINCT
+    from every ROWS frame in the registry): the trailing 4-day event
+    count per type where the frame is defined by the day-index VALUE, so
+    calendar gaps shrink the frame instead of silently widening it the
+    way a ROWS frame does on sparse series — days_present exposes
+    exactly that difference. BIGINT-exact; one window over the daily
+    aggregate."""
+    e = _t(spark, sf_dir, "events")
+    from windflow_spark.operators.timeutil import event_micros
+
+    us = event_micros(e, "ts")
+    d = e.groupBy(
+        "event_type",
+        ((us - us % F.lit(US_DAY)) / F.lit(US_DAY)).cast("long").alias("didx"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("didx")
+        .rangeBetween(-3, 0)
+    )
+    return d.select(
+        "event_type",
+        F.timestamp_micros(F.col("didx") * F.lit(US_DAY)).alias("day"),
+        "cnt",
+        F.sum("cnt").over(w).cast("long").alias("cnt_4d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("days_present"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch r9: KMV (k-minimum-values) distinct sketches — deterministic,
+# engine-portable md5 hashing, exact integer machinery until one division
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_M = 16**15  # hash space: 15 hex digits = 60 bits
+
+
+@register(
+    "kmv_distinct_users",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+      FROM events),
+    r AS (SELECT event_type, hv,
+                 row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+          FROM h),
+    k AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+                 CAST(max(hv) AS BIGINT) AS h_k
+          FROM r WHERE rk <= {_KMV_K} GROUP BY event_type),
+    x AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+          FROM events GROUP BY event_type)
+    SELECT x.event_type AS event_type, x.n_exact,
+           round(CASE WHEN k.n_kept < {_KMV_K} THEN CAST(k.n_kept AS DOUBLE)
+                 ELSE ({_KMV_K} - 1) * CAST({_KMV_M} AS DOUBLE) / k.h_k END,
+                 6) AS kmv_est,
+           round(abs(CASE WHEN k.n_kept < {_KMV_K} THEN CAST(k.n_kept AS DOUBLE)
+                     ELSE ({_KMV_K} - 1) * CAST({_KMV_M} AS DOUBLE) / k.h_k END
+                     - x.n_exact) / x.n_exact, 6) AS rel_err
+    FROM x JOIN k ON x.event_type = k.event_type
+    """,
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event type, k=64:
+    keep the k smallest md5 hash values of the key; the estimator is
+    (k-1)·M/h_k (hashes uniform on [0, M), M = 2^60). DETERMINISTIC and
+    engine-portable — md5 is md5 in both engines, ranks and h_k are
+    exact BIGINTs, the estimate is ONE double division — unlike
+    HLL (approx_distinct_users), whose register layout is
+    engine-internal; this is the mergeable distinct sketch you can
+    value-test cross-engine, and the k-smallest-per-key shape is one
+    window over the deduped hash frame (or a TopK aggregate at 100 TB).
+    Sets smaller than k report their exact size (h_k undefined there).
+    Measured vs the exact distinct in-row (rel_err)."""
+    e = _t(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    h = e.select("event_type", hv.alias("hv")).distinct()
+    r = h.withColumn(
+        "rk", F.row_number().over(W.partitionBy("event_type").orderBy("hv"))
+    )
+    k = (
+        r.filter(F.col("rk") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.max("hv").cast("long").alias("h_k"),
+        )
+    )
+    x = e.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).cast("long").alias("n_exact")
+    )
+    est = F.when(
+        F.col("n_kept") < _KMV_K, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(float(_KMV_K - 1)) * F.lit(float(_KMV_M)) / F.col("h_k"))
+    return x.join(k, "event_type").select(
+        "event_type",
+        "n_exact",
+        F.round(est, 6).alias("kmv_est"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+            "rel_err"
+        ),
+    )
+
+
+@register(
+    "kmv_union_intersect_users",
+    f"""
+    WITH ha AS (SELECT DISTINCT
+                  ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+                FROM events WHERE event_type = 'click'),
+    hb AS (SELECT DISTINCT
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+           FROM events WHERE event_type = 'purchase'),
+    hu AS (SELECT hv FROM ha UNION SELECT hv FROM hb),
+    ka AS (SELECT CAST(max(hv) AS BIGINT) AS h_k, count(*) AS nk FROM (
+             SELECT hv FROM ha ORDER BY hv LIMIT {_KMV_K})),
+    kb AS (SELECT CAST(max(hv) AS BIGINT) AS h_k, count(*) AS nk FROM (
+             SELECT hv FROM hb ORDER BY hv LIMIT {_KMV_K})),
+    ku AS (SELECT CAST(max(hv) AS BIGINT) AS h_k, count(*) AS nk FROM (
+             SELECT hv FROM hu ORDER BY hv LIMIT {_KMV_K})),
+    xact AS (SELECT CAST(count(*) AS BIGINT) AS n_inter
+             FROM ha JOIN hb ON ha.hv = hb.hv)
+    SELECT
+      round(CASE WHEN ka.nk < {_KMV_K} THEN CAST(ka.nk AS DOUBLE)
+            ELSE ({_KMV_K} - 1) * CAST({_KMV_M} AS DOUBLE) / ka.h_k END, 6)
+        AS est_a,
+      round(CASE WHEN kb.nk < {_KMV_K} THEN CAST(kb.nk AS DOUBLE)
+            ELSE ({_KMV_K} - 1) * CAST({_KMV_M} AS DOUBLE) / kb.h_k END, 6)
+        AS est_b,
+      round(CASE WHEN ku.nk < {_KMV_K} THEN CAST(ku.nk AS DOUBLE)
+            ELSE ({_KMV_K} - 1) * CAST({_KMV_M} AS DOUBLE) / ku.h_k END, 6)
+        AS est_union,
+      round(CASE WHEN ka.nk < {_KMV_K} THEN CAST(ka.nk AS DOUBLE)
+            ELSE ({_KMV_K} - 1) * CAST({_KMV_M} AS DOUBLE) / ka.h_k END
+            + CASE WHEN kb.nk < {_KMV_K} THEN CAST(kb.nk AS DOUBLE)
+              ELSE ({_KMV_K} - 1) * CAST({_KMV_M} AS DOUBLE) / kb.h_k END
+            - CASE WHEN ku.nk < {_KMV_K} THEN CAST(ku.nk AS DOUBLE)
+              ELSE ({_KMV_K} - 1) * CAST({_KMV_M} AS DOUBLE) / ku.h_k END, 6)
+        AS est_intersect,
+      xact.n_inter AS exact_intersect
+    FROM ka CROSS JOIN kb CROSS JOIN ku CROSS JOIN xact
+    """,
+)
+def kmv_union_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimates: |clickers ∪ purchasers| from the KMV
+    of the hash-set union (sketches merge by just unioning hash sets and
+    re-truncating to k — the mergeability HLL has, with cross-engine
+    determinism HLL lacks), and |∩| by inclusion-exclusion — vs the
+    exact intersection computed alongside. The union sketch never
+    touches row-scale data twice: distinct hash frames are
+    set-unioned, then one global k-smallest truncation."""
+    e = _t(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    ha = e.filter(F.col("event_type") == "click").select(hv.alias("hv")).distinct()
+    hb = (
+        e.filter(F.col("event_type") == "purchase").select(hv.alias("hv")).distinct()
+    )
+    hu = ha.union(hb).distinct()
+
+    def kmin(df):
+        return (
+            df.orderBy("hv")
+            .limit(_KMV_K)
+            .agg(
+                F.max("hv").cast("long").alias("h_k"),
+                F.count(F.lit(1)).alias("nk"),
+            )
+        )
+
+    def est(pfx):
+        return F.when(
+            F.col(f"{pfx}nk") < _KMV_K, F.col(f"{pfx}nk").cast("double")
+        ).otherwise(
+            F.lit(float(_KMV_K - 1)) * F.lit(float(_KMV_M)) / F.col(f"{pfx}h_k")
+        )
+
+    ka = kmin(ha).select(F.col("h_k").alias("a_h_k"), F.col("nk").alias("a_nk"))
+    kb = kmin(hb).select(F.col("h_k").alias("b_h_k"), F.col("nk").alias("b_nk"))
+    ku = kmin(hu).select(F.col("h_k").alias("u_h_k"), F.col("nk").alias("u_nk"))
+    xact = ha.join(hb, "hv", "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_inter")
+    )
+    return (
+        ka.crossJoin(F.broadcast(kb))
+        .crossJoin(F.broadcast(ku))
+        .crossJoin(F.broadcast(xact))
+        .select(
+            F.round(est("a_"), 6).alias("est_a"),
+            F.round(est("b_"), 6).alias("est_b"),
+            F.round(est("u_"), 6).alias("est_union"),
+            F.round(est("a_") + est("b_") - est("u_"), 6).alias("est_intersect"),
+            F.col("n_inter").alias("exact_intersect"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch r9: ordered aggregation / outlier audit / portmanteau test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_agg_top_parts",
+    """
+    WITH r AS (
+      SELECT p_brand, p_name, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_name) AS rk
+      FROM part)
+    SELECT p_brand,
+           string_agg(p_name, ',' ORDER BY rk) AS top_names,
+           round(sum(CAST(p_retailprice AS DECIMAL(18,6))), 2)::DOUBLE
+             AS top_price_sum
+    FROM r WHERE rk <= 3
+    GROUP BY p_brand
+    """,
+)
+def string_agg_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED string aggregation: each brand's three priciest part names
+    joined in rank order — the LISTAGG/string_agg surface, which is only
+    deterministic with an explicit order. Spark has no ordered
+    string_agg, so the discipline is collect_list of (rank, name)
+    structs -> array_sort (rank is the struct's first field, so struct
+    order IS rank order) -> transform to names -> array_join: exact
+    parity with the oracle's string_agg(... ORDER BY rk), shuffle-free
+    beyond the one brand grouping. Price sum follows _dsum."""
+    p = _t(spark, sf_dir, "part")
+    rk = F.row_number().over(
+        W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), "p_name")
+    )
+    top = p.select("p_brand", "p_name", "p_retailprice", rk.alias("rk")).filter(
+        F.col("rk") <= 3
+    )
+    return top.groupBy("p_brand").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rk", "p_name"))),
+                lambda s: s["p_name"],
+            ),
+            ",",
+        ).alias("top_names"),
+        _dsum(F.col("p_retailprice")).alias("top_price_sum"),
+    )
+
+
+@register(
+    "iqr_outlier_audit_segments",
+    """
+    WITH q AS (
+      SELECT c_mktsegment,
+             quantile_cont(c_acctbal, 0.25) AS q1,
+             quantile_cont(c_acctbal, 0.75) AS q3
+      FROM customer GROUP BY c_mktsegment)
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n,
+           round(q.q1, 6) AS q1, round(q.q3, 6) AS q3,
+           CAST(sum(CASE WHEN c.c_acctbal < q.q1 - 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+           CAST(sum(CASE WHEN c.c_acctbal > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+    FROM customer c JOIN q ON c.c_mktsegment = q.c_mktsegment
+    GROUP BY c.c_mktsegment, q.q1, q.q3
+    """,
+)
+def iqr_outlier_audit_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit: per market segment, account balances
+    beyond 1.5 x IQR of the segment's exact quartiles — the
+    data-quality screen that catches feed corruption before it skews
+    models. Two passes over the dim-sized table (quartiles, then a
+    broadcast join back for the fence counts); exact interpolated
+    percentiles value-match quantile_cont (price_quartiles discipline),
+    and the fence comparisons are raw IEEE ops on identical doubles."""
+    c = _t(spark, sf_dir, "customer")
+    q = c.groupBy("c_mktsegment").agg(
+        F.percentile(F.col("c_acctbal"), F.lit(0.25)).alias("q1"),
+        F.percentile(F.col("c_acctbal"), F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    j = c.join(F.broadcast(q), "c_mktsegment")
+    return j.groupBy(F.col("c_mktsegment").alias("segment"), "q1", "q3").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("c_acctbal") < F.col("q1") - 1.5 * iqr, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_low_outliers"),
+        F.sum(
+            F.when(F.col("c_acctbal") > F.col("q3") + 1.5 * iqr, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_high_outliers"),
+    ).select(
+        "segment",
+        "n",
+        F.round("q1", 6).alias("q1"),
+        F.round("q3", 6).alias("q3"),
+        "n_low_outliers",
+        "n_high_outliers",
+    )
+
+
+@register(
+    "ljung_box_daily_events",
+    f"""
+    WITH c AS (
+      SELECT event_type, CAST(epoch_us(ts) // {US_DAY} AS BIGINT) AS bidx,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    l AS (SELECT event_type, bidx, cnt,
+                 lag(cnt, 1) OVER w AS l1,
+                 lag(cnt, 2) OVER w AS l2,
+                 lag(cnt, 3) OVER w AS l3
+          FROM c WINDOW w AS (PARTITION BY event_type ORDER BY bidx)),
+    s AS (SELECT event_type, 1 AS lag_k, cnt, l1 AS prev FROM l
+          WHERE l1 IS NOT NULL
+          UNION ALL
+          SELECT event_type, 2, cnt, l2 FROM l WHERE l2 IS NOT NULL
+          UNION ALL
+          SELECT event_type, 3, cnt, l3 FROM l WHERE l3 IS NOT NULL),
+    r AS (SELECT event_type, lag_k, round(corr(cnt, prev), 6) AS rk
+          FROM s GROUP BY event_type, lag_k),
+    n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM c
+          GROUP BY event_type)
+    SELECT n.event_type AS event_type, n.n AS n_days,
+           round(n.n * (n.n + 2.0)
+                 * sum(r.rk * r.rk / (n.n - r.lag_k)), 4) AS q_lb
+    FROM n JOIN r ON n.event_type = r.event_type
+    GROUP BY n.event_type, n.n
+    """,
+)
+def ljung_box_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau statistic (lags 1-3) on the daily
+    event-count series per type: Q = n(n+2) Σ r_k²/(n−k) — 'is there ANY
+    autocorrelation', the one-number companion to ts_acf_daily's
+    per-lag view (same lagged-pairs derivation; the sample
+    autocorrelations are the Pearson r over (t, t−k) pairs). r_k is
+    6dp-rounded BEFORE entering Q so both engines fold identical
+    doubles (the ts_seasonal_dow pre-rounding discipline); everything
+    upstream is BIGINT counts on the day-aggregated frame."""
+    e = _t(spark, sf_dir, "events")
+    from windflow_spark.operators.timeutil import event_micros
+
+    us = event_micros(e, "ts")
+    c = e.groupBy(
+        "event_type",
+        ((us - us % F.lit(US_DAY)) / F.lit(US_DAY)).cast("long").alias("bidx"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = W.partitionBy("event_type").orderBy("bidx")
+    l = c.select(
+        "event_type",
+        "cnt",
+        F.lag("cnt", 1).over(w).alias("l1"),
+        F.lag("cnt", 2).over(w).alias("l2"),
+        F.lag("cnt", 3).over(w).alias("l3"),
+    )
+    s = None
+    for k in (1, 2, 3):
+        part = l.filter(F.col(f"l{k}").isNotNull()).select(
+            "event_type",
+            F.lit(k).alias("lag_k"),
+            "cnt",
+            F.col(f"l{k}").alias("prev"),
+        )
+        s = part if s is None else s.unionByName(part)
+    r = s.groupBy("event_type", "lag_k").agg(
+        F.round(F.corr("cnt", "prev"), 6).alias("rk")
+    )
+    n = c.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        n.join(r, "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.round(
+                F.col("n")
+                * (F.col("n") + 2.0)
+                * F.sum(
+                    F.col("rk") * F.col("rk") / (F.col("n") - F.col("lag_k"))
+                ),
+                4,
+            ).alias("q_lb")
+        )
+        .select("event_type", F.col("n").alias("n_days"), "q_lb")
+    )
