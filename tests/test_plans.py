@@ -99,6 +99,8 @@ _BNLJ_ALLOWED = {
     # three one-row KMV summaries + the one-row exact-intersection count
     # crossJoined into the single output row (r9)
     "kmv_union_intersect_users",
+    # one-row revenue total crossJoined onto the 10-decile frame (r9)
+    "lorenz_curve_deciles",
     # one-row corpus-count N broadcast onto the ranked doc frame — the
     # scalar-attach plan for the quantile position formula (r9)
     "quantile_normalize_doclen",

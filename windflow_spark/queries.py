@@ -17352,3 +17352,341 @@ def ljung_box_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", F.col("n").alias("n_days"), "q_lb")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch r9: concentration / trend / outlier statistics + label propagation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lorenz_curve_deciles",
+    """
+    WITH r AS (
+      SELECT o_custkey AS ck,
+             sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      FROM orders GROUP BY o_custkey),
+    d AS (SELECT ck, rev, ntile(10) OVER (ORDER BY rev, ck) AS decile
+          FROM r),
+    g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+                 sum(rev) AS rev_d
+          FROM d GROUP BY decile),
+    t AS (SELECT sum(rev_d) AS rev_tot FROM g)
+    SELECT g.decile, g.n_cust,
+           round(CAST(g.rev_d AS DOUBLE), 2) AS decile_rev,
+           round(CAST(sum(g.rev_d) OVER (ORDER BY g.decile) AS DOUBLE)
+                 / CAST(t.rev_tot AS DOUBLE), 6) AS cum_rev_share
+    FROM g CROSS JOIN t
+    """,
+)
+def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve operating points behind revenue_gini_segments: rank
+    customers by revenue (exact DECIMAL sums; (rev, ck) total order makes
+    ntile deterministic), then each decile's cumulative share of total
+    revenue. Decile sums and the 10-row cumulative are DECIMAL-exact;
+    the share is one double division per output row. The ntile is a
+    single global sort of the CUSTOMER-grain frame (dim-sized, the
+    gains_table_deciles caveat: range-partitioned two-pass rank at
+    100 TB)."""
+    o = _t(spark, sf_dir, "orders")
+    r = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev")
+    )
+    d = r.select(
+        "ck", "rev", F.ntile(10).over(W.orderBy("rev", "ck")).alias("decile")
+    )
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("rev").alias("rev_d"),
+    )
+    t = g.agg(F.sum("rev_d").alias("rev_tot"))
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return g.crossJoin(F.broadcast(t)).select(
+        "decile",
+        "n_cust",
+        F.round(F.col("rev_d").cast("double"), 2).alias("decile_rev"),
+        F.round(
+            F.sum("rev_d").over(wc).cast("double") / F.col("rev_tot").cast("double"),
+            6,
+        ).alias("cum_rev_share"),
+    )
+
+
+@register(
+    "herfindahl_customer_concentration",
+    """
+    WITH r AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey AS ck,
+             sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2)
+    SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(rev * rev) AS DOUBLE)
+                 / (CAST(sum(rev) AS DOUBLE) * CAST(sum(rev) AS DOUBLE)),
+                 6) AS hhi,
+           round((CAST(sum(rev * rev) AS DOUBLE)
+                  / (CAST(sum(rev) AS DOUBLE) * CAST(sum(rev) AS DOUBLE))
+                  - 1.0 / count(*)) / (1 - 1.0 / count(*)), 6)
+             AS hhi_normalized
+    FROM r GROUP BY segment
+    """,
+)
+def herfindahl_customer_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman revenue-concentration index per market
+    segment — 'is this segment a few whales or a long tail', the
+    concentration companion of revenue_gini_segments / theil_index.
+    HHI = Σ share² computed as Σrev² / (Σrev)² over exact DECIMAL
+    customer revenues (summing rounded double shares would be
+    order-dependent — the _dsum discipline applied to a QUADRATIC
+    statistic; rev² stays inside DECIMAL(38,12) headroom), normalized
+    to [0,1] by the 1/n floor. Two keyed aggregations, no window."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    r = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), F.col("o_custkey").alias("ck"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev"))
+    )
+    g = r.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.col("rev") * F.col("rev")).alias("s2"),
+        F.sum("rev").alias("s1"),
+    )
+    hhi = F.col("s2").cast("double") / (
+        F.col("s1").cast("double") * F.col("s1").cast("double")
+    )
+    floor = F.lit(1.0) / F.col("n_customers")
+    return g.select(
+        "segment",
+        "n_customers",
+        F.round(hhi, 6).alias("hhi"),
+        F.round((hhi - floor) / (1 - floor), 6).alias("hhi_normalized"),
+    )
+
+
+@register(
+    "rolling_slope_7d_daily",
+    f"""
+    WITH d AS (
+      SELECT event_type, CAST(epoch_us(ts) // {US_DAY} AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    w AS (SELECT event_type, x, y,
+                 count(*) OVER f AS n,
+                 sum(x) OVER f AS sx, sum(y) OVER f AS sy,
+                 sum(x * y) OVER f AS sxy, sum(x * x) OVER f AS sxx
+          FROM d
+          WINDOW f AS (PARTITION BY event_type ORDER BY x
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT event_type, make_timestamp(x * {US_DAY}) AS day, y,
+           CASE WHEN n = 7 AND n * sxx - sx * sx <> 0 THEN
+             round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+           END AS slope_7d
+    FROM w
+    """,
+)
+def rolling_slope_7d_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day OLS trend slope of the daily event-count series —
+    the rolling-regression sibling of ts_rolling_corr, computed from
+    BIGINT co-moment sums over the ROWS frame (x is the day index, y the
+    count — both integral, so nΣxy − ΣxΣy is EXACT at any window
+    position; day indices ~20k keep n·Σxx ≈ 5e13 well inside BIGINT).
+    One window over the day-aggregated frame; warmup rows emit NULL."""
+    e = _t(spark, sf_dir, "events")
+    from windflow_spark.operators.timeutil import event_micros
+
+    us = event_micros(e, "ts")
+    d = e.groupBy(
+        "event_type",
+        ((us - us % F.lit(US_DAY)) / F.lit(US_DAY)).cast("long").alias("x"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    f = W.partitionBy("event_type").orderBy("x").rowsBetween(-6, 0)
+    w = d.select(
+        "event_type",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(f).alias("n"),
+        F.sum("x").over(f).alias("sx"),
+        F.sum("y").over(f).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(f).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(f).alias("sxx"),
+    )
+    num = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    return w.select(
+        "event_type",
+        F.timestamp_micros(F.col("x") * F.lit(US_DAY)).alias("day"),
+        "y",
+        F.when((F.col("n") == 7) & (den != 0), F.round(num / den, 6)).alias(
+            "slope_7d"
+        ),
+    )
+
+
+@register(
+    "grubbs_statistic_daily",
+    f"""
+    WITH d AS (
+      SELECT event_type, CAST(epoch_us(ts) // {US_DAY} AS BIGINT) AS bidx,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cnt) AS BIGINT) AS sx,
+                 CAST(sum(cnt * cnt) AS BIGINT) AS sxx
+          FROM d GROUP BY event_type),
+    g AS (SELECT d.event_type, d.bidx, d.cnt, s.n,
+                 CAST(s.sx AS DOUBLE) / s.n AS m,
+                 sqrt((s.sxx - CAST(s.sx AS DOUBLE) * s.sx / s.n)
+                      / (s.n - 1)) AS sd
+          FROM d JOIN s ON d.event_type = s.event_type),
+    r AS (SELECT event_type, bidx, cnt, n,
+                 round(abs(cnt - m) / sd, 6) AS gval,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY abs(cnt - m) DESC, bidx) AS rk
+          FROM g WHERE sd > 0)
+    SELECT event_type, n AS n_days,
+           make_timestamp(bidx * {US_DAY}) AS argmax_day,
+           cnt AS extreme_cnt, gval AS g_stat
+    FROM r WHERE rk = 1
+    """,
+)
+def grubbs_statistic_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs (maximum normed residual) statistic per event type: the
+    most extreme day of the daily count series, G = max|x − mean|/sd —
+    the single-outlier screen that precedes trimming/winsorizing. Mean
+    and SD come from EXACT BIGINT Σx/Σx² (integral counts), the argmax
+    is a deterministic (|dev|, day) ranking, and G is IEEE ops over
+    exact inputs. One day-grain aggregation + one scalar-sized join."""
+    e = _t(spark, sf_dir, "events")
+    from windflow_spark.operators.timeutil import event_micros
+
+    us = event_micros(e, "ts")
+    d = e.groupBy(
+        "event_type",
+        ((us - us % F.lit(US_DAY)) / F.lit(US_DAY)).cast("long").alias("bidx"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("sx"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sxx"),
+    )
+    m = F.col("sx").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    g = d.join(F.broadcast(s), "event_type").select(
+        "event_type", "bidx", "cnt", "n", m.alias("m"), sd.alias("sd")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("event_type").orderBy(
+            F.abs(F.col("cnt") - F.col("m")).desc(), "bidx"
+        )
+    )
+    r = (
+        g.filter(F.col("sd") > 0)
+        .select(
+            "event_type",
+            "bidx",
+            "cnt",
+            "n",
+            F.round(F.abs(F.col("cnt") - F.col("m")) / F.col("sd"), 6).alias("gval"),
+            rk.alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return r.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.timestamp_micros(F.col("bidx") * F.lit(US_DAY)).alias("argmax_day"),
+        F.col("cnt").alias("extreme_cnt"),
+        F.col("gval").alias("g_stat"),
+    )
+
+
+_LPA_ROUND_SQL = """
+    c{r} AS (SELECT ed.u AS n, l{p}.lbl AS lbl, count(*) AS c
+           FROM ed JOIN l{p} ON ed.v = l{p}.n GROUP BY 1, 2),
+    l{r} AS MATERIALIZED (SELECT n, lbl FROM (
+            SELECT n, lbl,
+                   row_number() OVER (PARTITION BY n ORDER BY c DESC, lbl)
+                     AS rk
+            FROM c{r}) WHERE rk = 1)"""
+
+
+@register(
+    "label_propagation_communities",
+    """
+    WITH li AS MATERIALIZED (
+           SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE p.p_size <= 25),
+    e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+    ed AS MATERIALIZED (SELECT u, v FROM e0
+                        UNION ALL SELECT v AS u, u AS v FROM e0),
+    l0 AS (SELECT DISTINCT u AS n, u AS lbl FROM ed),"""
+    + _LPA_ROUND_SQL.format(r=1, p=0)
+    + ","
+    + _LPA_ROUND_SQL.format(r=2, p=1)
+    + ","
+    + _LPA_ROUND_SQL.format(r=3, p=2)
+    + """
+    SELECT CAST(lbl AS BIGINT) AS community,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(n) AS BIGINT) AS min_member
+    FROM l3 GROUP BY lbl
+    """,
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (3 rounds,
+    deterministic) on the co-purchase part graph (k_core_copurchase's
+    edge base): each round every node adopts the most frequent label
+    among its neighbors, ties to the SMALLEST label — the tie rule that
+    makes sync LPA reproducible across engines and partitionings (async
+    LPA is run-order dependent, useless under an exact oracle). Each
+    round is one edges⋈labels equi-join + one (node, label) count + one
+    argmax window over the count frame — all keyed exchanges on node id,
+    no broadcast of anything row-scale; the edge list and each round's
+    label frame are lineage-cut so the corpus scan happens once, not
+    once per round (the k_core_fixed_point discipline). Fixed rounds
+    keep the oracle expressible as an unrolled CTE cascade
+    (k_core_copurchase precedent); the fixed-point variant would follow
+    k_core_fixed_point's two-scalar-collects-per-round loop."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    lp = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    ed = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    labels = ed.select(F.col("u").alias("n")).distinct().select(
+        "n", F.col("n").alias("lbl")
+    )
+    pick = W.partitionBy("n").orderBy(F.col("c").desc(), "lbl")
+    for _ in range(3):
+        c = (
+            ed.join(labels.withColumnRenamed("n", "v"), "v")
+            .groupBy(F.col("u").alias("n"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            c.withColumn("rk", F.row_number().over(pick))
+            .filter(F.col("rk") == 1)
+            .select("n", "lbl")
+            .localCheckpoint()
+        )
+    return labels.groupBy(F.col("lbl").cast("long").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("n").cast("long").alias("min_member"),
+    )
