@@ -101,6 +101,9 @@ _BNLJ_ALLOWED = {
     "kmv_union_intersect_users",
     # one-row revenue total crossJoined onto the 10-decile frame (r9)
     "lorenz_curve_deciles",
+    # one-row total-quantity scalar crossJoined onto the part frame for
+    # the integer ABC boundary test (r9)
+    "abc_xyz_inventory",
     # one-row corpus-count N broadcast onto the ranked doc frame — the
     # scalar-attach plan for the quantile position formula (r9)
     "quantile_normalize_doclen",

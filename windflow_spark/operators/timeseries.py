@@ -528,3 +528,104 @@ def macd_smooth(
         F.round(F.col("_x.g"), 6).alias("signal"),
         F.round(F.col("_x.m") - F.col("_x.g"), 6).alias("histogram"),
     )
+
+
+def holt_winters_smooth(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.5,
+    season: int = 7,
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE triple-exponential smoothing (level + trend +
+    day-of-week seasonal) of per-bucket event counts — holt_smooth with a
+    seasonal state array, the full classical forecasting recurrence.
+
+    Recurrence (init l_1 = x_1, b_1 = 0, s = zeros(season); idx = bucket
+    index mod season, so the seasonal slot is the calendar day-of-week and
+    missing days don't shift the season):
+      ``l_t = alpha*(x_t - s[idx]) + (1-alpha)*(l_{t-1} + b_{t-1})``
+      ``b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}``
+      ``s[idx] <- gamma*(x_t - l_t) + (1-gamma)*s[idx]``
+      ``forecast_next = l_t + b_t + s[(idx+1) mod season]``
+
+    Zero-initialized seasonals ramp in over the first cycles (no
+    first-season average pass — keeps init deterministic and the oracle's
+    recursive CTE identical). Scale shape: one keyed exchange for the
+    bucket aggregation, then a strict left-to-right JVM-side F.aggregate
+    fold per key carrying (level, trend, season-array) — per-key state is
+    the timeline length. Dyadic alpha/beta/gamma keep every coefficient
+    an exact double, so the oracle's recursive CTE (seasonal state as a
+    LIST column) reproduces the float sequence bit-exactly.
+    """
+    from windflow_spark.operators.timeutil import event_micros
+
+    keys = list(key_cols)
+    bidx = F.floor(event_micros(df, ts_col) / F.lit(bucket_us)).cast("long")
+    bucketed = (
+        df.withColumn("_bidx", bidx)
+        .groupBy(*keys, "_bidx")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    lst = F.sort_array(
+        F.collect_list(F.struct(F.col("_bidx").alias("b"), F.col("cnt").alias("c")))
+    )
+    zero = F.struct(
+        F.expr(
+            "CAST(array() AS "
+            "array<struct<b:bigint,c:bigint,l:double,t:double,f:double>>)"
+        ).alias("arr"),
+        F.lit(None).cast("double").alias("lvl"),
+        F.lit(None).cast("double").alias("trd"),
+        F.expr(f"array_repeat(0.0D, {int(season)})").alias("sea"),
+    )
+
+    def _step(acc, x):
+        first = acc["lvl"].isNull()
+        idx = (x["b"] % season).cast("int")
+        s_cur = F.get(acc["sea"], idx)
+        new_l = F.when(first, x["c"].cast("double")).otherwise(
+            F.lit(alpha) * (x["c"] - s_cur)
+            + F.lit(1.0 - alpha) * (acc["lvl"] + acc["trd"])
+        )
+        new_t = F.when(first, F.lit(0.0)).otherwise(
+            F.lit(beta) * (new_l - acc["lvl"]) + F.lit(1.0 - beta) * acc["trd"]
+        )
+        s_upd = F.when(first, s_cur).otherwise(
+            F.lit(gamma) * (x["c"] - new_l) + F.lit(1.0 - gamma) * s_cur
+        )
+        new_sea = F.transform(
+            F.sequence(F.lit(0), F.lit(int(season) - 1)),
+            lambda i: F.when(i == idx, s_upd).otherwise(F.get(acc["sea"], i)),
+        )
+        nxt = F.get(new_sea, ((x["b"] + 1) % season).cast("int"))
+        return F.struct(
+            F.concat(
+                acc["arr"],
+                F.array(
+                    F.struct(
+                        x["b"].alias("b"),
+                        x["c"].alias("c"),
+                        new_l.alias("l"),
+                        new_t.alias("t"),
+                        (new_l + new_t + nxt).alias("f"),
+                    )
+                ),
+            ).alias("arr"),
+            new_l.alias("lvl"),
+            new_t.alias("trd"),
+            new_sea.alias("sea"),
+        )
+
+    folded = bucketed.groupBy(*keys).agg(F.aggregate(lst, zero, _step).alias("_r"))
+    return folded.select(*keys, F.explode(F.col("_r.arr")).alias("_x")).select(
+        *keys,
+        F.timestamp_micros(F.col("_x.b") * F.lit(bucket_us)).alias("bucket_start"),
+        F.col("_x.c").alias("cnt"),
+        F.round(F.col("_x.l"), 6).alias("level"),
+        F.round(F.col("_x.t"), 6).alias("trend"),
+        F.round(F.col("_x.f"), 6).alias("forecast_next"),
+    )

@@ -17831,3 +17831,294 @@ def bitmap_funnel_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("funnel_rate"),
     )
+
+
+@register(
+    "ts_holt_winters_dow",
+    f"""
+    WITH RECURSIVE c AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // {US_DAY} AS BIGINT) AS bidx,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, bidx, cnt,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                                         ORDER BY bidx) AS BIGINT) AS rn
+          FROM c),
+    h AS (
+      SELECT event_type, bidx, cnt, rn,
+             CAST(cnt AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS t,
+             CAST([0, 0, 0, 0, 0, 0, 0] AS DOUBLE[]) AS s
+      FROM r WHERE rn = 1
+      UNION ALL
+      SELECT r.event_type, r.bidx, r.cnt, r.rn,
+             (0.5 * (r.cnt - h.s[CAST(r.bidx % 7 AS INT) + 1]) + 0.5 * (h.l + h.t)) AS l,
+             0.25 * ((0.5 * (r.cnt - h.s[CAST(r.bidx % 7 AS INT) + 1]) + 0.5 * (h.l + h.t)) - h.l) + 0.75 * h.t AS t,
+             list_transform(generate_series(0, 6),
+               i -> CASE WHEN i = r.bidx % 7
+                         THEN 0.5 * (r.cnt - (0.5 * (r.cnt - h.s[CAST(r.bidx % 7 AS INT) + 1]) + 0.5 * (h.l + h.t)))
+                              + 0.5 * h.s[CAST(r.bidx % 7 AS INT) + 1]
+                         ELSE h.s[CAST(i AS INT) + 1] END) AS s
+      FROM r JOIN h ON r.event_type = h.event_type AND r.rn = h.rn + 1)
+    SELECT event_type, make_timestamp(bidx * {US_DAY}) AS bucket_start, cnt,
+           round(l, 6) AS level, round(t, 6) AS trend,
+           round(l + t + s[CAST((bidx + 1) % 7 AS INT) + 1], 6)
+             AS forecast_next
+    FROM h
+    """,
+)
+def ts_holt_winters_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE triple-exponential smoothing (level + trend +
+    day-of-week seasonal, alpha=0.5 beta=0.25 gamma=0.5 — all dyadic, so
+    every coefficient is an exact double on both engines) of daily event
+    counts per type, with the one-step-ahead seasonal forecast —
+    completing the smoothing family (ewma -> holt -> holt-winters). The
+    seasonal slot is bidx mod 7 (calendar day-of-week), so missing days
+    don't shift the season; seasonals ramp from zero (deterministic init,
+    no first-season average pass). The recurrence folds JVM-side over
+    each key's sorted bucket series (operators/timeseries.
+    holt_winters_smooth — F.aggregate carrying a 7-slot seasonal array);
+    the oracle is the equivalent recursive CTE with the seasonal state as
+    a LIST column, running the identical left-to-right float sequence."""
+    from windflow_spark.operators.timeseries import holt_winters_smooth
+
+    return holt_winters_smooth(
+        _t(spark, sf_dir, "events"),
+        ["event_type"],
+        "ts",
+        alpha=0.5,
+        beta=0.25,
+        gamma=0.5,
+        season=7,
+        bucket_us=US_DAY,
+    )
+
+
+@register(
+    "seasonal_strength_dow",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(sum(CAST(value AS DECIMAL(18,6))), 6)::DOUBLE AS daily
+      FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type, day,
+                 CAST(daily AS DECIMAL(18,6)) AS dd,
+                 CAST(round(daily - round(avg(daily) OVER (PARTITION BY
+                        event_type, dayofweek(day)), 6), 6)
+                      AS DECIMAL(18,6)) AS rr
+          FROM d),
+    v AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 sum(dd) AS sd1,
+                 sum(CAST(dd AS DECIMAL(19,6)) * CAST(dd AS DECIMAL(19,6)))
+                   AS sd2,
+                 sum(rr) AS sr1,
+                 sum(CAST(rr AS DECIMAL(19,6)) * CAST(rr AS DECIMAL(19,6)))
+                   AS sr2
+          FROM s GROUP BY event_type)
+    SELECT event_type, n,
+           round(greatest(CAST(0 AS DOUBLE),
+             1 - (n * CAST(sr2 AS DOUBLE) - CAST(sr1 AS DOUBLE) * CAST(sr1 AS DOUBLE))
+                 / (n * CAST(sd2 AS DOUBLE) - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE))),
+             6) AS seasonal_strength
+    FROM v
+    """,
+)
+def seasonal_strength_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal STRENGTH per event type: 1 − Var(residual)/
+    Var(daily) over the ts_seasonal_dow decomposition (the STL strength
+    statistic, clamped at 0) — 'how much of this series is just the
+    weekly cycle', the one-number gate for whether deseasonalizing
+    matters. Both variances come from exact DECIMAL Σx/Σx² of the
+    6dp-pre-rounded components via the n·Σx²−(Σx)² identity — the
+    quadratic-statistic discipline (herfindahl), no order-dependent
+    float accumulation anywhere."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
+        .cast("double")
+        .alias("daily")
+    )
+    wdow = W.partitionBy("event_type", F.dayofweek("day"))
+    s = d.select(
+        "event_type",
+        F.col("daily").cast("decimal(18,6)").alias("dd"),
+        F.round(
+            F.col("daily") - F.round(F.avg("daily").over(wdow), 6), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("rr"),
+    )
+    v = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dd").alias("sd1"),
+        F.sum(F.col("dd") * F.col("dd")).alias("sd2"),
+        F.sum("rr").alias("sr1"),
+        F.sum(F.col("rr") * F.col("rr")).alias("sr2"),
+    )
+    var_d = F.col("n") * F.col("sd2").cast("double") - F.col("sd1").cast(
+        "double"
+    ) * F.col("sd1").cast("double")
+    var_r = F.col("n") * F.col("sr2").cast("double") - F.col("sr1").cast(
+        "double"
+    ) * F.col("sr1").cast("double")
+    return v.select(
+        "event_type",
+        "n",
+        F.round(F.greatest(F.lit(0.0), 1 - var_r / var_d), 6).alias(
+            "seasonal_strength"
+        ),
+    )
+
+
+@register(
+    "abc_xyz_inventory",
+    """
+    WITH pq AS (
+      SELECT l_partkey AS pk, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY l_partkey),
+    t AS (SELECT CAST(sum(q) AS BIGINT) AS qt FROM pq),
+    abc AS (SELECT pk, q,
+                   CAST(sum(q) OVER (ORDER BY q DESC, pk) AS BIGINT) AS cq
+            FROM pq),
+    ac AS (SELECT abc.pk,
+                  CASE WHEN abc.cq * 100 <= t.qt * 80 THEN 'A'
+                       WHEN abc.cq * 100 <= t.qt * 95 THEN 'B'
+                       ELSE 'C' END AS abc_class
+           FROM abc CROSS JOIN t),
+    m AS (SELECT l_partkey AS pk, CAST(date_trunc('month', l_shipdate) AS DATE) AS mon,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS mq
+          FROM lineitem GROUP BY 1, 2),
+    cov AS (SELECT pk, CAST(count(*) AS BIGINT) AS nm,
+                   CAST(sum(mq) AS BIGINT) AS s1,
+                   CAST(sum(mq * mq) AS BIGINT) AS s2
+            FROM m GROUP BY pk),
+    xy AS (SELECT pk,
+                  CASE WHEN nm < 2 THEN 'Z'
+                       WHEN sqrt((nm * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+                                 / (CAST(nm AS DOUBLE) * (nm - 1)))
+                            / (CAST(s1 AS DOUBLE) / nm) < 0.5 THEN 'X'
+                       WHEN sqrt((nm * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+                                 / (CAST(nm AS DOUBLE) * (nm - 1)))
+                            / (CAST(s1 AS DOUBLE) / nm) < 1.0 THEN 'Y'
+                       ELSE 'Z' END AS xyz_class
+           FROM cov)
+    SELECT ac.abc_class, xy.xyz_class, CAST(count(*) AS BIGINT) AS n_parts
+    FROM ac JOIN xy ON ac.pk = xy.pk
+    GROUP BY 1, 2
+    """,
+)
+def abc_xyz_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ inventory classification — the supply-chain segmentation
+    matrix: ABC by cumulative share of total quantity (A ≤ 80 %,
+    B ≤ 95 %, C rest; the boundary test is cq·100 ≤ total·80, a pure
+    INTEGER comparison, so no float share can flip a class), XYZ by
+    demand regularity (coefficient of variation of monthly quantity from
+    BIGINT Σ/Σ² — X < 0.5, Y < 1.0, Z erratic or single-month). The ABC
+    cumulative is one part-grain global window (dim-sized; the
+    gains_table caveat applies at 100 TB — range-partitioned two-pass
+    rank), XYZ is two keyed aggs; output is the 3×3 class matrix."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    pq = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(q).cast("long").alias("q")
+    )
+    t = pq.agg(F.sum("q").cast("long").alias("qt"))
+    wcum = W.orderBy(F.col("q").desc(), "pk").rowsBetween(W.unboundedPreceding, 0)
+    abc = pq.select("pk", "q", F.sum("q").over(wcum).cast("long").alias("cq"))
+    ac = abc.crossJoin(F.broadcast(t)).select(
+        "pk",
+        F.when(F.col("cq") * 100 <= F.col("qt") * 80, "A")
+        .when(F.col("cq") * 100 <= F.col("qt") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    m = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("mon"),
+    ).agg(F.sum(q).cast("long").alias("mq"))
+    cov = m.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("long").alias("nm"),
+        F.sum("mq").cast("long").alias("s1"),
+        F.sum(F.col("mq") * F.col("mq")).cast("long").alias("s2"),
+    )
+    cv = F.sqrt(
+        (F.col("nm") * F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1"))
+        / (F.col("nm").cast("double") * (F.col("nm") - 1))
+    ) / (F.col("s1").cast("double") / F.col("nm"))
+    xy = cov.select(
+        "pk",
+        F.when(F.col("nm") < 2, "Z")
+        .when(cv < 0.5, "X")
+        .when(cv < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return (
+        ac.join(xy, "pk")
+        .groupBy("abc_class", "xyz_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    )
+
+
+@register(
+    "hapax_legomena_by_source",
+    r"""
+    WITH tok AS (
+      SELECT d.source, t.tok FROM documents d,
+             unnest(list_filter(string_split(d.text, ' '), x -> x <> ''))
+               AS t(tok)),
+    df AS (SELECT tok, CAST(count(*) AS BIGINT) AS occ FROM tok GROUP BY tok),
+    vocab AS (SELECT s.source,
+                     CAST(count(DISTINCT s.tok) AS BIGINT) AS n_vocab,
+                     CAST(count(DISTINCT CASE WHEN df.occ = 1 THEN s.tok END)
+                          AS BIGINT) AS n_hapax,
+                     CAST(count(*) AS BIGINT) AS n_tokens
+              FROM tok s JOIN df ON s.tok = df.tok
+              GROUP BY s.source)
+    SELECT source, n_tokens, n_vocab, n_hapax,
+           round(CAST(n_hapax AS DOUBLE) / n_vocab, 6) AS hapax_vocab_share,
+           round(CAST(n_hapax AS DOUBLE) / n_tokens, 6) AS hapax_token_share
+    FROM vocab
+    """,
+)
+def hapax_legomena_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena (corpus-frequency-1 tokens) per source: vocabulary
+    share and token share of words that appear EXACTLY ONCE in the whole
+    corpus — the classic lexical-richness / OCR-noise diagnostic (a
+    source whose hapax share spikes is injecting garbage tokens; one
+    whose share collapses is templated/duplicated text). Zipf's law puts
+    the healthy corpus near 50 % of vocabulary; pairs with
+    heaps_law_vocab_growth (growth) and zipf_token_rank_slope (shape).
+    One token explode, a corpus-level df agg, and a broadcast-sized
+    (token → occ=1) join back — integer counts with two final
+    divisions (the tokenizer_fertility discipline)."""
+    from windflow_spark.functions.text import tokens
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("tok"))
+    df = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("occ"))
+    j = tok.join(df, "tok")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count_distinct(F.col("tok")).cast("long").alias("n_vocab"),
+            F.count_distinct(
+                F.when(F.col("occ") == 1, F.col("tok"))
+            ).cast("long").alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_vocab",
+            "n_hapax",
+            F.round(F.col("n_hapax").cast("double") / F.col("n_vocab"), 6).alias(
+                "hapax_vocab_share"
+            ),
+            F.round(F.col("n_hapax").cast("double") / F.col("n_tokens"), 6).alias(
+                "hapax_token_share"
+            ),
+        )
+    )
