@@ -544,6 +544,62 @@ def test_asof_join_backward_edge_cases(spark):
             fn(a, b, ["key"], "ts", "ts", ["bid", "v"], how="leftt")
 
 
+def test_asof_join_nearest_edge_cases(spark):
+    """Nearest-direction as-of: closest b in EITHER direction, tolerance
+    bound inclusive, equal-distance ties to the EARLIER b, inner drops
+    only out-of-tolerance/absent matches (a matched row with null payload
+    survives — the backward 'inner' lesson)."""
+    import pytest as _pytest
+
+    from windflow_spark.operators.asof_join import asof_join_nearest
+
+    a = spark.createDataFrame(
+        [
+            (1, 10, "mid"),      # b at 7 (d=3) and 12 (d=2) -> forward wins
+            (1, 95, "tie"),      # b at 90 and 100, both d=5 -> backward wins
+            (1, 50, "far"),      # nearest b is 12 (d=38) -> out of tolerance
+            (2, 10, "nob"),      # key with no b rows at all
+            (1, 7, "exact"),     # b exactly at 7 -> distance 0, backward
+        ],
+        "key long, ts long, tag string",
+    )
+    b = spark.createDataFrame(
+        [(1, 7, 100, 1.0), (1, 12, 101, None), (1, 90, 102, 3.0), (1, 100, 103, 4.0)],
+        "key long, ts long, bid long, v double",
+    )
+    out = {
+        r.tag: (r.b_bid, r.b_v)
+        for r in asof_join_nearest(
+            a, b, ["key"], "ts", "ts", ["bid", "v"], tolerance=10
+        ).collect()
+    }
+    assert out["mid"] == (101, None)   # forward nearer AND null payload rides
+    assert out["tie"] == (102, 3.0)    # equal distance -> earlier (backward)
+    assert out["far"] == (None, None)  # both directions beyond tolerance
+    assert out["nob"] == (None, None)
+    assert out["exact"] == (100, 1.0)
+
+    # tolerance boundary is INCLUSIVE: distance == tolerance matches
+    edge = asof_join_nearest(
+        spark.createDataFrame([(1, 2, "e")], "key long, ts long, tag string"),
+        b, ["key"], "ts", "ts", ["bid"], tolerance=5,
+    ).collect()[0]
+    assert edge.b_bid == 100  # b at 7, distance exactly 5
+
+    # inner keeps the null-payload match (tolerance flags, not payload nulls)
+    inner = asof_join_nearest(
+        a, b, ["key"], "ts", "ts", ["v"], tolerance=10, how="inner"
+    )
+    assert {r.tag for r in inner.collect()} == {"mid", "tie", "exact"}
+
+    # no tolerance: everything with any b matches
+    free = asof_join_nearest(a, b, ["key"], "ts", "ts", ["bid"]).collect()
+    assert {r.tag: r.b_bid for r in free}["far"] == 101
+
+    with _pytest.raises(ValueError, match="how"):
+        asof_join_nearest(a, b, ["key"], "ts", "ts", ["bid"], how="outer")
+
+
 def test_connected_components_clusters(spark):
     from windflow_spark.functions.dedup import connected_components
 
