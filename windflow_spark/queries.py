@@ -18122,3 +18122,276 @@ def hapax_legomena_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch r9: M4 downsampling, rolling median, PERCENTILE_DISC, key audit,
+# runs test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_m4_downsample",
+    f"""
+    SELECT event_type,
+           make_timestamp((epoch_us(ts) // {US_DAY}) * {US_DAY}) AS pixel,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           (min({{'t': epoch_us(ts), 'e': event_id, 'v': value}})).v AS first_val,
+           (max({{'t': epoch_us(ts), 'e': event_id, 'v': value}})).v AS last_val,
+           (min({{'v': value, 't': epoch_us(ts), 'e': event_id}})).v AS min_val,
+           make_timestamp((min({{'v': value, 't': epoch_us(ts), 'e': event_id}})).t)
+             AS min_ts,
+           (max({{'v': value, 't': epoch_us(ts), 'e': event_id}})).v AS max_val,
+           make_timestamp((max({{'v': value, 't': epoch_us(ts), 'e': event_id}})).t)
+             AS max_ts
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (the dashboard-rendering operator: per time pixel
+    keep first/last/min/max so the drawn line is pixel-identical to the
+    raw series at any zoom) — one aggregation pass, argmin/argmax via
+    lexicographic struct min/max with (ts, event_id) / (value, ts,
+    event_id) orderings, fully deterministic under any partitioning
+    (the resample_ohlc discipline; M4 additionally keeps the extremes'
+    TIMESTAMPS). At 100 TB this is the 5000×-reduction step between the
+    store and any plot; cost is scan + one keyed agg."""
+    from windflow_spark.operators.timeutil import event_micros
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    us = event_micros(e, "ts")
+    te = F.struct(us.alias("t"), F.col("event_id").alias("e"), F.col("value").alias("v"))
+    vt = F.struct(F.col("value").alias("v"), us.alias("t"), F.col("event_id").alias("e"))
+    return e.groupBy(
+        "event_type",
+        F.timestamp_micros((us - us % F.lit(US_DAY))).alias("pixel"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.min(te)["v"].alias("first_val"),
+        F.max(te)["v"].alias("last_val"),
+        F.min(vt)["v"].alias("min_val"),
+        F.timestamp_micros(F.min(vt)["t"]).alias("min_ts"),
+        F.max(vt)["v"].alias("max_val"),
+        F.timestamp_micros(F.max(vt)["t"]).alias("max_ts"),
+    )
+
+
+@register(
+    "ts_rolling_median_7d",
+    f"""
+    WITH d AS (
+      SELECT event_type, CAST(epoch_us(ts) // {US_DAY} AS BIGINT) AS didx,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, make_timestamp(didx * {US_DAY}) AS day, cnt,
+           CASE WHEN count(*) OVER w = 7 THEN
+             round(quantile_cont(cnt, 0.5) OVER w, 6) END AS med_7d
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY didx
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day EXACT rolling median of the daily count series —
+    the robust companion to the rolling mean/zscore family (one outlier
+    day cannot move it). Exact order statistics over a 7-row frame:
+    cross-engine value-identical (integer inputs, midpoint interpolation
+    halves are exact doubles), NULL during warmup. The window runs on
+    the day-aggregated frame — at 100 TB the sort is over days per key,
+    never events."""
+    e = _t(spark, sf_dir, "events")
+    from windflow_spark.operators.timeutil import event_micros
+
+    us = event_micros(e, "ts")
+    d = e.groupBy(
+        "event_type",
+        ((us - us % F.lit(US_DAY)) / F.lit(US_DAY)).cast("long").alias("didx"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = W.partitionBy("event_type").orderBy("didx").rowsBetween(-6, 0)
+    return d.select(
+        "event_type",
+        F.timestamp_micros(F.col("didx") * F.lit(US_DAY)).alias("day"),
+        "cnt",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.round(F.percentile(F.col("cnt"), F.lit(0.5)).over(w), 6),
+        ).alias("med_7d"),
+    )
+
+
+@register(
+    "percentile_disc_battery",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_disc(c_acctbal, 0.25), 2) AS p25_disc,
+           round(quantile_disc(c_acctbal, 0.50), 2) AS p50_disc,
+           round(quantile_disc(c_acctbal, 0.75), 2) AS p75_disc,
+           round(quantile_cont(c_acctbal, 0.50), 6) AS p50_cont
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def percentile_disc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_DISC vs PERCENTILE_CONT surface: the discrete quantile
+    returns an ACTUAL data value (smallest value whose cume_dist ≥ p —
+    what auditors want when the answer must exist in the data), the
+    continuous one interpolates. Spark's WITHIN GROUP percentile_disc ≡
+    DuckDB quantile_disc at every p (both take the lower value at exact
+    boundaries — verified); one keyed agg, no global sort."""
+    c = _t(spark, sf_dir, "customer")
+
+    def disc(p):
+        return F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY c_acctbal)")
+
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(disc(0.25), 2).alias("p25_disc"),
+        F.round(disc(0.50), 2).alias("p50_disc"),
+        F.round(disc(0.75), 2).alias("p75_disc"),
+        F.round(F.percentile(F.col("c_acctbal"), F.lit(0.5)), 6).alias("p50_cont"),
+    ).select("c_mktsegment", "n", "p25_disc", "p50_disc", "p75_disc", "p50_cont")
+
+
+@register(
+    "candidate_key_audit",
+    """
+    WITH k1 AS (SELECT 'o_orderkey' AS key_cols, CAST(count(*) AS BIGINT) AS n,
+                       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+                       CAST(max(c) AS BIGINT) AS max_dup
+                FROM orders, (SELECT o_orderkey AS kk, count(*) AS c
+                              FROM orders GROUP BY 1) g
+                WHERE orders.o_orderkey = g.kk),
+    k2 AS (SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+                  CAST(count(DISTINCT o_custkey) AS BIGINT),
+                  CAST((SELECT max(c) FROM (SELECT count(*) AS c FROM orders
+                                            GROUP BY o_custkey)) AS BIGINT)
+           FROM orders),
+    k3 AS (SELECT 'o_custkey,o_orderdate', CAST(count(*) AS BIGINT),
+                  CAST(count(DISTINCT (o_custkey, o_orderdate)) AS BIGINT),
+                  CAST((SELECT max(c) FROM (SELECT count(*) AS c FROM orders
+                                            GROUP BY o_custkey, o_orderdate))
+                       AS BIGINT)
+           FROM orders)
+    SELECT key_cols, n, n_distinct, max_dup, n = n_distinct AS is_unique
+    FROM (SELECT * FROM k1 UNION ALL SELECT * FROM k2 UNION ALL
+          SELECT * FROM k3)
+    """,
+)
+def candidate_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery audit: for each proposed key column set of
+    the orders table, exact row count vs distinct count, the worst
+    duplication factor, and the uniqueness verdict — the data-quality
+    pass that validates primary-key assumptions before a MERGE/upsert
+    pipeline trusts them (a dup key silently fans out every downstream
+    join). One groupBy per candidate over the same scan; counts are
+    exact BIGINTs."""
+    o = _t(spark, sf_dir, "orders")
+
+    def audit(label, cols):
+        g = o.groupBy(*cols).agg(F.count(F.lit(1)).alias("c"))
+        return g.agg(
+            F.lit(label).alias("key_cols"),
+            F.sum("c").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.max("c").cast("long").alias("max_dup"),
+        )
+    u = (
+        audit("o_orderkey", ["o_orderkey"])
+        .unionByName(audit("o_custkey", ["o_custkey"]))
+        .unionByName(audit("o_custkey,o_orderdate", ["o_custkey", "o_orderdate"]))
+    )
+    return u.select(
+        "key_cols",
+        "n",
+        "n_distinct",
+        "max_dup",
+        (F.col("n") == F.col("n_distinct")).alias("is_unique"),
+    )
+
+
+@register(
+    "runs_test_daily",
+    f"""
+    WITH d AS (
+      SELECT event_type, CAST(epoch_us(ts) // {US_DAY} AS BIGINT) AS didx,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    md AS (SELECT event_type, quantile_disc(cnt, 0.5) AS med
+           FROM d GROUP BY event_type),
+    s AS (SELECT d.event_type, d.didx,
+                 CASE WHEN d.cnt > md.med THEN 1 ELSE 0 END AS sgn
+          FROM d JOIN md ON d.event_type = md.event_type
+          WHERE d.cnt <> md.med),
+    r AS (SELECT event_type, sgn,
+                 CASE WHEN lag(sgn) OVER (PARTITION BY event_type
+                                          ORDER BY didx) IS DISTINCT FROM sgn
+                      THEN 1 ELSE 0 END AS brk
+          FROM s),
+    g AS (SELECT event_type,
+                 CAST(sum(sgn) AS BIGINT) AS n1,
+                 CAST(count(*) - sum(sgn) AS BIGINT) AS n2,
+                 CAST(sum(brk) AS BIGINT) AS runs
+          FROM r GROUP BY event_type)
+    SELECT event_type, n1, n2, runs,
+           round((runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE))),
+                 6) AS z_stat
+    FROM g WHERE n1 > 0 AND n2 > 0
+    """,
+)
+def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of the daily count series
+    per type: days sign against the EXACT discrete median (ties dropped,
+    the textbook treatment), runs counted as sign breaks in day order
+    (the first row's NULL lag counts as a break, so runs = breaks), and
+    the normal-approximation z from exact BIGINT n1/n2/R — trending or
+    oscillating series show too few/too many runs where autocorrelation
+    tests need a lag choice. Day-frame windows only."""
+    e = _t(spark, sf_dir, "events")
+    from windflow_spark.operators.timeutil import event_micros
+
+    us = event_micros(e, "ts")
+    d = e.groupBy(
+        "event_type",
+        ((us - us % F.lit(US_DAY)) / F.lit(US_DAY)).cast("long").alias("didx"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    md = d.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt)").alias("med")
+    )
+    s = (
+        d.join(F.broadcast(md), "event_type")
+        .filter(F.col("cnt") != F.col("med"))
+        .select(
+            "event_type",
+            "didx",
+            F.when(F.col("cnt") > F.col("med"), 1).otherwise(0).alias("sgn"),
+        )
+    )
+    wo = W.partitionBy("event_type").orderBy("didx")
+    r = s.select(
+        "event_type",
+        "sgn",
+        F.when(
+            ~F.lag("sgn").over(wo).eqNullSafe(F.col("sgn")), 1
+        ).otherwise(0).alias("brk"),
+    )
+    g = r.groupBy("event_type").agg(
+        F.sum("sgn").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("sgn")).cast("long").alias("n2"),
+        F.sum("brk").cast("long").alias("runs"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    sd = F.sqrt(
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1).cast("double"))
+    )
+    return g.filter((n1 > 0) & (n2 > 0)).select(
+        "event_type",
+        "n1",
+        "n2",
+        "runs",
+        F.round((F.col("runs") - mu) / sd, 6).alias("z_stat"),
+    )
