@@ -38,8 +38,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #   names, strict registry registration order] +
 #   [least-recently-checked names] — truncated to 50. (The failed tier
 # was added in r9 — r8 VERDICT #2: a driver-red row previously had no
-# re-check priority and would wait ~6 rounds for its rotation slot.) No name is ever skipped or demoted by hand: every entry earns
-# a driver row within ceil(264/48) ≈ 6 rounds, and an auditor can
+# re-check priority and would wait many rounds for its rotation slot.)
+# No name is ever skipped or demoted by hand: with N registry entries
+# and ~48 non-canary slots per round, every never-checked entry earns a
+# driver row within ceil(N/48) rounds (N=345 → ~8) PLUS up to one extra
+# round per slot displaced by the failed-first tier; an auditor can
 # reproduce the slice from the committed artifacts alone. Names and
 # oracles are unchanged — the full registry self-gate
 # (tools/check_correctness.py) is order-blind and runs every round at

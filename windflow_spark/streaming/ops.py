@@ -2237,7 +2237,8 @@ def streaming_asof_join_backward_bounded(
         if flush_all:
             state.remove()
         else:
-            keep_a = [i for i in range(len(a_ids)) if i not in set(ready)]
+            ready_set = set(ready)
+            keep_a = [i for i in range(len(a_ids)) if i not in ready_set]
             a_ids = [a_ids[i] for i in keep_a]
             a_uss = [a_uss[i] for i in keep_a]
             # prune expired quotes: pending and future a rows sit at or
