@@ -2224,3 +2224,65 @@ def test_streaming_space_saving_equals_ordered_replay(spark, tmp_path_factory):
         for item, c in true.items():
             if c > n / K:
                 assert item in summary_items, (key, item, c, n)
+
+
+def test_streaming_kmv_matches_batch_and_is_order_invariant(
+    spark, tmp_path_factory
+):
+    """streaming_kmv_distinct ≡ the batch KMV formula on the same rows,
+    and — because 'k smallest distinct hashes' is a pure SET summary —
+    the sketch is IDENTICAL under two different micro-batch splits and a
+    shuffled replay (stronger than the ordered-replay parity the
+    order-disciplined folds pin)."""
+    import hashlib
+    import time as _time
+
+    from windflow_spark.streaming import streaming_kmv_distinct
+
+    K = 8
+    M = float(16**15)
+    rows = [
+        (f"k{i % 3}", f"item{(i * 7) % 40}", False) for i in range(300)
+    ]
+
+    # batch expectation straight from the formula
+    expect = {}
+    for key in {r[0] for r in rows}:
+        hs = sorted(
+            {
+                int(hashlib.md5(it.encode()).hexdigest()[:15], 16)
+                for kk, it, _ in rows
+                if kk == key
+            }
+        )[:K]
+        n_kept, h_k = len(hs), hs[-1]
+        est = float(n_kept) if n_kept < K else (K - 1) * M / h_k
+        expect[key] = (n_kept, h_k, round(est, 6))
+
+    def run(split_rows):
+        src = str(tmp_path_factory.mktemp("kmv"))
+        for chunk in split_rows:
+            spark.createDataFrame(
+                chunk, "key string, item string, eos boolean"
+            ).coalesce(1).write.mode("append").parquet(src)
+            _time.sleep(0.1)
+        eos = [(k, "x", True) for k in {r[0] for r in rows}]
+        spark.createDataFrame(
+            eos, "key string, item string, eos boolean"
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = file_stream(
+            spark, src, "key string, item string, eos boolean",
+            max_files_per_trigger=1,
+        )
+        out = streaming_kmv_distinct(stream, "key", "item", k=K)
+        name, _ = to_memory_sink(out)
+        return {
+            r["key"]: (r["n_kept"], r["h_k"], round(r["kmv_est"], 6))
+            for r in spark.table(name).collect()
+        }
+
+    got_a = run([rows[:100], rows[100:]])
+    shuffled = rows[::-1]
+    got_b = run([shuffled[:37], shuffled[37:180], shuffled[180:]])
+    assert got_a == expect
+    assert got_b == expect  # order + chunking invariance

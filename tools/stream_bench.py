@@ -18,6 +18,7 @@ reference's finite-stream test harness shape):
   space_saving per-key top-32 space-saving heavy hitters (k counters per key)
   asof        bounded-lookback streaming as-of join, 1s lookback
               (watermark-purged per-key quote buffer)
+  kmv         per-key KMV distinct sketch, k=64 (k hashes per key)
 
 Prints one JSON line: rows/sec per pipeline.
 
@@ -218,6 +219,24 @@ def main() -> None:
         )
 
     results["asof_rows_per_sec"] = run("asof", _asof)
+
+    from windflow_spark.streaming import streaming_kmv_distinct
+
+    results["kmv_rows_per_sec"] = run(
+        "kmv",
+        lambda s: streaming_kmv_distinct(
+            s.select(
+                (F.col("key") % 16).alias("key"),
+                F.concat(F.lit("u"), (F.unix_micros("ts") % 4093).cast("long")).alias(
+                    "item"
+                ),
+                F.lit(False).alias("eos"),
+            ),
+            "key",
+            "item",
+            k=64,
+        ),
+    )
 
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps({"metric": "stream_throughput", "n_rows": n, **results}))

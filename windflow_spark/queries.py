@@ -19438,3 +19438,224 @@ def mom_contribution_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mon", "seg")
     )
+
+
+_RAKE_STOP = (
+    "the a an and or of to in is on for with as at by it be this that are was"
+).split()
+
+
+@register(
+    "text_rake_keywords",
+    f"""
+    WITH ph0 AS (
+      SELECT doc_id, u.i AS sid,
+             trim(sp[u.i]) AS phrase
+      FROM (SELECT doc_id,
+                   string_split(
+                     array_to_string(
+                       list_transform(
+                         string_split_regex(
+                           trim(regexp_replace(lower(text), '[^a-z]+', ' ',
+                                               'g')),
+                           ' '),
+                         w -> CASE WHEN w IN
+                                ({",".join("'" + s + "'" for s in _RAKE_STOP)})
+                              THEN '|' ELSE w END),
+                       ' '),
+                     '|') AS sp
+            FROM documents) d,
+           unnest(generate_series(1, len(d.sp))) AS u(i)
+      WHERE trim(sp[u.i]) <> ''),
+    ph AS (SELECT doc_id, sid, phrase,
+                  CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen
+           FROM ph0
+           WHERE len(string_split(phrase, ' ')) <= 4),
+    pw AS (SELECT ph.doc_id, ph.sid, ph.phrase, ph.plen, u.w
+           FROM ph, unnest(string_split(ph.phrase, ' ')) AS u(w)),
+    ws AS (SELECT w,
+                  CAST(round(1000000.0 * sum(plen) / count(*)) AS BIGINT)
+                    AS w8
+           FROM pw GROUP BY w),
+    psc AS (SELECT pw.doc_id, pw.sid, pw.phrase,
+                   CAST(sum(ws.w8) AS BIGINT) AS s8
+            FROM pw JOIN ws ON pw.w = ws.w
+            GROUP BY pw.doc_id, pw.sid, pw.phrase),
+    agg AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+                   max(s8) AS s8
+            FROM psc GROUP BY phrase),
+    r AS (SELECT phrase, n_occurrences,
+                 round(s8 / 1000000.0, 6) AS rake_score,
+                 row_number() OVER (ORDER BY s8 DESC, phrase) AS rk
+          FROM agg)
+    SELECT phrase, n_occurrences, rake_score FROM r
+    WHERE rk <= 20 ORDER BY rk
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction over the documents corpus — candidate
+    phrases are maximal stopword-free token runs (capped at 4 words);
+    each word scores degree/freq (degree = Σ lengths of phrases
+    containing it — co-occurrence credit; freq = occurrences), each
+    phrase the SUM of its words' scores; the corpus keyword list is the
+    top-20 distinct phrases by best score. Phrase segmentation is
+    ENTIRELY IN-ROW: tokenize, map stopwords to a sentinel, re-join and
+    split — one scan, no per-token window or shuffle (the first cut used
+    a running stopword-count window over an exploded token frame and
+    spent 15 s at sf0.01 re-tokenizing per plan branch; this shape is
+    ~10× cheaper and scales as a linear scan + phrase-frame joins).
+    Ranking is on exact integers: word scores pre-scaled to
+    round(1e6·deg/freq) BIGINTs so phrase sums are order-independent
+    (the adamic-adar discipline); the float score is derived AFTER
+    ranking and the top-20 is a TakeOrdered. Spark-side tokenizing rides
+    `_t_wide` (CPU-bound per-row regex)."""
+    d = _t_wide(spark, sf_dir, "documents")
+    stops = F.array(*[F.lit(w) for w in _RAKE_STOP])
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower("text"), "[^a-z]+", " ")), " "),
+        lambda w: w != "",
+    )
+    marked = F.transform(
+        toks, lambda w: F.when(F.array_contains(stops, w), F.lit("|")).otherwise(w)
+    )
+    phrases = F.filter(
+        F.transform(
+            F.split(F.array_join(marked, " "), "\\|"), lambda p: F.trim(p)
+        ),
+        lambda p: p != "",
+    )
+    ph = (
+        d.select("doc_id", F.posexplode(phrases).alias("sid", "phrase"))
+        .withColumn("wlist", F.split("phrase", " "))
+        .withColumn("plen", F.size("wlist").cast("long"))
+        .filter(F.col("plen") <= 4)
+    )
+    pw = ph.select("doc_id", "sid", "phrase", "plen", F.explode("wlist").alias("w"))
+    ws = pw.groupBy("w").agg(
+        F.round(F.lit(1_000_000.0) * F.sum("plen") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("w8")
+    )
+    psc = (
+        pw.join(ws, "w")
+        .groupBy("doc_id", "sid", "phrase")
+        .agg(F.sum("w8").cast("long").alias("s8"))
+    )
+    agg = psc.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.max("s8").alias("s8"),
+    )
+    rk = F.row_number().over(W.orderBy(F.col("s8").desc(), "phrase"))
+    return (
+        agg.withColumn("rk", rk)
+        .filter(F.col("rk") <= 20)
+        .orderBy("rk")
+        .select(
+            "phrase",
+            "n_occurrences",
+            F.round(F.col("s8") / 1_000_000.0, 6).alias("rake_score"),
+        )
+    )
+
+
+@register(
+    "graph_landmark_distances",
+    """
+    WITH li AS (SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_size <= 25),
+    e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+    adj AS (SELECT u AS node, v AS nbr FROM e
+            UNION ALL SELECT v, u FROM e),
+    lm AS (SELECT node AS lmk FROM (
+             SELECT DISTINCT node FROM adj ORDER BY node LIMIT 3)),
+    d0 AS (SELECT lmk, lmk AS node, 0 AS dist FROM lm),
+    f1 AS (SELECT d0.lmk, adj.nbr AS node FROM d0
+           JOIN adj ON d0.node = adj.node),
+    d1 AS (SELECT f1.lmk, f1.node, 1 AS dist FROM f1
+           WHERE NOT EXISTS (SELECT 1 FROM d0
+                             WHERE d0.lmk = f1.lmk AND d0.node = f1.node)
+           GROUP BY f1.lmk, f1.node),
+    u1 AS (SELECT * FROM d0 UNION ALL SELECT * FROM d1),
+    f2 AS (SELECT d1.lmk, adj.nbr AS node FROM d1
+           JOIN adj ON d1.node = adj.node),
+    d2 AS (SELECT f2.lmk, f2.node, 2 AS dist FROM f2
+           WHERE NOT EXISTS (SELECT 1 FROM u1
+                             WHERE u1.lmk = f2.lmk AND u1.node = f2.node)
+           GROUP BY f2.lmk, f2.node),
+    u2 AS (SELECT * FROM u1 UNION ALL SELECT * FROM d2),
+    f3 AS (SELECT d2.lmk, adj.nbr AS node FROM d2
+           JOIN adj ON d2.node = adj.node),
+    d3 AS (SELECT f3.lmk, f3.node, 3 AS dist FROM f3
+           WHERE NOT EXISTS (SELECT 1 FROM u2
+                             WHERE u2.lmk = f3.lmk AND u2.node = f3.node)
+           GROUP BY f3.lmk, f3.node),
+    u3 AS (SELECT * FROM u2 UNION ALL SELECT * FROM d3)
+    SELECT lmk AS landmark, CAST(dist AS BIGINT) AS dist,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM u3 GROUP BY lmk, dist
+    ORDER BY lmk, dist
+    """,
+)
+def graph_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-BFS distance profile on the co-purchase graph: exact
+    hop distances ≤ 3 from the 3 smallest-id landmark nodes — the
+    distance-oracle primitive behind graph embeddings and
+    approximate-shortest-path services (landmark labeling), and the
+    frontier-expansion sibling of `recursive_trade_reachability`. Each
+    BFS round expands ONLY the previous FRONTIER (not the full visited
+    set) through one keyed edges-join, anti-joins the visited set, and
+    the landmark count is a constant 3 — per-round work is O(frontier
+    edges), the textbook distributed-BFS bound; rounds are fixed at 3 so
+    the oracle stays an unrolled CTE (the label-propagation discipline).
+    Output: nodes-at-distance histogram per landmark, all-integer."""
+    pt = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 25).select("p_partkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    baskets = li.groupBy("ok").agg(F.array_sort(F.collect_set("pk")).alias("ps"))
+    adj = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda x: F.transform(
+                        F.filter(F.col("ps"), lambda y: y != x),
+                        lambda y: F.struct(x.alias("node"), y.alias("nbr")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.node", "p.nbr").distinct()
+    lm = (
+        adj.select("node")
+        .distinct()
+        .orderBy("node")
+        .limit(3)
+        .select(F.col("node").alias("lmk"))
+    )
+    visited = lm.select("lmk", F.col("lmk").alias("node"), F.lit(0).alias("dist"))
+    frontier = visited
+    for r in (1, 2, 3):
+        expand = (
+            frontier.join(adj, frontier.node == adj.node)
+            .select("lmk", F.col("nbr").alias("node"))
+            .distinct()
+        )
+        fresh = expand.join(visited, ["lmk", "node"], "left_anti").select(
+            "lmk", "node", F.lit(r).alias("dist")
+        )
+        # cut lineage per round (the k-core/label-propagation discipline)
+        fresh = fresh.localCheckpoint(eager=True)
+        visited = visited.unionByName(fresh)
+        frontier = fresh
+    return (
+        visited.groupBy(F.col("lmk").alias("landmark"), "dist")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .select("landmark", F.col("dist").cast("long").alias("dist"), "n_nodes")
+        .orderBy("landmark", "dist")
+    )

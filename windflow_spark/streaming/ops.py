@@ -2345,3 +2345,83 @@ def streaming_space_saving(
     return sel.groupBy("key").applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+    k: int = 64,
+    eos_col: str = "eos",
+) -> DataFrame:
+    """Streaming KMV (k-minimum-values) distinct-count sketch per key —
+    the incremental sibling of the batch `kmv_distinct_users` query and
+    the third bounded-state streaming sketch beside space-saving and
+    count-min. State per key is the SORTED array of the k smallest
+    DISTINCT md5 hash values seen (≤ k BIGINTs — O(keys·k) at any stream
+    length); the estimator on flush is the batch query's exact formula
+    (k−1)·M / h_k with M = 16^15 (hashes uniform on [0, M)), or the
+    exact kept count when fewer than k distinct values arrived.
+
+    Unlike the order-disciplined folds (space-saving, kslack), KMV is a
+    pure SET summary: "k smallest distinct hashes" is invariant to
+    arrival order and micro-batch splits, so ANY replay — reordered,
+    re-chunked, duplicated — produces the identical sketch (pinned by
+    test). That also makes the sketch mergeable by plain array union +
+    trim, the property the batch query exploits for cross-shard merges
+    (reference analog: the mergeable window-result combiners,
+    wf/win_mapreduce.hpp lift+combine discipline).
+
+    Flush: one far-future EOS punctuation row per key emits
+    (key, n_kept, h_k, kmv_est) and removes state.
+    """
+    import hashlib
+
+    sel = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(item_col).cast("string").alias("item"),
+        F.col(eos_col).cast("boolean").alias("eos"),
+    )
+    out_schema = "key string, n_kept long, h_k long, kmv_est double"
+    state_schema = "hs array<long>"
+    cols = ["key", "n_kept", "h_k", "kmv_est"]
+    m_space = float(16**15)
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        hs = list(state.get[0]) if state.exists else []
+        done = False
+        for pdf in pdfs:
+            for item, is_eos in zip(pdf["item"], pdf["eos"]):
+                if is_eos:
+                    done = True
+                    continue
+                # 15 hex digits = 60 bits, the batch query's hash space
+                hv = int(
+                    hashlib.md5(str(item).encode("utf-8")).hexdigest()[:15], 16
+                )
+                if len(hs) == k and hv >= hs[-1]:
+                    continue  # cannot enter the k smallest
+                if hv not in hs:
+                    import bisect
+
+                    bisect.insort(hs, hv)
+                    del hs[k:]
+        if done:
+            n_kept = len(hs)
+            h_k = hs[-1] if hs else None
+            est = (
+                float(n_kept)
+                if n_kept < k
+                else (k - 1) * m_space / float(h_k)
+            )
+            state.remove()
+            yield pd.DataFrame(
+                [(key[0], n_kept, h_k, est)], columns=cols
+            )
+        else:
+            state.update((hs,))
+            yield pd.DataFrame({c: [] for c in cols})
+
+    return sel.groupBy("key").applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
