@@ -19659,3 +19659,400 @@ def graph_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("landmark", F.col("dist").cast("long").alias("dist"), "n_nodes")
         .orderBy("landmark", "dist")
     )
+
+
+@register(
+    "dedup_semantic_clusters",
+    f"""
+    WITH {_KMEANS_TRAIN_CTES},
+    {_km_assign_cte("af", "c2")},
+    sc AS (SELECT af.vec_id, af.bkt, af.v,
+                  round(list_cosine_similarity(af.v, c2.cv), 6) AS ccos
+           FROM af JOIN c2 ON af.bkt = c2.bkt),
+    p AS (SELECT a.bkt, a.vec_id AS id_a, b.vec_id AS id_b,
+                 a.ccos AS ca, b.ccos AS cb
+          FROM sc a JOIN sc b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.30),
+    vic AS (SELECT bkt,
+                   CASE WHEN (ca > cb) OR (ca = cb AND id_a > id_b)
+                        THEN id_a ELSE id_b END AS vid
+            FROM p),
+    vd AS (SELECT bkt, vid FROM vic GROUP BY bkt, vid),
+    m AS (SELECT bkt, CAST(count(*) AS BIGINT) AS n_members
+          FROM af GROUP BY bkt),
+    pc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS n_pairs FROM p GROUP BY bkt),
+    rc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS n_removed
+           FROM vd GROUP BY bkt)
+    SELECT m.bkt AS cluster_id, m.n_members,
+           CAST(coalesce(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(rc.n_removed, 0) AS BIGINT) AS n_removed,
+           round(coalesce(rc.n_removed, 0) * 1.0 / m.n_members, 6)
+             AS frac_removed
+    FROM m LEFT JOIN pc ON m.bkt = pc.bkt
+           LEFT JOIN rc ON m.bkt = rc.bkt
+    ORDER BY cluster_id
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication: cluster the corpus with the
+    trained k-means coarse quantizer (the sim_topk_ivf_kmeans codebook —
+    2 deterministic Lloyd iterations), generate candidate pairs ONLY
+    within clusters, verify with exact cosine (threshold 0.30 — this
+    corpus' in-cluster cosines top out ~0.47; the candidate-join SHAPE is
+    what scales), and for each near-dup pair mark the member MORE similar
+    to its centroid as removable (keep the lower-centroid-similarity
+    representative — SemDeDup's diversity-preserving keep rule; ties by
+    greater vec_id). Reported per cluster: members, dup pairs, removed,
+    removed fraction. This is the pipeline that turned web-scale corpora
+    ~10-50% smaller with no quality loss; every stage here reuses an
+    audited primitive — codebook training (k×dim driver codebook only),
+    broadcast O(N·k) assignment, per-cluster BLAS pair scoring
+    (applyInPandas, Σ cluster² bounded work; at 100 TB cluster count
+    scales ∝ n so cluster size — and the pairwise bound — stays fixed,
+    the paper's own regime)."""
+    from windflow_spark.functions.similarity import (
+        _assign_nearest_list,
+        embedding_cosine_neardup,
+        train_codebook,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = train_codebook(emb, cache_key=sf_dir, n_lists=8, iters=2)
+    assigned = _assign_nearest_list(emb, cb, "vec_id", keep_score=True)
+    pairs = embedding_cosine_neardup(
+        assigned.select(
+            "vec_id", F.col("_bkt").alias("bkt"), F.col("_v").alias("embedding")
+        ),
+        threshold=0.30,
+        bucket_col="bkt",
+    )
+    ccos = assigned.select("vec_id", F.col("_bkt").alias("bkt"), F.col("_cos"))
+    p = (
+        pairs.join(
+            ccos.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("bkt"),
+                F.col("_cos").alias("ca"),
+            ),
+            "id_a",
+        )
+        .join(
+            ccos.select(
+                F.col("vec_id").alias("id_b"), F.col("_cos").alias("cb")
+            ),
+            "id_b",
+        )
+    )
+    vic = p.select(
+        "bkt",
+        F.when(
+            (F.col("ca") > F.col("cb"))
+            | ((F.col("ca") == F.col("cb")) & (F.col("id_a") > F.col("id_b"))),
+            F.col("id_a"),
+        )
+        .otherwise(F.col("id_b"))
+        .alias("vid"),
+    ).distinct()
+    m = ccos.groupBy("bkt").agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    pc = p.groupBy("bkt").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    rc = vic.groupBy("bkt").agg(F.count(F.lit(1)).cast("long").alias("n_removed"))
+    return (
+        m.join(pc, "bkt", "left")
+        .join(rc, "bkt", "left")
+        .select(
+            F.col("bkt").alias("cluster_id"),
+            "n_members",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_removed"), F.lit(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.round(
+                F.coalesce(F.col("n_removed"), F.lit(0)) * 1.0 / F.col("n_members"),
+                6,
+            ).alias("frac_removed"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@register(
+    "ab_test_sequential_sprt",
+    """
+    WITH obs AS (
+      SELECT user_id % 2 AS arm, value >= 50.0 AS succ, ts, event_id
+      FROM events WHERE event_type = 'purchase'),
+    walk AS (
+      SELECT arm,
+             CAST(row_number() OVER w AS BIGINT) AS n,
+             CAST(sum(CASE WHEN succ THEN 1 ELSE 0 END) OVER w AS BIGINT) AS s
+      FROM obs
+      WINDOW w AS (PARTITION BY arm ORDER BY ts, event_id)),
+    llr AS (
+      SELECT arm, n, s,
+             round(s * ln(0.5 / 0.4)
+                   + (n - s) * ln(0.5 / 0.6), 6) AS llr
+      FROM walk),
+    crossed AS (
+      SELECT arm, min(n) AS first_cross_n
+      FROM llr WHERE llr >= 2.944439 OR llr <= -2.944439
+      GROUP BY arm),
+    final AS (
+      SELECT arm, n AS n_obs, s AS n_succ, llr AS final_llr
+      FROM (SELECT *, row_number() OVER (PARTITION BY arm
+                                         ORDER BY n DESC) AS rk
+            FROM llr) WHERE rk = 1)
+    SELECT f.arm, f.n_obs, f.n_succ, f.final_llr,
+           CAST(coalesce(c.first_cross_n, -1) AS BIGINT) AS first_cross_n,
+           CASE WHEN c.first_cross_n IS NULL THEN 'continue'
+                WHEN f.final_llr >= 0 THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision
+    FROM final f LEFT JOIN crossed c ON f.arm = c.arm
+    ORDER BY f.arm
+    """,
+)
+def ab_test_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential A/B monitoring via Wald's SPRT — the always-valid
+    companion to the fixed-horizon `ab_test_welch`/`ab_test_cuped`: per
+    arm (user parity), walk the log-likelihood ratio of H₁: p=0.5 vs
+    H₀: p=0.4 (success = purchase value ≥ 50) after every observation in
+    event-time order and record the FIRST crossing of the ±ln(19)
+    boundaries (α=β=0.05) — the sample size at which the experiment
+    could have stopped. The LLR at step n is DERIVED from cumulative
+    INTEGER counts (s·ln(p₁/p₀) + (n−s)·ln(q₁/q₀)) — never a float
+    running sum, so no summation-order hazard; crossings compare the
+    6dp-rounded LLR against the rounded boundary literal. One window
+    over per-arm event order (at 100 TB: per-arm sequential scan is the
+    point of SPRT — the walk is a cumulative count, shuffle-free beyond
+    the arm partition)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    obs = ev.select(
+        (F.col("user_id") % 2).alias("arm"),
+        (F.col("value") >= 50.0).alias("succ"),
+        "ts",
+        "event_id",
+    )
+    w = W.partitionBy("arm").orderBy("ts", "event_id")
+    import math
+
+    c1 = math.log(0.5 / 0.4)
+    c2 = math.log(0.5 / 0.6)
+    walk = obs.select(
+        "arm",
+        F.row_number().over(w).cast("long").alias("n"),
+        F.sum(F.when(F.col("succ"), 1).otherwise(0)).over(w).cast("long").alias("s"),
+    )
+    llr = walk.select(
+        "arm",
+        "n",
+        "s",
+        F.round(
+            F.col("s") * F.lit(c1) + (F.col("n") - F.col("s")) * F.lit(c2), 6
+        ).alias("llr"),
+    )
+    crossed = (
+        llr.filter((F.col("llr") >= 2.944439) | (F.col("llr") <= -2.944439))
+        .groupBy("arm")
+        .agg(F.min("n").alias("first_cross_n"))
+    )
+    rk = F.row_number().over(W.partitionBy("arm").orderBy(F.col("n").desc()))
+    final = (
+        llr.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "arm",
+            F.col("n").alias("n_obs"),
+            F.col("s").alias("n_succ"),
+            F.col("llr").alias("final_llr"),
+        )
+    )
+    return (
+        final.join(crossed, "arm", "left")
+        .select(
+            "arm",
+            "n_obs",
+            "n_succ",
+            "final_llr",
+            F.coalesce(F.col("first_cross_n"), F.lit(-1))
+            .cast("long")
+            .alias("first_cross_n"),
+            F.when(F.col("first_cross_n").isNull(), F.lit("continue"))
+            .when(F.col("final_llr") >= 0, F.lit("accept_h1"))
+            .otherwise(F.lit("accept_h0"))
+            .alias("decision"),
+        )
+        .orderBy("arm")
+    )
+
+
+@register(
+    "shapley_channel_attribution",
+    """
+    WITH ch AS (
+      SELECT DISTINCT event_type AS c FROM events
+      WHERE event_type <> 'purchase'),
+    uni AS (SELECT list(c ORDER BY c) AS chs, CAST(count(*) AS BIGINT) AS n
+            FROM ch),
+    usr AS (
+      SELECT user_id,
+             array_to_string(list(DISTINCT event_type ORDER BY event_type)
+               FILTER (WHERE event_type <> 'purchase'), ',') AS skey,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id),
+    v AS (SELECT skey, CAST(count(*) AS BIGINT) AS u,
+                 CAST(sum(conv) AS BIGINT) AS c
+          FROM usr WHERE skey <> '' GROUP BY skey),
+    masks AS (SELECT unnest(range(0, 1 << n)) AS m FROM uni),
+    subs AS (
+      SELECT m.m,
+             list_transform(
+               list_filter(range(1, u.n + 1),
+                           i -> ((m.m >> (i - 1)) & 1) = 1),
+               i -> u.chs[i]) AS s
+      FROM masks m, uni u),
+    marg AS (
+      SELECT u.chs[i] AS channel, sb.s,
+             CAST(len(sb.s) AS BIGINT) AS sz,
+             array_to_string(sb.s, ',') AS k0,
+             array_to_string(list_sort(list_append(sb.s, u.chs[i])), ',') AS k1
+      FROM subs sb, uni u, unnest(range(1, u.n + 1)) AS t(i)
+      WHERE NOT ((sb.m >> (i - 1)) & 1) = 1),
+    terms AS (
+      SELECT mg.channel,
+             factorial(CAST(mg.sz AS INTEGER))
+               * factorial(CAST((SELECT n FROM uni) - 1 - mg.sz AS INTEGER))
+               / factorial(CAST((SELECT n FROM uni) AS INTEGER))
+             * (coalesce(v1.c * 1.0 / v1.u, 0.0)
+                - coalesce(v0.c * 1.0 / v0.u, 0.0)) AS t
+      FROM marg mg
+      LEFT JOIN v v1 ON mg.k1 = v1.skey
+      LEFT JOIN v v0 ON mg.k0 = v0.skey),
+    touch AS (
+      SELECT c AS channel, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM ch JOIN events e ON e.event_type = ch.c
+      GROUP BY c)
+    SELECT t.channel, tc.n_users,
+           round(sum(t.t), 6) AS shapley_value
+    FROM terms t JOIN touch tc ON t.channel = tc.channel
+    GROUP BY t.channel, tc.n_users
+    ORDER BY t.channel
+    """,
+)
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution — the game-theoretic
+    completion of the attribution family (last-touch / position-based /
+    time-decay): each non-purchase channel's credit is its average
+    marginal lift of the conversion rate over ALL 2^(n−1) coalitions,
+    φ_i = Σ_S |S|!(n−1−|S|)!/n! · (v(S∪i) − v(S)), with v(S) the
+    observed conversion rate of users whose exact touched-channel set is
+    S (unobserved coalitions contribute 0). The coalition lattice is
+    generated IN-ROW from a ONE-ROW channel universe (n=4 → 32 marginal
+    terms — constant-size driver-free algebra; the corpus is touched
+    only by two keyed scans: per-user channel sets and per-set
+    conversion rates, both linear). Weights are factorial ratios of
+    exact ints; v values exact-count rationals; the ≤8-term Shapley sum
+    rounds at 6dp far above float noise. Canonical coalition keys are
+    sorted comma-joins, identical in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    ch = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(F.col("event_type").alias("c"))
+        .distinct()
+    )
+    uni = ch.agg(
+        F.array_sort(F.collect_list("c")).alias("chs"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    usr = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_set(
+                    F.when(
+                        F.col("event_type") != "purchase", F.col("event_type")
+                    )
+                )
+            ),
+            ",",
+        ).alias("skey"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    v = (
+        usr.filter(F.col("skey") != "")
+        .groupBy("skey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("u"),
+            F.sum("conv").cast("long").alias("c"),
+        )
+    )
+    masks = uni.select(
+        "chs",
+        "n",
+        F.explode(
+            F.expr("sequence(0, shiftleft(1, cast(n as int)) - 1)")
+        ).alias("m"),
+    )
+    subs = masks.withColumn(
+        "s",
+        F.expr(
+            "transform(filter(sequence(1, cast(n as int)),"
+            " i -> (shiftright(m, i - 1) & 1) = 1),"
+            " i -> element_at(chs, i))"
+        ),
+    )
+    marg = subs.select(
+        "chs",
+        "n",
+        "s",
+        F.explode(
+            F.expr(
+                "filter(sequence(1, cast(n as int)),"
+                " i -> (shiftright(m, i - 1) & 1) != 1)"
+            )
+        ).alias("i"),
+    ).select(
+        F.element_at(F.col("chs"), F.col("i").cast("int")).alias("channel"),
+        F.size("s").cast("long").alias("sz"),
+        F.col("n"),
+        F.array_join(F.col("s"), ",").alias("k0"),
+        F.array_join(
+            F.array_sort(
+                F.concat(
+                    F.col("s"),
+                    F.array(F.element_at(F.col("chs"), F.col("i").cast("int"))),
+                )
+            ),
+            ",",
+        ).alias("k1"),
+    )
+    v1 = v.select(F.col("skey").alias("k1"), F.col("c").alias("c1"), F.col("u").alias("u1"))
+    v0 = v.select(F.col("skey").alias("k0"), F.col("c").alias("c0"), F.col("u").alias("u0"))
+    terms = (
+        marg.join(F.broadcast(v1), "k1", "left")
+        .join(F.broadcast(v0), "k0", "left")
+        .select(
+            "channel",
+            (
+                F.factorial(F.col("sz"))
+                * F.factorial(F.col("n") - 1 - F.col("sz"))
+                / F.factorial(F.col("n"))
+                * (
+                    F.coalesce(F.col("c1") * 1.0 / F.col("u1"), F.lit(0.0))
+                    - F.coalesce(F.col("c0") * 1.0 / F.col("u0"), F.lit(0.0))
+                )
+            ).alias("t"),
+        )
+    )
+    touch = (
+        ev.join(F.broadcast(ch), ev.event_type == ch.c)
+        .groupBy("c")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .select(F.col("c").alias("channel"), "n_users")
+    )
+    return (
+        terms.groupBy("channel")
+        .agg(F.round(F.sum("t"), 6).alias("shapley_value"))
+        .join(F.broadcast(touch), "channel")
+        .select("channel", "n_users", "shapley_value")
+        .orderBy("channel")
+    )
