@@ -203,3 +203,30 @@ def test_batched_non_incremental_equals_per_group(spark):
     a = non_incremental_window_tb(df, ["key"], "ts", 5 * SEC, per_group, schema)
     b = non_incremental_window_tb_batched(df, ["key"], "ts", 5 * SEC, batched, schema)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_tumbling_tb_offset_alignment(spark):
+    """offset_us shifts the window grid; a row BEFORE the offset lands in
+    the preceding (negative-indexed) window via floor-mod, never a
+    zero-length or misaligned one."""
+    # 10s windows opening at +3s: grid ... [-7, 3), [3, 13), [13, 23) ...
+    df = _mk(spark, [(1, 1, 0), (1, 2, 4 * SEC), (1, 4, 12 * SEC), (1, 8, 13 * SEC)])
+    out = tumbling_window_tb(
+        df, ["key"], "ts", 10 * SEC, [F.sum("value").alias("s")],
+        offset_us=BASE_US + 3 * SEC,
+    )
+    got = {
+        ((r.w_start - dt.datetime(2024, 1, 1)).total_seconds(), r.s)
+        for r in out.collect()
+    }
+    # ts=0 → window [-7, 3); ts=4,12 → [3, 13); ts=13 → [13, 23)
+    assert got == {(-7.0, 1), (3.0, 6), (13.0, 8)}
+
+
+def test_tumbling_tb_offset_zero_matches_default(spark):
+    df = _mk(spark, [(1, 10, 0), (1, 20, 1 * SEC), (2, 5, 3 * SEC)])
+    a = tumbling_window_tb(df, ["key"], "ts", 2 * SEC, [F.sum("value").alias("s")])
+    b = tumbling_window_tb(
+        df, ["key"], "ts", 2 * SEC, [F.sum("value").alias("s")], offset_us=0
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -60,15 +60,25 @@ def tumbling_window_tb(
     length_us: int,
     aggs: Sequence[Column],
     window_col: str = "w_start",
+    offset_us: int = 0,
 ) -> DataFrame:
-    """Time-based tumbling windows: wid = floor(ts_us / len) (epoch-aligned).
+    """Time-based tumbling windows: wid = floor((ts_us − offset) / len),
+    epoch-aligned by default; a non-zero ``offset_us`` shifts the window
+    grid (e.g. hour windows opening at :15, or a timezone-local midnight
+    for day windows — Spark's own ``window()`` startTime parameter).
 
     Equivalent of Keyed_Windows withTBWindows(len, len)
     (reference wf/keyed_windows.hpp:65). Emits the window start as a
     timestamp column named ``window_col``.
     """
     us = _us(df, ts_col)
-    w_start_us = us - (us % F.lit(length_us))
+    if offset_us:
+        # floor-mod so a ts BEFORE the offset still lands in the correct
+        # (negative-indexed) window
+        off = F.lit(offset_us)
+        w_start_us = us - F.pmod(us - off, F.lit(length_us))
+    else:
+        w_start_us = us - (us % F.lit(length_us))
     return (
         df.withColumn("_w_start_us", w_start_us)
         .groupBy(*key_cols, "_w_start_us")

@@ -20056,3 +20056,145 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("channel", "n_users", "shapley_value")
         .orderBy("channel")
     )
+
+
+@register(
+    "win_tb_tumbling_offset_15m",
+    f"""
+    SELECT user_id,
+           make_timestamp(epoch_us(ts)
+             - ((epoch_us(ts) - {US_15MIN}) % {US_HOUR}
+                + {US_HOUR}) % {US_HOUR}) AS w_start,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def win_tb_tumbling_offset_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFSET-aligned tumbling windows: 1-hour windows whose grid opens
+    at :15 past the hour (offset 15 min) — the alignment parameter of
+    Spark's own `window(..., startTime)` and the reference's window-grid
+    origin, covering timezone-local days / fiscal boundaries / staggered
+    rollup grids. Same single groupBy as the epoch-aligned form; the
+    floor-mod keeps pre-offset timestamps in their correct
+    negative-indexed window (property pinned in the operator)."""
+    ev = _t(spark, sf_dir, "events")
+    return tumbling_window_tb(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        length_us=US_HOUR,
+        offset_us=US_15MIN,
+        aggs=[
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            _dsum(F.col("value")).alias("sum_value"),
+        ],
+    ).select("user_id", "w_start", "cnt", "sum_value")
+
+
+@register(
+    "lm_kneser_ney_bigrams",
+    """
+    WITH toks AS (
+      SELECT doc_id, u.i AS pos, ws[u.i] AS w
+      FROM (SELECT doc_id,
+                   string_split_regex(
+                     trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')),
+                     ' ') AS ws
+            FROM documents) d,
+           unnest(generate_series(1, len(ws))) AS u(i)
+      WHERE ws[u.i] <> ''),
+    bg AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+           FROM bg GROUP BY w1, w2),
+    uc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                  CAST(count(*) AS BIGINT) AS n1_fwd
+           FROM bc GROUP BY w1),
+    cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1_bwd
+             FROM bc GROUP BY w2),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM bc),
+    kn AS (
+      SELECT bc.w1, bc.w2, bc.c12, uc.c1,
+             round((bc.c12 - 0.75) / uc.c1
+                   + 0.75 * uc.n1_fwd / uc.c1
+                     * (cont.n1_bwd * 1.0 / t.n_types), 6) AS p_kn
+      FROM bc JOIN uc ON bc.w1 = uc.w1
+              JOIN cont ON bc.w2 = cont.w2
+              CROSS JOIN tot t
+      WHERE bc.c12 >= 5),
+    r AS (SELECT *, row_number() OVER (ORDER BY p_kn DESC, w1, w2) AS rk
+          FROM kn)
+    SELECT w1, w2, c12, c1, p_kn FROM r WHERE rk <= 20 ORDER BY rk
+    """,
+)
+def lm_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities — the smoothing that
+    made n-gram LMs competitive and still the baseline for corpus
+    perplexity tooling (`lm_perplexity_scores` uses add-k; this is the
+    principled alternative): P(w₂|w₁) = max(c₁₂−D,0)/c₁ + D·N₊(w₁·)/c₁ ·
+    P_cont(w₂), with discount D = 0.75 (dyadic — exactly representable)
+    and the CONTINUATION probability N₊(·w₂)/|bigram types| crediting
+    words by how many contexts they follow, not raw frequency. Every
+    input is an exact BIGINT count, so p_kn is a fixed-order double
+    expression over exact ints — engine-identical before the 6dp round;
+    the c₁₂ ≥ 5 floor keeps max(c−D,0) in its linear branch. Shapes:
+    one tokenize scan, position self-join per doc for bigrams (keyed,
+    linear), three count aggregates, one-row type total broadcast;
+    top-20 is a TakeOrdered with (w₁, w₂) tie-breaks."""
+    d = _t_wide(spark, sf_dir, "documents")
+    # bigrams in-row: the token ARRAY zipped with its own tail — no
+    # per-position explode + self-join shuffle (the oracle's join form)
+    bg = d.select(
+        F.explode(
+            F.expr(
+                "zip_with("
+                " slice(filter(split(trim(regexp_replace(lower(text),"
+                "   '[^a-z]+', ' ')), ' '), w -> w != ''), 1,"
+                "   greatest(size(filter(split(trim(regexp_replace(lower(text),"
+                "   '[^a-z]+', ' ')), ' '), w -> w != '')) - 1, 0)),"
+                " slice(filter(split(trim(regexp_replace(lower(text),"
+                "   '[^a-z]+', ' ')), ' '), w -> w != ''), 2,"
+                "   greatest(size(filter(split(trim(regexp_replace(lower(text),"
+                "   '[^a-z]+', ' ')), ' '), w -> w != '')) - 1, 0)),"
+                " (x, y) -> struct(x AS w1, y AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    uc = bc.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1_fwd"),
+    )
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1_bwd"))
+    tot = bc.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    kn = (
+        bc.filter(F.col("c12") >= 5)
+        .join(uc, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))  # one-row scalar attach
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            F.round(
+                (F.col("c12") - 0.75) / F.col("c1")
+                + 0.75
+                * F.col("n1_fwd")
+                / F.col("c1")
+                * (F.col("n1_bwd") * 1.0 / F.col("n_types")),
+                6,
+            ).alias("p_kn"),
+        )
+    )
+    rk = F.row_number().over(W.orderBy(F.col("p_kn").desc(), "w1", "w2"))
+    return (
+        kn.withColumn("rk", rk)
+        .filter(F.col("rk") <= 20)
+        .orderBy("rk")
+        .select("w1", "w2", "c12", "c1", "p_kn")
+    )
