@@ -87,6 +87,19 @@ def test_q1_single_shuffle_and_fused(spark, sf_dir):
 # - the scalar-subquery queries join a ONE-ROW broadcast aggregate
 #   (avg/total) — a 1×N nested loop is O(N), the right plan for a scalar.
 _BNLJ_ALLOWED = {
+    # two one-row max-score frames crossJoined onto the 10-row top-k
+    # sides for the deferred normalization (r10)
+    "hits_hubs_authorities",
+    # k-row trained-codebook broadcast assignments (the documented
+    # _assign_nearest_list O(N·k) BNLJ, same as the sim_topk_ivf_kmeans
+    # family) (r10)
+    "dedup_semantic_clusters",
+    # one-row bigram-type total crossJoined onto the scored bigrams (r10)
+    "lm_kneser_ney_bigrams",
+    # one-row last-count frame crossJoined onto the one-row moment fit (r10)
+    "ts_ar1_daily_forecast",
+    # one-row group-total scalar crossJoined onto the l histogram (r10)
+    "l_diversity_audit",
     # one-row H-statistic frame crossJoined onto the 5-row group rank
     # sums, plus the 1x1 totals x ties join (the anova shape) (r9)
     "kruskal_wallis_qty_priority",
