@@ -2286,3 +2286,86 @@ def test_streaming_kmv_matches_batch_and_is_order_invariant(
     got_b = run([shuffled[:37], shuffled[37:180], shuffled[180:]])
     assert got_a == expect
     assert got_b == expect  # order + chunking invariance
+
+
+def test_streaming_continuous_aggregate_rollup_equals_batch(
+    spark, tmp_path_factory
+):
+    """Continuous-aggregate (incremental-view) maintenance — the
+    streaming sibling of the batch rollup_hierarchy cascade: UPDATE-mode
+    10s window partials are upserted into an external store keyed by
+    (key, w_start) via foreachBatch (idempotent — a late row within the
+    watermark re-emits the window and the upsert REWRITES it), then the
+    store cascades to the coarser 60s level with rollup_partials and
+    must equal the batch 60s tumbling aggregation of all rows. Raw
+    events are scanned once; every coarser level reads only partials."""
+    import json
+    import os
+
+    from windflow_spark.operators.windows import rollup_partials, tumbling_window_tb
+    from windflow_spark.streaming import (
+        run_available_now,
+        streaming_tumbling_window_tb,
+        to_foreach_batch,
+    )
+
+    rows1 = [(k % 3, v, v * 7 * SEC) for k, v in ((i % 5, i) for i in range(40))]
+    # late rows: land in windows already emitted by batch 1, inside the
+    # generous watermark, so the partial for those windows UPDATES
+    rows2 = [(0, 1000, 3 * SEC), (1, 2000, 10 * SEC)] + [
+        (k % 3, v + 100, (v + 40) * 7 * SEC) for k, v in ((i % 5, i) for i in range(10))
+    ]
+    src = str(tmp_path_factory.mktemp("cagg_src"))
+    ckpt = str(tmp_path_factory.mktemp("cagg_ckpt"))
+    store_path = os.path.join(str(tmp_path_factory.mktemp("cagg_store")), "s.json")
+    import time as _time
+
+    _mk(spark, rows1).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    _mk(spark, rows2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = file_stream(spark, src, _mk(spark, rows1).schema, max_files_per_trigger=1)
+    partials = streaming_tumbling_window_tb(
+        stream,
+        ["key"],
+        "ts",
+        10 * SEC,
+        [F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv")],
+        lateness_us=3600 * SEC,
+    )
+
+    def upsert(batch_df, batch_id):
+        store = json.load(open(store_path)) if os.path.exists(store_path) else {}
+        for r in batch_df.collect():
+            store[f"{r.key}|{r.w_start.isoformat()}"] = [r.cnt, r.sv]
+        json.dump(store, open(store_path, "w"))
+
+    run_available_now(to_foreach_batch(partials, upsert, ckpt))
+
+    store = json.load(open(store_path))
+    import datetime as _dt
+
+    part_rows = [
+        (int(k.split("|")[0]), _dt.datetime.fromisoformat(k.split("|")[1]), v[0], v[1])
+        for k, v in store.items()
+    ]
+    part_df = spark.createDataFrame(
+        part_rows, "key long, w_start timestamp, cnt long, sv long"
+    )
+    day = rollup_partials(
+        part_df,
+        ["key"],
+        "w_start",
+        60 * SEC,
+        [F.sum("cnt").alias("cnt"), F.sum("sv").alias("sv")],
+    )
+    expect = tumbling_window_tb(
+        _mk(spark, rows1 + rows2),
+        ["key"],
+        "ts",
+        60 * SEC,
+        [F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv")],
+    )
+    got = sorted(map(tuple, day.select("key", "w_start", "cnt", "sv").collect()))
+    exp = sorted(map(tuple, expect.select("key", "w_start", "cnt", "sv").collect()))
+    assert got == exp and len(exp) > 3

@@ -529,3 +529,34 @@ def window_spine_tb(
         .withColumn(window_col, F.timestamp_micros(F.col("_wid") * F.lit(length_us)))
         .drop("_w_min", "_w_max", "_wid")
     )
+
+
+def rollup_partials(
+    partials: DataFrame,
+    key_cols: Sequence[str],
+    window_col: str,
+    length_us: int,
+    aggs: Sequence[Column],
+    out_window_col: str | None = None,
+) -> DataFrame:
+    """Re-aggregate FINER window partials onto a COARSER grid — the
+    hypertable continuous-aggregate cascade (the batch
+    rollup_hierarchy_hourly_daily shape, and TimescaleDB's rollup-from-
+    rollup rule): hour partials from minute partials, days from hours,
+    never rescanning raw events. ``aggs`` must re-aggregate the partial
+    columns (SUM of counts/sums, MIN of mins, ... — the lift+combine
+    discipline of Ffat_Windows, reference wf/ffat_windows.hpp): only
+    aggregates with a merge form cascade losslessly.
+
+    Delegates to tumbling_window_tb over the partials frame keyed on its
+    window-start column; at 100 TB each coarser level reads ~(ratio)×
+    fewer rows than the one below, so a minute→hour→day cascade costs a
+    single raw scan plus two tiny re-aggregations."""
+    return tumbling_window_tb(
+        partials,
+        key_cols,
+        window_col,
+        length_us,
+        aggs,
+        window_col=out_window_col or window_col,
+    )
