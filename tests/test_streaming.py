@@ -2369,3 +2369,59 @@ def test_streaming_continuous_aggregate_rollup_equals_batch(
     got = sorted(map(tuple, day.select("key", "w_start", "cnt", "sv").collect()))
     exp = sorted(map(tuple, expect.select("key", "w_start", "cnt", "sv").collect()))
     assert got == exp and len(exp) > 3
+
+
+def test_socket_stream_live_roundtrip(spark, tmp_path_factory):
+    """LIVE socket-source round-trip on a loopback server — the one §2.1
+    transport that can be end-to-end-tested in this sandbox (the Kafka
+    path stays contract-tested; no broker). A thread serves lines over
+    TCP; the streaming query must deliver them, windowed-aggregate-able,
+    to a memory sink."""
+    import socket as socketlib
+    import threading
+    import time as _time
+
+    from windflow_spark.streaming import socket_stream
+
+    srv = socketlib.socket(socketlib.AF_INET, socketlib.SOCK_STREAM)
+    srv.setsockopt(socketlib.SOL_SOCKET, socketlib.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    srv.listen(1)
+    lines = [f"k{i % 3},{i}" for i in range(30)]
+
+    def serve():
+        conn, _ = srv.accept()
+        # dribble in two chunks so delivery spans micro-batches
+        conn.sendall(("\n".join(lines[:15]) + "\n").encode())
+        _time.sleep(1.0)
+        conn.sendall(("\n".join(lines[15:]) + "\n").encode())
+        _time.sleep(3.0)
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    raw = socket_stream(spark, "127.0.0.1", port)
+    parsed = raw.select(
+        F.split("value", ",")[0].alias("key"),
+        F.split("value", ",")[1].cast("long").alias("v"),
+    )
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName("socket_mem")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if spark.table("socket_mem").count() >= 30:
+                break
+            _time.sleep(0.5)
+        got = sorted(
+            map(tuple, spark.table("socket_mem").select("key", "v").collect())
+        )
+        assert got == sorted((f"k{i % 3}", i) for i in range(30))
+    finally:
+        q.stop()
+        srv.close()

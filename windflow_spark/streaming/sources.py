@@ -116,3 +116,21 @@ def kafka_stream(
     if value_schema is not None:
         df = parse_kafka_value(df, value_schema)
     return df
+
+
+def socket_stream(
+    spark: SparkSession, host: str = "localhost", port: int = 9999
+) -> DataFrame:
+    """TCP line source — the push-based Source analog for ad-hoc feeds
+    (the reference's generic Source functor pulls from any descriptor;
+    Spark's socket source is its simplest live transport: one UTF-8 line
+    per row in a `value` string column). NOT fault-tolerant (no replay —
+    Spark documents it for testing/demos); production push feeds belong
+    on Kafka (kafka_stream) or landing files (file_stream). Parse with
+    from_json/split downstream, exactly like parse_kafka_value."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
