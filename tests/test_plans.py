@@ -96,6 +96,9 @@ _BNLJ_ALLOWED = {
     "dedup_semantic_clusters",
     # one-row bigram-type total crossJoined onto the scored bigrams (r10)
     "lm_kneser_ney_bigrams",
+    # bounded 5-query (20-subvector) sample broadcast onto the corpus
+    # subvector scan — the sim_topk_bruteforce exact-rerank contract (r10)
+    "sim_maxsim_multivector",
     # one-row last-count frame crossJoined onto the one-row moment fit (r10)
     "ts_ar1_daily_forecast",
     # one-row group-total scalar crossJoined onto the l histogram (r10)

@@ -20198,3 +20198,162 @@ def lm_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rk")
         .select("w1", "w2", "c12", "c1", "p_kn")
     )
+
+
+@register(
+    "sim_maxsim_multivector",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sub AS (
+      SELECT vec_id, u.s AS sub_id, v[(u.s * 16 + 1):(u.s * 16 + 16)] AS sv
+      FROM e, unnest([0, 1, 2, 3]) AS u(s)),
+    qs AS (SELECT vec_id AS query_id, sub_id AS q_sub, sv AS qv
+           FROM sub WHERE vec_id < 5),
+    ds AS (SELECT vec_id, sub_id, sv FROM sub WHERE vec_id >= 5),
+    cs AS (SELECT qs.query_id, ds.vec_id, qs.q_sub,
+                  max(round(list_cosine_similarity(qs.qv, ds.sv), 6)) AS mx
+           FROM qs JOIN ds ON TRUE
+           GROUP BY qs.query_id, ds.vec_id, qs.q_sub),
+    sc AS (SELECT query_id, vec_id, round(sum(mx), 6) AS maxsim
+           FROM cs GROUP BY query_id, vec_id),
+    r AS (SELECT query_id, vec_id, maxsim,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY maxsim DESC, vec_id) AS BIGINT) AS rk
+          FROM sc)
+    SELECT query_id, vec_id, maxsim, rk FROM r WHERE rk <= 5
+    """,
+)
+def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector late-interaction retrieval (ColBERT MaxSim): each
+    64-dim embedding is treated as FOUR 16-dim token vectors; a doc's
+    score for a query is Σ over query subvectors of the MAX cosine
+    against any doc subvector — fine-grained term-level matching that
+    single-vector cosine flattens away. Plan: in-row subvector slicing
+    (4 rows per vector), the bounded 5-query sample broadcast onto the
+    corpus subvector scan (the sim_topk_bruteforce contract — at scale
+    this is the exact-rerank stage AFTER an ANN candidate cut), one
+    (query, doc, q_sub) max + one (query, doc) sum, per-query top-5 by
+    window rank. Cosines are 6dp-rounded BEFORE the max (cross-engine
+    float wobble cannot flip a max), and the 4-term MaxSim sum rounds
+    again before ranking with vec_id tie-breaks."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    sub = e.select(
+        "vec_id",
+        "v",
+        F.explode(F.array(*[F.lit(s) for s in range(4)])).alias("sub_id"),
+    ).select(
+        "vec_id",
+        "sub_id",
+        F.expr("slice(v, sub_id * 16 + 1, 16)").alias("sv"),
+    )
+    qs = sub.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sub_id").alias("q_sub"),
+        F.col("sv").alias("qv"),
+    )
+    ds = sub.filter(F.col("vec_id") >= 5)
+    dot = F.aggregate(
+        F.zip_with("qv", "sv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    cos = F.round(dot / (nrm(F.col("qv")) * nrm(F.col("sv"))), 6)
+    cs = (
+        ds.join(F.broadcast(qs))
+        .select("query_id", "vec_id", "q_sub", cos.alias("c"))
+        .groupBy("query_id", "vec_id", "q_sub")
+        .agg(F.max("c").alias("mx"))
+    )
+    sc = cs.groupBy("query_id", "vec_id").agg(
+        F.round(F.sum("mx"), 6).alias("maxsim")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.col("maxsim").desc(), "vec_id")
+    )
+    return (
+        sc.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "vec_id", "maxsim", "rk")
+    )
+
+
+@register(
+    "quality_classifier_scores",
+    """
+    WITH f AS (
+      SELECT doc_id, lang, n_chars,
+             len(string_split_regex(trim(regexp_replace(text, '\\s+', ' ',
+                                                        'g')), ' ')) AS n_tok,
+             len(string_split(text, '.')) - 1 AS n_period,
+             CAST(n_chars AS DOUBLE)
+               / greatest(len(string_split_regex(
+                   trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')), 1)
+               AS chars_per_tok
+      FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+             round(1.0 / (1.0 + exp(-(
+               -2.0
+               + 0.004 * least(n_tok, 1000)
+               + 0.35  * least(chars_per_tok, 12.0)
+               + 0.08  * least(n_period, 30)
+               - 0.002 * least(n_chars, 2000)))), 6) AS p_quality
+      FROM f)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(p_quality), 6) AS avg_p,
+           CAST(count(*) FILTER (WHERE p_quality >= 0.5) AS BIGINT) AS n_keep,
+           round(count(*) FILTER (WHERE p_quality >= 0.5) * 1.0 / count(*), 6)
+             AS keep_rate
+    FROM s GROUP BY lang ORDER BY lang
+    """,
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-inference-as-query: score every document with a FIXED
+    logistic-regression quality classifier (the fasttext-style keep/drop
+    gate of web-corpus pipelines — here a frozen 4-feature model:
+    token count, chars/token, sentence count, length penalty, all
+    clipped) and report per-language keep rates at the 0.5 threshold.
+    The point is the SHAPE: batch scoring is one stateless projection —
+    no shuffle until the per-language rollup — so at 100 TB it fuses
+    into the scan (whole-stage codegen, no UDF; a real exported model's
+    coefficients drop into the same expression). Features are exact
+    integers; the sigmoid is one fixed-order double expression, rounded
+    6dp before the threshold so the keep decision cannot straddle
+    engines."""
+    d = _t_wide(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    )
+    n_period = F.size(F.split("text", r"\.")) - 1
+    chars_per_tok = F.col("n_chars").cast("double") / F.greatest(
+        n_tok, F.lit(1)
+    )
+    z = (
+        F.lit(-2.0)
+        + 0.004 * F.least(n_tok, F.lit(1000)).cast("double")
+        + 0.35 * F.least(chars_per_tok, F.lit(12.0))
+        + 0.08 * F.least(n_period, F.lit(30)).cast("double")
+        - 0.002 * F.least(F.col("n_chars"), F.lit(2000)).cast("double")
+    )
+    s = d.select(
+        "lang", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("p")
+    )
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("p"), 6).alias("avg_p"),
+            F.count(F.when(F.col("p") >= 0.5, 1)).cast("long").alias("n_keep"),
+            F.round(
+                F.count(F.when(F.col("p") >= 0.5, 1)) * 1.0 / F.count(F.lit(1)),
+                6,
+            ).alias("keep_rate"),
+        )
+        .orderBy("lang")
+    )
