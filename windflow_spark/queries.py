@@ -20357,3 +20357,223 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "skyline_price_size_parts",
+    """
+    WITH pm AS (
+      SELECT p_retailprice AS price, max(p_size) AS pmax
+      FROM part GROUP BY p_retailprice),
+    run AS (
+      SELECT price, pmax,
+             max(pmax) OVER (ORDER BY price
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prev_best
+      FROM pm),
+    sky AS (
+      SELECT p.p_partkey, p.p_retailprice, p.p_size
+      FROM part p JOIN run r ON p.p_retailprice = r.price
+      WHERE p.p_size = r.pmax
+        AND (r.prev_best IS NULL OR p.p_size > r.prev_best))
+    SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+    FROM sky ORDER BY p_retailprice, p_partkey
+    """,
+)
+def skyline_price_size_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D SKYLINE (Pareto frontier) over parts — minimize retail price,
+    maximize size: every part not dominated by a cheaper-or-equal part
+    of greater-or-equal size (strict in one dimension). The textbook
+    skyline operator is an O(n²) dominance anti-join; in 2-D it
+    collapses to a prefix-max sweep — and the sweep DISTRIBUTES as a
+    two-level pass (the oracle keeps the single-window form; single
+    node): per-price max size, then (1) a GLOBAL window only over the
+    ~dozen price-BUCKET summaries (prefix best of strictly-cheaper
+    buckets — O(#buckets) rows, never O(#prices), which grows with the
+    corpus), and (2) a per-bucket ROWS...1 PRECEDING window for the
+    within-bucket prefix, PARTITIONED by bucket so it scales out. A
+    part survives iff it is its price's best AND strictly beats
+    max(cheaper-bucket best, within-bucket cheaper best). All
+    comparisons are on raw parquet values — exact bits both engines."""
+    pt = _t(spark, sf_dir, "part")
+    pm = pt.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("pmax")
+    ).withColumn("bkt", F.floor(F.col("price") / 100).cast("long"))
+    bsum = pm.groupBy("bkt").agg(F.max("pmax").alias("bmax"))
+    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    bprev = bsum.withColumn("bucket_prev", F.max("bmax").over(wb)).select(
+        "bkt", "bucket_prev"
+    )
+    wl = W.partitionBy("bkt").orderBy("price").rowsBetween(W.unboundedPreceding, -1)
+    run = (
+        pm.withColumn("local_prev", F.max("pmax").over(wl))
+        .join(F.broadcast(bprev), "bkt")
+        .withColumn(
+            "prev_best", F.greatest(F.col("local_prev"), F.col("bucket_prev"))
+        )
+    )
+    sky = (
+        pt.join(run, pt.p_retailprice == run.price)
+        .filter(
+            (F.col("p_size") == F.col("pmax"))
+            & (F.col("prev_best").isNull() | (F.col("p_size") > F.col("prev_best")))
+        )
+        .select(
+            "p_partkey", "p_retailprice", F.col("p_size").cast("long").alias("p_size")
+        )
+    )
+    return sky.orderBy("p_retailprice", "p_partkey")
+
+
+@register(
+    "dq_profile_drift_orders",
+    """
+    WITH cut AS (SELECT (min(epoch_us(o_orderdate))
+                         + max(epoch_us(o_orderdate))) // 2 AS c FROM orders),
+    tagged AS (
+      SELECT CASE WHEN epoch_us(o_orderdate) <= (SELECT c FROM cut)
+                  THEN 'first_half' ELSE 'second_half' END AS half,
+             o_orderstatus, o_orderpriority, o_totalprice, o_custkey
+      FROM orders),
+    prof AS (
+      SELECT half, col, n_null, ndv, n FROM (
+        SELECT half, 'o_orderstatus' AS col,
+               CAST(count(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT)
+                 AS n_null,
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS ndv,
+               CAST(count(*) AS BIGINT) AS n
+        FROM tagged GROUP BY half
+        UNION ALL
+        SELECT half, 'o_orderpriority',
+               CAST(count(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT),
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM tagged GROUP BY half
+        UNION ALL
+        SELECT half, 'o_custkey',
+               CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT),
+               CAST(count(DISTINCT o_custkey) AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM tagged GROUP BY half))
+    SELECT a.col,
+           a.n AS n_first, b.n AS n_second,
+           round(a.n_null * 1.0 / a.n, 6) AS null_rate_first,
+           round(b.n_null * 1.0 / b.n, 6) AS null_rate_second,
+           a.ndv AS ndv_first, b.ndv AS ndv_second,
+           round(abs(b.ndv * 1.0 / b.n - a.ndv * 1.0 / a.n), 6)
+             AS ndv_rate_drift
+    FROM prof a JOIN prof b ON a.col = b.col
+    WHERE a.half = 'first_half' AND b.half = 'second_half'
+    ORDER BY a.col
+    """,
+)
+def dq_profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-PROFILE drift between temporal halves of the orders table —
+    the schema-health companion to `psi_price_drift` (value distribution)
+    and `ks_drift_order_prices` (shape): per tracked column, null rate
+    and distinct-value rate in each half plus the NDV-rate drift — the
+    signal that catches an upstream loader silently starting to emit
+    nulls or collapsing a key's cardinality. One tagged scan, one
+    grouped profile per column (unioned small frames), exact integer
+    counts with final divisions only."""
+    from windflow_spark.operators.timeutil import event_micros
+
+    o = _t(spark, sf_dir, "orders")
+    ou = o.withColumn("_ou", event_micros(o, "o_orderdate"))
+    cut = int(
+        ou.agg(F.expr("(min(_ou) + max(_ou)) div 2").alias("c")).collect()[0]["c"]
+    )
+    tagged = ou.withColumn(
+        "half",
+        F.when(F.col("_ou") <= cut, F.lit("first_half")).otherwise(
+            F.lit("second_half")
+        ),
+    )
+
+    def prof(col):
+        return tagged.groupBy("half").agg(
+            F.lit(col).alias("col"),
+            F.count(F.when(F.col(col).isNull(), 1)).cast("long").alias("n_null"),
+            F.countDistinct(col).cast("long").alias("ndv"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+
+    p = (
+        prof("o_orderstatus")
+        .unionByName(prof("o_orderpriority"))
+        .unionByName(prof("o_custkey"))
+    )
+    a = p.filter(F.col("half") == "first_half").select(
+        "col",
+        F.col("n").alias("n_first"),
+        F.col("n_null").alias("nn_a"),
+        F.col("ndv").alias("ndv_first"),
+    )
+    b = p.filter(F.col("half") == "second_half").select(
+        F.col("col").alias("col_b"),
+        F.col("n").alias("n_second"),
+        F.col("n_null").alias("nn_b"),
+        F.col("ndv").alias("ndv_second"),
+    )
+    return (
+        a.join(b, a.col == b.col_b)
+        .select(
+            "col",
+            "n_first",
+            "n_second",
+            F.round(F.col("nn_a") * 1.0 / F.col("n_first"), 6).alias(
+                "null_rate_first"
+            ),
+            F.round(F.col("nn_b") * 1.0 / F.col("n_second"), 6).alias(
+                "null_rate_second"
+            ),
+            "ndv_first",
+            "ndv_second",
+            F.round(
+                F.abs(
+                    F.col("ndv_second") * 1.0 / F.col("n_second")
+                    - F.col("ndv_first") * 1.0 / F.col("n_first")
+                ),
+                6,
+            ).alias("ndv_rate_drift"),
+        )
+        .orderBy("col")
+    )
+
+
+@register(
+    "histogram_2d_price_qty",
+    """
+    SELECT CAST(least(floor(l_extendedprice / 10000), 9) AS BIGINT)
+             AS price_bin,
+           CAST(l_quantity AS BIGINT) // 10 AS qty_bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2)::DOUBLE
+             AS sum_price
+    FROM lineitem
+    GROUP BY 1, 2
+    ORDER BY price_bin, qty_bin
+    """,
+)
+def histogram_2d_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (price × quantity heatmap) over lineitem — the
+    binned-aggregate every BI scatter/density panel issues: fixed-width
+    price bins (10k, top-clamped) × decade quantity bins, with count and
+    DECIMAL-exact price mass per cell. Binning is integer floor
+    arithmetic on raw values (engine-identical), one groupBy over
+    ~100 cells — the M4-downsampling move for 2-D: the dashboard reads
+    cells, never rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.least(F.floor(F.col("l_extendedprice") / 10000), F.lit(9))
+            .cast("long")
+            .alias("price_bin"),
+            F.expr("CAST(l_quantity AS BIGINT) div 10").alias("qty_bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            _dsum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+        .orderBy("price_bin", "qty_bin")
+    )
