@@ -38,7 +38,10 @@ def _is_date_object(s: pd.Series) -> bool:
     nn = s.dropna()
     if nn.empty:
         return False
-    return all(type(v) is _dt.date for v in nn.head(16))
+    # check ALL values, not a head-sample: a mixed column (dates then
+    # strings) must fail the sniff and fall through to the object path,
+    # not crash pd.to_datetime inside normalize()
+    return all(type(v) is _dt.date for v in nn)
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:

@@ -78,7 +78,10 @@ def tumbling_window_tb(
         off = F.lit(offset_us)
         w_start_us = us - F.pmod(us - off, F.lit(length_us))
     else:
-        w_start_us = us - (us % F.lit(length_us))
+        # pmod (floor-mod) so pre-epoch timestamps bin into the preceding
+        # window, matching the offset branch's semantics; identical to `%`
+        # for the non-negative case.
+        w_start_us = us - F.pmod(us, F.lit(length_us))
     return (
         df.withColumn("_w_start_us", w_start_us)
         .groupBy(*key_cols, "_w_start_us")

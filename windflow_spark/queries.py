@@ -18579,10 +18579,14 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _top(df, id_col, side):
         m = df.agg(F.max("s").alias("m"))
+        # TakeOrdered (orderBy+limit) instead of a global row_number
+        # window — no single-partition sort of the full score frame;
+        # rank is derived AFTER the 10-row cut (window over 10 rows).
         rk = F.row_number().over(W.orderBy(F.col("s").desc(), F.col(id_col)))
         return (
-            df.withColumn("rk", rk)
-            .filter(F.col("rk") <= 10)
+            df.orderBy(F.col("s").desc(), F.col(id_col))
+            .limit(10)
+            .withColumn("rk", rk)
             .crossJoin(F.broadcast(m))  # one-row scalar attach
             .select(
                 F.lit(side).alias("side"),
@@ -19545,11 +19549,12 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_occurrences"),
         F.max("s8").alias("s8"),
     )
-    rk = F.row_number().over(W.orderBy(F.col("s8").desc(), "phrase"))
+    # TakeOrdered top-20, never a global row_number over the full phrase
+    # frame (rank order preserved by the final orderBy on the 20 rows)
     return (
-        agg.withColumn("rk", rk)
-        .filter(F.col("rk") <= 20)
-        .orderBy("rk")
+        agg.orderBy(F.col("s8").desc(), "phrase")
+        .limit(20)
+        .orderBy(F.col("s8").desc(), "phrase")
         .select(
             "phrase",
             "n_occurrences",
@@ -20191,11 +20196,12 @@ def lm_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_kn"),
         )
     )
-    rk = F.row_number().over(W.orderBy(F.col("p_kn").desc(), "w1", "w2"))
+    # TakeOrdered top-20, never a global row_number over the full bigram
+    # frame (single-partition sort of every bigram type at 100 TB)
     return (
-        kn.withColumn("rk", rk)
-        .filter(F.col("rk") <= 20)
-        .orderBy("rk")
+        kn.orderBy(F.col("p_kn").desc(), "w1", "w2")
+        .limit(20)
+        .orderBy(F.col("p_kn").desc(), "w1", "w2")
         .select("w1", "w2", "c12", "c1", "p_kn")
     )
 
@@ -20546,7 +20552,7 @@ def dq_profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(least(floor(l_extendedprice / 10000), 9) AS BIGINT)
              AS price_bin,
-           CAST(l_quantity AS BIGINT) // 10 AS qty_bin,
+           CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bin,
            CAST(count(*) AS BIGINT) AS n,
            round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2)::DOUBLE
              AS sum_price
@@ -20569,7 +20575,10 @@ def histogram_2d_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.floor(F.col("l_extendedprice") / 10000), F.lit(9))
             .cast("long")
             .alias("price_bin"),
-            F.expr("CAST(l_quantity AS BIGINT) div 10").alias("qty_bin"),
+            # floor, not CAST-truncate: Spark truncates decimal→long while
+            # DuckDB rounds-to-nearest — floor is engine-identical even
+            # for non-integral quantities
+            F.floor(F.col("l_quantity") / 10).cast("long").alias("qty_bin"),
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),

@@ -2388,6 +2388,8 @@ def streaming_kmv_distinct(
     m_space = float(16**15)
 
     def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import bisect
+
         hs = list(state.get[0]) if state.exists else []
         done = False
         for pdf in pdfs:
@@ -2401,10 +2403,10 @@ def streaming_kmv_distinct(
                 )
                 if len(hs) == k and hv >= hs[-1]:
                     continue  # cannot enter the k smallest
-                if hv not in hs:
-                    import bisect
-
-                    bisect.insort(hs, hv)
+                # hs is kept sorted: O(log k) membership + insert
+                i = bisect.bisect_left(hs, hv)
+                if i >= len(hs) or hs[i] != hv:
+                    hs.insert(i, hv)
                     del hs[k:]
         if done:
             n_kept = len(hs)
