@@ -937,3 +937,74 @@ def test_r9_additions_exchange_budgets(spark, sf_dir):
         if got > budget:
             over[name] = (got, budget)
     assert not over, f"keyed-exchange budgets exceeded: {over}"
+
+
+def test_r10_additions_exchange_budgets(spark, sf_dir):
+    # cache-independence discipline (see the r5 test's comment). Budgets
+    # pin the keyed-exchange count of every r10 registry addition at its
+    # shipped value — the registry's most expensive plans (the graph
+    # scorers, SemDeDup, covariance top-k) are exactly the ones where a
+    # silent extra corpus-sized re-shuffle would hurt most at 100 TB.
+    # Counts include the tiny post-cut exchanges (top-k range sorts,
+    # scalar attaches); the pin is against REGRESSION, not a claim that
+    # each exchange is corpus-sized.
+    spark.catalog.clearCache()
+    from windflow_spark.plans.explain import keyed_shuffle_count
+
+    budgets = {
+        "link_prediction_adamic_adar": 6,   # basket agg + neighbor-set agg
+                                            # + candidate agg + TakeOrdered
+        "clustering_coefficient_local": 9,  # shared wedge prep + closed-
+                                            # wedge semi-join + center aggs
+        "graph_landmark_distances": 4,      # shared prep + one frontier
+                                            # expand/anti per round (lineage
+                                            # cut by localCheckpoint)
+        "hits_hubs_authorities": 26,        # 3 half-iteration join+agg
+                                            # rounds; the tail is per-side
+                                            # top-10 TakeOrdered + scalar
+                                            # max attaches on 10-row frames
+        "dedup_semantic_clusters": 18,      # k-means training iterations on
+                                            # the sampled codebook + cluster
+                                            # assign + within-cluster pairs
+        "embedding_covariance_topk": 3,     # ONE in-row pair-product agg +
+                                            # top-k; never an n*d^2 join
+        "embedding_centroid_shift": 12,     # per-half centroid aggs +
+                                            # integer-moment algebra on
+                                            # dim-sized frames
+        "recsys_mrr_at5": 16,               # shared holdout prep + co-buy
+                                            # scoring + per-user rank aggs
+        "recsys_map_at3": 18,               # same pipeline + cumulative
+                                            # precision fold
+        "sim_maxsim_multivector": 3,        # subvector explode + (q,d,sub)
+                                            # max + (q,d) sum; 5-query
+                                            # broadcast, no corpus shuffle
+        "shapley_channel_attribution": 8,   # journey agg + coalition
+                                            # lattice on the ONE-ROW
+                                            # channel universe
+        "ab_test_sequential_sprt": 3,       # day agg + cumulative window +
+                                            # crossing-scan on day frames
+        "ts_ar1_daily_forecast": 2,         # day agg + OLS moment agg
+        "lm_kneser_ney_bigrams": 6,         # bigram agg + fwd/bwd type aggs
+                                            # + TakeOrdered tail
+        "text_rake_keywords": 3,            # phrase agg + word-score agg +
+                                            # phrase-best agg (in-row
+                                            # segmentation, no token window)
+        "l_diversity_audit": 5,             # QI-group distinct/count aggs
+        "mom_contribution_by_segment": 9,   # (seg,month) aggs + calendar
+                                            # join + bridge algebra on
+                                            # months-sized frames
+        "dq_profile_drift_orders": 13,      # per-column profile aggs on the
+                                            # two halves (per-col frames)
+        "quality_classifier_scores": 2,     # scan-fused logistic projection
+                                            # + one source agg
+        "skyline_price_size_parts": 5,      # dominance via sorted-prefix
+                                            # min-window + final filter
+        "histogram_2d_price_qty": 2,        # one ~100-cell groupBy + sort
+        "win_tb_tumbling_offset_15m": 1,    # one keyed window agg
+    }
+    over = {}
+    for name, budget in budgets.items():
+        got = keyed_shuffle_count(QUERIES[name](spark, sf_dir))
+        if got > budget:
+            over[name] = (got, budget)
+    assert not over, f"keyed-exchange budgets exceeded: {over}"

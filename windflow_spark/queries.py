@@ -15,7 +15,7 @@ Conventions for cross-engine hash-stability:
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from windflow_spark.tables import load_table
 from windflow_spark.operators.windows import (
     paned_window_tb,
+    rollup_partials,
     sliding_window_cb,
     sliding_window_tb,
     tumbling_window_cb,
@@ -14571,6 +14572,85 @@ def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hub cap shared by every wedge-family query: wedges expand in-row only
+# through centers with deg <= this (a degree-10^6 hub emits 10^12 wedges
+# and carries no pairwise signal), making candidate volume
+# sum C(min(deg, 60), 2) — LINEAR in nodes.
+_COPURCHASE_HUB_CAP = 60
+
+
+def copurchase_adjacency(spark: SparkSession, sf_dir: str, max_p_size: int = 25):
+    """Shared co-purchase graph prep for the wedge family
+    (`link_prediction_jaccard`, `link_prediction_adamic_adar`,
+    `clustering_coefficient_local`, `graph_landmark_distances`): parts
+    with p_size <= max_p_size bought in the same order are adjacent.
+
+    Returns ``(nbrs, edges)``: ``nbrs`` = per-node SORTED deduplicated
+    neighbor array (node, nb) that wedges expand from IN-ROW (hub-capped
+    at `_COPURCHASE_HUB_CAP` by the callers); ``edges`` = the u<v edge
+    list derived in-row from the arrays (zero extra shuffles). The shape
+    is baskets → in-row both-direction pair expansion → ONE collect_set
+    aggregation — never an order-keyed self-join, and no persist (a
+    persisted subtree pins its partition layout under AQE; that cost
+    ~50 s of tiny-task shuffles in an early cut). At 100 TB this helper
+    is the seam for a materialized/bucketed edge table: every caller
+    reads the graph only through these two frames, so swapping in a
+    pre-built table touches one function.
+    """
+    pt = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= max_p_size)
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    baskets = li.groupBy("ok").agg(F.array_sort(F.collect_set("pk")).alias("ps"))
+    adj = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda x: F.transform(
+                        F.filter(F.col("ps"), lambda y: y != x),
+                        lambda y: F.struct(x.alias("node"), y.alias("nbr")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.node", "p.nbr")
+    nbrs = adj.groupBy("node").agg(F.array_sort(F.collect_set("nbr")).alias("nb"))
+    edges = nbrs.select(
+        F.col("node").alias("u"),
+        F.explode(F.filter(F.col("nb"), lambda y: y > F.col("node"))).alias("v"),
+    )
+    return nbrs, edges
+
+
+def _wedge_pairs(nbrs: DataFrame, carry: Sequence[str] = ()) -> DataFrame:
+    """In-row wedge expansion from sorted neighbor arrays: every x<y pair
+    within each center's `nb` array (the callers pre-filter centers by
+    the hub cap). Emits (x, y) plus any `carry` columns from the center
+    row (e.g. the center id or its precomputed weight)."""
+    return nbrs.select(
+        *carry,
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("nb"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("nb"), i + 2, F.size(F.col("nb"))),
+                        lambda y: F.struct(x.alias("x"), y.alias("y")),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select(*carry, "p.x", "p.y")
+
+
 @register(
     "link_prediction_jaccard",
     """
@@ -14618,60 +14698,9 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     rational cn/(dx+dy−cn) (exact integers → identical IEEE division)
     with (x, y) tie-breaks; the global top-20 is a TakeOrdered, never a
     full sort."""
-    pt = (
-        _t(spark, sf_dir, "part").filter(F.col("p_size") <= 25).select("p_partkey")
-    )
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    baskets = li.groupBy("ok").agg(F.array_sort(F.collect_set("pk")).alias("ps"))
-    # BOTH-direction co-occurrence pairs in-row from each basket, then ONE
-    # collect_set aggregation builds the deduplicated neighbor sets — no
-    # separate edge-list materialization, no persist: a persisted subtree
-    # pins its 200-partition layout (AQE may not re-partition cached plan
-    # output), which is exactly what made the first cut of this query
-    # spend ~50 s in tiny-task shuffles on the bare driver-gate session.
-    adj = baskets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ps"),
-                    lambda x: F.transform(
-                        F.filter(F.col("ps"), lambda y: y != x),
-                        lambda y: F.struct(x.alias("node"), y.alias("nbr")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.node", "p.nbr")
-    nbrs = adj.groupBy("node").agg(F.array_sort(F.collect_set("nbr")).alias("nb"))
+    nbrs, e = copurchase_adjacency(spark, sf_dir)
     deg = nbrs.select("node", F.size("nb").cast("long").alias("d"))
-    # the u<v edge list for the non-adjacency check, derived IN-ROW from
-    # the neighbor arrays (zero extra shuffles)
-    e = nbrs.select(
-        F.col("node").alias("u"),
-        F.explode(F.filter(F.col("nb"), lambda y: y > F.col("node"))).alias("v"),
-    )
-    w = (
-        nbrs.filter(F.size("nb") <= 60)
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("nb"),
-                        lambda x, i: F.transform(
-                            F.slice(F.col("nb"), i + 2, F.size(F.col("nb"))),
-                            lambda y: F.struct(x.alias("x"), y.alias("y")),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.x", "p.y")
-    )
+    w = _wedge_pairs(nbrs.filter(F.size("nb") <= _COPURCHASE_HUB_CAP))
     cn = w.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("cn"))
     # the edge list (|E| rows) and degree table (|V| rows) are both tiny
     # next to the candidate-pair frame — broadcast them (at 100 TB the
@@ -18455,50 +18484,14 @@ def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-independent), ranked with (x, y) tie-breaks; the float AA
     score is derived from the integer AFTER ranking. Top-20 is a
     TakeOrdered, never a full sort."""
-    pt = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 25).select("p_partkey")
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    baskets = li.groupBy("ok").agg(F.array_sort(F.collect_set("pk")).alias("ps"))
-    adj = baskets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ps"),
-                    lambda x: F.transform(
-                        F.filter(F.col("ps"), lambda y: y != x),
-                        lambda y: F.struct(x.alias("node"), y.alias("nbr")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.node", "p.nbr")
-    nbrs = adj.groupBy("node").agg(F.array_sort(F.collect_set("nbr")).alias("nb"))
-    e = nbrs.select(
-        F.col("node").alias("u"),
-        F.explode(F.filter(F.col("nb"), lambda y: y > F.col("node"))).alias("v"),
-    )
-    ctr = nbrs.filter((F.size("nb") >= 2) & (F.size("nb") <= 60)).withColumn(
+    nbrs, e = copurchase_adjacency(spark, sf_dir)
+    ctr = nbrs.filter(
+        (F.size("nb") >= 2) & (F.size("nb") <= _COPURCHASE_HUB_CAP)
+    ).withColumn(
         "w8",
         F.round(F.lit(1_000_000.0) / F.log(F.size("nb").cast("double"))).cast("long"),
     )
-    w = ctr.select(
-        F.col("w8"),
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("nb"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("nb"), i + 2, F.size(F.col("nb"))),
-                        lambda y: F.struct(x.alias("x"), y.alias("y")),
-                    ),
-                )
-            )
-        ).alias("p"),
-    ).select("p.x", "p.y", "w8")
+    w = _wedge_pairs(ctr, carry=("w8",))
     cn = w.groupBy("x", "y").agg(
         F.count(F.lit(1)).cast("long").alias("cn"),
         F.sum("w8").cast("long").alias("s8"),
@@ -18648,47 +18641,9 @@ def clustering_coefficient_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join. cc is an exact-integer rational (2·tri/(d(d−1))), identical
     IEEE division on both engines, rounded 6dp before the rank with node
     as the total-order tie-break; top-20 is a TakeOrdered."""
-    pt = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 25).select("p_partkey")
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    baskets = li.groupBy("ok").agg(F.array_sort(F.collect_set("pk")).alias("ps"))
-    adj = baskets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ps"),
-                    lambda x: F.transform(
-                        F.filter(F.col("ps"), lambda y: y != x),
-                        lambda y: F.struct(x.alias("node"), y.alias("nbr")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.node", "p.nbr")
-    nbrs = adj.groupBy("node").agg(F.array_sort(F.collect_set("nbr")).alias("nb"))
-    e = nbrs.select(
-        F.col("node").alias("u"),
-        F.explode(F.filter(F.col("nb"), lambda y: y > F.col("node"))).alias("v"),
-    )
-    ctr = nbrs.filter((F.size("nb") >= 2) & (F.size("nb") <= 60))
-    w = ctr.select(
-        F.col("node").alias("cv"),
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("nb"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("nb"), i + 2, F.size(F.col("nb"))),
-                        lambda y: F.struct(x.alias("x"), y.alias("y")),
-                    ),
-                )
-            )
-        ).alias("p"),
-    ).select("cv", "p.x", "p.y")
+    nbrs, e = copurchase_adjacency(spark, sf_dir)
+    ctr = nbrs.filter((F.size("nb") >= 2) & (F.size("nb") <= _COPURCHASE_HUB_CAP))
+    w = _wedge_pairs(ctr, carry=("node",)).withColumnRenamed("node", "cv")
     closed = (
         w.join(e, (w.x == e.u) & (w.y == e.v), "left_semi")
         .groupBy("cv")
@@ -19615,30 +19570,12 @@ def graph_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges), the textbook distributed-BFS bound; rounds are fixed at 3 so
     the oracle stays an unrolled CTE (the label-propagation discipline).
     Output: nodes-at-distance histogram per landmark, all-integer."""
-    pt = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 25).select("p_partkey")
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    baskets = li.groupBy("ok").agg(F.array_sort(F.collect_set("pk")).alias("ps"))
-    adj = baskets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ps"),
-                    lambda x: F.transform(
-                        F.filter(F.col("ps"), lambda y: y != x),
-                        lambda y: F.struct(x.alias("node"), y.alias("nbr")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.node", "p.nbr").distinct()
+    nbrs, _ = copurchase_adjacency(spark, sf_dir)
+    # deduplicated both-direction adjacency pairs, in-row from the
+    # neighbor arrays (the collect_set already dedup'd them)
+    adj = nbrs.select("node", F.explode("nb").alias("nbr"))
     lm = (
-        adj.select("node")
-        .distinct()
+        nbrs.select("node")
         .orderBy("node")
         .limit(3)
         .select(F.col("node").alias("lmk"))
@@ -20585,4 +20522,64 @@ def histogram_2d_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(F.col("l_extendedprice")).alias("sum_price"),
         )
         .orderBy("price_bin", "qty_bin")
+    )
+
+
+@register(
+    "rollup_partials_hour_day",
+    """
+    WITH hourly AS (
+      SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS w_start,
+             CAST(count(*) AS BIGINT) AS cnt,
+             sum(CAST(value AS DECIMAL(18,6))) AS sv,
+             min(CAST(value AS DECIMAL(18,6))) AS mn,
+             max(CAST(value AS DECIMAL(18,6))) AS mx
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, time_bucket(INTERVAL 1 DAY, w_start) AS w_start,
+           CAST(sum(cnt) AS BIGINT) AS cnt,
+           round(sum(sv), 2)::DOUBLE AS sv,
+           round(min(mn), 2)::DOUBLE AS mn,
+           round(max(mx), 2)::DOUBLE AS mx
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def rollup_partials_hour_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade THROUGH the `rollup_partials`
+    operator (operators/windows.py — the TimescaleDB rollup-from-rollup
+    rule, reference analog the lift+combine Ffat_Windows discipline,
+    wf/ffat_windows.hpp): hourly partials (count/sum/min/max) built once
+    by tumbling_window_tb, then re-aggregated onto the daily grid by
+    their MERGE forms — sum of counts and sums, min of mins, max of
+    maxes — never rescanning raw events. This is the registry's
+    oracle-checked exercise of the operator the r10 parity test covers
+    (`rollup_partials` + UPDATE-mode upsert): at 100 TB the raw scan
+    happens once at the finest level and each coarser level reads ~24×
+    fewer rows. Value partials accumulate as DECIMAL(18,6) (the _dsum
+    discipline) so the cascade is summation-order independent; sum(cnt)
+    is CAST back to BIGINT in the oracle (DuckDB HUGEINT discipline) and
+    floats are 2dp-rounded on both sides only at the END."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = tumbling_window_tb(
+        ev,
+        ["event_type"],
+        "ts",
+        3_600_000_000,
+        [
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+            F.min(F.col("value").cast("decimal(18,6)")).alias("mn"),
+            F.max(F.col("value").cast("decimal(18,6)")).alias("mx"),
+        ],
+    )
+    return rollup_partials(
+        hourly,
+        ["event_type"],
+        "w_start",
+        86_400_000_000,
+        [
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.round(F.sum("sv"), 2).cast("double").alias("sv"),
+            F.round(F.min("mn"), 2).cast("double").alias("mn"),
+            F.round(F.max("mx"), 2).cast("double").alias("mx"),
+        ],
     )
