@@ -87,6 +87,15 @@ def test_q1_single_shuffle_and_fused(spark, sf_dir):
 # - the scalar-subquery queries join a ONE-ROW broadcast aggregate
 #   (avg/total) — a 1×N nested loop is O(N), the right plan for a scalar.
 _BNLJ_ALLOWED = {
+    # one-row OLS-scalar frame (b0/b1/s2/moments) crossJoined onto the
+    # lineitem scan for the per-row Cook's D projection (r11)
+    "cooks_distance_influential",
+    # one-row basket-count scalar crossJoined onto the <=C(25,3)-row
+    # brand-triple frame for the lift denominator (r11)
+    "assoc_rules_triples",
+    # one-row L-inf-norm scalar crossJoined onto the 64-row vector frame
+    # at each of the 3 exact re-normalization steps (r11)
+    "embedding_pca_power_iteration",
     # two one-row max-score frames crossJoined onto the 10-row top-k
     # sides for the deferred normalization (r10)
     "hits_hubs_authorities",

@@ -20583,3 +20583,799 @@ def rollup_partials_hour_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("mx"), 2).cast("double").alias("mx"),
         ],
     )
+
+
+@register(
+    "partial_corr_price_qty_given_discount",
+    """
+    WITH g AS (
+      SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sz,
+             CAST(sum(CAST(l_extendedprice * l_extendedprice
+                           AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6)))
+                  AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_discount * l_discount AS DECIMAL(18,6)))
+                  AS DOUBLE) AS szz,
+             CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6)))
+                  AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6)))
+                  AS DOUBLE) AS sxz,
+             CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(18,6)))
+                  AS DOUBLE) AS syz
+      FROM lineitem GROUP BY 1),
+    r AS (
+      SELECT flag, n,
+             (n * sxy - sx * sy)
+               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rxy,
+             (n * sxz - sx * sz)
+               / sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)) AS rxz,
+             (n * syz - sy * sz)
+               / sqrt((n * syy - sy * sy) * (n * szz - sz * sz)) AS ryz
+      FROM g)
+    SELECT flag, n, round(rxy, 6) AS r_price_qty,
+           round((rxy - rxz * ryz)
+                 / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6)
+             AS r_partial_given_discount
+    FROM r ORDER BY flag
+    """,
+)
+def partial_corr_price_qty_given_discount(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order PARTIAL correlation r(price, qty | discount) per
+    returnflag — the controlled-confounder companion of
+    `corr_lineitem_metrics` and `spearman_corr_price_qty`: how much of
+    the price~quantity association survives after removing the part each
+    variable shares with discount, via the closed form
+    (r_xy − r_xz·r_zy)/√((1−r_xz²)(1−r_zy²)). ONE moments pass (the
+    ols2 discipline: per-term DECIMAL casts make every Σ exact and
+    summation-order independent; the three Pearson r's and the partial
+    are then fixed-order double expressions over exact sums —
+    bit-identical across engines and partition orders). Flag-cardinality
+    output; at 100 TB this is one map-side-combined scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    d18 = lambda c: F.sum(c.cast("decimal(18,6)")).cast("double")  # noqa: E731
+    d28 = lambda c: F.sum(c.cast("decimal(28,6)")).cast("double")  # noqa: E731
+    x, y, z = F.col("l_extendedprice"), F.col("l_quantity"), F.col("l_discount")
+    g = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        d18(x).alias("sx"),
+        d18(y).alias("sy"),
+        d18(z).alias("sz"),
+        d28(x * x).alias("sxx"),
+        d18(y * y).alias("syy"),
+        d18(z * z).alias("szz"),
+        d28(x * y).alias("sxy"),
+        d28(x * z).alias("sxz"),
+        d18(y * z).alias("syz"),
+    )
+    n = F.col("n")
+    rxy = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    rxz = (n * F.col("sxz") - F.col("sx") * F.col("sz")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("szz") - F.col("sz") * F.col("sz"))
+    )
+    ryz = (n * F.col("syz") - F.col("sy") * F.col("sz")) / F.sqrt(
+        (n * F.col("syy") - F.col("sy") * F.col("sy"))
+        * (n * F.col("szz") - F.col("sz") * F.col("sz"))
+    )
+    return (
+        g.select(
+            "flag",
+            "n",
+            F.round(rxy, 6).alias("r_price_qty"),
+            F.round(
+                (rxy - rxz * ryz)
+                / F.sqrt((1 - rxz * rxz) * (1 - ryz * ryz)),
+                6,
+            ).alias("r_partial_given_discount"),
+        )
+        .orderBy("flag")
+    )
+
+
+@register(
+    "cooks_distance_influential",
+    """
+    WITH m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6)))
+                  AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6)))
+                  AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_extendedprice * l_extendedprice
+                           AS DECIMAL(28,6))) AS DOUBLE) AS syy
+      FROM lineitem),
+    b AS (
+      SELECT n, sx, sxx,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b1,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS b0,
+             (syy - sy * sy / n
+              - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                * ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                * (sxx - sx * sx / n)) / (n - 2) AS s2
+      FROM m),
+    d AS (
+      SELECT l.l_orderkey, l.l_linenumber,
+             l.l_extendedprice - (b.b0 + b.b1 * l.l_quantity) AS r,
+             1.0 / b.n
+               + (l.l_quantity - b.sx / b.n) * (l.l_quantity - b.sx / b.n)
+                 / (b.sxx - b.sx * b.sx / b.n) AS h,
+             b.s2
+      FROM lineitem l CROSS JOIN b)
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           round(r * r / (2 * s2) * h / ((1 - h) * (1 - h)), 6) AS cooks_d
+    FROM d
+    ORDER BY r * r / (2 * s2) * h / ((1 - h) * (1 - h)) DESC,
+             l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+)
+def cooks_distance_influential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most INFLUENTIAL lineitems for the price~quantity simple
+    regression by Cook's distance D_i = r_i²/(p·s²) · h_i/(1−h_i)² — the
+    regression-diagnostics companion of the OLS family: which individual
+    rows, if deleted, would move the fit most (leverage × residual, the
+    outlier-vs-influence distinction plain residual screens miss).
+    ONE exact-moment pass (per-term DECIMAL casts) produces b0/b1/s²/x̄/Sxx
+    as fixed-order doubles; the per-row D_i is then a scan-fused
+    projection over the ONE-ROW broadcast of those scalars (the
+    scalar-attach discipline), and the global top-20 is a TakeOrdered on
+    the raw double with (orderkey, linenumber) tie-breaks. At 100 TB:
+    two scans (moments + score), zero keyed shuffles beyond the final
+    20-row cut."""
+    li = _t(spark, sf_dir, "lineitem")
+    d18 = lambda c: F.sum(c.cast("decimal(18,6)")).cast("double")  # noqa: E731
+    d28 = lambda c: F.sum(c.cast("decimal(28,6)")).cast("double")  # noqa: E731
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        d18(x).alias("sx"),
+        d18(y).alias("sy"),
+        d18(x * x).alias("sxx"),
+        d28(x * y).alias("sxy"),
+        d28(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    b1 = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    b0 = (sy - b1 * sx) / n
+    s2 = (syy - sy * sy / n - b1 * b1 * (sxx - sx * sx / n)) / (n - 2)
+    b = m.select("n", "sx", "sxx", b1.alias("b1"), b0.alias("b0"), s2.alias("s2"))
+    r = y - (F.col("b0") + F.col("b1") * x)
+    h = (
+        F.lit(1.0) / F.col("n")
+        + (x - F.col("sx") / F.col("n"))
+        * (x - F.col("sx") / F.col("n"))
+        / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+    )
+    dcol = r * r / (2 * F.col("s2")) * h / ((1 - h) * (1 - h))
+    return (
+        li.crossJoin(F.broadcast(b))  # one-row scalar attach
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            dcol.alias("_d"),
+        )
+        .orderBy(F.col("_d").desc(), "l_orderkey", "l_linenumber")
+        .limit(20)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("_d"), 6).alias("cooks_d"),
+        )
+    )
+
+
+@register(
+    "partition_stats_pruning",
+    """
+    WITH z AS (
+      SELECT date_trunc('month', o_orderdate) AS part_month,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             round(min(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE
+               AS min_price,
+             round(max(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE
+               AS max_price,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_cust
+      FROM orders GROUP BY 1)
+    SELECT part_month, n_rows, min_price, max_price, ndv_cust,
+           (max_price < 450000.0) AS prunable_gt450k,
+           CAST(sum(CASE WHEN max_price < 450000.0 THEN n_rows ELSE 0 END)
+                  OVER () AS BIGINT) AS rows_skippable_total
+    FROM z ORDER BY part_month
+    """,
+)
+def partition_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map / partition-statistics audit on orders by month — the
+    file-skipping primitive behind every 100 TB scan: per-partition
+    min/max/count/NDV stats plus, for a concrete predicate
+    (o_totalprice >= 450k), which partitions a stats-aware reader PRUNES
+    without opening and how many rows that skips in total. This is the
+    metadata a lakehouse keeps per parquet footer (and what
+    `zorder_locality_tiles` optimizes the layout FOR); the query is one
+    month-keyed aggregate + a window total over the months frame.
+    min/max ride the DECIMAL cast so the 2dp round is exact on both
+    engines."""
+    o = _t(spark, sf_dir, "orders")
+    z = o.groupBy(F.date_trunc("month", "o_orderdate").alias("part_month")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.min(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("min_price"),
+        F.round(F.max(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("max_price"),
+        F.countDistinct("o_custkey").cast("long").alias("ndv_cust"),
+    )
+    prunable = F.col("max_price") < 450000.0
+    return z.select(
+        "part_month",
+        "n_rows",
+        "min_price",
+        "max_price",
+        "ndv_cust",
+        prunable.alias("prunable_gt450k"),
+        F.sum(F.when(prunable, F.col("n_rows")).otherwise(F.lit(0)))
+        .over(W.partitionBy())
+        .cast("long")
+        .alias("rows_skippable_total"),
+    ).orderBy("part_month")
+
+
+@register(
+    "assoc_rules_triples",
+    """
+    WITH li AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS pk
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    n AS (SELECT count(DISTINCT ok) AS nb FROM li),
+    cnt AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY pk),
+    b AS (SELECT ok, list_sort(list(pk)) AS ps FROM li GROUP BY ok),
+    tr AS (SELECT ps[i] AS p1, ps[j] AS p2, ps[k] AS p3,
+                  CAST(count(*) AS BIGINT) AS c3
+           FROM b,
+                unnest(generate_series(1, len(ps) - 2)) AS u1(i),
+                unnest(generate_series(i + 1, len(ps) - 1)) AS u2(j),
+                unnest(generate_series(j + 1, len(ps))) AS u3(k)
+           GROUP BY 1, 2, 3
+           HAVING count(*) >= 2),
+    sc AS (SELECT tr.p1, tr.p2, tr.p3, tr.c3,
+                  round(tr.c3 / CAST((SELECT nb FROM n) AS DOUBLE), 6)
+                    AS support,
+                  (tr.c3 * (SELECT nb FROM n) * (SELECT nb FROM n))
+                    / CAST(c1.c * c2.c * c3c.c AS DOUBLE) AS lift_raw
+           FROM tr JOIN cnt c1 ON tr.p1 = c1.pk
+                   JOIN cnt c2 ON tr.p2 = c2.pk
+                   JOIN cnt c3c ON tr.p3 = c3c.pk)
+    SELECT p1, p2, p3, c3 AS cooc, support, round(lift_raw, 6) AS lift
+    FROM sc
+    ORDER BY lift_raw DESC, p1, p2, p3
+    LIMIT 15
+    """,
+)
+def assoc_rules_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-ITEMSETS with lift — the next lattice level above
+    `assoc_rules_lift`'s pairs: top-15 BRAND triples co-bought in >= 2
+    orders, lift = c₁₂₃·N²/(c₁·c₂·c₃) (independence-baseline ratio for
+    three-way co-occurrence). The itemset universe is the bounded brand
+    vocabulary (25 values) rather than raw part keys — at part
+    granularity the sf0.1 triple space is so sparse that NO triple
+    repeats (0-row first cut, and the 3-way key join cost 180 s in the
+    oracle — the rewritten oracle generates i<j<k combinations from
+    per-order sorted lists, the same in-row shape as the plan, 25x
+    faster); brands give dense, meaningful lift at every scale and keep
+    the per-basket expansion ≤ C(25,3) worst-case. Triples are generated
+    IN-ROW from each order's sorted distinct-brand array (i<j<k index
+    slices — the wedge-family move one level deeper) — never a 3-way
+    self-join of the exploded (order, item) table. Numerators c₃·N² stay
+    exact BIGINT (≤2e13 at sf1; DECIMAL(38,0) headroom documented past
+    ~1e9 baskets), ONE double division at the end, (p1,p2,p3)
+    tie-breaks, TakeOrdered."""
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("pk"))
+        .distinct()
+    )
+    nb = li.select("ok").distinct().agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    cnt = li.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    baskets = (
+        li.groupBy("ok")
+        .agg(F.array_sort(F.collect_set("pk")).alias("ps"))
+        .filter(F.size("ps") >= 3)
+    )
+    tr = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.flatten(
+                        F.transform(
+                            F.col("ps"),
+                            lambda x, i: F.transform(
+                                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                                lambda y, k: F.transform(
+                                    F.slice(
+                                        F.col("ps"),
+                                        i + k + 3,
+                                        F.size(F.col("ps")),
+                                    ),
+                                    lambda z: F.struct(
+                                        x.alias("p1"),
+                                        y.alias("p2"),
+                                        z.alias("p3"),
+                                    ),
+                                ),
+                            ),
+                        )
+                    )
+                )
+            ).alias("t")
+        )
+        .select("t.p1", "t.p2", "t.p3")
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).cast("long").alias("c3"))
+        .filter(F.col("c3") >= 2)
+    )
+    c1 = cnt.select(F.col("pk").alias("p1"), F.col("c").alias("ca"))
+    c2 = cnt.select(F.col("pk").alias("p2"), F.col("c").alias("cb"))
+    c3 = cnt.select(F.col("pk").alias("p3"), F.col("c").alias("cc"))
+    sc = (
+        tr.join(F.broadcast(c1), "p1")
+        .join(F.broadcast(c2), "p2")
+        .join(F.broadcast(c3), "p3")
+        .crossJoin(F.broadcast(nb))  # one-row scalar attach
+        .withColumn(
+            "lift_raw",
+            (F.col("c3") * F.col("nb") * F.col("nb"))
+            / (F.col("ca") * F.col("cb") * F.col("cc")).cast("double"),
+        )
+    )
+    return (
+        sc.orderBy(F.col("lift_raw").desc(), "p1", "p2", "p3")
+        .limit(15)
+        .select(
+            "p1",
+            "p2",
+            "p3",
+            F.col("c3").alias("cooc"),
+            F.round(F.col("c3") / F.col("nb").cast("double"), 6).alias("support"),
+            F.round(F.col("lift_raw"), 6).alias("lift"),
+        )
+    )
+
+
+@register(
+    "funnel_windowed_3step",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+               WHERE event_type IN ('view', 'click', 'purchase')),
+    u AS (SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN us END) AS t1
+          FROM e GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.us) AS t2
+          FROM e JOIN u ON e.user_id = u.user_id
+          WHERE e.event_type = 'click' AND u.t1 IS NOT NULL
+            AND e.us > u.t1 AND e.us <= u.t1 + 86400000000
+          GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.us) AS t3
+          FROM e JOIN u ON e.user_id = u.user_id
+                 JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase'
+            AND e.us > c.t2 AND e.us <= u.t1 + 86400000000
+          GROUP BY 1),
+    d AS (SELECT u.user_id,
+                 CASE WHEN u.t1 IS NULL THEN 0
+                      WHEN c.t2 IS NULL THEN 1
+                      WHEN p.t3 IS NULL THEN 2
+                      ELSE 3 END AS depth
+          FROM u LEFT JOIN c ON u.user_id = c.user_id
+                 LEFT JOIN p ON u.user_id = p.user_id)
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM d GROUP BY 1 ORDER BY 1
+    """,
+)
+def funnel_windowed_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step window funnel (ClickHouse windowFunnel semantics,
+    greedy-earliest anchor): per user, the deepest prefix of
+    view → click → purchase completable with strictly increasing
+    timestamps inside 24 h of the FIRST view (t1 = earliest view,
+    t2 = earliest click after t1, t3 = earliest purchase after t2, both
+    within t1+24 h) — the strict-ordering generalization of
+    `funnel_signup_purchase`'s 2-step form. The Spark plan is ONE
+    user-keyed collect_list + a pure in-row fold (array_min over
+    filtered (ts, type) structs, each step's filter referencing the
+    previous step's time) — no per-step join cascade; the oracle is the
+    independent 3-join formulation, so the two derivations cross-check.
+    Output is the 4-row depth histogram. All-integer µs timestamps —
+    engine-identical; at 100 TB this is one keyed exchange of (user,
+    funnel-events) plus a 4-group count."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    u = ev.groupBy("user_id").agg(
+        F.collect_list(
+            F.struct(
+                F.unix_micros("ts").alias("us"), F.col("event_type").alias("et")
+            )
+        ).alias("evs")
+    )
+    t1 = F.array_min(
+        F.transform(
+            F.filter("evs", lambda e: e.et == "view"), lambda e: e.us
+        )
+    )
+    withs = u.withColumn("t1", t1)
+    t2 = F.array_min(
+        F.transform(
+            F.filter(
+                "evs",
+                lambda e: (e.et == "click")
+                & (e.us > F.col("t1"))
+                & (e.us <= F.col("t1") + 86_400_000_000),
+            ),
+            lambda e: e.us,
+        )
+    )
+    withs = withs.withColumn("t2", t2)
+    t3 = F.array_min(
+        F.transform(
+            F.filter(
+                "evs",
+                lambda e: (e.et == "purchase")
+                & (e.us > F.col("t2"))
+                & (e.us <= F.col("t1") + 86_400_000_000),
+            ),
+            lambda e: e.us,
+        )
+    )
+    withs = withs.withColumn("t3", t3)
+    depth = (
+        F.when(F.col("t1").isNull(), 0)
+        .when(F.col("t2").isNull(), 1)
+        .when(F.col("t3").isNull(), 2)
+        .otherwise(3)
+    )
+    return (
+        withs.select(depth.cast("long").alias("depth"))
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("depth")
+    )
+
+
+@register(
+    "page_hinkley_drift_daily",
+    """
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS z
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, day, z,
+             sum(z) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cz,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                  AS DOUBLE) AS t
+      FROM d),
+    m AS (
+      SELECT event_type, day, z,
+             sum(z - cz / t - 0.01) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+      FROM w),
+    e AS (
+      SELECT event_type, day, z, ph,
+             ph - min(ph) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS exc
+      FROM m),
+    s AS (
+      SELECT event_type, max(exc) AS max_exc,
+             CAST(sum(CASE WHEN exc > 0.25 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alert_days
+      FROM e GROUP BY 1)
+    SELECT s.event_type, round(s.max_exc, 6) AS max_excursion,
+           s.n_alert_days, min(e.day) AS argmax_day
+    FROM s JOIN e ON s.event_type = e.event_type AND e.exc = s.max_exc
+    GROUP BY 1, 2, 3
+    ORDER BY 1
+    """,
+)
+def page_hinkley_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-DRIFT detector per event type — the sequential
+    changepoint monitor for data-quality pipelines (the online sibling of
+    `ts_changepoint_meanshift` and the drift companion of `cusum_order_
+    volume`): PH_t = Σ_{i≤t}(z_i − z̄_i − δ), alarm when PH_t exceeds its
+    running minimum by λ (δ=0.01, λ=0.25). Daily means come from exact
+    DECIMAL sums (one double division each); every cumulative term is a
+    LEFT-TO-RIGHT ordered-window sum over the per-type day frame, so
+    both engines add the same doubles in the same order — bit-identical.
+    Output per type: max excursion, alert-day count, and the (earliest)
+    day the max occurs — found by an equality join on the exact double
+    rather than an argmax (deterministic tie rule). Day frames are
+    ~|types|×|days| — trivially small at any corpus scale; the raw scan
+    is the only big input."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("z")
+    )
+    wspec = W.partitionBy("event_type").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w = d.withColumn("cz", F.sum("z").over(wspec)).withColumn(
+        "t",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("day"))
+        .cast("double"),
+    )
+    m = w.withColumn(
+        "ph", F.sum(F.col("z") - F.col("cz") / F.col("t") - 0.01).over(wspec)
+    )
+    e = m.withColumn("exc", F.col("ph") - F.min("ph").over(wspec))
+    s = e.groupBy("event_type").agg(
+        F.max("exc").alias("max_exc"),
+        F.sum(F.when(F.col("exc") > 0.25, 1).otherwise(0))
+        .cast("long")
+        .alias("n_alert_days"),
+    )
+    ed = e.select(
+        F.col("event_type").alias("et2"),
+        F.col("exc").alias("mexc"),
+        "day",
+    )
+    return (
+        s.join(
+            ed,
+            (s.event_type == ed.et2) & (ed.mexc == s.max_exc),
+        )
+        .groupBy("event_type", "max_exc", "n_alert_days")
+        .agg(F.min("day").alias("argmax_day"))
+        .select(
+            "event_type",
+            F.round("max_exc", 6).alias("max_excursion"),
+            "n_alert_days",
+            "argmax_day",
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ts_kalman_level_daily",
+    """
+    WITH RECURSIVE d AS (
+      SELECT event_type, day, z,
+             row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS idx
+      FROM (SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*) AS z
+            FROM events GROUP BY 1, 2)),
+    k AS (
+      SELECT event_type, idx, day, z, z AS x, CAST(1.0 AS DOUBLE) AS p
+      FROM d WHERE idx = 1
+      UNION ALL
+      SELECT d.event_type, d.idx, d.day, d.z,
+             k.x + ((k.p + 0.01) / (k.p + 0.01 + 1.0)) * (d.z - k.x),
+             (1.0 - (k.p + 0.01) / (k.p + 0.01 + 1.0)) * (k.p + 0.01)
+      FROM k JOIN d ON d.event_type = k.event_type AND d.idx = k.idx + 1)
+    SELECT event_type, day, round(z, 6) AS z, round(x, 6) AS x_filt
+    FROM k ORDER BY event_type, day
+    """,
+)
+def ts_kalman_level_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D KALMAN filter (local-level state-space model, q=0.01 r=1.0) on
+    the daily mean value per event type — the probabilistic smoother the
+    Holt/EWMA family approximates: gain k_t = (P+q)/(P+q+r) adapts from
+    trust-the-first-observation toward the steady-state EWMA weight.
+    The recursion is inherently sequential, so the Spark plan is the
+    in-row JVM fold discipline (collect each type's day-sorted z array —
+    bounded at |days| per key — and run ONE `aggregate` HOF carrying
+    (x, P, outputs)); the oracle is DuckDB's RECURSIVE CTE over the day
+    index — two independent formulations of the same fixed-order double
+    recursion, bit-identical because daily z's derive from exact DECIMAL
+    sums and every filter step is the same IEEE expression tree. At
+    100 TB the heavy input is the raw scan; per-key state is |days|
+    doubles (the reference's per-key window-state bound,
+    wf/keyed_windows.hpp)."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("z")
+    )
+    series = d.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "z"))).alias("s")
+    )
+    folded = series.withColumn(
+        "xs",
+        F.expr(
+            """
+            aggregate(
+              slice(s, 2, size(s) - 1),
+              named_struct('x', s[0].z, 'p', CAST(1.0 AS DOUBLE),
+                           'out', array(s[0].z)),
+              (acc, e) -> named_struct(
+                'x', acc.x + ((acc.p + 0.01) / (acc.p + 0.01 + 1.0))
+                       * (e.z - acc.x),
+                'p', (1.0 - (acc.p + 0.01) / (acc.p + 0.01 + 1.0))
+                       * (acc.p + 0.01),
+                'out', array_append(
+                  acc.out,
+                  acc.x + ((acc.p + 0.01) / (acc.p + 0.01 + 1.0))
+                    * (e.z - acc.x))),
+              acc -> acc.out)
+            """
+        ),
+    )
+    return (
+        folded.select(
+            "event_type",
+            F.posexplode(F.arrays_zip("s", "xs")).alias("_i", "zz"),
+        )
+        .select(
+            "event_type",
+            F.col("zz.s.day").alias("day"),
+            F.round(F.col("zz.s.z"), 6).alias("z"),
+            F.round(F.col("zz.xs"), 6).alias("x_filt"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "embedding_pca_power_iteration",
+    """
+    WITH x AS (
+      SELECT vec_id, u.i - 1 AS dim,
+             CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS q
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+    s AS (SELECT dim, CAST(sum(q) AS BIGINT) AS si,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM x GROUP BY dim),
+    p AS (SELECT a.dim AS di, b.dim AS dj,
+                 CAST(sum(a.q * b.q) AS BIGINT) AS sqq
+          FROM x a JOIN x b ON a.vec_id = b.vec_id
+          GROUP BY 1, 2),
+    m AS (SELECT p.di, p.dj,
+                 CAST(sa.n AS HUGEINT) * p.sqq
+                   - CAST(sa.si AS HUGEINT) * sb.si AS mv
+          FROM p JOIN s sa ON p.di = sa.dim
+                 JOIN s sb ON p.dj = sb.dim),
+    v0 AS (SELECT dim, CAST(1000000 AS HUGEINT) AS v
+           FROM (SELECT DISTINCT di AS dim FROM m)),
+    w1 AS (SELECT m.di, sum(m.mv * v0.v) AS wv
+           FROM m JOIN v0 ON m.dj = v0.dim GROUP BY 1),
+    v1 AS (SELECT di AS dim,
+                  (wv * 1000000) // (SELECT max(abs(wv)) FROM w1) AS v
+           FROM w1),
+    w2 AS (SELECT m.di, sum(m.mv * v1.v) AS wv
+           FROM m JOIN v1 ON m.dj = v1.dim GROUP BY 1),
+    v2 AS (SELECT di AS dim,
+                  (wv * 1000000) // (SELECT max(abs(wv)) FROM w2) AS v
+           FROM w2),
+    w3 AS (SELECT m.di, sum(m.mv * v2.v) AS wv
+           FROM m JOIN v2 ON m.dj = v2.dim GROUP BY 1),
+    v3 AS (SELECT di AS dim,
+                  (wv * 1000000) // (SELECT max(abs(wv)) FROM w3) AS v
+           FROM w3)
+    SELECT CAST(dim AS BIGINT) AS dim,
+           round(CAST(v AS DOUBLE) / 1000000.0, 6) AS loading
+    FROM v3
+    ORDER BY abs(v) DESC, dim
+    LIMIT 8
+    """,
+)
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE exact-integer power-iteration steps toward the principal
+    component of the embedding covariance — the spectral member of the
+    second-order family (`embedding_covariance_topk` finds the biggest
+    off-diagonal entries; this runs the eigensolver's per-round
+    primitive). What is pinned is the ITERATION, exactly: convergence to
+    the true eigenvector needs O(log(1/ε)/log(λ₁/λ₂)) rounds and the
+    synthetic embeddings are near-isotropic (λ₁/λ₂ ≈ 1.013 measured —
+    numpy cross-check in CHANGES_r11), so no power method converges in
+    few rounds HERE; on a real corpus with spectral decay the same three
+    rounds land within a few percent. Exactness is the whole trick: values quantize to 1e-6-grid BIGINTs, the UNSCALED
+    covariance numerator M = n·Σq_iq_j − Σq_iΣq_j stays an exact
+    DECIMAL(38,0)/HUGEINT, and each iteration is (a) an exact integer
+    mat-vec over the 64×64 frame — summation-ORDER-FREE because integer
+    addition is associative, the reason floats are banned here — and
+    (b) an exact L∞ re-normalization v ← (w·1e6) div max|w|, where both
+    engines' integer division truncates toward zero (verified:
+    DuckDB HUGEINT `//`, Spark DECIMAL `div`). Headroom: |w| ≤
+    64·|M|·1e6 ≈ 3e26 ≪ 1e38. The matrix lives as a 4096-row frame
+    (localCheckpoint lineage cut, the landmark-BFS discipline, so three
+    iterations don't re-scan the corpus); mat-vecs are dim-sized keyed
+    joins. At 100 TB only the ONE moments scan touches the corpus —
+    iteration cost is independent of n. Sign/ties are exact-integer
+    deterministic; top-8 |loading| with dim tie-break."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.transform(
+            "embedding",
+            lambda v: F.round(v.cast("double") * 1_000_000).cast("long"),
+        ).alias("q")
+    )
+    d = q.select(F.posexplode("q").alias("dim", "qv"))
+    s = d.groupBy("dim").agg(
+        F.sum("qv").cast("long").alias("si"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    pairs = q.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("q"),
+                    lambda x, i: F.transform(
+                        F.col("q"),
+                        lambda y, j: F.struct(
+                            i.alias("di"), j.alias("dj"), (x * y).alias("xy")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.di", "p.dj", "p.xy")
+    p = pairs.groupBy("di", "dj").agg(F.sum("xy").cast("long").alias("sqq"))
+    sa = s.select(F.col("dim").alias("di"), F.col("si").alias("sia"), "n")
+    sb = s.select(F.col("dim").alias("dj"), F.col("si").alias("sib"))
+    m = (
+        p.join(F.broadcast(sa), "di")
+        .join(F.broadcast(sb), "dj")
+        .select(
+            "di",
+            "dj",
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("sqq")
+                - F.col("sia").cast("decimal(38,0)") * F.col("sib")
+            ).alias("mv"),
+        )
+        .localCheckpoint(eager=True)  # 4096 rows; cut corpus lineage once
+    )
+    v = m.select("di").distinct().select(
+        F.col("di").alias("dim"), F.lit(1_000_000).cast("decimal(38,0)").alias("v")
+    )
+    for _ in range(3):
+        w = (
+            m.join(v, m.dj == v.dim)
+            .groupBy("di")
+            .agg(F.sum(F.col("mv") * F.col("v")).alias("wv"))
+        )
+        mx = w.agg(F.max(F.abs(F.col("wv"))).alias("mx"))
+        v = (
+            w.crossJoin(F.broadcast(mx))  # one-row scalar attach
+            .select(
+                F.col("di").alias("dim"),
+                F.expr("CAST((wv * 1000000) div mx AS DECIMAL(38,0))").alias("v"),
+            )
+        )
+    return (
+        v.orderBy(F.abs(F.col("v")).desc(), "dim")
+        .limit(8)
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            F.round(F.col("v").cast("double") / 1_000_000.0, 6).alias("loading"),
+        )
+    )
