@@ -2425,3 +2425,81 @@ def test_socket_stream_live_roundtrip(spark, tmp_path_factory):
     finally:
         q.stop()
         srv.close()
+
+
+def test_streaming_page_hinkley_matches_sequential_reference(
+    spark, tmp_path_factory
+):
+    """Per-key Page-Hinkley across two time-ordered micro-batches + EOS:
+    emitted (bucket, z, ph, excursion, alert) rows must equal the pure
+    sequential recursion bit-for-bit (same IEEE op sequence as the batch
+    page_hinkley_drift_daily windows), with a mean shift injected into
+    one key so the λ alert actually fires."""
+    import random
+    import time as _time
+
+    from windflow_spark.streaming import (
+        file_stream as _fs,
+        streaming_page_hinkley,
+        to_memory_sink,
+    )
+
+    BUCKET = 100
+    DELTA, LAM = 0.01, 0.25
+    rng = random.Random(7)
+    rows = []
+    for k in ("a", "b"):
+        for us in range(0, 4000):
+            if rng.random() < 0.4:
+                base = 1.0 if (k == "a" and us >= 2000) else 0.5
+                rows.append((k, us, base + rng.random() * 0.1, False))
+    schema = "k string, us long, v double, eos boolean"
+
+    # sequential reference: identical recursion per key in bucket order
+    expect = []
+    for k in ("a", "b"):
+        by_bucket: dict[int, list[float]] = {}
+        for kk, us, v, _ in rows:
+            if kk == k:
+                by_bucket.setdefault(us // BUCKET, []).append((us, v))
+        t, cum_z, ph, min_ph = 0, 0.0, 0.0, 0.0
+        for b in sorted(by_bucket):
+            vs = [v for _, v in sorted(by_bucket[b], key=lambda e: e[0])]
+            s = 0.0
+            for v in vs:
+                s += v
+            z = s / len(vs)
+            t += 1
+            cum_z += z
+            ph += z - cum_z / t - DELTA
+            if t == 1 or ph < min_ph:
+                min_ph = ph
+            exc = ph - min_ph
+            expect.append((k, b * BUCKET, z, ph, exc, exc > LAM))
+    expect.sort()
+    assert any(e[5] for e in expect), "fixture must fire at least one alert"
+
+    path = str(tmp_path_factory.mktemp("ph_src"))
+    mid = 2100
+    spark.createDataFrame([r for r in rows if r[1] <= mid], schema).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    spark.createDataFrame([r for r in rows if r[1] > mid], schema).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    _time.sleep(1.1)
+    eos = [(k, 10**9, 0.0, True) for k in ("a", "b")]
+    spark.createDataFrame(eos, schema).coalesce(1).write.mode("append").parquet(path)
+
+    stream = _fs(spark, path, spark.createDataFrame(rows, schema).schema,
+                 max_files_per_trigger=1)
+    out = streaming_page_hinkley(
+        stream, "k", BUCKET, delta=DELTA, lam=LAM, eos_col="eos"
+    )
+    name, _ = to_memory_sink(out, output_mode="append")
+    got = sorted(
+        (r.k, r.bucket, r.z, r.ph, r.excursion, r.alert)
+        for r in spark.table(name).collect()
+    )
+    assert got == expect and len(expect) > 40

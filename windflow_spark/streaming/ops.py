@@ -2427,3 +2427,99 @@ def streaming_kmv_distinct(
     return sel.groupBy("key").applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_page_hinkley(
+    df: DataFrame,
+    key_col: str,
+    bucket_us: int,
+    delta: float = 0.01,
+    lam: float = 0.25,
+    us_col: str = "us",
+    value_col: str = "v",
+    eos_col: str | None = None,
+) -> DataFrame:
+    """Page-Hinkley mean-drift monitor, STREAMING form — the online
+    sibling of the batch `page_hinkley_drift_daily` registry query and
+    the drift member of the sequential family (`ab_test_sequential_sprt`
+    is its hypothesis-testing cousin; reference analog: the per-key
+    incremental accumulator pattern of wf/keyed_windows.hpp fed by a
+    punctuation-flushed bucket close). Per key, GroupState holds the
+    open bucket's (index, sum, count) and the PH recursion's four
+    scalars — t (closed buckets), Σz (for the running mean), PH_t, and
+    min PH — CONSTANT state per key, the entire point of a sequential
+    detector vs a windowed re-scan. A bucket emits the moment a later
+    bucket's first row arrives (in-order contract of streaming_ewma;
+    late rows for emitted buckets drop), carrying
+    (bucket, z, ph, excursion, alert): z = bucket mean, PH_t += z − z̄_t
+    − δ with z̄_t the running mean INCLUDING this bucket, excursion =
+    PH_t − min_{i≤t} PH_i, alert = excursion > λ. The EOS punctuation
+    flushes the final open bucket and clears state. Floats follow the
+    identical IEEE sequence as the batch form's ordered-window sums, so
+    a replay is bit-for-bit reproducible."""
+    out_schema = (
+        f"{key_col} string, bucket long, z double, ph double,"
+        " excursion double, alert boolean"
+    )
+    state_schema = (
+        "cur_b long, cur_s double, cur_c long,"
+        " t long, cum_z double, ph double, min_ph double"
+    )
+    dlt, lm = float(delta), float(lam)
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cur_b, cur_s, cur_c, t, cum_z, ph, min_ph = state.get
+        else:
+            cur_b, cur_s, cur_c, t, cum_z, ph, min_ph = -1, 0.0, 0, 0, 0.0, 0.0, 0.0
+        out: list[tuple] = []
+
+        def close() -> None:
+            nonlocal cur_b, cur_s, cur_c, t, cum_z, ph, min_ph
+            if cur_b < 0:
+                return
+            z = cur_s / cur_c
+            t += 1
+            cum_z += z
+            ph += z - cum_z / t - dlt
+            if t == 1 or ph < min_ph:
+                min_ph = ph  # running min INCLUDES the current bucket
+            exc = ph - min_ph
+            out.append(key + (cur_b * bucket_us, z, ph, exc, exc > lm))
+            cur_b, cur_s, cur_c = -1, 0.0, 0
+
+        chunks = list(pdfs)
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else (
+            chunks[0] if chunks else None
+        )
+        eos_seen = False
+        if pdf is not None and len(pdf):
+            if eos_col is not None:
+                flags = pdf[eos_col].fillna(False).to_numpy(dtype=bool)
+                eos_seen = bool(flags.any())
+                pdf = pdf.loc[~flags]
+            pdf = pdf.sort_values(us_col, kind="stable")
+            for us, v in zip(
+                pdf[us_col].to_numpy(), pdf[value_col].to_numpy(dtype=float)
+            ):
+                b = int(us) // bucket_us
+                if b == cur_b:
+                    cur_s += v
+                    cur_c += 1
+                elif b > cur_b:
+                    close()
+                    cur_b, cur_s, cur_c = b, v, 1
+                # b < cur_b: late row for an emitted bucket — dropped
+        if eos_seen:
+            close()
+            state.remove()
+        else:
+            state.update((cur_b, cur_s, cur_c, t, cum_z, ph, min_ph))
+        cols = [key_col, "bucket", "z", "ph", "excursion", "alert"]
+        yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
+            {c: [] for c in cols}
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
