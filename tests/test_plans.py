@@ -1017,3 +1017,41 @@ def test_r10_additions_exchange_budgets(spark, sf_dir):
         if got > budget:
             over[name] = (got, budget)
     assert not over, f"keyed-exchange budgets exceeded: {over}"
+
+
+def test_r11_additions_exchange_budgets(spark, sf_dir):
+    # cache-independence discipline (see the r5 test's comment)
+    spark.catalog.clearCache()
+    from windflow_spark.plans.explain import keyed_shuffle_count
+
+    budgets = {
+        "rollup_partials_hour_day": 2,      # hourly partial agg + the 24x
+                                            # smaller daily re-agg — the
+                                            # cascade's whole point
+        "partial_corr_price_qty_given_discount": 2,  # one moments agg
+                                            # (+ tiny flag-frame sort)
+        "cooks_distance_influential": 0,    # moments reduce + broadcast
+                                            # scalar attach + TakeOrdered —
+                                            # zero keyed repartitions
+        "partition_stats_pruning": 2,       # month agg (distinct-agg
+                                            # expand) + months-frame window
+        "assoc_rules_triples": 9,           # basket agg + triple agg +
+                                            # per-brand count aggs; brand
+                                            # frames are 25-row broadcasts
+        "funnel_windowed_3step": 3,         # ONE user-keyed collect +
+                                            # 4-row depth agg
+        "page_hinkley_drift_daily": 5,      # day agg + ordered windows +
+                                            # argmax join on day frames
+        "ts_kalman_level_daily": 3,         # day agg + per-type series
+                                            # collect + final sort
+        "embedding_pca_power_iteration": 22,  # ONE corpus moments pass;
+                                            # the rest are 64/4096-row
+                                            # mat-vec joins x3 iterations
+                                            # (lineage cut at M)
+    }
+    over = {}
+    for name, budget in budgets.items():
+        got = keyed_shuffle_count(QUERIES[name](spark, sf_dir))
+        if got > budget:
+            over[name] = (got, budget)
+    assert not over, f"keyed-exchange budgets exceeded: {over}"
