@@ -1048,6 +1048,12 @@ def test_r11_additions_exchange_budgets(spark, sf_dir):
                                             # the rest are 64/4096-row
                                             # mat-vec joins x3 iterations
                                             # (lineage cut at M)
+        "ts_matrix_profile_daily": 5,       # day agg + per-type series
+                                            # collect + tiny all-pairs
+                                            # equi-join + rank-1 window
+        "forecast_backtest_rolling_origin": 5,  # day agg + per-type
+                                            # ordered windows + model agg
+                                            # on the 14-day eval frames
     }
     over = {}
     for name, budget in budgets.items():

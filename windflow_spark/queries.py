@@ -21379,3 +21379,223 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.col("v").cast("double") / 1_000_000.0, 6).alias("loading"),
         )
     )
+
+
+@register(
+    "ts_matrix_profile_daily",
+    """
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS z
+      FROM events GROUP BY 1, 2),
+    a AS (SELECT event_type, list(z ORDER BY day) AS zs,
+                 list(day ORDER BY day) AS days
+          FROM d GROUP BY 1),
+    s AS (SELECT event_type, i, days[i] AS day_start,
+                 zs[i] AS z0, zs[i+1] AS z1, zs[i+2] AS z2,
+                 zs[i+3] AS z3, zs[i+4] AS z4
+          FROM a, unnest(generate_series(1, len(zs) - 4)) AS u(i)),
+    p AS (SELECT x.event_type, x.i, x.day_start, y.i AS j,
+                 (((((x.z0 - y.z0) * (x.z0 - y.z0)
+                    + (x.z1 - y.z1) * (x.z1 - y.z1))
+                    + (x.z2 - y.z2) * (x.z2 - y.z2))
+                    + (x.z3 - y.z3) * (x.z3 - y.z3))
+                    + (x.z4 - y.z4) * (x.z4 - y.z4)) AS dist
+          FROM s x JOIN s y ON x.event_type = y.event_type
+                          AND abs(x.i - y.i) >= 5),
+    r AS (SELECT event_type, i, day_start, j, dist,
+                 row_number() OVER (PARTITION BY event_type, i
+                                    ORDER BY dist, j) AS rn
+          FROM p)
+    SELECT event_type, CAST(i AS BIGINT) AS i, day_start,
+           round(sqrt(dist), 6) AS mp_dist, CAST(j AS BIGINT) AS nn_idx
+    FROM r WHERE rn = 1 ORDER BY event_type, i
+    """,
+)
+def ts_matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRIX PROFILE (1-NN subsequence distance, window 5, exclusion
+    zone 5) over the daily mean-value series per event type — the motif/
+    discord-discovery primitive of the UCR time-series-mining line: a
+    LOW profile value marks a repeated motif, the HIGHEST marks the
+    series' anomaly (`ts_changepoint_meanshift` finds level shifts; this
+    finds repeated/unique SHAPES). Daily means ride exact DECIMAL sums;
+    each pairwise distance is the SAME left-associated 5-term IEEE sum
+    on both engines, so even equal-distance ties break identically
+    (then by neighbor index). Day frames are |types|x|days| — the
+    all-pairs stage is C(~26,2) per type, trivially bounded at any
+    corpus scale (the raw scan is the only big input); the 1-NN is a
+    per-subsequence min via rank-1 window on that tiny frame. At real
+    series lengths this becomes the STOMP O(n²) kernel over a
+    re-partitioned subsequence frame — the in-row slice shape is the
+    seam."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("z")
+    )
+    a = d.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "z"))).alias("sd")
+    )
+    s = (
+        a.select(
+            "event_type",
+            F.expr("transform(sd, e -> e.z)").alias("zs"),
+            F.expr("transform(sd, e -> e.day)").alias("days"),
+        )
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(1), F.size("zs") - 4)).alias("i"),
+            F.col("zs"),
+            F.col("days"),
+        )
+        .select(
+            "event_type",
+            "i",
+            F.expr("days[i-1]").alias("day_start"),
+            F.expr("zs[i-1]").alias("z0"),
+            F.expr("zs[i]").alias("z1"),
+            F.expr("zs[i+1]").alias("z2"),
+            F.expr("zs[i+2]").alias("z3"),
+            F.expr("zs[i+3]").alias("z4"),
+        )
+    )
+    y = s.select(
+        F.col("event_type").alias("et2"),
+        F.col("i").alias("j"),
+        *[F.col(f"z{k}").alias(f"y{k}") for k in range(5)],
+    )
+    dist = (
+        (
+            (
+                (
+                    (F.col("z0") - F.col("y0")) * (F.col("z0") - F.col("y0"))
+                    + (F.col("z1") - F.col("y1")) * (F.col("z1") - F.col("y1"))
+                )
+                + (F.col("z2") - F.col("y2")) * (F.col("z2") - F.col("y2"))
+            )
+            + (F.col("z3") - F.col("y3")) * (F.col("z3") - F.col("y3"))
+        )
+        + (F.col("z4") - F.col("y4")) * (F.col("z4") - F.col("y4"))
+    )
+    p = (
+        s.join(
+            y,
+            (s.event_type == y.et2) & (F.abs(s.i - y.j) >= 5),
+        )
+        .withColumn("dist", dist)
+    )
+    rn = F.row_number().over(
+        W.partitionBy("event_type", "i").orderBy("dist", "j")
+    )
+    return (
+        p.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("i").cast("long").alias("i"),
+            "day_start",
+            F.round(F.sqrt("dist"), 6).alias("mp_dist"),
+            F.col("j").cast("long").alias("nn_idx"),
+        )
+        .orderBy("event_type", "i")
+    )
+
+
+@register(
+    "forecast_backtest_rolling_origin",
+    """
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, day, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+             count(*) OVER (PARTITION BY event_type) AS nd,
+             lag(c) OVER (PARTITION BY event_type ORDER BY day) AS naive_p,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS DOUBLE)
+               / (row_number() OVER (PARTITION BY event_type ORDER BY day)
+                  - 1) AS mean_p
+      FROM d),
+    e AS (
+      SELECT event_type, day, c, naive_p, mean_p,
+             CAST(abs(c - naive_p) AS DECIMAL(18,6)) AS e_naive,
+             CAST(round(abs(c - mean_p), 6) AS DECIMAL(18,6)) AS e_mean
+      FROM w WHERE t > nd - 14),
+    m AS (
+      SELECT event_type, model, CAST(count(*) AS BIGINT) AS n_evals,
+             round(CAST(sum(err) AS DOUBLE) / count(*), 6) AS mae
+      FROM (SELECT event_type, 'naive' AS model, e_naive AS err FROM e
+            UNION ALL
+            SELECT event_type, 'expanding_mean', e_mean FROM e)
+      GROUP BY 1, 2)
+    SELECT event_type, model, n_evals, mae FROM m
+    ORDER BY event_type, model
+    """,
+)
+def forecast_backtest_rolling_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast BACKTEST — the evaluation harness every
+    forecaster in the registry (`ts_ar1_daily_forecast`, `ts_holt_*`,
+    `ts_mase_seasonal_naive`) should be judged by: for each of the last
+    14 days per event type, forecast from data strictly BEFORE that day
+    (expanding window, no leakage — the temporal-embargo discipline of
+    `split_temporal_embargo` applied to model eval) and score MAE.
+    Models: naive last-value and the expanding mean (the two baselines
+    every paper is beaten by). Exactness: naive errors are |int − int|
+    exact BIGINTs; expanding-mean errors round to 6dp FIRST and then sum
+    as DECIMAL(18,6) — order-independent — so the final MAE is one
+    deterministic double division (the round-then-decimal-sum move for
+    aggregating unordered doubles). Day frames only; the raw scan is the
+    single corpus pass."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wo = W.partitionBy("event_type").orderBy("day")
+    w = (
+        d.withColumn("t", F.row_number().over(wo))
+        .withColumn("nd", F.count(F.lit(1)).over(W.partitionBy("event_type")))
+        .withColumn("naive_p", F.lag("c").over(wo))
+        .withColumn(
+            "mean_p",
+            F.sum("c")
+            .over(wo.rowsBetween(W.unboundedPreceding, -1))
+            .cast("double")
+            / (F.row_number().over(wo) - 1),
+        )
+    )
+    e = w.filter(F.col("t") > F.col("nd") - 14).select(
+        "event_type",
+        F.abs(F.col("c") - F.col("naive_p"))
+        .cast("decimal(18,6)")
+        .alias("e_naive"),
+        F.round(F.abs(F.col("c") - F.col("mean_p")), 6)
+        .cast("decimal(18,6)")
+        .alias("e_mean"),
+    )
+    stacked = e.select(
+        "event_type", F.lit("naive").alias("model"), F.col("e_naive").alias("err")
+    ).unionByName(
+        e.select(
+            "event_type",
+            F.lit("expanding_mean").alias("model"),
+            F.col("e_mean").alias("err"),
+        )
+    )
+    return (
+        stacked.groupBy("event_type", "model")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_evals"),
+            F.round(F.sum("err").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mae"
+            ),
+        )
+        .orderBy("event_type", "model")
+    )
