@@ -90,6 +90,12 @@ _BNLJ_ALLOWED = {
     # one-row OLS-scalar frame (b0/b1/s2/moments) crossJoined onto the
     # lineitem scan for the per-row Cook's D projection (r11)
     "cooks_distance_influential",
+    # bounded eval-split broadcast onto the corpus scan (the
+    # brute_force_topk contract) + one-row flagged-count attach (r11)
+    "decontam_embedding_near",
+    # one-row (total, denom) frame crossJoined onto the source-
+    # cardinality mixing table (r11)
+    "mix_epochs_schedule",
     # one-row basket-count scalar crossJoined onto the <=C(25,3)-row
     # brand-triple frame for the lift denominator (r11)
     "assoc_rules_triples",
@@ -1054,6 +1060,11 @@ def test_r11_additions_exchange_budgets(spark, sf_dir):
         "forecast_backtest_rolling_origin": 5,  # day agg + per-type
                                             # ordered windows + model agg
                                             # on the 14-day eval frames
+        "decontam_embedding_near": 5,       # eval broadcast + per-train max
+                                            # + best-match equality join on
+                                            # the bounded flagged frame
+        "mix_epochs_schedule": 3,           # one source token agg + scalar
+                                            # attach (+ tiny sorts)
     }
     over = {}
     for name, budget in budgets.items():

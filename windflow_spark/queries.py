@@ -21599,3 +21599,156 @@ def forecast_backtest_rolling_origin(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("event_type", "model")
     )
+
+
+@register(
+    "decontam_embedding_near",
+    """
+    WITH q AS (SELECT vec_id AS eval_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 50),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id >= 50),
+    s AS (SELECT c.vec_id, q.eval_id,
+                 round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+          FROM c JOIN q ON TRUE),
+    b AS (SELECT vec_id, max(cos_sim) AS max_cos FROM s GROUP BY 1),
+    bm AS (SELECT b.vec_id, b.max_cos, min(s.eval_id) AS eval_id
+           FROM b JOIN s ON b.vec_id = s.vec_id AND s.cos_sim = b.max_cos
+           GROUP BY 1, 2),
+    f AS (SELECT CAST(count(*) AS BIGINT) AS n_flagged FROM b
+          WHERE max_cos >= 0.45)
+    SELECT bm.vec_id, bm.eval_id, bm.max_cos,
+           (SELECT n_flagged FROM f) AS n_flagged_total
+    FROM bm
+    ORDER BY bm.max_cos DESC, bm.vec_id
+    LIMIT 15
+    """,
+)
+def decontam_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space sibling of the
+    n-gram `decontam_eval_train_overlap`: flag TRAIN vectors whose max
+    cosine against the (bounded) EVAL split clears a near-match
+    threshold (0.45 on this synthetic corpus; paraphrased leakage that
+    exact n-gram matching misses is the attack this catches). The eval
+    side is broadcast onto one corpus scan (the brute_force_topk /
+    MaxSim contract — eval sets are bounded by construction; a
+    corpus-sized right side would use the LSH/IVF path instead); per
+    train vector ONE max-aggregate, best-match attribution by equality
+    join on the 6dp-rounded max (earliest eval_id tie-break — the
+    page_hinkley argmax discipline), flagged-count attached as a scalar.
+    Top-15 by max_cos with vec_id tie-break, TakeOrdered."""
+    from windflow_spark.functions.similarity import as_double_array, cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("eval_id"), as_double_array("embedding").alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") >= 50).select(
+        "vec_id", as_double_array("embedding").alias("cv")
+    )
+    s = c.join(F.broadcast(q)).select(
+        "vec_id",
+        "eval_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    b = s.groupBy("vec_id").agg(F.max("cos_sim").alias("max_cos"))
+    s2 = s.select(
+        F.col("vec_id").alias("v2"), F.col("eval_id"), F.col("cos_sim")
+    )
+    bm = (
+        b.join(s2, (b.vec_id == s2.v2) & (s2.cos_sim == b.max_cos))
+        .groupBy("vec_id", "max_cos")
+        .agg(F.min("eval_id").alias("eval_id"))
+    )
+    f = b.agg(
+        F.sum(F.when(F.col("max_cos") >= 0.45, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged_total")
+    )
+    return (
+        bm.crossJoin(F.broadcast(f))  # one-row scalar attach
+        .orderBy(F.col("max_cos").desc(), "vec_id")
+        .limit(15)
+        .select("vec_id", "eval_id", "max_cos", "n_flagged_total")
+    )
+
+
+@register(
+    "mix_epochs_schedule",
+    """
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(list_filter(string_split(text, ' '),
+                                      x -> x <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1),
+    w AS (SELECT s.*,
+                 CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6)
+                      AS DECIMAL(18,6)) AS rw
+          FROM s),
+    t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+                 sum(rw) AS denom FROM w)
+    SELECT w.source, w.n_docs, w.n_tokens,
+           round(CAST(w.rw AS DOUBLE) / CAST((SELECT denom FROM t) AS DOUBLE),
+                 6) AS target_weight,
+           CAST(round(CAST(w.rw AS DOUBLE)
+                      / CAST((SELECT denom FROM t) AS DOUBLE)
+                      * (SELECT total FROM t)) AS BIGINT) AS budget_tokens,
+           round(CAST(w.rw AS DOUBLE) / CAST((SELECT denom FROM t) AS DOUBLE)
+                 * (SELECT total FROM t) / w.n_tokens, 6) AS epochs,
+           (CAST(w.rw AS DOUBLE) / CAST((SELECT denom FROM t) AS DOUBLE)
+            * (SELECT total FROM t) / w.n_tokens > 1.0) AS upsampled
+    FROM w ORDER BY w.source
+    """,
+)
+def mix_epochs_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-MIXING epoch schedule — the planning table behind every
+    pretraining mixture recipe: per source, measured token counts, the
+    TEMPERATURE-derived target weight w_i ∝ √tokens_i (τ=2 — the
+    multilingual-mixing move that upweights small sources), the token
+    budget that weight implies at constant total, the EPOCH factor
+    budget/tokens (>1 = the source repeats — the upsampling signal
+    Dolma/LLaMA-style recipes cap), and the upsampled flag.
+    Executes-the-plan companions: `mix_sources_balanced` /
+    `mix_sources_temperature` materialize mixtures; THIS query is the
+    audit that says how many epochs each source sustains first. One
+    token-count scan (the whitespace tokenizer of the vocab family),
+    source-cardinality algebra, one-row total attach. Exactness: √tok
+    rounds to 6dp and sums as DECIMAL (the round-then-decimal-sum move —
+    a groupBy sum of raw doubles would be partition-order dependent), so
+    every ratio is a deterministic division of exact quantities."""
+    d = _t_wide(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.size(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+            )
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = s.withColumn(
+        "rw",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")), 6).cast(
+            "decimal(18,6)"
+        ),
+    )
+    t = w.agg(
+        F.sum("n_tokens").cast("long").alias("total"),
+        F.sum("rw").alias("denom"),
+    )
+    weight = F.col("rw").cast("double") / F.col("denom").cast("double")
+    epochs = weight * F.col("total") / F.col("n_tokens")
+    return (
+        w.crossJoin(F.broadcast(t))  # one-row scalar attach
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(weight, 6).alias("target_weight"),
+            F.round(weight * F.col("total")).cast("long").alias("budget_tokens"),
+            F.round(epochs, 6).alias("epochs"),
+            (epochs > 1.0).alias("upsampled"),
+        )
+        .orderBy("source")
+    )
