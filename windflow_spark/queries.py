@@ -14590,12 +14590,28 @@ def copurchase_adjacency(spark: SparkSession, sf_dir: str, max_p_size: int = 25)
     at `_COPURCHASE_HUB_CAP` by the callers); ``edges`` = the u<v edge
     list derived in-row from the arrays (zero extra shuffles). The shape
     is baskets → in-row both-direction pair expansion → ONE collect_set
-    aggregation — never an order-keyed self-join, and no persist (a
-    persisted subtree pins its partition layout under AQE; that cost
-    ~50 s of tiny-task shuffles in an early cut). At 100 TB this helper
+    aggregation — never an order-keyed self-join. At 100 TB this helper
     is the seam for a materialized/bucketed edge table: every caller
     reads the graph only through these two frames, so swapping in a
     pre-built table touches one function.
+
+    r11 optimization (guide §1/§2, measured): ``nbrs`` is
+    repartition(p)+localCheckpoint'ed. Before, every consumer branch
+    (wedges, edge list, per-endpoint degree attaches) re-ran the whole
+    basket chain — adamic-adar's physical plan held TWO full copies with
+    no ReusedExchange — and, worse, the post-aggregation frame AQE-
+    coalesces to ONE partition, so the Σ C(min(d,60),2) in-row wedge
+    expansion (6.8M pairs at sf0.1) and its partial aggregation ran
+    single-threaded. Checkpointing the ~|V|-row frame and spreading it
+    across defaultParallelism makes every expansion fan out (p is the
+    cluster's core count — scale-adaptive, not a tuned constant). The
+    old no-persist note warned a persist() pinned tiny-task layouts;
+    the round-robin repartition ahead of the checkpoint is exactly the
+    cure (layout is p even partitions, not the pre-AQE 32-way hash).
+    The pre-basket `.distinct()` is gone: `collect_set` dedups
+    identically, and dropping it removes one full (ok, pk) exchange plus
+    its single-task partial aggregation (the scan is one task at bench
+    scale: single-row-group parquet).
     """
     pt = (
         _t(spark, sf_dir, "part")
@@ -14606,7 +14622,6 @@ def copurchase_adjacency(spark: SparkSession, sf_dir: str, max_p_size: int = 25)
         _t(spark, sf_dir, "lineitem")
         .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
     )
     baskets = li.groupBy("ok").agg(F.array_sort(F.collect_set("pk")).alias("ps"))
     adj = baskets.select(
@@ -14623,6 +14638,7 @@ def copurchase_adjacency(spark: SparkSession, sf_dir: str, max_p_size: int = 25)
         ).alias("p")
     ).select("p.node", "p.nbr")
     nbrs = adj.groupBy("node").agg(F.array_sort(F.collect_set("nbr")).alias("nb"))
+    nbrs = nbrs.repartition(spark.sparkContext.defaultParallelism).localCheckpoint()
     edges = nbrs.select(
         F.col("node").alias("u"),
         F.explode(F.filter(F.col("nb"), lambda y: y > F.col("node"))).alias("v"),
@@ -18496,8 +18512,11 @@ def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("cn"),
         F.sum("w8").cast("long").alias("s8"),
     )
+    # broadcast the |E|-row edge list so the anti-join filters the wedge
+    # pairs map-side instead of sort-merge-shuffling the candidate frame
+    # (the jaccard sibling's discipline; guide §3.1)
     ne = cn.join(
-        e, (cn.x == e.u) & (cn.y == e.v), "left_anti"
+        F.broadcast(e), (cn.x == e.u) & (cn.y == e.v), "left_anti"
     )
     top = ne.orderBy(F.col("s8").desc(), "x", "y").limit(20)
     return top.select(
@@ -18644,8 +18663,10 @@ def clustering_coefficient_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     nbrs, e = copurchase_adjacency(spark, sf_dir)
     ctr = nbrs.filter((F.size("nb") >= 2) & (F.size("nb") <= _COPURCHASE_HUB_CAP))
     w = _wedge_pairs(ctr, carry=("node",)).withColumnRenamed("node", "cv")
+    # broadcast the |E|-row edge list: the semi-join then closes wedges
+    # map-side instead of shuffling the Σ C(d,2) wedge frame (guide §3.1)
     closed = (
-        w.join(e, (w.x == e.u) & (w.y == e.v), "left_semi")
+        w.join(F.broadcast(e), (w.x == e.u) & (w.y == e.v), "left_semi")
         .groupBy("cv")
         .agg(F.count(F.lit(1)).cast("long").alias("tri"))
     )
