@@ -9113,7 +9113,7 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted sums stay exact BIGINT cents, so each replicate estimate is
     bit-deterministic; only the 8-row summary is rounded. Scales as one
     8x row-replication + one 8-group aggregate."""
-    o = _t(spark, sf_dir, "orders")
+    o = _t_wide(spark, sf_dir, "orders")
     cents = (
         F.round(F.col("o_totalprice").cast("decimal(18,6)") * 100, 0)
         .cast("long")
@@ -14064,7 +14064,7 @@ def ols_price_on_qty_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra then runs on identical doubles. One scan, one keyed exchange
     (brand agg after a broadcast part join) — at 100 TB this is a single
     map-side-combined aggregation over the fact table."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t_wide(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     j = li.join(
         F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
@@ -15008,7 +15008,7 @@ def ols2_price_on_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every moment accumulates as DECIMAL (order-independent, the _dsum
     discipline); the determinant expansions and R² = 1 − SSE/SST are then
     fixed IEEE expression trees over identical doubles on both engines."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t_wide(spark, sf_dir, "lineitem")
 
     def dsum6(expr):
         return F.sum(expr.cast("decimal(18,6)")).cast("double")
@@ -19021,7 +19021,7 @@ def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     largest Σq·q term is ~5e18, inside BIGINT; beyond that switch the
     pair accumulator to DECIMAL(38,0) (documented headroom bound).
     Ranking: |cov| after 6dp rounding, (di, dj) tie-break, TakeOrdered."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     q = emb.select(
         F.transform(
             "embedding",
@@ -20657,7 +20657,7 @@ def partial_corr_price_qty_given_discount(
     are then fixed-order double expressions over exact sums —
     bit-identical across engines and partition orders). Flag-cardinality
     output; at 100 TB this is one map-side-combined scan."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t_wide(spark, sf_dir, "lineitem")
     d18 = lambda c: F.sum(c.cast("decimal(18,6)")).cast("double")  # noqa: E731
     d28 = lambda c: F.sum(c.cast("decimal(28,6)")).cast("double")  # noqa: E731
     x, y, z = F.col("l_extendedprice"), F.col("l_quantity"), F.col("l_discount")
@@ -20753,7 +20753,7 @@ def cooks_distance_influential(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw double with (orderkey, linenumber) tie-breaks. At 100 TB:
     two scans (moments + score), zero keyed shuffles beyond the final
     20-row cut."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t_wide(spark, sf_dir, "lineitem")
     d18 = lambda c: F.sum(c.cast("decimal(18,6)")).cast("double")  # noqa: E731
     d28 = lambda c: F.sum(c.cast("decimal(28,6)")).cast("double")  # noqa: E731
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
@@ -21332,7 +21332,7 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     joins. At 100 TB only the ONE moments scan touches the corpus —
     iteration cost is independent of n. Sign/ties are exact-integer
     deterministic; top-8 |loading| with dim tie-break."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     q = emb.select(
         F.transform(
             "embedding",
@@ -21660,7 +21660,7 @@ def decontam_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     Top-15 by max_cos with vec_id tie-break, TakeOrdered."""
     from windflow_spark.functions.similarity import as_double_array, cosine
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("eval_id"), as_double_array("embedding").alias("qv")
     )
