@@ -12595,8 +12595,14 @@ def k_core_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
     )
+    # collect_set dedups (ok, pk) itself — the old pre-basket .distinct()
+    # paid one extra exchange plus a single-task partial aggregation (the
+    # scan is one task on single-row-group parquet). The post-agg basket
+    # frame AQE-coalesces to ~1 partition, so the C(|basket|,2) in-row
+    # pair explosion ran single-threaded: spread it across the session's
+    # parallelism first (scale-adaptive; no-op cost on a ~|orders|-row
+    # frame).
     baskets = li.groupBy("ok").agg(F.array_sort(F.collect_set("pk")).alias("ps"))
     pairs = (
         baskets.select(
@@ -12635,11 +12641,22 @@ def k_core_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # help because cached plans still print their children. The per-round
     # trace is two O(1) scalar counts (the pagerank convergence-collect
     # discipline) — scale-safe at 100 TB.
+    #
+    # r11 optimization (guide §1.2, measured): the trace scalars come from
+    # ONE job over the degree frame — n_nodes = count(*), n_edges =
+    # sum(d)/2 exactly (each u<v edge contributes 2 to the degree total) —
+    # and the degree frame is re-derived from the checkpointed edge RDD
+    # inside the next round's plan (identical subtrees under the two keep
+    # semi-joins share one exchange) instead of paying its own checkpoint
+    # job. Two jobs per round instead of four.
     e = pairs.repartition(p, "u").localCheckpoint()
     trace: list[tuple[int, int, int]] = []
     for rnd in range(4):
         deg = degrees(e).localCheckpoint()
-        trace.append((rnd, deg.count(), e.count()))
+        row = deg.agg(
+            F.count(F.lit(1)).alias("nn"), F.sum("d").alias("sd")
+        ).first()
+        trace.append((rnd, int(row["nn"] or 0), int(row["sd"] or 0) // 2))
         if rnd < 3:
             keep = deg.filter(F.col("d") >= 52).select("n")
             e = (
@@ -12719,8 +12736,14 @@ def k_core_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
     )
+    # collect_set dedups (ok, pk) itself — the old pre-basket .distinct()
+    # paid one extra exchange plus a single-task partial aggregation (the
+    # scan is one task on single-row-group parquet). The post-agg basket
+    # frame AQE-coalesces to ~1 partition, so the C(|basket|,2) in-row
+    # pair explosion ran single-threaded: spread it across the session's
+    # parallelism first (scale-adaptive; no-op cost on a ~|orders|-row
+    # frame).
     baskets = li.groupBy("ok").agg(F.array_sort(F.collect_set("pk")).alias("ps"))
     pairs = (
         baskets.select(
@@ -12749,9 +12772,25 @@ def k_core_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("d"))
         )
 
+    # r11 optimization (guide §1.2, measured): the old loop ran FOUR jobs
+    # per round (edge checkpoint, degree checkpoint, two separate counts).
+    # Both trace scalars come from ONE pass over the degree frame —
+    # n_nodes = count(*), n_edges = sum(d)/2 exactly (each u<v edge
+    # contributes 2 to the degree total) — and the degree frame no longer
+    # needs its own checkpoint: it is re-derived from the checkpointed
+    # edge RDD inside the next round's plan, where the two identical
+    # degree subtrees under the keep semi-joins share one exchange.
+    # Two jobs per round instead of four; at 100 TB that is two fewer
+    # full passes over the edge list per peel round.
+    def stats(deg: DataFrame) -> tuple[int, int]:
+        row = deg.agg(
+            F.count(F.lit(1)).alias("nn"), F.sum("d").alias("sd")
+        ).first()
+        return (int(row["nn"] or 0), int(row["sd"] or 0) // 2)
+
     e = pairs.repartition(p, "u").localCheckpoint()
     deg = degrees(e).localCheckpoint()
-    prev = (deg.count(), e.count())
+    prev = stats(deg)
     rnd = 0
     while rnd < 30:
         keep = deg.filter(F.col("d") >= k).select("n")
@@ -12762,7 +12801,7 @@ def k_core_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         deg2 = degrees(e2).localCheckpoint()
-        cur = (deg2.count(), e2.count())
+        cur = stats(deg2)
         if cur == prev:
             break
         rnd += 1
