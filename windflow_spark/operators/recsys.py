@@ -23,12 +23,25 @@ def capped_baskets(
     """(ck, pk): each customer's ``basket_cap`` most recently purchased
     distinct parts (recency by max order date, deterministic pk
     tie-break). One orderkey join + one (ck, pk) agg + one ck window."""
+    # r11 optimization (guide §2.4): establish hash(ck) partitioning ONCE,
+    # right after the order join. hash(ck) satisfies the groupBy(ck, pk)
+    # clustering (subset rule), the recency window's partitionBy(ck), AND
+    # every downstream ck-keyed join/agg in the recsys family — one
+    # exchange where the old plan paid one per operator. It also fans the
+    # partial aggregation out of the single scan task that one-row-group
+    # bench parquet produces (at real scale the join output is already
+    # wide, and one keyed exchange here replaces several downstream).
+    sess = lineitem.sparkSession
     b0 = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .groupBy(
-            F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk")
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.col("l_partkey").alias("pk"),
+            F.col("o_orderdate").alias("od"),
         )
-        .agg(F.max("o_orderdate").alias("md"))
+        .repartition(sess.sparkContext.defaultParallelism, "ck")
+        .groupBy("ck", "pk")
+        .agg(F.max("od").alias("md"))
     )
     wb = W.partitionBy("ck").orderBy(F.col("md").desc(), F.col("pk"))
     return (
@@ -51,9 +64,15 @@ def itemitem_topk(
     emitted at generation so the symmetric frame needs no union that
     would re-derive the upstream chain twice. cosine = cooc/sqrt(n_a*n_b)
     on exact BIGINTs."""
-    bn = baskets.withColumn(
-        "n", F.count(F.lit(1)).over(W.partitionBy("pk")).cast("long")
-    )
+    # r11 optimization (guide §2.4): the per-item basket count used to ride
+    # a partitionBy(pk) window, which re-shuffled the whole basket frame to
+    # pk and then BACK to ck for the array collection. A groupBy(pk) count
+    # + broadcast equi-join attaches the same n without disturbing the
+    # ck partitioning established by capped_baskets, so the collection agg
+    # needs no exchange at all (item counts are catalog-sized — dimension
+    # class, broadcastable at any corpus scale).
+    cnt = baskets.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bn = baskets.join(F.broadcast(cnt), "pk")
     arrays = bn.groupBy("ck").agg(
         F.array_sort(F.collect_list(F.struct("pk", "n"))).alias("items")
     )

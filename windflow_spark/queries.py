@@ -7338,14 +7338,16 @@ def recsys_hitrate_at3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelism so the capped-basket chain runs once (the pagerank /
     # triangle_count iterative-reference discipline)
     p = spark.sparkContext.defaultParallelism
-    b = capped_baskets(li, tro, basket_cap=10).repartition(p, "ck").persist()
+    # ck partitioning now established inside capped_baskets (one exchange
+    # shared by every downstream ck-keyed op); persist keeps the chain one-run
+    b = capped_baskets(li, tro, basket_cap=10).persist()
     model = (
         itemitem_topk(b, min_cooc=2, topk=3)
         .select("item_a", "item_b")
         .persist()
     )
     preds = (
-        b.join(model, b.pk == model.item_a)
+        b.join(F.broadcast(model), b.pk == model.item_a)
         .select("ck", F.col("item_b").alias("ppk"))
         .distinct()
     )
@@ -12375,12 +12377,14 @@ def recsys_ndcg_at3(spark: SparkSession, sf_dir: str) -> DataFrame:
     tro = ou.filter(F.col("_ou") <= cut).drop("_ou")
     teo = ou.filter(F.col("_ou") > cut).drop("_ou")
     p = spark.sparkContext.defaultParallelism
-    b = capped_baskets(li, tro, basket_cap=10).repartition(p, "ck").persist()
+    # ck partitioning now established inside capped_baskets (one exchange
+    # shared by every downstream ck-keyed op); persist keeps the chain one-run
+    b = capped_baskets(li, tro, basket_cap=10).persist()
     model = itemitem_topk(b, min_cooc=2, topk=3).select(
         "item_a", "item_b", "cosine_sim"
     )
     cand = (
-        b.join(model, b.pk == model.item_a)
+        b.join(F.broadcast(model), b.pk == model.item_a)
         .join(
             b.select(F.col("ck").alias("ck2"), F.col("pk").alias("pk2")),
             (F.col("ck") == F.col("ck2")) & (F.col("item_b") == F.col("pk2")),
@@ -18814,12 +18818,14 @@ def recsys_mrr_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
     tro = ou.filter(F.col("_ou") <= cut).drop("_ou")
     teo = ou.filter(F.col("_ou") > cut).drop("_ou")
     p = spark.sparkContext.defaultParallelism
-    b = capped_baskets(li, tro, basket_cap=10).repartition(p, "ck").persist()
+    # ck partitioning now established inside capped_baskets (one exchange
+    # shared by every downstream ck-keyed op); persist keeps the chain one-run
+    b = capped_baskets(li, tro, basket_cap=10).persist()
     model = itemitem_topk(b, min_cooc=2, topk=3).select(
         "item_a", "item_b", "cosine_sim"
     )
     cand = (
-        b.join(model, b.pk == model.item_a)
+        b.join(F.broadcast(model), b.pk == model.item_a)
         .join(
             b.select(F.col("ck").alias("ck2"), F.col("pk").alias("pk2")),
             (F.col("ck") == F.col("ck2")) & (F.col("item_b") == F.col("pk2")),
@@ -18955,12 +18961,14 @@ def recsys_map_at3(spark: SparkSession, sf_dir: str) -> DataFrame:
     tro = ou.filter(F.col("_ou") <= cut).drop("_ou")
     teo = ou.filter(F.col("_ou") > cut).drop("_ou")
     p = spark.sparkContext.defaultParallelism
-    b = capped_baskets(li, tro, basket_cap=10).repartition(p, "ck").persist()
+    # ck partitioning now established inside capped_baskets (one exchange
+    # shared by every downstream ck-keyed op); persist keeps the chain one-run
+    b = capped_baskets(li, tro, basket_cap=10).persist()
     model = itemitem_topk(b, min_cooc=2, topk=3).select(
         "item_a", "item_b", "cosine_sim"
     )
     cand = (
-        b.join(model, b.pk == model.item_a)
+        b.join(F.broadcast(model), b.pk == model.item_a)
         .join(
             b.select(F.col("ck").alias("ck2"), F.col("pk").alias("pk2")),
             (F.col("ck") == F.col("ck2")) & (F.col("item_b") == F.col("pk2")),
