@@ -756,6 +756,11 @@ def exact_jaccard_pairs_prefix(
     sh = shingle_sets(df, id_col, text_col, k).select(
         F.col(id_col).alias("_id"), "_sh"
     )
+    # r11 (guide §1.2, measured): the per-doc shingle-array frame feeds
+    # THREE consumers (the inverted index and both verify sides) — cut the
+    # lineage once so the tokenize/shingle chain runs once, not three
+    # times. O(docs) rows with bounded arrays.
+    sh = sh.localCheckpoint()
     ex = sh.select("_id", F.explode("_sh").alias("_g"))
     dfreq = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
     w = W.partitionBy("_id").orderBy("_df", "_g")
@@ -766,6 +771,9 @@ def exact_jaccard_pairs_prefix(
         .withColumn("_n", F.count(F.lit(1)).over(W.partitionBy("_id")))
         .filter(F.col("_rn") <= F.col("_n") - ceil_tn(F.col("_n")) + 1)
         .select("_id", "_g", "_rn", "_n")
+        # both sides of the prefix self-join below read this frame —
+        # materialize the ~n/5-prefix rows once (r11, guide §1.2)
+        .localCheckpoint()
     )
     # POSITIONAL filter (PPJoin): a pair generated at canonical positions
     # (i, j) can share at most 1 + min(|A|−i, |B|−j) shingles, while

@@ -12525,6 +12525,13 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this corpus's floor: its 50k docs share only ~32k distinct
     # shingles, so EVERY shingle is hot); provably loses no >= 0.8 pair
     truth = exact_jaccard_pairs_prefix(docs, 4, 5).select("id_a", "id_b")
+    # r11 optimization (guide §1.2, measured): both pair frames feed TWO
+    # consumers each (their own count + the hits semi-join), and without a
+    # lineage cut the whole shingle/minhash chain ran twice per frame.
+    # The materialized frames are pair LISTS (O(near-dup pairs), tiny next
+    # to the corpus) — checkpointing them runs each chain exactly once.
+    cand = cand.localCheckpoint()
+    truth = truth.localCheckpoint()
     hits = cand.join(truth, ["id_a", "id_b"], "left_semi")
     s_t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
     s_c = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
@@ -17747,25 +17754,16 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     keep the oracle expressible as an unrolled CTE cascade
     (k_core_copurchase precedent); the fixed-point variant would follow
     k_core_fixed_point's two-scalar-collects-per-round loop."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
-    lp = (
-        li.join(p, li.l_partkey == p.p_partkey)
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    a, b = lp.alias("a"), lp.alias("b")
-    e0 = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-        .distinct()
-    )
-    ed = e0.unionByName(
-        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
-    labels = ed.select(F.col("u").alias("n")).distinct().select(
-        "n", F.col("n").alias("lbl")
-    )
+    # r11 optimization (guide §2.4, measured): the edge base is the SAME
+    # co-purchase graph the wedge family reads — reuse the checkpointed
+    # copurchase_adjacency helper instead of an order-keyed lp⋈lp
+    # self-join (two extra exchanges + a distinct over the pair blowup).
+    # The both-direction adjacency IS the exploded neighbor frame, and
+    # the initial labels frame is just the node column (every nbrs row
+    # has >= 1 neighbor, exactly the old distinct-endpoint set).
+    nbrs, _ = copurchase_adjacency(spark, sf_dir)
+    ed = nbrs.select(F.col("node").alias("u"), F.explode("nb").alias("v"))
+    labels = nbrs.select(F.col("node").alias("n"), F.col("node").alias("lbl"))
     pick = W.partitionBy("n").orderBy(F.col("c").desc(), "lbl")
     for _ in range(3):
         c = (
