@@ -19,6 +19,8 @@ reference's finite-stream test harness shape):
   asof        bounded-lookback streaming as-of join, 1s lookback
               (watermark-purged per-key quote buffer)
   kmv         per-key KMV distinct sketch, k=64 (k hashes per key)
+  page_hinkley per-key Page-Hinkley drift monitor, 1s buckets
+              (open bucket + 4 recursion scalars per key)
 
 Prints one JSON line: rows/sec per pipeline.
 
@@ -235,6 +237,21 @@ def main() -> None:
             "key",
             "item",
             k=64,
+        ),
+    )
+
+    from windflow_spark.streaming import streaming_page_hinkley
+
+    results["page_hinkley_rows_per_sec"] = run(
+        "page_hinkley",
+        lambda s: streaming_page_hinkley(
+            s.select(
+                F.concat(F.lit("k"), (F.col("key") % 64)).alias("key"),
+                F.unix_micros("ts").alias("us"),
+                F.col("value").alias("v"),
+            ),
+            "key",
+            1_000_000,
         ),
     )
 

@@ -7337,7 +7337,6 @@ def recsys_hitrate_at3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build, prediction join, eval cohort) -- persist at cluster
     # parallelism so the capped-basket chain runs once (the pagerank /
     # triangle_count iterative-reference discipline)
-    p = spark.sparkContext.defaultParallelism
     # ck partitioning now established inside capped_baskets (one exchange
     # shared by every downstream ck-keyed op); persist keeps the chain one-run
     b = capped_baskets(li, tro, basket_cap=10).persist()
@@ -12376,7 +12375,6 @@ def recsys_ndcg_at3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tro = ou.filter(F.col("_ou") <= cut).drop("_ou")
     teo = ou.filter(F.col("_ou") > cut).drop("_ou")
-    p = spark.sparkContext.defaultParallelism
     # ck partitioning now established inside capped_baskets (one exchange
     # shared by every downstream ck-keyed op); persist keeps the chain one-run
     b = capped_baskets(li, tro, basket_cap=10).persist()
@@ -18815,7 +18813,6 @@ def recsys_mrr_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tro = ou.filter(F.col("_ou") <= cut).drop("_ou")
     teo = ou.filter(F.col("_ou") > cut).drop("_ou")
-    p = spark.sparkContext.defaultParallelism
     # ck partitioning now established inside capped_baskets (one exchange
     # shared by every downstream ck-keyed op); persist keeps the chain one-run
     b = capped_baskets(li, tro, basket_cap=10).persist()
@@ -18958,7 +18955,6 @@ def recsys_map_at3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tro = ou.filter(F.col("_ou") <= cut).drop("_ou")
     teo = ou.filter(F.col("_ou") > cut).drop("_ou")
-    p = spark.sparkContext.defaultParallelism
     # ck partitioning now established inside capped_baskets (one exchange
     # shared by every downstream ck-keyed op); persist keeps the chain one-run
     b = capped_baskets(li, tro, basket_cap=10).persist()
