@@ -76,6 +76,34 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return ensure_min_partitions(load_table(spark, name, sf_dir))
 
 
+def _recall_fold(bf: DataFrame, ap: DataFrame) -> DataFrame:
+    """Single-pass recall readout (r12, guide §2.4): ``ap`` is a top-k
+    frame UNIQUE on (query_id, vec_id), so a broadcast left join
+    preserves ``bf``'s row count and n_exact = count(*), n_hits =
+    count(marker) fold into ONE groupBy. The old hits-agg + n-agg +
+    rejoin shape evaluated the brute-force scoring chain twice (no
+    runtime exchange reuse across the left-semi/groupBy branches —
+    measured 3.6 → 2.6 s on sim_pq_recall). Output identical to the
+    n LEFT JOIN h form: count(marker) is 0 where coalesce gave 0."""
+    per = (
+        bf.join(
+            F.broadcast(ap.withColumn("_m", F.lit(1))),
+            ["query_id", "vec_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_m").alias("n_hits"),
+        )
+    )
+    return per.select(
+        "query_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        (F.col("n_hits").cast("double") / F.col("n_exact")).alias("recall"),
+    )
+
+
 def _in_year(ts_col: str, year: int) -> F.Column:
     """year(col) == y as a half-open range predicate — pushes to the
     parquet scan (row-group min/max skipping); `year()` wraps the column in
@@ -1810,21 +1838,7 @@ def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces the recall numbers exactly."""
     bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
     ap = sim_topk_lsh(spark, sf_dir).select("query_id", "vec_id")
-    # both sides are k x Q-bounded (top-k per bounded query set): broadcast
-    # the comparisons instead of sort-merge-shuffling two tiny frames
-    hits = (
-        bf.join(F.broadcast(ap), ["query_id", "vec_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    n = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    return n.join(F.broadcast(hits), "query_id", "left").select(
-        "query_id",
-        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-        (
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_exact")
-        ).alias("recall"),
-    )
+    return _recall_fold(bf, ap)
 
 
 # ---------------------------------------------------------------------------
@@ -2667,19 +2681,7 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
     iv = sim_topk_ivf(spark, sf_dir).select("query_id", "vec_id")
     # k x Q-bounded frames — broadcast like sim_lsh_recall
-    hits = (
-        bf.join(F.broadcast(iv), ["query_id", "vec_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    n = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    return n.join(F.broadcast(hits), "query_id", "left").select(
-        "query_id",
-        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-        (
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_exact")
-        ).alias("recall"),
-    )
+    return _recall_fold(bf, iv)
 
 
 _IVF_MULTIPROBE_SQL = """
@@ -2779,19 +2781,7 @@ def sim_ivf_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-probe baseline."""
     bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
     mp = sim_topk_ivf_multiprobe(spark, sf_dir).select("query_id", "vec_id")
-    hits = (
-        bf.join(F.broadcast(mp), ["query_id", "vec_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    n = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    return n.join(F.broadcast(hits), "query_id", "left").select(
-        "query_id",
-        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-        (
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_exact")
-        ).alias("recall"),
-    )
+    return _recall_fold(bf, mp)
 
 
 def _km_assign_cte(out: str, cent: str) -> str:
@@ -2895,19 +2885,7 @@ def sim_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-probe baseline (sim_ivf_recall)."""
     bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
     km = sim_topk_ivf_kmeans(spark, sf_dir).select("query_id", "vec_id")
-    hits = (
-        bf.join(F.broadcast(km), ["query_id", "vec_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    n = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    return n.join(F.broadcast(hits), "query_id", "left").select(
-        "query_id",
-        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-        (
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_exact")
-        ).alias("recall"),
-    )
+    return _recall_fold(bf, km)
 
 
 @register(
@@ -5707,19 +5685,7 @@ def sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ap = brute_force_topk(qemb, zq, k=5).select("query_id", "vec_id")
     bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
-    hits = (
-        bf.join(F.broadcast(ap), ["query_id", "vec_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    n = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    return n.join(F.broadcast(hits), "query_id", "left").select(
-        "query_id",
-        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-        (
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_exact")
-        ).alias("recall"),
-    )
+    return _recall_fold(bf, ap)
 
 
 @register(
@@ -6109,20 +6075,7 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
     )
     pq = sim_topk_pq(spark, sf_dir).select("query_id", "vec_id")
-    hits = (
-        bf.join(F.broadcast(pq), ["query_id", "vec_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    n = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    return n.join(F.broadcast(hits), "query_id", "left").select(
-        "query_id",
-        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-        (
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
-            / F.col("n_exact")
-        ).alias("recall"),
-    )
+    return _recall_fold(bf, pq)
 
 
 @register(
@@ -11133,20 +11086,7 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ap = brute_force_topk(m, zq, k=5).select("query_id", "vec_id")
     bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
-    hits = (
-        bf.join(F.broadcast(ap), ["query_id", "vec_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    n = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    return n.join(F.broadcast(hits), "query_id", "left").select(
-        "query_id",
-        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-        (
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
-            / F.col("n_exact")
-        ).alias("recall"),
-    )
+    return _recall_fold(bf, ap)
 
 
 @register(
@@ -12523,29 +12463,33 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this corpus's floor: its 50k docs share only ~32k distinct
     # shingles, so EVERY shingle is hot); provably loses no >= 0.8 pair
     truth = exact_jaccard_pairs_prefix(docs, 4, 5).select("id_a", "id_b")
-    # r11 optimization (guide §1.2, measured): both pair frames feed TWO
-    # consumers each (their own count + the hits semi-join), and without a
-    # lineage cut the whole shingle/minhash chain ran twice per frame.
-    # The materialized frames are pair LISTS (O(near-dup pairs), tiny next
-    # to the corpus) — checkpointing them runs each chain exactly once.
-    cand = cand.localCheckpoint()
-    truth = truth.localCheckpoint()
-    hits = cand.join(truth, ["id_a", "id_b"], "left_semi")
-    s_t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
-    s_c = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-    s_h = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-    return (
-        s_t.crossJoin(s_c)
-        .crossJoin(s_h)
-        .select(
-            "n_true_pairs",
-            "n_candidates",
-            "n_hits",
-            (F.col("n_hits") / F.col("n_true_pairs").cast("double")).alias("recall"),
-            (F.col("n_hits") / F.col("n_candidates").cast("double")).alias(
-                "precision"
-            ),
-        )
+    # r12 restructure (guide §2.4, replacing the r11 pair-list
+    # checkpoints): all three counts fold into ONE aggregation pass over a
+    # flag-union of the two (distinct) pair frames — n_candidates = Σcand,
+    # n_true_pairs = Σtruth, n_hits = Σ(pairs carrying both flags). Each
+    # pair chain now appears exactly ONCE in a single action (no more
+    # chain-per-consumer re-derivation, and no eager checkpoint jobs that
+    # serialize the two independent chains — the r11 in-loop regression).
+    tagged = cand.select(
+        "id_a", "id_b", F.lit(1).alias("_c"), F.lit(0).alias("_t")
+    ).unionAll(
+        truth.select("id_a", "id_b", F.lit(0).alias("_c"), F.lit(1).alias("_t"))
+    )
+    per_pair = tagged.groupBy("id_a", "id_b").agg(
+        F.max("_c").alias("_c"), F.max("_t").alias("_t")
+    )
+    return per_pair.agg(
+        F.sum("_t").cast("long").alias("n_true_pairs"),
+        F.sum("_c").cast("long").alias("n_candidates"),
+        F.sum(F.col("_c") * F.col("_t")).cast("long").alias("n_hits"),
+    ).select(
+        "n_true_pairs",
+        "n_candidates",
+        "n_hits",
+        (F.col("n_hits") / F.col("n_true_pairs").cast("double")).alias("recall"),
+        (F.col("n_hits") / F.col("n_candidates").cast("double")).alias(
+            "precision"
+        ),
     )
 
 
@@ -12651,17 +12595,19 @@ def k_core_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trace is two O(1) scalar counts (the pagerank convergence-collect
     # discipline) — scale-safe at 100 TB.
     #
-    # r11 optimization (guide §1.2, measured): the trace scalars come from
-    # ONE job over the degree frame — n_nodes = count(*), n_edges =
-    # sum(d)/2 exactly (each u<v edge contributes 2 to the degree total) —
-    # and the degree frame is re-derived from the checkpointed edge RDD
-    # inside the next round's plan (identical subtrees under the two keep
-    # semi-joins share one exchange) instead of paying its own checkpoint
-    # job. Two jobs per round instead of four.
-    e = pairs.repartition(p, "u").localCheckpoint()
+    # r11 folded both trace scalars into ONE aggregation (n_nodes =
+    # count(*), n_edges = sum(d)/2 — exact: each u<v edge contributes 2 to
+    # the degree total). r12 (guide §1.2, measured): every per-round
+    # checkpoint is now LAZY (the connected_components discipline), so the
+    # round's single trace-collect job materializes the edge AND degree
+    # blocks as a side effect — ONE job per round where the eager form
+    # paid three sequential ones (edge checkpoint, degree checkpoint,
+    # trace agg). Lineage truncation is unchanged: the next round still
+    # plans over LogicalRDDs.
+    e = pairs.repartition(p, "u").localCheckpoint(eager=False)
     trace: list[tuple[int, int, int]] = []
     for rnd in range(4):
-        deg = degrees(e).localCheckpoint()
+        deg = degrees(e).localCheckpoint(eager=False)
         row = deg.agg(
             F.count(F.lit(1)).alias("nn"), F.sum("d").alias("sd")
         ).first()
@@ -12672,7 +12618,7 @@ def k_core_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
                 .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
                 .select("u", "v")
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
     return spark.createDataFrame(
         trace, "round long, n_nodes long, n_edges long"
@@ -12781,24 +12727,23 @@ def k_core_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("d"))
         )
 
-    # r11 optimization (guide §1.2, measured): the old loop ran FOUR jobs
-    # per round (edge checkpoint, degree checkpoint, two separate counts).
-    # Both trace scalars come from ONE pass over the degree frame —
-    # n_nodes = count(*), n_edges = sum(d)/2 exactly (each u<v edge
-    # contributes 2 to the degree total) — and the degree frame no longer
-    # needs its own checkpoint: it is re-derived from the checkpointed
-    # edge RDD inside the next round's plan, where the two identical
-    # degree subtrees under the keep semi-joins share one exchange.
-    # Two jobs per round instead of four; at 100 TB that is two fewer
-    # full passes over the edge list per peel round.
+    # r11 folded both trace scalars into ONE aggregation (n_nodes =
+    # count(*), n_edges = sum(d)/2 — exact: each u<v edge contributes 2 to
+    # the degree total). r12 (guide §1.2, measured): the per-round edge
+    # and degree checkpoints are LAZY (the connected_components
+    # discipline) — the round's stats collect materializes both as a side
+    # effect, so each peel round is ONE job where the eager form paid
+    # three sequential ones. Lineage truncation is unchanged (round r+1
+    # still plans over LogicalRDDs); at 100 TB each round is one pass
+    # over the edge list instead of three.
     def stats(deg: DataFrame) -> tuple[int, int]:
         row = deg.agg(
             F.count(F.lit(1)).alias("nn"), F.sum("d").alias("sd")
         ).first()
         return (int(row["nn"] or 0), int(row["sd"] or 0) // 2)
 
-    e = pairs.repartition(p, "u").localCheckpoint()
-    deg = degrees(e).localCheckpoint()
+    e = pairs.repartition(p, "u").localCheckpoint(eager=False)
+    deg = degrees(e).localCheckpoint(eager=False)
     prev = stats(deg)
     rnd = 0
     while rnd < 30:
@@ -12807,9 +12752,9 @@ def k_core_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        deg2 = degrees(e2).localCheckpoint()
+        deg2 = degrees(e2).localCheckpoint(eager=False)
         cur = stats(deg2)
         if cur == prev:
             break
@@ -13679,33 +13624,17 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-generated (never all-pairs); the signature frame joins back by
     id; every per-pair quantity is an exact rational (k/32 and |∩|/|∪|),
     so 6dp rounding absorbs aggregation association order."""
-    from windflow_spark.functions.dedup import (
-        minhash_lsh_jaccard,
-        minhash_signatures_agg,
-        shingle_sets,
-    )
+    from windflow_spark.functions.dedup import minhash_lsh_jaccard
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_jaccard(docs, num_hashes=32, bands=8, hash_mode="md5")
-    sigs = minhash_signatures_agg(
-        shingle_sets(docs), "doc_id", "_sh", num_hashes=32, hash_mode="md5"
-    )
-    j = pairs.join(
-        sigs.select(F.col("doc_id").alias("id_a"), F.col("_sig").alias("_sa")),
-        "id_a",
-    ).join(
-        sigs.select(F.col("doc_id").alias("id_b"), F.col("_sig").alias("_sb")),
-        "id_b",
-    )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda b: b
-            )
-        )
-        / F.lit(32.0)
-    ).alias("est")
-    scored = j.select(est, F.col("jaccard"))
+    # r12 (guide §2.4, measured): with_est=True rides the signature mins
+    # on the fused pipeline's existing melt join — the old shape re-ran a
+    # SECOND tokenize→shingle→md5→min-agg pipeline (shingle_sets +
+    # minhash_signatures_agg) and two id-keyed joins just to recover the
+    # same 32 mins the band buckets were already derived from.
+    scored = minhash_lsh_jaccard(
+        docs, num_hashes=32, bands=8, hash_mode="md5", with_est=True
+    ).select("est", "jaccard")
     corr = F.corr("est", "jaccard")
     return scored.agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
@@ -14643,6 +14572,11 @@ def copurchase_adjacency(spark: SparkSession, sf_dir: str, max_p_size: int = 25)
     reads the graph only through these two frames, so swapping in a
     pre-built table touches one function.
 
+    r12: the checkpoint is LAZY — plan construction runs no jobs; the
+    caller's first action materializes the blocks inside its own job
+    (stages overlap instead of serializing behind an eager build job —
+    measured 6-9% off the wedge queries, wash on label propagation).
+
     r11 optimization (guide §1/§2, measured): ``nbrs`` is
     repartition(p)+localCheckpoint'ed. Before, every consumer branch
     (wedges, edge list, per-endpoint degree attaches) re-ran the whole
@@ -14686,7 +14620,7 @@ def copurchase_adjacency(spark: SparkSession, sf_dir: str, max_p_size: int = 25)
         ).alias("p")
     ).select("p.node", "p.nbr")
     nbrs = adj.groupBy("node").agg(F.array_sort(F.collect_set("nbr")).alias("nb"))
-    nbrs = nbrs.repartition(spark.sparkContext.defaultParallelism).localCheckpoint()
+    nbrs = nbrs.repartition(spark.sparkContext.defaultParallelism).localCheckpoint(eager=False)
     edges = nbrs.select(
         F.col("node").alias("u"),
         F.explode(F.filter(F.col("nb"), lambda y: y > F.col("node"))).alias("v"),
@@ -16223,6 +16157,11 @@ def knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("qid", F.col("vec_id").alias("cid"))
     )
+    # r12: the single-pass count fold (sim_pq_recall/sim_lsh_recall) was
+    # MEASURED WORSE here (1.68 → 1.94 same-session; broadcast variant
+    # 1.30 → 1.65): both branches' exchanges are runtime-reused already
+    # (the bf frame is 150 rows behind one window), so the fold only
+    # perturbed the join layout. Kept in the two-consumer form.
     hit = bf.join(lsh, ["qid", "cid"]).agg(
         F.count(F.lit(1)).cast("long").alias("n_hits")
     )
@@ -17773,7 +17712,11 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
             c.withColumn("rk", F.row_number().over(pick))
             .filter(F.col("rk") == 1)
             .select("n", "lbl")
-            .localCheckpoint()
+            # r12: LAZY — plan truncation without a per-round eager job;
+            # the final aggregation materializes all three rounds in one
+            # chained job (each round's blocks persist as its stage runs,
+            # and each round's plan is still a LogicalRDD read)
+            .localCheckpoint(eager=False)
         )
     return labels.groupBy(F.col("lbl").cast("long").alias("community")).agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
