@@ -87,6 +87,15 @@ def test_q1_single_shuffle_and_fused(spark, sf_dir):
 # - the scalar-subquery queries join a ONE-ROW broadcast aggregate
 #   (avg/total) — a 1×N nested loop is O(N), the right plan for a scalar.
 _BNLJ_ALLOWED = {
+    # one-row temporal-midpoint cut crossJoined onto the orders/events
+    # scan — the in-plan replacement for the driver-side cut collect
+    # (r12, guide §5); a 1xN nested loop over a one-row broadcast is O(N)
+    "recsys_hitrate_at3",
+    "recsys_ndcg_at3",
+    "recsys_mrr_at5",
+    "recsys_map_at3",
+    "snapshot_diff_events",
+    "dq_profile_drift_orders",
     # one-row OLS-scalar frame (b0/b1/s2/moments) crossJoined onto the
     # lineitem scan for the per-row Cook's D projection (r11)
     "cooks_distance_influential",

@@ -32,7 +32,7 @@ def capped_baskets(
     # bench parquet produces (at real scale the join output is already
     # wide, and one keyed exchange here replaces several downstream).
     sess = lineitem.sparkSession
-    b0 = (
+    joined = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .select(
             F.col("o_custkey").alias("ck"),
@@ -40,9 +40,19 @@ def capped_baskets(
             F.col("o_orderdate").alias("od"),
         )
         .repartition(sess.sparkContext.defaultParallelism, "ck")
-        .groupBy("ck", "pk")
-        .agg(F.max("od").alias("md"))
     )
+    return cap_recent(joined, basket_cap)
+
+
+def cap_recent(joined: DataFrame, basket_cap: int = 10) -> DataFrame:
+    """Cap a (ck, pk, od) purchase frame to each customer's ``basket_cap``
+    most recent distinct parts. Split out of capped_baskets (r12) so the
+    temporal-holdout eval queries can derive train baskets AND test sets
+    from ONE persisted hash(ck)-partitioned join frame: both the
+    groupBy(ck, pk) and the recency window cluster by subsets/supersets of
+    ck, so no new exchange is introduced when ``joined`` is already
+    hash(ck)-partitioned (guide §2.4)."""
+    b0 = joined.groupBy("ck", "pk").agg(F.max("od").alias("md"))
     wb = W.partitionBy("ck").orderBy(F.col("md").desc(), F.col("pk"))
     return (
         b0.withColumn("rn", F.row_number().over(wb))
@@ -55,6 +65,7 @@ def itemitem_topk(
     baskets: DataFrame,
     min_cooc: int = 2,
     topk: int = 3,
+    item_est_bytes: int | None = None,
 ) -> DataFrame:
     """Top-``topk`` most-similar items per item by co-occurrence cosine
     over capped baskets: (item_a, item_b, cooc, cosine_sim, rk).
@@ -70,9 +81,14 @@ def itemitem_topk(
     # + broadcast equi-join attaches the same n without disturbing the
     # ck partitioning established by capped_baskets, so the collection agg
     # needs no exchange at all (item counts are catalog-sized — dimension
-    # class, broadcastable at any corpus scale).
+    # class). r12: the hint is gated on ``item_est_bytes`` (callers pass
+    # |part| x 16B from the parquet footer) so a 100 TB catalog degrades
+    # this to a pk-keyed shuffle join instead of forcing the broadcast;
+    # None (no bound known) means no hint — the safe direction.
+    from windflow_spark.util import maybe_broadcast
+
     cnt = baskets.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    bn = baskets.join(F.broadcast(cnt), "pk")
+    bn = baskets.join(maybe_broadcast(cnt, item_est_bytes), "pk")
     arrays = bn.groupBy("ck").agg(
         F.array_sort(F.collect_list(F.struct("pk", "n"))).alias("items")
     )

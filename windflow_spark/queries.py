@@ -34,6 +34,7 @@ from windflow_spark.operators.windows import (
 from windflow_spark.operators.reduce import rolling_reduce
 from windflow_spark.operators.interval_join import interval_join
 from windflow_spark.operators.routing import merge_pipes, split_by
+from windflow_spark.util import maybe_broadcast
 
 US_MIN = 60_000_000
 US_15MIN = 900_000_000
@@ -74,6 +75,25 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from windflow_spark.util import ensure_min_partitions
 
     return ensure_min_partitions(load_table(spark, name, sf_dir))
+
+
+def _catalog_est(sf_dir: str, rows_factor: int, bytes_per_row: int) -> int | None:
+    """Broadcast-size estimate for a parts-catalog-bounded frame:
+    parquet_rows('part') x rows_factor x bytes_per_row, read from the
+    parquet FOOTER (no Spark job). r12 (VERDICT r11 #2): the wedge-family
+    edge lists and the recsys item model are dimension-CLASS but scale
+    with the catalog, so their broadcast hints must degrade to shuffle
+    joins once the estimate outgrows spark.windflow.broadcastCapBytes
+    instead of forcing a driver OOM at a 100 TB catalog. For the edge
+    list, rows_factor = _COPURCHASE_HUB_CAP is an AVERAGE-degree
+    estimate, not a worst-case bound (estimates are what the planner
+    itself broadcasts on — guide §3.1); the fallback path is a plain
+    equi-join on (x, y), correct at any size. None (footer unreadable)
+    disables the hint — the safe direction."""
+    from windflow_spark.util import parquet_rows
+
+    n = parquet_rows(sf_dir, "part")
+    return None if n is None else n * rows_factor * bytes_per_row
 
 
 def _recall_fold(bf: DataFrame, ap: DataFrame) -> DataFrame:
@@ -6266,7 +6286,12 @@ def itemitem_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    return itemitem_topk(capped_baskets(li, o, basket_cap=10), min_cooc=2, topk=3)
+    return itemitem_topk(
+        capped_baskets(li, o, basket_cap=10),
+        min_cooc=2,
+        topk=3,
+        item_est_bytes=_catalog_est(sf_dir, 1, 16),
+    )
 
 
 @register(
@@ -6952,10 +6977,10 @@ def snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "event_id",
     )
-    cut_row = e.agg(
-        F.expr("(min(tu) + max(tu)) div 2").alias("c")
-    ).collect()[0]
-    cut = int(cut_row["c"])
+    # r12 (guide §5): the midpoint cut stays IN-PLAN as a broadcast
+    # one-row aggregate instead of a driver collect — one fewer eager
+    # job, same exact BIGINT midpoint semantics
+    cutf = e.agg(F.expr("(min(tu) + max(tu)) div 2").alias("_cut"))
     wk = W.partitionBy("user_id", "event_type", "day").orderBy(
         F.col("tu").desc(), F.col("event_id").desc()
     )
@@ -6965,7 +6990,9 @@ def snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "day", "value")
     )
     a = (
-        e.filter(F.col("tu") <= cut)
+        e.crossJoin(F.broadcast(cutf))
+        .filter(F.col("tu") <= F.col("_cut"))
+        .drop("_cut")
         .withColumn("rn", F.row_number().over(wk))
         .filter(F.col("rn") == 1)
         .select(
@@ -7273,43 +7300,51 @@ def recsys_hitrate_at3(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT division — bit-identical), and distinct recommended items
     (catalog coverage). Same capped-basket scale shape as the model
     itself; evaluation adds only co-partitioned (ck, pk) joins."""
-    from windflow_spark.operators.recsys import capped_baskets, itemitem_topk
+    from windflow_spark.operators.recsys import cap_recent, itemitem_topk
     from windflow_spark.operators.timeutil import event_micros
 
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     ou = o.withColumn("_ou", event_micros(o, "o_orderdate"))
-    cut = int(
-        ou.agg(F.expr("(min(_ou) + max(_ou)) div 2").alias("c")).collect()[0][
-            "c"
-        ]
+    # r12 (guide §5): the midpoint cut stays IN-PLAN as a broadcast
+    # one-row aggregate instead of a driver collect — one fewer eager job
+    # per eval query, and the same exact BIGINT midpoint semantics
+    cutf = ou.agg(F.expr("(min(_ou) + max(_ou)) div 2").alias("_cut"))
+    ob = ou.crossJoin(F.broadcast(cutf))
+    # r12 (guide §2.4, measured): ONE lineitem⋈orders join + ONE hash(ck)
+    # exchange serves BOTH holdout halves — the old shape scanned and
+    # joined lineitem twice (train chain inside capped_baskets, test
+    # chain its own join+distinct). The train cap (groupBy(ck,pk) +
+    # ck-window) and the test distinct both cluster by supersets of ck,
+    # so neither adds an exchange over the persisted base.
+    base = (
+        li.join(ob, li.l_orderkey == ob.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.col("l_partkey").alias("pk"),
+            F.col("o_orderdate").alias("od"),
+            (F.col("_ou") <= F.col("_cut")).alias("_train"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "ck")
+        .persist()
     )
-    tro = ou.filter(F.col("_ou") <= cut).drop("_ou")
-    teo = ou.filter(F.col("_ou") > cut).drop("_ou")
-    # the basket and model frames are each read 2-3x downstream (model
-    # build, prediction join, eval cohort) -- persist at cluster
-    # parallelism so the capped-basket chain runs once (the pagerank /
-    # triangle_count iterative-reference discipline)
-    # ck partitioning now established inside capped_baskets (one exchange
-    # shared by every downstream ck-keyed op); persist keeps the chain one-run
-    b = capped_baskets(li, tro, basket_cap=10).persist()
+    b = cap_recent(base.filter(F.col("_train")), basket_cap=10).persist()
     model = (
-        itemitem_topk(b, min_cooc=2, topk=3)
+        itemitem_topk(
+        b, min_cooc=2, topk=3, item_est_bytes=_catalog_est(sf_dir, 1, 16)
+    )
         .select("item_a", "item_b")
         .persist()
     )
     preds = (
-        b.join(F.broadcast(model), b.pk == model.item_a)
+        b.join(
+            maybe_broadcast(model, _catalog_est(sf_dir, 3, 32)),
+            b.pk == model.item_a,
+        )
         .select("ck", F.col("item_b").alias("ppk"))
         .distinct()
     )
-    test = (
-        li.join(teo, li.l_orderkey == teo.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk")
-        )
-        .distinct()
-    )
+    test = base.filter(~F.col("_train")).select("ck", "pk").distinct()
     eval_u = test.join(b.select("ck").distinct(), "ck", "left_semi").select(
         "ck"
     ).distinct()
@@ -12304,25 +12339,42 @@ def recsys_ndcg_at3(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines, integers cannot. IDCG is the closed form over
     min(3, n_rel) ideal positions. Same capped-basket bounded shapes as
     the model; the eval adds co-partitioned (ck, pk) joins only."""
-    from windflow_spark.operators.recsys import capped_baskets, itemitem_topk
+    from windflow_spark.operators.recsys import cap_recent, itemitem_topk
     from windflow_spark.operators.timeutil import event_micros
 
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     ou = o.withColumn("_ou", event_micros(o, "o_orderdate"))
-    cut = int(
-        ou.agg(F.expr("(min(_ou) + max(_ou)) div 2").alias("c")).collect()[0]["c"]
+    # r12 (guide §5): midpoint cut stays IN-PLAN as a broadcast one-row
+    # aggregate instead of a driver collect — one fewer eager job
+    cutf = ou.agg(F.expr("(min(_ou) + max(_ou)) div 2").alias("_cut"))
+    ob = ou.crossJoin(F.broadcast(cutf))
+    # r12 (guide §2.4, measured): ONE lineitem⋈orders join + ONE hash(ck)
+    # exchange serves BOTH holdout halves (train cap and test distinct
+    # cluster by supersets of ck — no exchange over the persisted base);
+    # the old shape scanned and joined lineitem once per half.
+    base = (
+        li.join(ob, li.l_orderkey == ob.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.col("l_partkey").alias("pk"),
+            F.col("o_orderdate").alias("od"),
+            (F.col("_ou") <= F.col("_cut")).alias("_train"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "ck")
+        .persist()
     )
-    tro = ou.filter(F.col("_ou") <= cut).drop("_ou")
-    teo = ou.filter(F.col("_ou") > cut).drop("_ou")
-    # ck partitioning now established inside capped_baskets (one exchange
-    # shared by every downstream ck-keyed op); persist keeps the chain one-run
-    b = capped_baskets(li, tro, basket_cap=10).persist()
-    model = itemitem_topk(b, min_cooc=2, topk=3).select(
+    b = cap_recent(base.filter(F.col("_train")), basket_cap=10).persist()
+    model = itemitem_topk(
+        b, min_cooc=2, topk=3, item_est_bytes=_catalog_est(sf_dir, 1, 16)
+    ).select(
         "item_a", "item_b", "cosine_sim"
     )
     cand = (
-        b.join(F.broadcast(model), b.pk == model.item_a)
+        b.join(
+            maybe_broadcast(model, _catalog_est(sf_dir, 3, 32)),
+            b.pk == model.item_a,
+        )
         .join(
             b.select(F.col("ck").alias("ck2"), F.col("pk").alias("pk2")),
             (F.col("ck") == F.col("ck2")) & (F.col("item_b") == F.col("pk2")),
@@ -12341,11 +12393,7 @@ def recsys_ndcg_at3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") <= 3)
         .select("ck", F.col("cpk").alias("pk"), "pos")
     )
-    test = (
-        li.join(teo, li.l_orderkey == teo.o_orderkey)
-        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
+    test = base.filter(~F.col("_train")).select("ck", "pk").distinct()
     nrel = test.groupBy("ck").agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
     eval_u = test.select("ck").distinct().join(
         b.select("ck").distinct(), "ck", "left_semi"
@@ -14701,17 +14749,19 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _wedge_pairs(nbrs.filter(F.size("nb") <= _COPURCHASE_HUB_CAP))
     cn = w.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("cn"))
     # the edge list (|E| rows) and degree table (|V| rows) are both tiny
-    # next to the candidate-pair frame — broadcast them (at 100 TB the
-    # node set is the parts catalog: dimension-sized; if it ever outgrew
-    # broadcast these become co-partitioned equi-joins on x/y)
+    # next to the candidate-pair frame — broadcast them, GUARDED (r12) by
+    # the catalog-size estimate so an outgrown catalog degrades these to
+    # co-partitioned equi-joins on x/y instead of a driver OOM
+    est_e = _catalog_est(sf_dir, _COPURCHASE_HUB_CAP, 16)
+    est_v = _catalog_est(sf_dir, 1, 16)
     ne = cn.join(
-        F.broadcast(e), (cn.x == e.u) & (cn.y == e.v), "left_anti"
+        maybe_broadcast(e, est_e), (cn.x == e.u) & (cn.y == e.v), "left_anti"
     )
     dx = deg.select(F.col("node").alias("x"), F.col("d").alias("deg_x"))
     dy = deg.select(F.col("node").alias("y"), F.col("d").alias("deg_y"))
     sc = (
-        ne.join(F.broadcast(dx), "x")
-        .join(F.broadcast(dy), "y")
+        ne.join(maybe_broadcast(dx, est_v), "x")
+        .join(maybe_broadcast(dy, est_v), "y")
         .withColumn(
             "j_raw",
             F.col("cn").cast("double")
@@ -18496,9 +18546,12 @@ def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # broadcast the |E|-row edge list so the anti-join filters the wedge
     # pairs map-side instead of sort-merge-shuffling the candidate frame
-    # (the jaccard sibling's discipline; guide §3.1)
+    # (the jaccard sibling's discipline; guide §3.1) — r12: guarded by
+    # the catalog-size estimate (falls back to an equi-join at scale)
     ne = cn.join(
-        F.broadcast(e), (cn.x == e.u) & (cn.y == e.v), "left_anti"
+        maybe_broadcast(e, _catalog_est(sf_dir, _COPURCHASE_HUB_CAP, 16)),
+        (cn.x == e.u) & (cn.y == e.v),
+        "left_anti",
     )
     top = ne.orderBy(F.col("s8").desc(), "x", "y").limit(20)
     return top.select(
@@ -18647,8 +18700,13 @@ def clustering_coefficient_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _wedge_pairs(ctr, carry=("node",)).withColumnRenamed("node", "cv")
     # broadcast the |E|-row edge list: the semi-join then closes wedges
     # map-side instead of shuffling the Σ C(d,2) wedge frame (guide §3.1)
+    # — r12: guarded by the catalog-size estimate (equi-join at scale)
     closed = (
-        w.join(F.broadcast(e), (w.x == e.u) & (w.y == e.v), "left_semi")
+        w.join(
+            maybe_broadcast(e, _catalog_est(sf_dir, _COPURCHASE_HUB_CAP, 16)),
+            (w.x == e.u) & (w.y == e.v),
+            "left_semi",
+        )
         .groupBy("cv")
         .agg(F.count(F.lit(1)).cast("long").alias("tri"))
     )
@@ -18745,25 +18803,42 @@ def recsys_mrr_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1/1..1/5 or 0), so the averaged MRR is deterministic to well below
     the 6dp rounding. Joins are all (ck, pk)-keyed — no new shuffle
     shapes beyond the audited recsys family."""
-    from windflow_spark.operators.recsys import capped_baskets, itemitem_topk
+    from windflow_spark.operators.recsys import cap_recent, itemitem_topk
     from windflow_spark.operators.timeutil import event_micros
 
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     ou = o.withColumn("_ou", event_micros(o, "o_orderdate"))
-    cut = int(
-        ou.agg(F.expr("(min(_ou) + max(_ou)) div 2").alias("c")).collect()[0]["c"]
+    # r12 (guide §5): midpoint cut stays IN-PLAN as a broadcast one-row
+    # aggregate instead of a driver collect — one fewer eager job
+    cutf = ou.agg(F.expr("(min(_ou) + max(_ou)) div 2").alias("_cut"))
+    ob = ou.crossJoin(F.broadcast(cutf))
+    # r12 (guide §2.4, measured): ONE lineitem⋈orders join + ONE hash(ck)
+    # exchange serves BOTH holdout halves (train cap and test distinct
+    # cluster by supersets of ck — no exchange over the persisted base);
+    # the old shape scanned and joined lineitem once per half.
+    base = (
+        li.join(ob, li.l_orderkey == ob.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.col("l_partkey").alias("pk"),
+            F.col("o_orderdate").alias("od"),
+            (F.col("_ou") <= F.col("_cut")).alias("_train"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "ck")
+        .persist()
     )
-    tro = ou.filter(F.col("_ou") <= cut).drop("_ou")
-    teo = ou.filter(F.col("_ou") > cut).drop("_ou")
-    # ck partitioning now established inside capped_baskets (one exchange
-    # shared by every downstream ck-keyed op); persist keeps the chain one-run
-    b = capped_baskets(li, tro, basket_cap=10).persist()
-    model = itemitem_topk(b, min_cooc=2, topk=3).select(
+    b = cap_recent(base.filter(F.col("_train")), basket_cap=10).persist()
+    model = itemitem_topk(
+        b, min_cooc=2, topk=3, item_est_bytes=_catalog_est(sf_dir, 1, 16)
+    ).select(
         "item_a", "item_b", "cosine_sim"
     )
     cand = (
-        b.join(F.broadcast(model), b.pk == model.item_a)
+        b.join(
+            maybe_broadcast(model, _catalog_est(sf_dir, 3, 32)),
+            b.pk == model.item_a,
+        )
         .join(
             b.select(F.col("ck").alias("ck2"), F.col("pk").alias("pk2")),
             (F.col("ck") == F.col("ck2")) & (F.col("item_b") == F.col("pk2")),
@@ -18782,11 +18857,7 @@ def recsys_mrr_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") <= 5)
         .select("ck", F.col("cpk").alias("pk"), "pos")
     )
-    test = (
-        li.join(teo, li.l_orderkey == teo.o_orderkey)
-        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
+    test = base.filter(~F.col("_train")).select("ck", "pk").distinct()
     eval_u = test.select("ck").distinct().join(
         b.select("ck").distinct(), "ck", "left_semi"
     )
@@ -18887,25 +18958,42 @@ def recsys_map_at3(spark: SparkSession, sf_dir: str) -> DataFrame:
     work), so the averaged MAP is deterministic far below the 6dp round.
     Model and holdout are byte-identical to the sibling queries — one
     model audit covers all four metrics."""
-    from windflow_spark.operators.recsys import capped_baskets, itemitem_topk
+    from windflow_spark.operators.recsys import cap_recent, itemitem_topk
     from windflow_spark.operators.timeutil import event_micros
 
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     ou = o.withColumn("_ou", event_micros(o, "o_orderdate"))
-    cut = int(
-        ou.agg(F.expr("(min(_ou) + max(_ou)) div 2").alias("c")).collect()[0]["c"]
+    # r12 (guide §5): midpoint cut stays IN-PLAN as a broadcast one-row
+    # aggregate instead of a driver collect — one fewer eager job
+    cutf = ou.agg(F.expr("(min(_ou) + max(_ou)) div 2").alias("_cut"))
+    ob = ou.crossJoin(F.broadcast(cutf))
+    # r12 (guide §2.4, measured): ONE lineitem⋈orders join + ONE hash(ck)
+    # exchange serves BOTH holdout halves (train cap and test distinct
+    # cluster by supersets of ck — no exchange over the persisted base);
+    # the old shape scanned and joined lineitem once per half.
+    base = (
+        li.join(ob, li.l_orderkey == ob.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.col("l_partkey").alias("pk"),
+            F.col("o_orderdate").alias("od"),
+            (F.col("_ou") <= F.col("_cut")).alias("_train"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "ck")
+        .persist()
     )
-    tro = ou.filter(F.col("_ou") <= cut).drop("_ou")
-    teo = ou.filter(F.col("_ou") > cut).drop("_ou")
-    # ck partitioning now established inside capped_baskets (one exchange
-    # shared by every downstream ck-keyed op); persist keeps the chain one-run
-    b = capped_baskets(li, tro, basket_cap=10).persist()
-    model = itemitem_topk(b, min_cooc=2, topk=3).select(
+    b = cap_recent(base.filter(F.col("_train")), basket_cap=10).persist()
+    model = itemitem_topk(
+        b, min_cooc=2, topk=3, item_est_bytes=_catalog_est(sf_dir, 1, 16)
+    ).select(
         "item_a", "item_b", "cosine_sim"
     )
     cand = (
-        b.join(F.broadcast(model), b.pk == model.item_a)
+        b.join(
+            maybe_broadcast(model, _catalog_est(sf_dir, 3, 32)),
+            b.pk == model.item_a,
+        )
         .join(
             b.select(F.col("ck").alias("ck2"), F.col("pk").alias("pk2")),
             (F.col("ck") == F.col("ck2")) & (F.col("item_b") == F.col("pk2")),
@@ -18924,11 +19012,7 @@ def recsys_map_at3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") <= 3)
         .select("ck", F.col("cpk").alias("pk"), "pos")
     )
-    test = (
-        li.join(teo, li.l_orderkey == teo.o_orderkey)
-        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
+    test = base.filter(~F.col("_train")).select("ck", "pk").distinct()
     nrel = test.groupBy("ck").agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
     eval_u = test.select("ck").distinct().join(
         b.select("ck").distinct(), "ck", "left_semi"
@@ -20428,12 +20512,13 @@ def dq_profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     ou = o.withColumn("_ou", event_micros(o, "o_orderdate"))
-    cut = int(
-        ou.agg(F.expr("(min(_ou) + max(_ou)) div 2").alias("c")).collect()[0]["c"]
-    )
-    tagged = ou.withColumn(
+    # r12 (guide §5): midpoint cut in-plan via a broadcast one-row
+    # aggregate (no driver collect); the broadcast exchange is built once
+    # and reused by all three profile branches
+    cutf = ou.agg(F.expr("(min(_ou) + max(_ou)) div 2").alias("_cut"))
+    tagged = ou.crossJoin(F.broadcast(cutf)).withColumn(
         "half",
-        F.when(F.col("_ou") <= cut, F.lit("first_half")).otherwise(
+        F.when(F.col("_ou") <= F.col("_cut"), F.lit("first_half")).otherwise(
             F.lit("second_half")
         ),
     )
