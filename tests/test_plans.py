@@ -96,6 +96,10 @@ _BNLJ_ALLOWED = {
     "recsys_map_at3",
     "snapshot_diff_events",
     "dq_profile_drift_orders",
+    # one-row basket-total aggregate crossJoined onto the filtered pair
+    # frame — the in-plan replacement for the eager n_baskets count job
+    # (r12, the assoc_rules_triples nb pattern)
+    "assoc_rules_lift",
     # one-row OLS-scalar frame (b0/b1/s2/moments) crossJoined onto the
     # lineitem scan for the per-row Cook's D projection (r11)
     "cooks_distance_influential",

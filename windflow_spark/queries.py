@@ -6406,15 +6406,26 @@ def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected basket array with per-item counts riding a window — linear
     in orders, and the global top-20 is a TakeOrdered, never a full
     sort."""
+    # r12 (guide §2.4, the assoc_rules_triples discipline): ONE hash(ok)
+    # exchange serves the whole chain — the (ok, pk) distinct and the
+    # basket groupBy both cluster by supersets of ok, so neither adds an
+    # exchange; the per-item counts ride back in as a guarded broadcast
+    # join instead of a full-frame pk window (sort + exchange gone); the
+    # basket total stays IN-PLAN as a one-row broadcast aggregate instead
+    # of an eager driver count job (guide §5).
     li = (
         _t(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .repartition(spark.sparkContext.defaultParallelism, "ok")
         .distinct()
     )
-    n_baskets = li.select("ok").distinct().count()
-    cn = li.withColumn(
-        "c", F.count(F.lit(1)).over(W.partitionBy("pk")).cast("long")
+    nb = (
+        li.select("ok")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("nb"))
     )
+    cnt = li.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cn = li.join(maybe_broadcast(cnt, _catalog_est(sf_dir, 1, 16)), "pk")
     baskets = cn.groupBy("ok").agg(
         F.array_sort(F.collect_list(F.struct("pk", "c"))).alias("items")
     )
@@ -6448,18 +6459,19 @@ def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("pa", "ca", "pb", "cb")
         .agg(F.count(F.lit(1)).cast("long").alias("cooc"))
         .filter(F.col("cooc") >= 2)
+        .crossJoin(F.broadcast(nb))  # one-row scalar attach
         .select(
             F.col("pa").alias("antecedent"),
             F.col("pb").alias("consequent"),
             "cooc",
-            F.round(F.col("cooc") / F.lit(float(n_baskets)), 6).alias(
-                "support"
-            ),
+            F.round(
+                F.col("cooc") / F.col("nb").cast("double"), 6
+            ).alias("support"),
             F.round(
                 F.col("cooc") / F.col("ca").cast("double"), 6
             ).alias("confidence"),
             (
-                (F.col("cooc") * F.lit(n_baskets))
+                (F.col("cooc") * F.col("nb"))
                 / (F.col("ca") * F.col("cb")).cast("double")
             ).alias("lift_raw"),
         )
@@ -15981,24 +15993,48 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over-width buckets are TRUNCATED to a deterministic 200-row prefix
     # (rank by vec_id) rather than dropped — bounded Σw² work with
     # graceful degradation: a dropout rule silently emptied the graph
-    # once density pushed every bucket past the cap (sf1 probe)
-    wt = W.partitionBy("tag", "bkt")
+    # once density pushed every bucket past the cap (sf1 probe).
+    # r12 (guide §2.4, the minhash grouped-bucket move): ONE
+    # groupBy(tag, bkt) collects each bucket's sorted id prefix and the
+    # same-bucket pairs are expanded IN-ROW (both directions) — replacing
+    # the window rank (exchange + sort) AND the bucket self-join (two
+    # more exchanges of the 4×-corpus table frame) with a single keyed
+    # aggregation; slice(sorted_ids, 1, 200) ≡ row_number ≤ 200 by vec_id.
+    # the grouped frame is ≤ 64 rows (4 tables × 16 buckets) — AQE
+    # coalesces it to one partition, which would serialize the quadratic
+    # in-row expansion; round-robin fan-out to one bucket per task (the
+    # r11 wedge-family anti-collapse move, 64 = the structural bucket
+    # count, not a core-count tune)
     tok = (
-        t.withColumn("_rn", F.row_number().over(wt.orderBy("vec_id")))
-        .filter(F.col("_rn") <= 200)
-        .drop("_rn")
+        t.groupBy("tag", "bkt")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("vec_id")), 1, 200).alias(
+                "_ids"
+            )
+        )
+        .repartition(64)
     )
-    o = tok.select(
-        F.col("vec_id").alias("cid"), F.col("tag").alias("btag"), F.col("bkt").alias("bbkt")
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.flatten(
+                F.transform(
+                    F.slice(
+                        F.col("_ids"),
+                        i + F.lit(2),
+                        F.greatest(F.size("_ids") - i - F.lit(1), F.lit(0)),
+                    ),
+                    lambda y: F.array(
+                        F.struct(x.alias("qid"), y.alias("cid")),
+                        F.struct(y.alias("qid"), x.alias("cid")),
+                    ),
+                )
+            ),
+        )
     )
     p = (
-        tok.join(
-            o,
-            (F.col("tag") == F.col("btag"))
-            & (F.col("bkt") == F.col("bbkt"))
-            & (F.col("vec_id") != F.col("cid")),
-        )
-        .select(F.col("vec_id").alias("qid"), "cid")
+        tok.select(F.explode(pair_arr).alias("pr"))
+        .select("pr.qid", "pr.cid")
         .dropDuplicates(["qid", "cid"])
     )
     ev = emb.select(
@@ -16010,9 +16046,13 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = ev.select(
         F.col("vec_id").alias("cid"), F.col("_v").alias("_cv"), F.col("_n").alias("_cn")
     )
+    # r12 (guide §2.4): attach the candidate vector FIRST and the query
+    # vector LAST — the qid equi-join leaves the scored frame hash(qid)
+    # partitioned, so the top-3 window below needs only a sort, not
+    # another exchange of the widest (two-vectors-per-row) frame
     sc = (
-        p.join(ea, "qid")
-        .join(eb, "cid")
+        p.join(eb, "cid")
+        .join(ea, "qid")
         .withColumn(
             "cos_sim",
             F.round(
@@ -16022,6 +16062,7 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         )
+        .select("qid", "cid", "cos_sim")
     )
     w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "cid")
     return (
