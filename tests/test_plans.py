@@ -534,9 +534,14 @@ def test_r6_additions_exchange_budgets(spark, sf_dir):
                                       # from an earlier test freezes ed's
                                       # partitioning and Spark plans one
                                       # realignment exchange around it
-        "assoc_rules_lift": 4,        # basket agg + item-count window +
-                                      # rule agg + TakeOrdered (no sort
-                                      # exchange); pair gen is in-row
+        "assoc_rules_lift": 5,        # r12 shape: ONE hash(ok)
+                                      # repartition rendered in all 3
+                                      # consumer branches of the textual
+                                      # plan (runtime exchange reuse
+                                      # collapses them) + pair agg +
+                                      # pk-count agg; the old window
+                                      # exchange is gone and pair gen
+                                      # stays in-row
         "rfm_customer_segments": 1,   # ONE keyed exchange (custkey agg);
                                       # ntile sorts are SinglePartition
                                       # over the dimension-sized frame
