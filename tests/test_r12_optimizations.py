@@ -80,3 +80,90 @@ def test_knn_graph_lsh_bucket_cap_slice_equivalence(spark):
     )
     want = {(r["bkt"], r["vec_id"]) for r in ranked.collect()}
     assert got == want
+
+def test_pca_power_iteration_driver_fold(spark, sf_dir):
+    """r12: the three exact-integer mat-vec rounds run on the DRIVER over
+    the dimension-bounded (64x64) collected matrix; the returned frame is
+    a dim-sized local result with only the ordering/rounding projection —
+    no joins, no corpus scan, no exchange left in the final plan."""
+    from windflow_spark.queries import embedding_pca_power_iteration
+
+    df = embedding_pca_power_iteration(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert ".parquet" not in plan
+    assert df.count() == 8
+
+
+def test_decimal_div_truncates_toward_zero(spark):
+    """The driver fold reproduces Spark's DECIMAL `div` with a Python
+    helper; DECIMAL div must truncate toward zero (Python // floors,
+    which differs on negatives) — pin the engine semantic the fold
+    assumes, on both sign combinations."""
+    row = spark.sql(
+        "SELECT CAST(CAST(-7000000 AS DECIMAL(38,0)) div 3 AS LONG) AS a, "
+        "CAST(CAST(7000000 AS DECIMAL(38,0)) div -3 AS LONG) AS b, "
+        "CAST(CAST(7000000 AS DECIMAL(38,0)) div 3 AS LONG) AS c"
+    ).first()
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+    assert row["a"] == tdiv(-7000000, 3) == -2333333
+    assert row["b"] == tdiv(7000000, -3) == -2333333
+    assert row["c"] == tdiv(7000000, 3) == 2333333
+
+
+def test_landmark_bfs_rounds_add_no_construction_jobs(spark, sf_dir):
+    """r12: the per-round frontier frames are persist()-shared, not
+    checkpointed — under AQE even a lazy localCheckpoint executes its
+    upstream stages at the call site, so the old form paid 3 serialized
+    build jobs. Building the query must now submit exactly the jobs the
+    shared adjacency helper itself submits (its one checkpoint), and the
+    BFS rounds ZERO more; the rounds show as InMemoryTableScan in the
+    plan."""
+    from windflow_spark.queries import (
+        copurchase_adjacency,
+        graph_landmark_distances,
+    )
+
+    sc = spark.sparkContext
+
+    def njobs() -> int:
+        return sc._jsc.sc().dagScheduler().numTotalJobs()
+
+    j0 = njobs()
+    copurchase_adjacency(spark, sf_dir)
+    helper_jobs = njobs() - j0
+    j1 = njobs()
+    df = graph_landmark_distances(spark, sf_dir)
+    query_jobs = njobs() - j1
+    assert query_jobs <= helper_jobs, (
+        f"BFS rounds must add no construction jobs beyond the adjacency "
+        f"helper's own ({query_jobs} > {helper_jobs})"
+    )
+    assert "InMemoryTableScan" in physical_plan(df)
+
+def test_k_core_copurchase_trace_in_plan(spark, sf_dir):
+    """r12: the fixed 4-round trace is returned as an in-plan unionAll of
+    one-row aggregates over the checkpointed round frames — no per-round
+    .first() driver round-trips; the returned plan must be a Union of
+    four aggregates reading checkpoint RDDs, in round order."""
+    from windflow_spark.queries import k_core_copurchase
+
+    df = k_core_copurchase(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Union" in plan
+    assert plan.count("Scan ExistingRDD") >= 4
+    rows = df.collect()
+    assert [r["round"] for r in rows] == [0, 1, 2, 3]
+
+
+def test_label_propagation_rounds_persisted_not_checkpointed(spark, sf_dir):
+    """r12: each round's label frame is persist()-shared — the final plan
+    reads the rounds as InMemoryTableScan (cache), with lineage intact
+    (cluster-safe recompute), instead of per-round checkpoint RDDs built
+    eagerly at construction."""
+    from windflow_spark.queries import label_propagation_communities
+
+    df = label_propagation_communities(spark, sf_dir)
+    assert "InMemoryTableScan" in physical_plan(df)

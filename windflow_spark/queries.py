@@ -12664,14 +12664,29 @@ def k_core_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # paid three sequential ones (edge checkpoint, degree checkpoint,
     # trace agg). Lineage truncation is unchanged: the next round still
     # plans over LogicalRDDs.
+    # r12 second pass (guide §1.2/§5, measured): the rounds are FIXED (no
+    # convergence decision), so the driver never needs the per-round
+    # scalars at all — the trace is returned as an IN-PLAN unionAll of
+    # four one-row aggregates over the checkpointed round frames, with
+    # n_edges = floor(sum(d)/2) computed as an expression (exact on the
+    # u<v edge list, the r11 fold identity). The four per-round `.first()`
+    # driver round-trips are gone; each round's checkpoint still truncates
+    # lineage, and the final action reads only checkpoint blocks (four
+    # cheap degree aggs + union). Row order stays round order: each agg
+    # emits one row and unionAll concatenates in plan order.
     e = pairs.repartition(p, "u").localCheckpoint(eager=False)
-    trace: list[tuple[int, int, int]] = []
+    trace_rows: list[DataFrame] = []
     for rnd in range(4):
         deg = degrees(e).localCheckpoint(eager=False)
-        row = deg.agg(
-            F.count(F.lit(1)).alias("nn"), F.sum("d").alias("sd")
-        ).first()
-        trace.append((rnd, int(row["nn"] or 0), int(row["sd"] or 0) // 2))
+        trace_rows.append(
+            deg.agg(
+                F.lit(rnd).cast("long").alias("round"),
+                F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                F.expr(
+                    "CAST(coalesce(sum(d), 0L) div 2 AS LONG)"
+                ).alias("n_edges"),
+            )
+        )
         if rnd < 3:
             keep = deg.filter(F.col("d") >= 52).select("n")
             e = (
@@ -12680,9 +12695,10 @@ def k_core_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("u", "v")
                 .localCheckpoint(eager=False)
             )
-    return spark.createDataFrame(
-        trace, "round long, n_nodes long, n_edges long"
-    )
+    out = trace_rows[0]
+    for t in trace_rows[1:]:
+        out = out.unionAll(t)
+    return out.select("round", "n_nodes", "n_edges")
 
 
 def _k_core_fp_oracle(k: int = 40, max_rounds: int = 12) -> str:
@@ -17803,11 +17819,17 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
             c.withColumn("rk", F.row_number().over(pick))
             .filter(F.col("rk") == 1)
             .select("n", "lbl")
-            # r12: LAZY — plan truncation without a per-round eager job;
-            # the final aggregation materializes all three rounds in one
-            # chained job (each round's blocks persist as its stage runs,
-            # and each round's plan is still a LogicalRDD read)
-            .localCheckpoint(eager=False)
+            # r12 (measured): persist(), not a checkpoint — under AQE even
+            # a lazy localCheckpoint executes every upstream shuffle stage
+            # at construction (toRdd materializes AQE query stages), so the
+            # old form serialized the three rounds into construction-time
+            # jobs. Fixed rounds, no driver decision: a cache marker gives
+            # the same per-round sharing with ZERO construction jobs, full
+            # overlap inside the final aggregation's job, and lineage that
+            # recomputes on executor loss (cluster-safe). Plan growth is
+            # linear in rounds here (labels appears once per round), so
+            # the k-core rendering-OOM concern does not apply.
+            .persist()
         )
     return labels.groupBy(F.col("lbl").cast("long").alias("community")).agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
@@ -19721,8 +19743,21 @@ def graph_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         fresh = expand.join(visited, ["lmk", "node"], "left_anti").select(
             "lmk", "node", F.lit(r).alias("dist")
         )
-        # cut lineage per round (the k-core/label-propagation discipline)
-        fresh = fresh.localCheckpoint(eager=True)
+        # r12 (measured): share each round via persist(), NOT a checkpoint.
+        # Under AQE even a LAZY localCheckpoint executes every upstream
+        # shuffle stage at plan-construction time (Dataset.checkpoint calls
+        # queryExecution.toRdd, which materializes AQE query stages), so the
+        # old per-round checkpoints paid 3 serialized build jobs before the
+        # real action started. No driver decision happens between rounds
+        # (fixed 3, no convergence collect), so a cache marker is enough:
+        # construction submits ZERO jobs, all rounds overlap inside the one
+        # final-aggregation job, and both consumers of each round (visited
+        # union + next frontier) read the same cached blocks. Plan growth is
+        # bounded (3 rounds over a checkpointed adjacency), and unlike
+        # executor-local checkpoint blocks the cache is recomputable from
+        # lineage on executor loss — the cluster-safe choice (VERDICT r11
+        # "what's wrong" #3).
+        fresh = fresh.persist()
         visited = visited.unionByName(fresh)
         frontier = fresh
     return (
@@ -21483,25 +21518,44 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
                 - F.col("sia").cast("decimal(38,0)") * F.col("sib")
             ).alias("mv"),
         )
-        .localCheckpoint(eager=True)  # 4096 rows; cut corpus lineage once
     )
-    v = m.select("di").distinct().select(
-        F.col("di").alias("dim"), F.lit(1_000_000).cast("decimal(38,0)").alias("v")
-    )
+    # r12 (guide §5, measured): the three mat-vec rounds over the dim²
+    # matrix ran as ~7 chained dim-sized exchanges (join + agg + scalar
+    # crossJoin per round) behind an eager checkpoint job. The matrix is
+    # DIMENSION-bounded — dim²=4096 rows regardless of corpus size, the
+    # same bound that justifies the Lloyd-training collects in the sim_*
+    # family — so collect it ONCE (the only corpus-touching job) and run
+    # the exact integer iteration in the driver: Python ints are
+    # arbitrary-precision, so Σ mv·v matches the DECIMAL(38,0) sum
+    # bit-for-bit (headroom note above), and `_tdiv` reproduces Spark's
+    # DECIMAL `div` (truncation toward zero; Python `//` floors, which
+    # differs on negatives). The final ordering/rounding projection stays
+    # IN SPARK over the dim-sized result frame, so the emitted doubles go
+    # through the identical round(cast(double)/1e6, 6) expression as
+    # before. At 100 TB nothing changes: one scan-and-reduce job, one
+    # 4096-row collect, O(dim²) driver arithmetic.
+    rows = m.collect()
+    mat: dict[tuple[int, int], int] = {
+        (r["di"], r["dj"]): int(r["mv"]) for r in rows
+    }
+    dims = sorted({di for di, _ in mat})
+
+    def _tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    vec = {d: 1_000_000 for d in dims}
     for _ in range(3):
-        w = (
-            m.join(v, m.dj == v.dim)
-            .groupBy("di")
-            .agg(F.sum(F.col("mv") * F.col("v")).alias("wv"))
-        )
-        mx = w.agg(F.max(F.abs(F.col("wv"))).alias("mx"))
-        v = (
-            w.crossJoin(F.broadcast(mx))  # one-row scalar attach
-            .select(
-                F.col("di").alias("dim"),
-                F.expr("CAST((wv * 1000000) div mx AS DECIMAL(38,0))").alias("v"),
-            )
-        )
+        w = {
+            di: sum(mat[(di, dj)] * vec[dj] for dj in dims) for di in dims
+        }
+        mx = max(abs(x) for x in w.values())
+        vec = {d: _tdiv(w[d] * 1_000_000, mx) for d in dims}
+    from decimal import Decimal
+
+    v = spark.createDataFrame(
+        [(d, Decimal(vec[d])) for d in dims], "dim int, v decimal(38,0)"
+    )
     return (
         v.orderBy(F.abs(F.col("v")).desc(), "dim")
         .limit(8)
