@@ -989,9 +989,16 @@ def test_r10_additions_exchange_budgets(spark, sf_dir):
                                             # + candidate agg + TakeOrdered
         "clustering_coefficient_local": 9,  # shared wedge prep + closed-
                                             # wedge semi-join + center aggs
-        "graph_landmark_distances": 4,      # shared prep + one frontier
-                                            # expand/anti per round (lineage
-                                            # cut by localCheckpoint)
+        "graph_landmark_distances": 7,      # shared prep + one frontier
+                                            # expand/anti per round; r12:
+                                            # rounds are persist()-shared,
+                                            # so their join exchanges stay
+                                            # VISIBLE in the textual plan
+                                            # (the old checkpoints cut the
+                                            # printed lineage) while the
+                                            # runtime computes each round
+                                            # once into cache — same work,
+                                            # 3 more textual exchanges
         "hits_hubs_authorities": 26,        # 3 half-iteration join+agg
                                             # rounds; the tail is per-side
                                             # top-10 TakeOrdered + scalar

@@ -167,3 +167,25 @@ def test_label_propagation_rounds_persisted_not_checkpointed(spark, sf_dir):
 
     df = label_propagation_communities(spark, sf_dir)
     assert "InMemoryTableScan" in physical_plan(df)
+
+def test_adjacency_materialize_flag_equivalence(spark, sf_dir):
+    """r12 (VERDICT r11 #8): spark.windflow.graph.adjacencyMaterialize=true
+    swaps the adjacency lineage cut from executor-local checkpoint to a
+    write-once parquet in the warehouse dir (durable across executor loss
+    at cluster scale). Both paths must produce the identical adjacency."""
+    from windflow_spark.queries import copurchase_adjacency
+
+    def snapshot():
+        nbrs, edges = copurchase_adjacency(spark, sf_dir)
+        n = {(r["node"], tuple(r["nb"])) for r in nbrs.collect()}
+        e = {(r["u"], r["v"]) for r in edges.collect()}
+        return n, e
+
+    spark.conf.set("spark.windflow.graph.adjacencyMaterialize", "false")
+    base = snapshot()
+    try:
+        spark.conf.set("spark.windflow.graph.adjacencyMaterialize", "true")
+        mat = snapshot()
+    finally:
+        spark.conf.set("spark.windflow.graph.adjacencyMaterialize", "false")
+    assert mat == base

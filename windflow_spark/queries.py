@@ -12645,7 +12645,7 @@ def k_core_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # DRIVER-LOOP form with LINEAGE TRUNCATION: each round's edge frame is
-    # localCheckpoint'ed (eager), so round r+1 plans over a LogicalRDD —
+    # localCheckpoint'ed, so round r+1 plans over a LogicalRDD —
     # never over round r's expression tree. Without truncation each round
     # embeds the previous round's subtree 5× (the edge frame itself + two
     # keep-sets, each of whose degree agg embeds it twice): by round 3 the
@@ -12657,13 +12657,12 @@ def k_core_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     #
     # r11 folded both trace scalars into ONE aggregation (n_nodes =
     # count(*), n_edges = sum(d)/2 — exact: each u<v edge contributes 2 to
-    # the degree total). r12 (guide §1.2, measured): every per-round
-    # checkpoint is now LAZY (the connected_components discipline), so the
-    # round's single trace-collect job materializes the edge AND degree
-    # blocks as a side effect — ONE job per round where the eager form
-    # paid three sequential ones (edge checkpoint, degree checkpoint,
-    # trace agg). Lineage truncation is unchanged: the next round still
-    # plans over LogicalRDDs.
+    # the degree total). r12 made the checkpoints LAZY (the
+    # connected_components discipline); note that under AQE a lazy
+    # localCheckpoint still executes its upstream stages at the call site
+    # (toRdd materializes query stages), so laziness defers only the
+    # final stage — the checkpoints below remain the lineage cut, not a
+    # job saver.
     # r12 second pass (guide §1.2/§5, measured): the rounds are FIXED (no
     # convergence decision), so the driver never needs the per-round
     # scalars at all — the trace is returned as an IN-PLAN unionAll of
@@ -12805,13 +12804,15 @@ def k_core_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # r11 folded both trace scalars into ONE aggregation (n_nodes =
     # count(*), n_edges = sum(d)/2 — exact: each u<v edge contributes 2 to
-    # the degree total). r12 (guide §1.2, measured): the per-round edge
-    # and degree checkpoints are LAZY (the connected_components
-    # discipline) — the round's stats collect materializes both as a side
-    # effect, so each peel round is ONE job where the eager form paid
-    # three sequential ones. Lineage truncation is unchanged (round r+1
-    # still plans over LogicalRDDs); at 100 TB each round is one pass
-    # over the edge list instead of three.
+    # the degree total). r12: the per-round edge and degree checkpoints
+    # are LAZY (the connected_components discipline); under AQE a lazy
+    # localCheckpoint still executes its upstream stages at the call site
+    # (toRdd materializes query stages), so this defers only each
+    # frame's final stage — the cut is for lineage, and the round's
+    # driver work is the single folded stats collect. A 2-rounds-per-
+    # collect batching with un-checkpointed degree frames was measured
+    # wash-to-worse (the in-plan degree recomputation outweighs the
+    # saved round-trips) and reverted — OPTIMIZATION_r12.md batch 4.
     def stats(deg: DataFrame) -> tuple[int, int]:
         row = deg.agg(
             F.count(F.lit(1)).alias("nn"), F.sum("d").alias("sd")
@@ -14696,7 +14697,32 @@ def copurchase_adjacency(spark: SparkSession, sf_dir: str, max_p_size: int = 25)
         ).alias("p")
     ).select("p.node", "p.nbr")
     nbrs = adj.groupBy("node").agg(F.array_sort(F.collect_set("nbr")).alias("nb"))
-    nbrs = nbrs.repartition(spark.sparkContext.defaultParallelism).localCheckpoint(eager=False)
+    nbrs = nbrs.repartition(spark.sparkContext.defaultParallelism)
+    # r12 (VERDICT r11 #8/"what's wrong" #3): the lineage cut is the seam
+    # where the 100 TB deployment swaps in RELIABLE storage. Default
+    # (bench path, unchanged): executor-local checkpoint — fastest, but
+    # its blocks die with an executor, so a lost task is a job failure at
+    # cluster scale. `spark.windflow.graph.adjacencyMaterialize=true`
+    # instead writes the adjacency ONCE to parquet under a per-invocation
+    # directory in the warehouse dir and reads it back: durable across
+    # executor loss, readable by all 7 graph consumers, and the unique
+    # path guarantees no cross-invocation reuse (every bench/oracle run
+    # still computes from the raw inputs). A/B at the sf1 probe is
+    # recorded in OPTIMIZATION_r12.md.
+    if (
+        spark.conf.get("spark.windflow.graph.adjacencyMaterialize", "false")
+        == "true"
+    ):
+        import uuid
+
+        base = spark.conf.get(
+            "spark.sql.warehouse.dir", "/tmp/windflow-spark-warehouse"
+        ).removeprefix("file:")
+        path = f"{base}/_adjacency/{uuid.uuid4().hex}"
+        nbrs.write.mode("overwrite").parquet(path)
+        nbrs = spark.read.parquet(path)
+    else:
+        nbrs = nbrs.localCheckpoint(eager=False)
     edges = nbrs.select(
         F.col("node").alias("u"),
         F.explode(F.filter(F.col("nb"), lambda y: y > F.col("node"))).alias("v"),
